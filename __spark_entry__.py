@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` /
+``oracle_sql()`` expose the operator inventory registered in
+fhir_etl_spark.queries (one (Spark plan, DuckDB oracle) pair per operator
+from SURVEY.md §2 plus the north-star dedup/similarity/text operators).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Make the engine importable regardless of the driver's CWD.
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from fhir_etl_spark.queries import all_queries  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: TPC-H Q3-shaped scan→filter→3-way
+    join→agg→top-k (exercises S/P/J/A/O in one plan)."""
+    from fhir_etl_spark.queries.relational import q3_shipping_priority
+
+    return q3_shipping_priority(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """name → fn(spark, sf_dir) for every implemented inventory operator."""
+    return {name: qd.fn for name, qd in sorted(all_queries().items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """name → DuckDB SQL. Entries absent here (approx/hash-dependent ops:
+    MinHash-LSH, SimHash, hyperplane-LSH) get the driver's rows-only check;
+    their semantics are asserted in tests/ instead."""
+    return {
+        name: qd.oracle for name, qd in sorted(all_queries().items()) if qd.oracle is not None
+    }

@@ -1,0 +1,75 @@
+"""Headline benchmark: runs the engine's representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver-side collect cost). The set spans the operator classes: scan+agg,
+multi-join, window, dedup (exact + MinHash-LSH), similarity top-k, text
+featurization, sessionization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fhir_etl_spark.queries import all_queries  # noqa: E402
+from fhir_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "w1_topk_per_group",
+    "e3_sessionization",
+    "t2_quality_score",
+    "d1_exact_dedup",
+    "d4_minhash_lsh",
+    "v1_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("fhir_etl_spark_bench")
+    registry = all_queries()
+
+    # Warm the JVM/codegen once on the cheapest query so per-query timings
+    # measure the plan, not first-run initialization.
+    registry["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        # time construction + execution: some plans (e.g. minhash's
+        # localCheckpoint) legitimately do work at construction time
+        start = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

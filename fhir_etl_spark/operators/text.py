@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines (north-star per
+BASELINE.json): token counting, quality scoring, language ID, and document
+fingerprinting — all pure Catalyst expressions over a `text` column, so
+they run JVM-side at full codegen speed on 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Real deployments swap in bigger lists (broadcast); the operator shape
+# (argmax over per-language hit counts) is what matters.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "for", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "une", "pour", "dans"),
+    "es": ("el", "la", "los", "y", "es", "no", "una", "para", "con"),
+}
+
+# A BPE-ish word/number/punctuation segmentation: words (with optional
+# leading apostrophe contraction), numbers, or single non-space symbols.
+BPE_ISH_PATTERN = r"'?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (empty strings removed)."""
+    return F.filter(F.split(_col(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE-ish regex (words + numbers +
+    individual symbols) — a cheap, deterministic proxy for tokenizer cost."""
+    return F.size(F.regexp_extract_all(_col(text), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_hits(text: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """Count of tokens that are in the given stopword list."""
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0, 1]: rewards mid-length documents,
+    a sane punctuation ratio, and a natural stopword ratio.
+
+    score = 0.4 * min(n_tokens/100, 1)
+          + 0.3 * (1 - min(punct_ratio * 5, 1))
+          + 0.3 * min(stopword_ratio * 5, 1)
+
+    All components are rational arithmetic over counts — deterministic and
+    SQL-expressible for the oracle.
+    """
+    t = _col(text)
+    n_tok = token_count(t).cast("double")
+    n_chars = F.length(t).cast("double")
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0)).cast("double")
+    n_stop = stopword_hits(t, LANG_STOPWORDS["en"]).cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    score = (
+        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    return F.round(score, 4)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Language ID by stopword-hit argmax; 'und' (undetermined) when no
+    language scores a hit. Deterministic tie-break: language-code order."""
+    hits = {lang: stopword_hits(text, sws) for lang, sws in LANG_STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set. Identical token bags → identical fingerprint, robust to
+    token order — the cheap first pass before MinHash."""
+    normalized = F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
+    return F.md5(normalized)
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis feature set as columns."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_bpe_tokens": bpe_ish_token_count(t),
+            "quality": quality_score(t),
+            "lang_pred": lang_id(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

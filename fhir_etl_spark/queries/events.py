@@ -1,0 +1,135 @@
+"""Event-time windowing inventory over the `events` table (SURVEY.md §2.10).
+
+These are the BATCH expressions of the streaming windows — `F.window` /
+`F.session_window` produce identical results under Structured Streaming
+with a watermark; fhir_etl_spark/streaming/windows.py wires the same
+expressions onto readStream. Oracles reproduce window assignment in plain
+SQL (time_bucket / lag+cumsum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.queries.registry import query
+from fhir_etl_spark.session import load_tables
+
+
+@query(
+    "e1_tumbling_window",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window"),
+)
+def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type."""
+    events = load_tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "e2_sliding_window",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '30 minutes', ts)
+                - k * INTERVAL '30 minutes' AS VARCHAR) AS window_start,
+           count(*) AS n
+    FROM events, unnest([0, 1]) AS t(k)
+    GROUP BY 1
+    """,
+    tags=("events", "window"),
+)
+def e2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes: each event belongs to
+    exactly 2 windows. The oracle materializes the same membership by
+    cross-joining slide offsets {0,1}."""
+    events = load_tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"), "n"
+        )
+    )
+
+
+@query(
+    "e3_sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("events", "window"),
+)
+def e3_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity): lag → new-session
+    flag → running sum as session id. The batch twin of
+    session_window(ts, '30 minutes') in streaming."""
+    events = load_tables(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_ts = F.lag("ts").over(w_order)
+    # cast-to-double keeps microsecond precision (unix_timestamp truncates
+    # to whole seconds and would disagree with the oracle's INTERVAL math)
+    gap_seconds = F.col("ts").cast("double") - prev_ts.cast("double")
+    new_session = F.when(prev_ts.isNull() | (gap_seconds > 1800.0), 1).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+    )
+
+
+@query(
+    "e4_event_funnel",
+    oracle="""
+    SELECT u.user_id FROM
+      (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup') u
+      JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') p
+      ON u.user_id = p.user_id
+    """,
+    tags=("events", "join"),
+)
+def e4_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who both signed up and purchased (semi-join funnel step)."""
+    events = load_tables(spark, sf_dir, "events")
+    signup = events.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    purchase = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return signup.join(purchase, "user_id", "left_semi")

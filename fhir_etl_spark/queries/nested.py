@@ -1,0 +1,136 @@
+"""Nested-data inventory (SURVEY.md §2.9): array construction, explode /
+posexplode (N5 — the GTEx filesets×files double unnest), struct building,
+and higher-order array functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.queries.registry import query
+from fhir_etl_spark.session import load_tables
+
+
+@query(
+    "n5_explode_tokens",
+    oracle="""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(p_type, ' ')) AS tok FROM part)
+    GROUP BY tok
+    """,
+    tags=("nested", "agg"),
+)
+def n5_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: split → explode → count. The single-level unnest half of the
+    reference's filesets→files double iterrows (gtex_fhirizer.py:403-406)."""
+    part = load_tables(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_type", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "n5b_posexplode",
+    oracle="""
+    SELECT p_partkey,
+           unnest(generate_series(0, len(toks) - 1)) AS pos,
+           unnest(toks) AS tok
+    FROM (SELECT p_partkey, string_split(p_type, ' ') AS toks FROM part)
+    """,
+    tags=("nested",),
+)
+def n5b_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — unnest with element position (order matters, e.g. the
+    reference's 'first fileset is protected' rule, gtex_fhirizer.py:83)."""
+    part = load_tables(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.posexplode(F.split("p_type", " ")).alias("pos", "tok")
+    )
+
+
+@query(
+    "n6_double_explode",
+    oracle="""
+    SELECT r_name, n_name, tok
+    FROM region
+      JOIN nation ON n_regionkey = r_regionkey,
+      unnest(string_split(n_name, 'A')) AS t(tok)
+    WHERE tok <> ''
+    """,
+    tags=("nested", "join"),
+)
+def n6_double_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level unnest: region → nations (join) → tokens (explode) — the
+    shape of dataset → filesets[] → files[] (N5 ×2). In Spark the nested
+    collection is built with collect_list then exploded twice, proving the
+    array-of-struct path the GTEx fileList uses."""
+    region, nation = load_tables(spark, sf_dir, "region", "nation")
+    nested = (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("n_name"), F.split("n_name", "A").alias("toks"))
+                )
+            ).alias("nations")
+        )
+    )
+    return (
+        region.join(nested, region.r_regionkey == nested.n_regionkey)
+        .select("r_name", F.explode("nations").alias("nat"))
+        .select("r_name", F.col("nat.n_name").alias("n_name"), F.explode("nat.toks").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+
+
+@query(
+    "n7_array_functions",
+    oracle="""
+    SELECT p_partkey,
+           len(toks) AS n_toks,
+           array_to_string(list_sort(toks), '|') AS sorted_toks,
+           array_to_string(list_transform(toks, x -> upper(x)), '|') AS upper_toks,
+           coalesce(array_to_string(list_filter(toks, x -> len(x) > 5), '|'), '')
+             AS long_toks
+    FROM (SELECT p_partkey, string_split(p_type, ' ') AS toks FROM part)
+    """,
+    tags=("nested", "function"),
+)
+def n7_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/sort) — the
+    expression-level tools the empty-pruning compiler (N1) is built from."""
+    part = load_tables(spark, sf_dir, "part")
+    toks = F.split("p_type", " ")
+    return part.select(
+        "p_partkey",
+        F.size(toks).alias("n_toks"),
+        F.array_join(F.sort_array(toks), "|").alias("sorted_toks"),
+        F.array_join(F.transform(toks, lambda x: F.upper(x)), "|").alias("upper_toks"),
+        F.array_join(F.filter(toks, lambda x: F.length(x) > 5), "|").alias("long_toks"),
+    )
+
+
+@query(
+    "n8_struct_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           concat('{"k":', CAST(o_custkey AS VARCHAR), ',"s":"', o_orderstatus, '"}')
+             AS doc_json
+    FROM orders
+    """,
+    tags=("nested", "json"),
+)
+def n8_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct build → single to_json at the sink boundary — the engine's
+    document IR policy (stay in native structs, serialize once; SURVEY §3.4).
+    """
+    orders = load_tables(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(F.col("o_custkey").alias("k"), F.col("o_orderstatus").alias("s"))
+        ).alias("doc_json"),
+    )

@@ -1,0 +1,122 @@
+"""Text-analysis inventory over the `documents` table (north-star operators;
+implemented in operators/text.py, oracled here in equivalent DuckDB SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.operators.text import (
+    BPE_ISH_PATTERN,
+    LANG_STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from fhir_etl_spark.queries.registry import query
+from fhir_etl_spark.session import load_tables
+
+_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+@query(
+    "t1_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           len(regexp_extract_all(text, '''?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def t1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (tokenizer-cost proxy)."""
+    documents = load_tables(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "t2_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(
+             0.4 * least(n_tok / 100.0, 1.0)
+           + 0.3 * (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0))
+           + 0.3 * least(CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END * 5.0, 1.0),
+           4) AS quality
+    FROM (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter({_TOKS_SQL},
+                  x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], x)))
+                  AS DOUBLE) AS n_stop
+      FROM documents
+    )
+    """,
+    tags=("text",),
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/stopword quality heuristic in [0,1]."""
+    documents = load_tables(spark, sf_dir, "documents")
+    return documents.select("doc_id", quality_score("text").alias("quality"))
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter({_TOKS_SQL}, x -> list_contains([{words}], x)))"
+    )
+
+
+@query(
+    "t3_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN h_de > 0 AND h_de = best THEN 'de'
+             WHEN h_en > 0 AND h_en = best THEN 'en'
+             WHEN h_es > 0 AND h_es = best THEN 'es'
+             WHEN h_fr > 0 AND h_fr = best THEN 'fr'
+             ELSE 'und' END AS lang_pred
+    FROM (
+      SELECT doc_id, lang,
+             {_lang_hits_sql('en')} AS h_en,
+             {_lang_hits_sql('de')} AS h_de,
+             {_lang_hits_sql('fr')} AS h_fr,
+             {_lang_hits_sql('es')} AS h_es,
+             greatest({_lang_hits_sql('en')}, {_lang_hits_sql('de')},
+                      {_lang_hits_sql('fr')}, {_lang_hits_sql('es')}) AS best
+      FROM documents
+    )
+    """,
+    tags=("text",),
+)
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with alphabetical tie-break."""
+    documents = load_tables(spark, sf_dir, "documents")
+    return documents.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "t4_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' ')) AS fp
+    FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive token-set fingerprint (md5) — the cheap first-pass
+    dedup key before MinHash."""
+    documents = load_tables(spark, sf_dir, "documents")
+    return documents.select("doc_id", fingerprint("text").alias("fp"))

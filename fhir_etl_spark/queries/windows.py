@@ -1,0 +1,177 @@
+"""Window-function inventory (SURVEY.md §2.5 — ⊘ in the reference, required
+by the driver inventory and the dedup/top-k operators).
+
+Determinism note: window results depend on a total order within each
+partition, so every ORDER BY here extends to a unique key
+((l_orderkey, l_linenumber) is unique in lineitem; o_orderkey in orders) —
+otherwise the two engines may legally disagree on ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.queries.registry import query
+from fhir_etl_spark.session import load_tables
+
+
+@query(
+    "w1_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — one shuffle on the partition key,
+    in-partition sort, no global sort. The scale path for 'top 3 orders per
+    customer' on any number of customers."""
+    orders = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "w2_running_sum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (
+             PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_shipdate, l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_qty
+    FROM lineitem
+    """,
+    tags=("window",),
+)
+def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum within each order (running frame).
+
+    The synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    the ordering extends to quantity/price — rows that still tie then carry
+    equal quantities, making every prefix sum engine-independent."""
+    lineitem = load_tables(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_shipdate", "l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+@query(
+    "w3_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(lag(o_orderdate)  OVER w AS VARCHAR) AS prev_date,
+           CAST(lead(o_orderdate) OVER w AS VARCHAR) AS next_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics — prior/next order date per customer."""
+    orders = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format(F.lag("o_orderdate").over(w), fmt).alias("prev_date"),
+        F.date_format(F.lead("o_orderdate").over(w), fmt).alias("next_date"),
+    )
+
+
+@query(
+    "w4_rank_dense_ntile",
+    oracle="""
+    SELECT c_custkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def w4_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over a global ordering.
+
+    An unpartitioned window is a single-reducer plan — acceptable for dims,
+    never for facts; partitioned variants (w1–w3) are the scale path.
+    """
+    customer = load_tables(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
+    return customer.select(
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "w5_sliding_avg",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(avg(l_extendedprice) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+    FROM lineitem
+    """,
+    tags=("window",),
+)
+def w5_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average per supplier (bounded ROWS frame)."""
+    lineitem = load_tables(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return lineitem.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_extendedprice").over(w), 4).alias("ma3"),
+    )
+
+
+@query(
+    "w6_pct_of_group",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+             AS price_share
+    FROM orders
+    """,
+    tags=("window",),
+)
+def w6_pct_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-group: unordered partition frame (whole-partition agg
+    broadcast back to each row — no self-join needed)."""
+    orders = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") / F.sum("o_totalprice").over(w), 6).alias(
+            "price_share"
+        ),
+    )

@@ -1,0 +1,89 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the same
+settings are chosen so the plans they produce survive a multi-executor
+cluster: AQE on (runtime broadcast conversion + skew-join splitting),
+shuffle partitions sized to the environment rather than the 200 default,
+UTC session timezone (required for DuckDB-oracle comparisons — DuckDB
+timestamps are UTC-naive), and Arrow enabled for pandas_udf exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def get_spark(
+    app_name: str = "fhir_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Every config below is cluster-safe: nothing pins local mode except the
+    master URL itself, which is overridable via ``SPARK_GRAFT_MASTER``.
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
+    )
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # local mode = driver-only JVM; leave headroom under the 128 GiB box
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "4g")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load driver testdata parquet tables as DataFrames.
+
+    Returns a single DataFrame when one name is given, else a tuple in the
+    order requested. Explicit per-table reads (not globbed) keep partition
+    pruning and column pruning per-table.
+
+    The `events` table is written with TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; it is read via the nanosAsLong legacy path and
+    converted to a microsecond timestamp (matching DuckDB's own
+    nanos→micros truncation when it reads the same file).
+    """
+    from pyspark.sql import functions as F
+
+    def _read(name: str):
+        path = f"{sf_dir}/{name}.parquet"
+        if name != "events":
+            return spark.read.parquet(path)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+        return df
+
+    dfs = tuple(_read(name) for name in names)
+    return dfs[0] if len(dfs) == 1 else dfs
