@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 
 # Extension → MIME type map: mimetypes.guess_type defaults plus the custom
 # .vcf registration the reference performs (utils.py:24-25,90-92,
-# document_references.py:19-20).
+# document_references.py:19-20). guess_type first strips ENCODING suffixes
+# (.gz/.Z/.bz2/.xz/.br, reported separately) then maps the remaining
+# extension — so 'x.vcf.gz' → text/vcf, and a bare 'x.gz' → no type.
+MIME_ENCODING_SUFFIXES = ("gz", "Z", "bz2", "xz", "br")
+
 MIME_BY_EXTENSION: dict[str, str] = {
     "vcf": "text/vcf",
     "txt": "text/plain",
@@ -21,10 +25,7 @@ MIME_BY_EXTENSION: dict[str, str] = {
     "json": "application/json",
     "xml": "application/xml",
     "pdf": "application/pdf",
-    "gz": "application/gzip",
     "zip": "application/zip",
-    "bam": "application/octet-stream",
-    "fasta": "text/plain",
     "md": "text/markdown",
     "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
 }
@@ -62,7 +63,9 @@ def get_mime_type(filename: Column | str, default: str = "application/octet-stre
     broadcast dim-table join is the path if the map ever grows large.
     """
     col = F.col(filename) if isinstance(filename, str) else filename
-    ext = F.lower(F.regexp_extract(col, r"\.([^.\/]+)$", 1))
+    enc_pattern = r"(\.(" + "|".join(MIME_ENCODING_SUFFIXES) + r"))+$"
+    stripped = F.regexp_replace(col, enc_pattern, "")
+    ext = F.lower(F.regexp_extract(stripped, r"\.([^.\/]+)$", 1))
     pairs: list[Column] = []
     for k, v in MIME_BY_EXTENSION.items():
         pairs.extend([F.lit(k), F.lit(v)])

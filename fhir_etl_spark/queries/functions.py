@@ -140,10 +140,9 @@ def f4_mdtm_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f5_mime_type",
     oracle=f"""
     SELECT p_partkey,
-           CASE lower(regexp_extract(fname, '\\.([^./]+)$', 1))
+           CASE lower(regexp_extract(regexp_replace(fname, '(\\.(gz|Z|bz2|xz|br))+$', ''),
+                                     '\\.([^./]+)$', 1))
              WHEN 'vcf' THEN 'text/vcf'
-             WHEN 'gz' THEN 'application/gzip'
-             WHEN 'tbi' THEN 'application/octet-stream'
              WHEN 'txt' THEN 'text/plain'
              ELSE 'application/octet-stream' END AS mime
     FROM (SELECT p_partkey, {_FNAME_SQL} AS fname FROM part)

@@ -1,0 +1,105 @@
+"""Merge-by-id upsert sink (SURVEY.md §2.1 S9).
+
+Reference ``create_or_extend`` (utils.py:101-135): load the existing NDJSON
+into {id: obj}, fold new items in — skipping ids that already exist unless
+``update_existing`` — and rewrite the file. Its precedence rules, exactly:
+
+- insert-only: existing wins; among duplicate NEW ids, the FIRST wins
+- update:      new wins;      among duplicate NEW ids, the LAST wins
+
+Expressed as anti-join + unionByName over JSON lines keyed by id. At scale
+the same merge runs as Delta ``MERGE INTO`` (whenNotMatchedInsertAll /
+whenMatchedUpdateAll) inside foreachBatch — Delta jars aren't in this
+image, so the parquet/NDJSON-precedence version is the shipping path and
+Delta is gated behind an import-try (delta_merge below).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.schemas.systems import SUPPORTED_RESOURCE_TYPES
+from fhir_etl_spark.sinks.ndjson import serialize
+
+
+def _keyed_json(resources: DataFrame, col_name: str) -> DataFrame:
+    """(id, json) from a resource-struct DataFrame, preserving arrival order
+    for duplicate-id precedence via a monotonic sequence column."""
+    pruned = serialize(resources, col_name)
+    return pruned.select(
+        F.get_json_object("json", "$.id").alias("id"),
+        F.col("json"),
+        F.monotonically_increasing_id().alias("_seq"),
+    )
+
+
+def create_or_extend(
+    spark: SparkSession,
+    new_items: DataFrame,
+    folder_path: str,
+    resource_type: str,
+    update_existing: bool = False,
+    col_name: str = "resource",
+) -> str:
+    """Upsert ``new_items`` into ``{folder}/{resource_type}.ndjson``."""
+    assert resource_type in SUPPORTED_RESOURCE_TYPES, (
+        f"Invalid resource type: {resource_type}"
+    )
+    file_path = os.path.join(folder_path, f"{resource_type}.ndjson")
+
+    new = _keyed_json(new_items, col_name)
+    # duplicate-id precedence among new rows: first wins (insert-only) /
+    # last wins (update mode) — utils.py:120-122 dict-overwrite order
+    order = F.col("_seq").asc() if not update_existing else F.col("_seq").desc()
+    w = Window.partitionBy("id").orderBy(order)
+    new_deduped = (
+        new.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn", "_seq")
+    )
+
+    if os.path.exists(file_path):
+        existing = spark.read.text(file_path).select(
+            F.get_json_object("value", "$.id").alias("id"), F.col("value").alias("json")
+        )
+        if update_existing:
+            merged = existing.join(new_deduped, "id", "left_anti").unionByName(new_deduped)
+        else:
+            merged = existing.unionByName(new_deduped.join(existing, "id", "left_anti"))
+    else:
+        merged = new_deduped
+
+    # rewrite whole file (same contract as the reference); collect is bounded
+    # by the file the reference itself rewrites serially — the scale path is
+    # delta_merge below
+    rows = [r["json"] for r in merged.select("json").collect()]
+    os.makedirs(folder_path, exist_ok=True)
+    with open(file_path, "w") as f:
+        for line in rows:
+            f.write(line + "\n")
+    return file_path
+
+
+def delta_merge(
+    spark: SparkSession,
+    new_items: DataFrame,
+    table_path: str,
+    update_existing: bool = False,
+) -> None:
+    """Scale-path upsert: Delta MERGE INTO on id. Gated: Delta jars are not
+    in this image."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "Delta Lake not available in this environment; use create_or_extend "
+            "(NDJSON precedence merge) or add delta-spark jars"
+        ) from exc
+    target = DeltaTable.forPath(spark, table_path)  # pragma: no cover
+    merge = target.alias("t").merge(  # pragma: no cover
+        new_items.alias("s"), "t.id = s.id"
+    )
+    if update_existing:  # pragma: no cover
+        merge = merge.whenMatchedUpdateAll()
+    merge.whenNotMatchedInsertAll().execute()  # pragma: no cover
