@@ -25,7 +25,10 @@ MIME_BY_EXTENSION: dict[str, str] = {
     "json": "application/json",
     "xml": "application/xml",
     "pdf": "application/pdf",
-    "zip": "application/zip",
+    "tar": "application/x-tar",
+    # frozen from the reference's environment (visible in golden GTEx
+    # DocumentReference contentTypes) — not Python's built-in 'application/zip'
+    "zip": "application/x-zip-compressed",
     "md": "text/markdown",
     "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
 }

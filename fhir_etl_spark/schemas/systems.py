@@ -70,9 +70,28 @@ NCPI_SAMPLE_PROFILE = (
 # Fixed titles/statuses (oneKg_fhirizer.py:225-227)
 ONEKG_STUDY_TITLE = "1000 Genomes Project Sample Metadata"
 
-# GTEx (gtex_fhirizer.py — filled in by the GTEx pipeline phase)
+# GTEx systems (gtex_fhirizer.py). The mint/display system is
+# 'https://' + GTEX_SITE + 'downloads/adult-gtex/metadata' (single scheme —
+# GTEX_SITE has none), used for every GTEx resource id.
 GTEX_METADATA_SYSTEM = "https://gtexportal.org/home/downloads/adult-gtex/metadata"
 GTEX_API_DATASET = "https://gtexportal.org/api/v2/dataset/"
+GTEX_FILELIST_SYSTEM = "https://gtexportal.org/api/v2/dataset/fileList"
+GTEX_OVERVIEW_SYSTEM = "https://gtexportal.org/home/downloads/adult-gtex/overview"
+GTEX_STORAGE_BASE = "https://storage.googleapis.com/adult-gtex/"
+GTEX_ANNOTATIONS_URL = (
+    "https://storage.googleapis.com/adult-gtex/annotations/v10/metadata-files/"
+    "GTEx_Analysis_v10_Annotations_SampleAttributesDS.txt"
+)
+GTEX_STUDY_TITLE = "GTEX Analysis v10 Adult Sample and Subject Metadata"
+GTEX_STUDY_VALUE = "GTEX_V10"
+
+PATIENT_AGE_URL = (
+    "https://hl7.org/fhir/extensions/SearchParameter-patient-extensions-Patient-age.html"
+)
+CONDITION_DUETO_URL = "https://hl7.org/fhir/R4B/extension-condition-dueto.html"
+FILE_SIZE_URL = (
+    "https://nih-ncpi.github.io/ncpi-fhir-ig-2/StructureDefinition-file-size.html"
+)
 
 SUPPORTED_RESOURCE_TYPES = (
     "Patient",
