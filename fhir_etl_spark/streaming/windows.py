@@ -1,0 +1,139 @@
+"""Event-time streaming windows with watermarks + the stateful surface.
+
+The SAME window expressions as the batch inventory (queries/events.py e1/e2)
+run here under readStream — Structured Streaming's incremental execution of
+an unchanged logical plan is the whole point: author once, run either mode.
+
+Late data: the watermark bounds state; events older than the watermark are
+dropped from open windows (append mode emits a window only once its end
+passes the watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (testdata quirk); converted below
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file-source streaming; in
+    production this is Kafka — the transformations are source-agnostic).
+
+    The file source requires a DIRECTORY; the testdata keeps one file per
+    table in the sf dir, so a glob filter narrows the stream to events."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window_size: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type (append-mode safe)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """session_window: the streaming twin of the batch sessionization query
+    (queries/events.py e3)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming plan to completion against the current file set
+    (memory sink + availableNow trigger) — the local test harness; swap the
+    sink for kafka/delta in deployment. availableNow processes everything
+    then STOPS the query, which also terminates cleanly under stateful
+    processing-time timeouts (processAllAvailable can spin on timer wakeups).
+    """
+    query = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def stream_upsert_ndjson(
+    spark: SparkSession,
+    resources_stream: DataFrame,
+    folder_path: str,
+    resource_type: str,
+    update_existing: bool = True,
+):
+    """S9 as a streaming sink: foreachBatch + the same merge-by-id used in
+    batch (utils.py:101-135 semantics, exactly-once per epoch). At scale the
+    body becomes Delta MERGE INTO (sinks/upsert.delta_merge)."""
+    from fhir_etl_spark.sinks.upsert import create_or_extend
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            create_or_extend(
+                spark, batch_df, folder_path, resource_type, update_existing
+            )
+
+    return (
+        resources_stream.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,97 @@
+"""Semantic assertions for the hash-dependent dedup/similarity operators
+(the driver can only rows-check these — the recall/precision pins live here).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    lsh_candidate_pairs,
+    minhash_jaccard,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from fhir_etl_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill and the birds sing in the garden outside "
+    "every single morning before the sun rises over the quiet hills"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate
+        (3, BASE.replace("quick", "swift")),  # near-duplicate (1 token)
+        (4, BASE.replace("morning", "evening").replace("cat", "dog")),  # near-dup
+        (5, "completely different text about spark query engines and shuffles"),
+        (6, "another unrelated document mentioning benchmarks and parquet files"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_semantics(docs):
+    out = {r["doc_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out[1] == 2  # doc 2 folded into doc 1 (min id representative)
+    assert 2 not in out
+    assert out[5] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always collides
+    assert (1, 3) in got or (1, 4) in got  # near-dups caught by banding
+    assert (5, 6) not in got  # unrelated docs don't collide
+    est = {
+        (r["a"], r["b"]): r["jaccard_est"]
+        for r in minhash_jaccard(sigs, pairs).collect()
+    }
+    assert est[(1, 2)] == 1.0
+
+
+def test_ngram_jaccard_exact(docs):
+    got = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert all(a != 5 and b != 5 for a, b in got)
+
+
+def test_simhash_distance(docs, spark):
+    sh = simhash(docs)
+    pairs = (
+        sh.alias("x")
+        .crossJoin(sh.alias("y"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            hamming64(F.col("x.simhash"), F.col("y.simhash")).alias("d"),
+        )
+        .collect()
+    )
+    dist = {(r["a"], r["b"]): r["d"] for r in pairs}
+    assert dist[(1, 2)] == 0  # identical text → identical simhash
+    assert dist[(1, 3)] < dist[(1, 5)]  # near-dup closer than unrelated
+
+
+def test_lsh_topk_self_match(spark, sf_dir):
+    from fhir_etl_spark.session import load_tables
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = lsh_topk(embeddings, queries, k=3, dim=64).collect()
+    assert approx[0]["vec_id"] == 7 and approx[0]["sim"] == 1.0
+    exact = cosine_topk(embeddings, queries, k=3).collect()
+    assert exact[0]["vec_id"] == 7  # brute force agrees on the self-match

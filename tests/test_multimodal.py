@@ -1,0 +1,80 @@
+"""Multimodal plumbing: real binary columns through Arrow-batched
+mapInPandas, codec-free metadata extraction, stub gating."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from fhir_etl_spark.operators.multimodal import (
+    decode_image,
+    extract_media_meta,
+    fake_image_features,
+    sniff_mime,
+)
+
+
+def minimal_png(width: int, height: int, bit_depth: int = 8) -> bytes:
+    ihdr = struct.pack(">II", width, height) + bytes([bit_depth, 2, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"  # fake crc — header parse doesn't check it
+    )
+
+
+def _media_df(spark):
+    rows = [
+        (1, minimal_png(640, 480)),
+        (2, b"\xff\xd8\xff\xe0" + b"\x00" * 32),
+        (3, b"RIFF" + b"\x00" * 4 + b"WAVE" + b"\x00" * 16),
+        (4, b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16),
+        (5, None),
+        (6, b"just some text bytes"),
+    ]
+    return spark.createDataFrame(rows, "id long, media binary")
+
+
+def test_extract_media_meta(spark):
+    out = {
+        r["id"]: r["media_meta"]
+        for r in extract_media_meta(_media_df(spark)).collect()
+    }
+    assert out[1]["mime"] == "image/png"
+    assert (out[1]["width"], out[1]["height"], out[1]["bit_depth"]) == (640, 480, 8)
+    assert out[2]["mime"] == "image/jpeg"
+    assert out[3]["mime"] == "audio/wav"
+    assert out[4]["mime"] == "video/mp4"
+    assert out[5] is None or out[5]["mime"] is None
+    assert out[6]["mime"] == "application/octet-stream"
+    assert out[6]["n_bytes"] == 20
+    assert len(out[6]["digest"]) == 32
+
+
+def test_fake_features_feed_similarity(spark):
+    """binary → feature vector → cosine top-k: the full multimodal-to-ANN
+    pipeline shape with the deterministic fake extractor."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.similarity import cosine_topk
+
+    df = fake_image_features(_media_df(spark).filter("media is not null"), dim=8)
+    corpus = df.select(F.col("id").alias("vec_id"), F.col("features").alias("embedding"))
+    queries = corpus.filter("vec_id = 1").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk(corpus, queries, k=2).collect()
+    assert top[0]["vec_id"] == 1 and top[0]["sim"] == 1.0  # self-match first
+
+
+def test_decode_stub_gated(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image(_media_df(spark))
+
+
+def test_mime_sniff_unit():
+    assert sniff_mime(None) is None
+    assert sniff_mime(b"GIF89a...") == "image/gif"

@@ -1,0 +1,88 @@
+"""Custom Python DataSources: pagination-as-partitioning and FTP listing,
+driven offline through staged fixtures (the bronze-zone deployment mode)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from fhir_etl_spark.sources.ftp import FtpListingDataSource
+    from fhir_etl_spark.sources.rest import PaginatedRestDataSource
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    spark.dataSource.register(FtpListingDataSource)
+    return spark
+
+
+def test_paginated_rest_fixture(registered, tmp_path_factory):
+    staged = tmp_path_factory.mktemp("pages")
+    for page in range(5):
+        data = [
+            {"subjectId": f"GTEX-{page}-{i}", "sex": "female", "ageBracket": "60-69", "hardyScale": None}
+            for i in range(100)
+        ]
+        (staged / f"page_{page}.json").write_text(
+            json.dumps({"data": data, "paging_info": {"numberOfPages": 5}})
+        )
+    df = (
+        registered.read.format("paginated_rest")
+        .option("fixture_dir", str(staged))
+        .option("pages_per_partition", "2")
+        .load()
+    )
+    assert df.count() == 500
+    assert df.rdd.getNumPartitions() == 3  # ceil(5 pages / 2 per partition)
+    assert df.filter(df.subjectId == "GTEX-4-99").count() == 1
+
+
+def test_rest_requires_source(registered):
+    with pytest.raises(Exception, match="fixture_dir or endpoint"):
+        registered.read.format("paginated_rest").load().collect()
+
+
+def test_ftp_listing_fixture(registered, tmp_path_factory):
+    staged = tmp_path_factory.mktemp("ftp")
+    listing = {
+        "ALL.chr1.vcf.gz": {"size": 1000, "mdtm": "213 20140912142107"},
+        "ALL.chr2.vcf.gz": {"size": 0, "mdtm": "213 20140912142107"},
+        "header": {"size": 5, "mdtm": "not parseable"},
+        "README": {"size": None, "mdtm": "213 20140101000000"},
+    }
+    fixture = staged / "listing.json"
+    fixture.write_text(json.dumps(listing))
+    df = (
+        registered.read.format("ftp_listing")
+        .option("fixture_json", str(fixture))
+        .option("files_per_partition", "2")
+        .load()
+    )
+    rows = {r["file"]: r for r in df.collect()}
+    assert len(rows) == 4
+    assert rows["ALL.chr1.vcf.gz"]["size"] == 1000
+    assert rows["ALL.chr1.vcf.gz"]["last_modified"] == "2014-09-12T14:21:07"
+    assert rows["README"]["size"] == 0  # None → 0 default
+    assert rows["header"]["last_modified"] is not None  # fallback now()
+
+
+def test_ftp_feeds_pipeline(registered, tmp_path_factory):
+    """The DataSource output plugs directly into the 1KG stage-2 filter
+    chain (schema contract check)."""
+    from pyspark.sql import functions as F
+
+    staged = tmp_path_factory.mktemp("ftp2")
+    fixture = staged / "l.json"
+    fixture.write_text(
+        json.dumps({"a.vcf.gz": {"size": 10, "mdtm": "213 20140912142107"}, "b.txt": {"size": 1, "mdtm": "213 20140912142107"}})
+    )
+    listing = (
+        registered.read.format("ftp_listing").option("fixture_json", str(fixture)).load()
+    )
+    from fhir_etl_spark.operators.fhirize import fhirize_document_reference_1kg
+
+    vcfs = listing.filter(F.lower("file").contains("vcf")).na.drop(subset=["file"])
+    docs = fhirize_document_reference_1kg(vcfs).collect()
+    assert len(docs) == 1
