@@ -7,9 +7,11 @@ operator IDs they exercise so the judge can check coverage line by line.
 """
 
 from fhir_etl_spark.queries import (  # noqa: F401  (import = register)
+    analytics,
     dedup,
     events,
     functions,
+    joins_advanced,
     nested,
     relational,
     similarity,

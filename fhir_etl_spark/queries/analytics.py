@@ -1,0 +1,174 @@
+"""Remaining OLAP surface: pivot/unpivot, exact + approximate quantiles,
+approximate distinct, date arithmetic, sorted collect_set (SURVEY.md §2.4 ⊘
+and §2.8 ⊘ rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.queries.registry import query
+from fhir_etl_spark.session import load_tables
+
+
+@query(
+    "x1_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def x1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — at scale, never let Spark run the
+    extra distinct-values job: name the columns."""
+    lineitem = load_tables(spark, sf_dir, "lineitem")
+    pivoted = (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return pivoted.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+@query(
+    "x2_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, val FROM (
+      SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    )
+    """,
+    tags=("pivot",),
+)
+def x2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) via the native unpivot operator — wide → long without
+    a UNION of scans (one pass)."""
+    orders = load_tables(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").cast("double").alias("custkey")
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=[("o_totalprice"), ("custkey")],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn(
+        "metric", F.when(F.col("metric") == "o_totalprice", "totalprice").otherwise("custkey")
+    )
+
+
+@query(
+    "x3_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "quantile"),
+)
+def x3_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont). The approximate variant (x4) is the 100 TB default —
+    exact percentile sorts per group."""
+    orders = load_tables(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@query("x4_approx_stats", oracle=None, tags=("agg", "approx"))
+def x4_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates (rows-only: HLL/KLL implementations differ
+    engine-to-engine by design; tests bound their error instead)."""
+    lineitem = load_tables(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+    )
+
+
+@query(
+    "x5_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 90 DAY AS VARCHAR) AS due_date,
+           strftime(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS order_month,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+           dayname(o_orderdate) AS dow
+    FROM orders
+    """,
+    tags=("function", "temporal"),
+)
+def x5_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: interval add, trunc, diff, parts
+    (SURVEY.md §2.8 ⊘ — free via F.*)."""
+    orders = load_tables(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("due_date"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "order_month"
+        ),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format("o_orderdate", "EEEE").alias("dow"),
+    )
+
+
+@query(
+    "x6_collect_set_sorted",
+    oracle="""
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list_distinct(list(c_nationkey))), ',') AS nations
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("agg",),
+)
+def x6_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set rendered deterministic: sort before serializing (set
+    iteration order is engine-defined, sorted CSV is not)."""
+    customer = load_tables(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_set("c_nationkey")), lambda x: x.cast("string")
+            ),
+        ).alias("nations")
+    )
+
+
+@query(
+    "x7_conditional_agg",
+    oracle="""
+    SELECT o_custkey,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           round(sum(o_totalprice) FILTER (WHERE o_orderpriority LIKE '1%'), 2) AS urgent_total
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg",),
+)
+def x7_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-ed aggregates (conditional aggregation without self-joins)."""
+    orders = load_tables(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.round(
+            F.sum(F.when(F.col("o_orderpriority").startswith("1"), F.col("o_totalprice"))),
+            2,
+        ).alias("urgent_total"),
+    )

@@ -1,0 +1,123 @@
+"""Advanced join inventory: as-of join, bucketed range join, theta join —
+the operators Spark lacks natively, built in operators/joins.py as
+compositions of DataFrame ops (SURVEY.md §2.3 ⊘ row)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.operators.joins import asof_join, range_join_bucketed
+from fhir_etl_spark.queries.registry import query
+from fhir_etl_spark.session import load_tables
+
+
+def _clicks_and_purchases(spark, sf_dir):
+    events = load_tables(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.col("ts").cast("double").alias("t")
+    )
+    # dedup right to one row per (user, ts): max value — ties between right
+    # rows at identical timestamps would otherwise be engine-dependent
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("double").alias("t"))
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    return clicks, purchases
+
+
+@query(
+    "r1_asof_join_backward",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, epoch(ts) AS t FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, epoch(ts) AS t, round(max(value), 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.user_id, c.event_id, p.purchase_value AS purchase_value_asof
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.t >= p.t
+    """,
+    tags=("join", "asof"),
+)
+def r1_asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click annotated with the user's most recent prior
+    purchase value. One shuffle (union + running window) at any scale."""
+    clicks, purchases = _clicks_and_purchases(spark, sf_dir)
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="t", right_ts="t",
+        value_cols=["purchase_value"],
+    ).select("user_id", "event_id", "purchase_value_asof")
+
+
+@query(
+    "r2_asof_join_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, epoch(ts) AS t FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, epoch(ts) AS t, round(max(value), 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.user_id, c.event_id, p.purchase_value AS purchase_value_asof
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.t <= p.t
+    """,
+    tags=("join", "asof"),
+)
+def r2_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: the NEXT purchase at-or-after each click."""
+    clicks, purchases = _clicks_and_purchases(spark, sf_dir)
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="t", right_ts="t",
+        value_cols=["purchase_value"], direction="forward",
+    ).select("user_id", "event_id", "purchase_value_asof")
+
+
+@query(
+    "r3_range_join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, b.band_id
+    FROM orders o
+    JOIN (SELECT range AS band_id,
+                 range * 20000.0 AS lo,
+                 range * 20000.0 + 30000.0 AS hi
+          FROM range(0, 25)) b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    """,
+    tags=("join", "range"),
+)
+def r3_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join against OVERLAPPING price bands
+    ([k*20000, k*20000+30000)) — the bucketed equi-join + residual-filter
+    plan instead of a quadratic inequality join."""
+    orders = load_tables(spark, sf_dir, "orders")
+    bands = spark.range(0, 25).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 20000.0).alias("lo"),
+        (F.col("id") * 20000.0 + 30000.0).alias("hi"),
+    )
+    joined = range_join_bucketed(
+        orders, bands, left_point="o_totalprice", right_start="lo",
+        right_end="hi", bucket_width=10000.0,
+    )
+    return joined.select("o_orderkey", "band_id")
+
+
+@query(
+    "j8_theta_join",
+    oracle="""
+    SELECT n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey <> r.r_regionkey
+    """,
+    tags=("join", "theta"),
+)
+def j8_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (inequality) join — broadcast nested loop over tiny dims; the
+    engine keeps theta joins to dimension-scale sides by policy."""
+    nation, region = load_tables(spark, sf_dir, "nation", "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey != region.r_regionkey
+    ).select("n_name", "r_name")

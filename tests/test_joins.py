@@ -1,0 +1,45 @@
+"""as-of / range join operator edge cases (tie semantics, empty matches)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.operators.joins import asof_join, range_join_bucketed
+
+
+def test_asof_backward_tie_and_miss(spark):
+    left = spark.createDataFrame(
+        [(1, 5.0, "L1"), (1, 2.0, "L2"), (2, 3.0, "L3")], "k long, t double, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 2.0, "R@2"), (1, 4.0, "R@4"), (2, 9.0, "R@9")], "k long, t double, v string"
+    )
+    out = {
+        r["tag"]: r["v_asof"]
+        for r in asof_join(left, right, "k", "t", "t", ["v"]).collect()
+    }
+    assert out["L1"] == "R@4"  # most recent <= 5.0
+    assert out["L2"] == "R@2"  # tie at t=2.0: right visible (>= semantics)
+    assert out["L3"] is None  # no prior right row → left kept, null match
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, 3.0, "L")], "k long, t double, tag string")
+    right = spark.createDataFrame(
+        [(1, 1.0, "past"), (1, 3.0, "now"), (1, 7.0, "later")], "k long, t double, v string"
+    )
+    out = asof_join(left, right, "k", "t", "t", ["v"], direction="forward").collect()
+    assert out[0]["v_asof"] == "now"  # at-or-after, tie included
+
+
+def test_range_join_bucketed_boundaries(spark):
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 9.999), (3, 10.0), (4, 25.0), (5, 100.0)], "id long, p double"
+    )
+    intervals = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 5.0, 30.0)], "name string, lo double, hi double"
+    )
+    out = range_join_bucketed(points, intervals, "p", "lo", "hi", bucket_width=7.0)
+    got = sorted((r["id"], r["name"]) for r in out.collect())
+    # [lo, hi): 10.0 not in 'a'; 25.0 only in 'b'; 100.0 nowhere
+    assert got == [(1, "a"), (2, "a"), (2, "b"), (3, "b"), (4, "b")]
