@@ -1,0 +1,100 @@
+"""CLI — the reference's three entry points (cli.py:17-65: ``transform -p
+{1kgenomes,gtex}`` and ``validate --path DIR``) over the Spark pipelines.
+
+The reference fetches sources inline over the network; this CLI takes
+STAGED input paths (the engine's bronze-zone design, SURVEY.md §4.4) so
+runs are reproducible and restartable. argparse, not click — zero extra
+dependencies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="fhir_etl_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("transform", help="run a cohort pipeline over staged inputs")
+    t.add_argument("-p", "--pipeline", choices=["1kgenomes", "gtex"], required=True)
+    t.add_argument("--meta-dir", required=True, help="output META directory")
+    t.add_argument("--sample-info", help="1KG: staged sample_info TSV")
+    t.add_argument("--ftp-listing", help="1KG: staged FTP listing JSON (sources/ftp fixture format)")
+    t.add_argument("--vcf-header", help="1KG: staged VCF header file")
+    t.add_argument("--subjects", help="GTEx: staged subject pages dir (sources/rest fixture format)")
+    t.add_argument("--samples", help="GTEx: staged sample pages dir")
+    t.add_argument("--filelist", help="GTEx: staged fileList JSON (one document)")
+    t.add_argument("--annotations", help="GTEx: staged SampleAttributesDS TSV")
+
+    v = sub.add_parser("validate", help="validate NDJSON resources in a directory")
+    v.add_argument("--path", required=True)
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from fhir_etl_spark.session import get_spark
+
+    spark = get_spark("fhir_etl_spark_cli")
+
+    if args.command == "validate":
+        from fhir_etl_spark.operators.validate import validate_dir
+
+        result = validate_dir(spark, args.path)
+        print(json.dumps({"summary": result.summary}))
+        for row in result.errors.limit(100).collect():
+            print(f"ERROR {row['path']}: {row['error']}: {row['raw'][:200]}", file=sys.stderr)
+        return 0 if result.ok else 1
+
+    if args.pipeline == "1kgenomes":
+        assert args.sample_info and args.meta_dir, "--sample-info required"
+        from fhir_etl_spark.pipelines.onekg import transform_1k, transform_1k_files
+
+        transform_1k(spark, args.sample_info, args.meta_dir)
+        if args.ftp_listing and args.vcf_header:
+            from fhir_etl_spark.sources.ftp import FtpListingDataSource
+
+            spark.dataSource.register(FtpListingDataSource)
+            listing = (
+                spark.read.format("ftp_listing")
+                .option("fixture_json", args.ftp_listing)
+                .load()
+            )
+            counts = transform_1k_files(spark, listing, args.vcf_header, args.meta_dir)
+            print(json.dumps(counts))
+        return 0
+
+    # gtex
+    assert all([args.subjects, args.samples, args.filelist, args.annotations]), (
+        "--subjects/--samples/--filelist/--annotations required"
+    )
+    from fhir_etl_spark.pipelines.gtex import transform_gtex
+    from fhir_etl_spark.schemas.inputs import GTEX_FILELIST, GTEX_SAMPLE, GTEX_SUBJECT
+    from fhir_etl_spark.sources.rest import PaginatedRestDataSource
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    subjects = (
+        spark.read.format("paginated_rest")
+        .option("fixture_dir", args.subjects)
+        .option("fields", ",".join(f.name for f in GTEX_SUBJECT.fields))
+        .load()
+    )
+    samples = (
+        spark.read.format("paginated_rest")
+        .option("fixture_dir", args.samples)
+        .option("fields", ",".join(f.name for f in GTEX_SAMPLE.fields))
+        .load()
+    )
+    filelist = spark.read.schema(GTEX_FILELIST).json(args.filelist)
+    annotations = (
+        spark.read.option("sep", "\t").option("header", True).csv(args.annotations)
+    )
+    transform_gtex(spark, subjects, samples, filelist, annotations, args.meta_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -93,6 +93,27 @@ def _validate_lines(lines: DataFrame) -> DataFrame:
     )
 
 
+def structural_roundtrip(
+    spark: SparkSession, ndjson_path: str, resource_type: str
+) -> DataFrame:
+    """Tier-(a) structural validation (SURVEY.md §4.3): parse each line with
+    the FIXED resource StructType in FAILFAST-per-row form — a row whose
+    shape disagrees with the schema comes back with a NULL parsed struct.
+    Returns (raw, parsed, structurally_valid)."""
+    from fhir_etl_spark.schemas.fhir import RESOURCE_SCHEMAS
+
+    schema = RESOURCE_SCHEMAS[resource_type]
+    lines = spark.read.text(ndjson_path).filter(F.trim("value") != "")
+    parsed = lines.select(
+        F.col("value").alias("raw"),
+        F.from_json("value", schema, {"mode": "FAILFAST"}).alias("parsed"),
+    )
+    return parsed.withColumn(
+        "structurally_valid",
+        F.col("parsed").isNotNull() & (F.col("parsed.resourceType") == resource_type),
+    )
+
+
 def validate_dir(spark: SparkSession, folder_path: str) -> ValidationResult:
     """Validate every ``*.ndjson`` under ``folder_path``; summary counts only
     non-erroring resources per type (the CLI's result.resources split,

@@ -70,14 +70,21 @@ def create_or_extend(
     else:
         merged = new_deduped
 
-    # rewrite whole file (same contract as the reference); collect is bounded
-    # by the file the reference itself rewrites serially — the scale path is
-    # delta_merge below
-    rows = [r["json"] for r in merged.select("json").collect()]
+    # rewrite the whole file (same contract as the reference) WITHOUT
+    # collecting to the driver: stage a single-part text write, then move the
+    # part into place. The single file is the parity contract's ceiling; the
+    # scale path is delta_merge below.
+    import glob
+    import shutil
+    import tempfile
+
     os.makedirs(folder_path, exist_ok=True)
-    with open(file_path, "w") as f:
-        for line in rows:
-            f.write(line + "\n")
+    with tempfile.TemporaryDirectory() as tmp:
+        staging = os.path.join(tmp, "merge")
+        merged.select("json").coalesce(1).write.mode("overwrite").text(staging)
+        parts = sorted(glob.glob(os.path.join(staging, "part-*")))
+        assert len(parts) == 1, parts
+        shutil.move(parts[0], file_path)
     return file_path
 
 
