@@ -87,6 +87,31 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi join: salt the (skewed) left side's key into
+    `salt_buckets` sub-keys and replicate the right side across all salts,
+    so one hot key spreads over `salt_buckets` tasks instead of one straggler.
+
+    AQE's skew-join splitting (enabled in the session factory) handles most
+    cases adaptively; explicit salting is for the pathological keys AQE's
+    partition-size heuristics miss (e.g. one key = 40% of rows) or for
+    non-AQE deployments. Cost: right side is replicated ×salt_buckets —
+    use with a dimension-sized right side.
+    """
+    salted_left = left.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    salted_right = right.withColumn("_salt", salts)
+    return salted_left.join(salted_right, [on, "_salt"], how).drop("_salt")
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

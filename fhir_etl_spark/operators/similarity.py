@@ -107,6 +107,110 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold).
+
+    Brute-force O(n²) — correct and fine for a bucket; at corpus scale run
+    it INSIDE LSH buckets (lsh_signature equi-join prunes candidates first,
+    exactly like MinHash bands prune text pairs)."""
+    a = corpus.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus to its
+    nearest centroid (inverted lists), probe only the query's `n_probe`
+    closest lists.
+
+    Centroids are picked deterministically (the first `n_centroids` corpus
+    rows by id) — a real deployment plugs a k-means fit here; the OPERATOR
+    (assign → invert → probe → rank) is identical either way. Corpus cost:
+    one centroid-assignment projection + an equi-join on the list id; each
+    query touches |corpus| × n_probe / n_centroids rows in expectation.
+    """
+    w_id = Window.orderBy(id_col)
+    centroid_rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_rn", F.row_number().over(w_id))
+        .filter(F.col("_rn") <= n_centroids)
+        .drop("_rn")
+        .collect()
+    )
+    # pre-normalize centroids driver-side: ranking by dot(vec, ĉ) equals
+    # ranking by cosine (the query-vector norm is constant across centroids),
+    # so no per-row norm recompute inside the scoring lambda
+    normalized_centroids = []
+    for row in centroid_rows:
+        vec = [float(x) for x in row[1]]
+        norm = sum(x * x for x in vec) ** 0.5 or 1.0
+        normalized_centroids.append([x / norm for x in vec])
+
+    def nearest_lists(vec: Column, n: int) -> Column:
+        """Array of the n closest centroid indices (by normalized dot)."""
+        scored = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _dot(vec, F.array(*[F.lit(x) for x in cvec])), 6
+                    ).alias("sim"),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, cvec in enumerate(normalized_centroids)
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+        return F.transform(top, lambda s: s.getField("list_id"))
+
+    inverted = corpus.withColumn(
+        "_list", F.element_at(nearest_lists(F.col(vec_col), 1), 1)
+    )
+    probed = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(nearest_lists(F.col(vec_col), n_probe)).alias("_list"),
+    )
+    scored = inverted.join(F.broadcast(probed), "_list").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -114,6 +114,29 @@ def n7_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s8_json_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+    tags=("scan", "json"),
+)
+def s8_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8→S7 serialization round-trip as a pure-operator check: struct →
+    to_json (the NDJSON sink's exact serialization) → from_json with the
+    explicit schema (the read-back path) must be the identity on typed
+    data. The oracle is simply the original rows."""
+    documents = load_tables(spark, sf_dir, "documents")
+    serialized = documents.select(
+        F.to_json(
+            F.struct("doc_id", "lang", "n_chars"), {"ignoreNullFields": "true"}
+        ).alias("line")
+    )
+    return serialized.select(
+        F.from_json("line", "doc_id bigint, lang string, n_chars bigint").alias("r")
+    ).select("r.doc_id", "r.lang", "r.n_chars")
+
+
+@query(
     "n8_struct_roundtrip",
     oracle="""
     SELECT o_orderkey,
@@ -133,4 +156,34 @@ def n8_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(
             F.struct(F.col("o_custkey").alias("k"), F.col("o_orderstatus").alias("s"))
         ).alias("doc_json"),
+    )
+
+
+@query(
+    "u1_udtf_expand",
+    oracle="""
+    SELECT p_partkey, unnest(generate_series(0, p_size % 4)) AS i
+    FROM part
+    """,
+    tags=("udtf",),
+)
+def u1_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface (SURVEY.md §2.11): a Python table function expanding one
+    row into (p_size % 4 + 1) rows. The engine's policy keeps UDTFs OFF hot
+    paths (explode covers the parity cases) — this registers the capability
+    and pins its correctness."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="p_partkey bigint, i int")
+    class ExpandRows:
+        def eval(self, p_partkey: int, p_size: int):
+            for i in range((p_size % 4) + 1):
+                yield p_partkey, i
+
+    part = load_tables(spark, sf_dir, "part")
+    spark.udtf.register("expand_rows", ExpandRows)
+    part.select("p_partkey", "p_size").createOrReplaceTempView("_part_u1")
+    return spark.sql(
+        "SELECT t.p_partkey, t.i FROM _part_u1, "
+        "LATERAL expand_rows(p_partkey, p_size) t"
     )

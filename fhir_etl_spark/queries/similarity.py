@@ -44,6 +44,42 @@ def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(embeddings, queries, k=5)
 
 
+@query(
+    "v3_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 300 AND b.vec_id < 300
+      AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.55
+    """,
+    tags=("similarity", "dedup"),
+)
+def v3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a bounded id slice (the oracle
+    is the O(n²) ground truth; the corpus-scale path runs the same operator
+    inside LSH buckets)."""
+    from fhir_etl_spark.operators.similarity import embedding_neardup_pairs
+
+    embeddings = load_tables(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return embedding_neardup_pairs(embeddings, threshold=0.55)
+
+
+@query("v4_ivf_topk", oracle=None, tags=("similarity", "approx"))
+def v4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 (rows-only: recall < 1 by design;
+    tests pin self-match and probe behavior)."""
+    from fhir_etl_spark.operators.similarity import ivf_topk
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(embeddings, queries, k=5)
+
+
 @query("v2_lsh_topk", oracle=None, tags=("similarity", "approx"))
 def v2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-5 (rows-only: recall < 1 by

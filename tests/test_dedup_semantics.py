@@ -95,3 +95,20 @@ def test_lsh_topk_self_match(spark, sf_dir):
     assert approx[0]["vec_id"] == 7 and approx[0]["sim"] == 1.0
     exact = cosine_topk(embeddings, queries, k=3).collect()
     assert exact[0]["vec_id"] == 7  # brute force agrees on the self-match
+
+def test_ivf_topk_self_match_and_recall(spark, sf_dir):
+    from fhir_etl_spark.operators.similarity import cosine_topk, ivf_topk
+    from fhir_etl_spark.session import load_tables
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivf_topk(embeddings, queries, k=5).collect()
+    by_query = {}
+    for r in approx:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_query.items():
+        assert rows[0]["vec_id"] == qid and rows[0]["sim"] == 1.0
+    # probing its own list always finds the query vector itself
+    assert set(by_query) == {1, 2, 3}
