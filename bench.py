@@ -27,8 +27,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q13_customer_distribution",
     "w1_topk_per_group",
     "e3_sessionization",
+    "r1_asof_join_backward",
     "t2_quality_score",
     "d1_exact_dedup",
     "d4_minhash_lsh",

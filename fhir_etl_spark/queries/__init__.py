@@ -16,6 +16,7 @@ from fhir_etl_spark.queries import (  # noqa: F401  (import = register)
     relational,
     similarity,
     text,
+    tpch_extra,
     windows,
 )
 from fhir_etl_spark.queries.registry import all_queries, get_query  # noqa: F401
