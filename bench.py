@@ -38,6 +38,37 @@ HEADLINE = [
 ]
 
 
+def fhirize_throughput(spark, n_rows: int = 1_000_000) -> float:
+    """Rows/sec through the full fhirize path: synthetic sample_info →
+    nested Patient struct (P1) + uuid5 mint (F1) + prune (N1) + to_json (S8)
+    → noop sink. The reference's pandas iterrows path is the floor this
+    measures against (BASELINE.md self-measured baseline)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.fhirize import fhirize_patient_1kg
+    from fhir_etl_spark.sinks.ndjson import serialize
+
+    synthetic = spark.range(n_rows).select(
+        F.concat(F.lit("HG"), F.col("id").cast("string")).alias("Sample"),
+        F.when(F.col("id") % 3 == 0, "male")
+        .when(F.col("id") % 3 == 1, "female")
+        .alias("Gender"),
+        F.concat(F.lit("Population "), (F.col("id") % 26).cast("string")).alias(
+            "Population Description"
+        ),
+        F.lit("GBR").alias("Population"),
+        F.when(F.col("id") % 5 == 0, "LCL").alias("DNA Source from Coriell"),
+        F.when(F.col("id") % 2 == 0, "ILLUMINA").alias("Main project LC platform"),
+    )
+    start = time.perf_counter()
+    serialize(fhirize_patient_1kg(synthetic)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return round(n_rows / (time.perf_counter() - start), 0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -67,6 +98,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "fhirize_rows_per_sec": fhirize_throughput(spark),
             }
         )
     )

@@ -32,7 +32,11 @@ def serialize(resources: DataFrame, col_name: str = "resource") -> DataFrame:
     """struct column → one JSON string per row, nulls dropped (N1 final layer)."""
     pruned = prune_empty(resources, col_name)
     return pruned.select(
-        F.to_json(F.col(col_name), {"ignoreNullFields": "true"}).alias("json")
+        # a resource pruned to nothing serializes as '{}' (the reference's
+        # remove_empty_dicts returns {} at the top level, utils.py:144-153)
+        F.coalesce(
+            F.to_json(F.col(col_name), {"ignoreNullFields": "true"}), F.lit("{}")
+        ).alias("json")
     )
 
 

@@ -1,0 +1,162 @@
+"""Property-based tests (hypothesis): uuid5 bit-parity on arbitrary inputs,
+prune semantics vs an independent reimplementation of the reference's
+truth table, numeric coercion vs the reference's predicate."""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fhir_etl_spark.functions.identity import fhir_uuid5, namespace_for_site
+
+NS = namespace_for_site("https://ftp.1000genomes.ebi.ac.uk/vol1/ftp/")
+
+# One Spark job per example is too slow; run each property over a BATCH of
+# generated inputs in a single job.
+text_batches = st.lists(
+    st.text(min_size=0, max_size=200), min_size=1, max_size=50
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(names=text_batches)
+def test_uuid5_sql_path_matches_cpython(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    rows = df.select("name", fhir_uuid5(NS, "name").alias("u")).collect()
+    for r in rows:
+        assert r["u"] == str(uuid.uuid5(NS, r["name"])), repr(r["name"])
+
+
+# --- prune property: fixed schema, arbitrary values ------------------------
+
+PRUNE_SCHEMA = (
+    "s string, n bigint, flag boolean, arr array<string>, "
+    "nested struct<a:string, b:array<struct<x:string, y:bigint>>>"
+)
+
+
+def reference_prune(data):
+    """Independent reimplementation of the reference's remove_empty_dicts
+    truth table (utils.py:138-161): drop empty strings/dicts/lists and
+    None at any depth, keep 0/False; empty list → dropped at parent."""
+    if isinstance(data, dict):
+        out = {}
+        for k, v in data.items():
+            if isinstance(v, (dict, list)):
+                cleaned = reference_prune(v)
+                if cleaned or cleaned == 0:
+                    out[k] = cleaned
+            elif v or v == 0:
+                out[k] = v
+        return out
+    if isinstance(data, list):
+        cleaned = [reference_prune(item) for item in data]
+        cleaned = [item for item in cleaned if item or item == 0]
+        return cleaned if cleaned else None
+    return data
+
+
+maybe_str = st.one_of(st.none(), st.just(""), st.text(max_size=5))
+maybe_int = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+row_strategy = st.fixed_dictionaries(
+    {
+        "s": maybe_str,
+        "n": maybe_int,
+        "flag": st.one_of(st.none(), st.booleans()),
+        "arr": st.one_of(st.none(), st.lists(maybe_str, max_size=3)),
+        "nested": st.one_of(
+            st.none(),
+            st.fixed_dictionaries(
+                {
+                    "a": maybe_str,
+                    "b": st.one_of(
+                        st.none(),
+                        st.lists(
+                            st.fixed_dictionaries({"x": maybe_str, "y": maybe_int}),
+                            max_size=3,
+                        ),
+                    ),
+                }
+            ),
+        ),
+    }
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(row_strategy, min_size=1, max_size=20))
+def test_prune_matches_reference_semantics(spark, rows):
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.sinks.ndjson import serialize
+
+    df = spark.createDataFrame(
+        [(r["s"], r["n"], r["flag"], r["arr"], _nested_tuple(r["nested"])) for r in rows],
+        PRUNE_SCHEMA,
+    ).select(F.struct("s", "n", "flag", "arr", "nested").alias("resource"))
+    got = [json.loads(r["json"]) for r in serialize(df).collect()]
+    expected = [reference_prune(_clean_dict(r)) for r in rows]
+    assert got == expected
+
+
+def _nested_tuple(nested):
+    if nested is None:
+        return None
+    b = nested["b"]
+    return (
+        nested["a"],
+        None if b is None else [(e["x"], e["y"]) for e in b],
+    )
+
+
+def _clean_dict(r):
+    """The dict a pydantic model_dump would produce for this row (None kept —
+    reference_prune drops them, as remove_empty_dicts does)."""
+    return {
+        "s": r["s"],
+        "n": r["n"],
+        "flag": r["flag"],
+        "arr": r["arr"],
+        "nested": r["nested"],
+    }
+
+
+# --- numeric coercion property --------------------------------------------
+
+
+def reference_coerce(value: str):
+    """The reference's numeric-string predicate (utils.py:199-205): digits
+    with one optional leading '-', optional '.', → float iff '.' present."""
+    if value.replace(".", "").replace("-", "", 1).isdigit() and "." in value:
+        return float(value)
+    if value.replace(".", "").replace("-", "", 1).isdigit() and "." not in value:
+        return int(value)
+    return None
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    values=st.lists(
+        st.one_of(
+            st.text(max_size=10),
+            st.from_regex(r"-?[0-9]{1,8}(\.[0-9]{1,4})?", fullmatch=True),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_coerce_numeric_matches_reference(spark, values):
+    from fhir_etl_spark.functions.numeric import coerce_numeric_or_null
+
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    rows = df.select("v", coerce_numeric_or_null("v").alias("n")).collect()
+    for r in rows:
+        expected = reference_coerce(r["v"])
+        if expected is None:
+            assert r["n"] is None, repr(r["v"])
+        else:
+            assert r["n"] == pytest.approx(float(expected)), repr(r["v"])
