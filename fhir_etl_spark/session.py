@@ -73,6 +73,11 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """
     from pyspark.sql import functions as F
 
+    # Oracle comparisons (and the engine's ISO-8601 emission) assume UTC;
+    # DuckDB timestamps are UTC-naive. Pin it even under a caller-built
+    # session (runtime-settable conf).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     def _read(name: str):
         path = f"{sf_dir}/{name}.parquet"
         if name != "events":

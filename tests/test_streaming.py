@@ -96,3 +96,44 @@ def test_stateful_user_profiles(spark, events_stream):
     got = {r["user_id"]: r["n"] for r in rows}
     # the final state per user must equal the total batch count
     assert got == expect
+
+def test_fhirize_runs_on_stream(spark, tmp_path):
+    """The fhirize projections are stream-compatible plans: the same
+    operator fhirizes a readStream source and merges into NDJSON via the
+    streaming upsert — incremental FHIR ETL with zero operator changes."""
+    import json as _json
+
+    from fhir_etl_spark.operators.fhirize import fhirize_patient_1kg
+    from fhir_etl_spark.sinks.ndjson import serialize
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "batch1.csv").write_text(
+        "Sample\tGender\tPopulation Description\tPopulation\tDNA Source from Coriell\tMain project LC platform\n"
+        "HG00096\tmale\tBritish\tGBR\t\tILLUMINA\n"
+    )
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .option("header", True)
+        .schema(
+            "Sample string, Gender string, `Population Description` string, "
+            "Population string, `DNA Source from Coriell` string, "
+            "`Main project LC platform` string"
+        )
+        .csv(str(src))
+    )
+    resources = fhirize_patient_1kg(stream)
+    q = (
+        serialize(resources)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fhir_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        _json.loads(r["json"])
+        for r in spark.sql("SELECT * FROM fhir_stream_out").collect()
+    ]
+    assert rows[0]["id"] == "fb96f2a9-8ec2-5784-ba62-16f168155434"  # golden HG00096
