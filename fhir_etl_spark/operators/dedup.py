@@ -229,3 +229,63 @@ def simhash(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit simhashes (popcount of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def dedup_clusters(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs (a, b) → (doc_id, cluster_id)
+    with cluster_id = min doc id in the component.
+
+    Distributed label propagation: every node starts labeled with itself;
+    each round, every node takes the min label in its neighborhood; stop at
+    fixpoint. Rounds needed = graph diameter (near-dup clusters are
+    shallow — a handful of rounds in practice); each round is one join +
+    one aggregation, all shuffle-partitioned on the node id. This replaces
+    a driver-side union-find, which cannot exist at corpus scale.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # fixpoint check: any node whose label still shrinks?
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") < F.col("o.label"))
+            .isEmpty()
+        )
+        labels = new_labels.localCheckpoint()  # truncate the iterative lineage
+        if changed:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Full near-dup dedup: cluster the pairs, keep each cluster's min-id
+    representative plus every unpaired document."""
+    clusters = dedup_clusters(pairs)
+    non_representatives = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(non_representatives, id_col, "left_anti")

@@ -1,0 +1,92 @@
+"""Slowly-changing-dimension type-2 merge without Delta (guide 'CDC/SCD2'
+row): emulated with anti-join + union + window — the incremental-history
+counterpart of the engine's S9 upsert.
+
+Contract: a current dimension snapshot (with valid_from/valid_to/is_current
+columns) + a batch of incoming changes keyed by business key → new snapshot
+where changed rows are closed out (valid_to set) and new versions appended.
+At scale this runs inside foreachBatch per micro-batch; with Delta jars the
+same logic is a two-branch MERGE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OPEN_END = "9999-12-31 00:00:00"
+
+
+def scd2_init(snapshot: DataFrame, key: str, effective_ts: str) -> DataFrame:
+    """Bootstrap an SCD2 table from a plain snapshot."""
+    return snapshot.select(
+        "*",
+        F.col(effective_ts).alias("valid_from"),
+        F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_merge(
+    history: DataFrame,
+    changes: DataFrame,
+    key: str,
+    effective_ts: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Apply a change batch to an SCD2 history.
+
+    - unchanged keys: history rows pass through untouched
+    - changed/new keys: current row closed (valid_to := change ts,
+      is_current := false), new version appended open-ended
+    - true no-op changes (all compare_cols equal) are dropped, not versioned
+
+    Every step is a broadcast-able equi-join on the business key; history
+    never rewrites rows that didn't change (at file level that maps to
+    partition overwrite / Delta MERGE, not a full rewrite).
+    """
+    current = history.filter(F.col("is_current"))
+    closed = history.filter(~F.col("is_current"))
+
+    cmp_cond = None
+    for c in compare_cols:
+        neq = ~F.col(f"cur.{c}").eqNullSafe(F.col(f"chg.{c}"))
+        cmp_cond = neq if cmp_cond is None else (cmp_cond | neq)
+
+    joined = current.alias("cur").join(
+        changes.alias("chg"), F.col(f"cur.{key}") == F.col(f"chg.{key}"), "full_outer"
+    )
+
+    # rows to close: existing current rows with a REAL change
+    to_close = joined.filter(
+        F.col(f"cur.{key}").isNotNull() & F.col(f"chg.{key}").isNotNull() & cmp_cond
+    ).select(
+        *[F.col(f"cur.{c}") for c in current.columns if c not in ("valid_to", "is_current")],
+        F.col(f"chg.{effective_ts}").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+
+    # rows that stay current untouched: no matching change or no-op change
+    untouched = joined.filter(
+        F.col(f"cur.{key}").isNotNull()
+        & (F.col(f"chg.{key}").isNull() | ~cmp_cond)
+    ).select(*[F.col(f"cur.{c}") for c in current.columns])
+
+    # new versions: real changes + brand-new keys
+    new_versions = joined.filter(
+        F.col(f"chg.{key}").isNotNull()
+        & (F.col(f"cur.{key}").isNull() | cmp_cond)
+    ).select(
+        *[F.col(f"chg.{c}") for c in changes.columns],
+    ).select(
+        "*",
+        F.col(effective_ts).alias("valid_from"),
+        F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+    return (
+        closed.unionByName(to_close)
+        .unionByName(untouched)
+        .unionByName(new_versions)
+    )

@@ -1,0 +1,84 @@
+"""SCD2 merge, dedup clustering, and sketch operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_scd2_lifecycle(spark):
+    from fhir_etl_spark.operators.scd import OPEN_END, scd2_init, scd2_merge
+
+    snap = spark.createDataFrame(
+        [("c1", "addr A", "2020-01-01 00:00:00"), ("c2", "addr B", "2020-01-01 00:00:00")],
+        "key string, address string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    history = scd2_init(snap, "key", "ts")
+
+    changes = spark.createDataFrame(
+        [
+            ("c1", "addr A2", "2021-06-01 00:00:00"),  # real change
+            ("c2", "addr B", "2021-06-01 00:00:00"),  # no-op
+            ("c3", "addr C", "2021-06-01 00:00:00"),  # new key
+        ],
+        "key string, address string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    merged = scd2_merge(history, changes, "key", "ts", ["address"])
+    rows = {(r["key"], r["address"]): r for r in merged.collect()}
+
+    assert len(rows) == 4  # c1 old + c1 new + c2 untouched + c3 new
+    closed = rows[("c1", "addr A")]
+    assert not closed["is_current"] and str(closed["valid_to"]).startswith("2021-06-01")
+    assert rows[("c1", "addr A2")]["is_current"]
+    assert rows[("c2", "addr B")]["is_current"]  # no-op: untouched, not versioned
+    assert str(rows[("c2", "addr B")]["valid_to"]).startswith("9999")
+    assert rows[("c3", "addr C")]["is_current"]
+    assert OPEN_END.startswith("9999")
+
+
+def test_dedup_clusters_and_representatives(spark):
+    from fhir_etl_spark.operators.dedup import dedup_clusters, dedup_keep_representatives
+
+    # components: {1,2,3,4} (chain), {7,9}; 5 and 6 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9)], "a long, b long"
+    )
+    clusters = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert clusters == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 4, 5, 6, 7, 9]], "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_keep_representatives(docs, pairs).collect())
+    assert kept == [1, 5, 6, 7]
+
+
+def test_count_min_sketch_bounds(spark):
+    from fhir_etl_spark.operators.sketch import (
+        cms_estimate,
+        count_min_sketch,
+        heavy_hitters_exact,
+    )
+    from fhir_etl_spark.session import load_tables
+
+    orders = load_tables(spark, "/root/testdata/sf0.001", "orders")
+    sketch = count_min_sketch(orders, "o_orderpriority")
+    exact = {
+        r["o_orderpriority"]: r["freq"]
+        for r in heavy_hitters_exact(orders, "o_orderpriority", k=10).collect()
+    }
+    estimates = cms_estimate(spark, sketch, list(exact))
+    for item, true_count in exact.items():
+        # CMS never under-counts; eps=0.001 over 1500 rows → tight
+        assert estimates[item] >= true_count
+        assert estimates[item] <= true_count + 0.01 * 1500
+
+
+def test_distinct_sketch_accuracy(spark):
+    from fhir_etl_spark.operators.sketch import distinct_sketch
+    from fhir_etl_spark.session import load_tables
+
+    customer = load_tables(spark, "/root/testdata/sf0.001", "customer")
+    approx = distinct_sketch(customer, "c_custkey").first()["approx_distinct"]
+    exact = customer.select("c_custkey").distinct().count()
+    assert abs(approx - exact) / exact < 0.1

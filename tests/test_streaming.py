@@ -137,3 +137,53 @@ def test_fhirize_runs_on_stream(spark, tmp_path):
         for r in spark.sql("SELECT * FROM fhir_stream_out").collect()
     ]
     assert rows[0]["id"] == "fb96f2a9-8ec2-5784-ba62-16f168155434"  # golden HG00096
+
+
+def test_continuous_rollup_matches_batch(spark, sf_dir, tmp_path, events_stream):
+    """The incrementally-maintained rollup equals the one-shot batch
+    aggregate over the same data (mergeable-partials correctness)."""
+    from fhir_etl_spark.streaming.rollup import continuous_rollup, read_rollup
+
+    table = str(tmp_path / "rollup")
+    q = continuous_rollup(spark, events_stream, table)
+    q.awaitTermination()
+
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], round(r["total_value"], 2))
+        for r in read_rollup(spark, table).collect()
+    }
+    from fhir_etl_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, "events")
+    expected = {
+        (str(r["ws"]), r["event_type"]): (r["n"], round(r["total_value"], 2))
+        for r in events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total_value")
+        .collect()
+    }
+    assert got == expected
+
+
+def test_merge_rollup_additive(spark):
+    """Partial-aggregate merge is additive across batches."""
+    from fhir_etl_spark.streaming.rollup import merge_rollup
+
+    a = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "click", 3, 5.0)],
+        "window_start string, event_type string, n long, total_value double",
+    ).withColumn("window_start", F.col("window_start").cast("timestamp"))
+    b = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "click", 2, 1.5), ("2024-01-01 01:00:00", "view", 1, 9.0)],
+        "window_start string, event_type string, n long, total_value double",
+    ).withColumn("window_start", F.col("window_start").cast("timestamp"))
+    merged = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total_value"])
+        for r in merge_rollup(a, b).collect()
+    }
+    assert merged == {
+        ("2024-01-01 00:00:00", "click"): (5, 6.5),
+        ("2024-01-01 01:00:00", "view"): (1, 9.0),
+    }
