@@ -72,17 +72,21 @@ def scd2_merge(
         & (F.col(f"chg.{key}").isNull() | ~cmp_cond)
     ).select(*[F.col(f"cur.{c}") for c in current.columns])
 
-    # new versions: real changes + brand-new keys
-    new_versions = joined.filter(
-        F.col(f"chg.{key}").isNotNull()
-        & (F.col(f"cur.{key}").isNull() | cmp_cond)
-    ).select(
-        *[F.col(f"chg.{c}") for c in changes.columns],
-    ).select(
-        "*",
-        F.col(effective_ts).alias("valid_from"),
-        F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
-        F.lit(True).alias("is_current"),
+    # new versions: real changes + brand-new keys — aligned to the history
+    # schema (the effective-ts column only survives if history carries it)
+    new_versions = (
+        joined.filter(
+            F.col(f"chg.{key}").isNotNull()
+            & (F.col(f"cur.{key}").isNull() | cmp_cond)
+        )
+        .select(*[F.col(f"chg.{c}") for c in changes.columns])
+        .select(
+            "*",
+            F.col(effective_ts).alias("valid_from"),
+            F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        .select(*history.columns)
     )
 
     return (

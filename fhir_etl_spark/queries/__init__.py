@@ -14,6 +14,7 @@ from fhir_etl_spark.queries import (  # noqa: F401  (import = register)
     joins_advanced,
     nested,
     relational,
+    scd,
     similarity,
     text,
     tpch_extra,

@@ -104,6 +104,69 @@ def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(documents, threshold=0.5)
 
 
+@query(
+    "d6_dedup_clusters",
+    oracle="""
+    WITH pairs AS (
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
+        FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 3
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT a, b FROM inter
+        JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.5
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+    ), reach AS (
+      -- transitive closure of (node, reachable-label); min per node = the
+      -- component's smallest id (edges are bidirectional)
+      WITH RECURSIVE r(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.node
+      ) SELECT * FROM r
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    """,
+    tags=("dedup", "graph"),
+)
+def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact-Jaccard pairs (d3) → connected components
+    via distributed min-label propagation; oracle = recursive-CTE transitive
+    closure in DuckDB."""
+    from fhir_etl_spark.operators.dedup import dedup_clusters
+
+    documents = load_tables(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(documents, threshold=0.5)
+    return dedup_clusters(pairs)
+
+
+@query(
+    "d7_heavy_hitters",
+    oracle="""
+    SELECT l_partkey, count(*) AS freq FROM lineitem
+    GROUP BY l_partkey ORDER BY freq DESC, l_partkey LIMIT 10
+    """,
+    tags=("agg", "sketch"),
+)
+def d7_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (the CMS verification ground truth,
+    operators/sketch.py)."""
+    from fhir_etl_spark.operators.sketch import heavy_hitters_exact
+
+    lineitem = load_tables(spark, sf_dir, "lineitem")
+    return heavy_hitters_exact(lineitem, "l_partkey", k=10)
+
+
 @query("d4_minhash_lsh", oracle=None, tags=("dedup", "approx"))
 def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) → LSH(8 bands × 4 rows) candidate pairs with estimated

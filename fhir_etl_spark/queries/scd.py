@@ -1,0 +1,84 @@
+"""SCD2 merge as a driver-gate query: one merge application over
+deterministically derived history/changes, oracled by an independent SQL
+formulation of the same contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.queries.registry import query
+from fhir_etl_spark.session import load_tables
+
+
+@query(
+    "scd2_merge_batch",
+    oracle="""
+    WITH history AS (
+      SELECT c_custkey AS key, c_acctbal AS bal,
+             TIMESTAMP '2020-01-01' AS valid_from,
+             TIMESTAMP '9999-12-31' AS valid_to,
+             true AS is_current
+      FROM customer
+    ), changes AS (
+      -- every third customer gets a balance bump; keys 9001/9002 are new
+      SELECT c_custkey AS key, round(c_acctbal + 100, 2) AS bal,
+             TIMESTAMP '2021-06-01' AS ts
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey AS key, c_acctbal AS bal, TIMESTAMP '2021-06-01' AS ts
+      FROM customer WHERE c_custkey % 3 = 1   -- no-op changes
+      UNION ALL
+      SELECT 9001, 50.0, TIMESTAMP '2021-06-01'
+      UNION ALL SELECT 9002, 60.0, TIMESTAMP '2021-06-01'
+    )
+    SELECT h.key, h.bal,
+           CAST(c.ts AS VARCHAR) AS valid_to_str, false AS is_current
+    FROM history h JOIN changes c ON h.key = c.key AND h.bal <> c.bal
+    UNION ALL
+    SELECT h.key, h.bal, '9999-12-31 00:00:00', true
+    FROM history h LEFT JOIN changes c ON h.key = c.key AND h.bal <> c.bal
+    WHERE c.key IS NULL
+    UNION ALL
+    SELECT c.key, c.bal, '9999-12-31 00:00:00', true
+    FROM changes c LEFT JOIN history h ON h.key = c.key
+    WHERE h.key IS NULL OR h.bal <> c.bal
+    """,
+    tags=("scd", "join"),
+)
+def scd2_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One SCD2 merge application (operators/scd.scd2_merge) over a derived
+    history + change batch; rows returned as (key, bal, valid_to, current)."""
+    from fhir_etl_spark.operators.scd import scd2_init, scd2_merge
+
+    customer = load_tables(spark, sf_dir, "customer")
+    snapshot = customer.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("2020-01-01").cast("timestamp").alias("ts"),
+    )
+    history = scd2_init(snapshot, "key", "ts").drop("ts")
+
+    bumped = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("bal"),
+        F.lit("2021-06-01").cast("timestamp").alias("ts"),
+    )
+    noops = customer.filter(F.col("c_custkey") % 3 == 1).select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("2021-06-01").cast("timestamp").alias("ts"),
+    )
+    fresh = spark.createDataFrame(
+        [(9001, 50.0, "2021-06-01"), (9002, 60.0, "2021-06-01")],
+        "key long, bal double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    changes = bumped.unionByName(noops).unionByName(fresh)
+
+    merged = scd2_merge(history, changes, "key", "ts", ["bal"])
+    return merged.select(
+        "key",
+        "bal",
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to_str"),
+        "is_current",
+    )

@@ -74,7 +74,7 @@ def test_stream_upsert_foreachbatch(spark, sf_dir, tmp_path, events_stream):
     assert all(i.startswith("user-") for i in ids)
 
 
-def test_stateful_user_profiles(spark, events_stream):
+def test_stateful_user_profiles(spark, sf_dir, events_stream):
     from fhir_etl_spark.streaming.stateful import user_profiles
 
     q = run_to_memory(user_profiles(events_stream), "profiles_out", output_mode="update")
@@ -88,7 +88,7 @@ def test_stateful_user_profiles(spark, events_stream):
     # cross-check one user against a batch count
     from fhir_etl_spark.session import load_tables
 
-    events_batch = load_tables(spark, "/root/testdata/sf0.001", "events")
+    events_batch = load_tables(spark, sf_dir, "events")
     expect = {
         r["user_id"]: r["n"]
         for r in events_batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
