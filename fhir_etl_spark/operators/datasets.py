@@ -1,0 +1,166 @@
+"""Training-dataset assembly operators: deterministic splits, stratified
+sampling, weighted source mixing, and shard-shuffling.
+
+These are the operations a 100 TB training-data pipeline runs AFTER
+dedup/quality-scoring (operators/dedup.py, operators/text.py): carve
+train/val/test, rebalance strata, mix corpora at target weights, and
+produce a reproducibly-shuffled sharded layout for the trainer.
+
+Design rules (all four operators):
+- **Hash-deterministic, not RNG-based.** Every decision is a pure function
+  of a row's stable key (md5 → integer bucket), so the same row lands in
+  the same split/sample/shard on every run, on any cluster size, under
+  any partitioning — and the assignment is expressible in ANSI SQL, which
+  is what lets the driver oracle these queries exactly. `rand(seed)` has
+  neither property (it is partition-order sensitive).
+- **Narrow plans.** split/sample/mix add a projected column or filter —
+  no shuffle at all. Only shard_shuffle shuffles, and it shuffles ONCE by
+  shard id with a within-partition sort (`repartition(shard).
+  sortWithinPartitions`) — never a global ORDER BY, whose single range-sort
+  is the classic 100 TB anti-pattern when the trainer only needs
+  *per-shard* order.
+- md5 (not xxhash64/crc32) because both Spark and DuckDB expose the same
+  bit-identical function, and 8 hex chars = 32 bits is plenty for bucket
+  assignment. The JVM computes it vectorized; it is not a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Number of hash buckets used for fraction→bucket-threshold conversion.
+#: 1e6 buckets keeps fraction resolution at 1e-6 while staying far from
+#: the 2^32 space of the 8-hex-char prefix (no modulo bias worth caring
+#: about: 2^32 % 1e6 leaves a relative skew of ~2e-4 on the last bucket).
+BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, BUCKETS) from a row key.
+
+    ``conv(substr(md5(key), 1, 8), 16, 10) % BUCKETS`` — identical in
+    DuckDB as ``CAST('0x' || substr(md5(key), 1, 8) AS UBIGINT) % BUCKETS``.
+    ``salt`` decorrelates independent decisions made from the same key
+    (e.g. split assignment vs shard assignment).
+    """
+    s = F.concat(F.lit(salt), key.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % BUCKETS
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic train/val/test-style assignment column.
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; any remainder
+    falls into the LAST split). Assignment is by cumulative bucket ranges,
+    so enlarging one split keeps every row of the smaller splits stable —
+    the property that protects a held-out test set across dataset versions.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    bucket = hash_bucket(F.col(key), salt=salt)
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(cum * BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows (sampleBy, made
+    reproducible and oracle-able). Strata absent from ``fractions`` keep
+    ``default_fraction``. A pure filter: no shuffle, pushdown-friendly."""
+    bucket = hash_bucket(F.col(key), salt=salt)
+    threshold = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        t = F.lit(int(frac * BUCKETS))
+        threshold = F.when(cond, t) if threshold is None else threshold.when(cond, t)
+    threshold = (
+        F.lit(int(default_fraction * BUCKETS))
+        if threshold is None
+        else threshold.otherwise(int(default_fraction * BUCKETS))
+    )
+    return df.filter(bucket < threshold)
+
+
+def weighted_mix(
+    sources: dict[str, tuple[DataFrame, float]],
+    key: str,
+    salt: str = "mix",
+    src_col: str = "src",
+) -> DataFrame:
+    """Mix corpora at target inclusion rates: each source is independently
+    hash-downsampled to its weight, tagged with ``src_col``, and unioned.
+
+    Columns are aligned by name (``unionByName`` with missing columns as
+    null), so heterogeneous corpora mix without manual schema glue. The
+    union is a zero-shuffle plan — each source stays in its own partitions
+    until whatever comes next."""
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    parts = []
+    for name, (df, weight) in sources.items():
+        kept = df.filter(
+            hash_bucket(F.col(key), salt=f"{salt}:{name}") < int(weight * BUCKETS)
+        )
+        parts.append(kept.withColumn(src_col, F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def shard_shuffle(
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    salt: str = "shuffle",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Reproducible global shuffle into ``n_shards`` ordered shards.
+
+    Shard = hash bucket of the key; position = rank of the (re-salted)
+    hash within the shard. One hash-partition shuffle + per-partition sort
+    — the scale-path replacement for ``ORDER BY rand()``: at 1000
+    executors each shard sorts locally, there is no global range exchange,
+    and re-running on different cluster sizes yields byte-identical
+    shards. Write with ``.write.partitionBy(shard_col)`` for the trainer.
+    """
+    shard = (hash_bucket(F.col(key), salt=salt) % n_shards).cast("int")
+    order = F.md5(
+        F.concat(F.lit(f"{salt}:pos"), F.col(key).cast("string")).cast("binary")
+    )
+    out = df.withColumn(shard_col, shard).withColumn("_order", order)
+    # repartition to exactly n_shards so shard == output partition (clean
+    # partitionBy writes); the Window reuses this exchange (its required
+    # ClusteredDistribution is already satisfied) and adds only the
+    # per-partition sort.
+    out = out.repartition(n_shards, F.col(shard_col))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(shard_col).orderBy("_order", key)
+    return out.withColumn(pos_col, F.row_number().over(w)).drop("_order")

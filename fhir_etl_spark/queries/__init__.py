@@ -11,6 +11,7 @@ from fhir_etl_spark.queries import (  # noqa: F401  (import = register)
     dedup,
     events,
     functions,
+    datasets,
     joins_advanced,
     nested,
     relational,
@@ -18,6 +19,7 @@ from fhir_etl_spark.queries import (  # noqa: F401  (import = register)
     similarity,
     text,
     tpch_extra,
+    tpch_full,
     windows,
 )
 from fhir_etl_spark.queries.registry import all_queries, get_query  # noqa: F401

@@ -1,0 +1,630 @@
+"""The remaining TPC-H query shapes, adapted to the synthetic testdata's
+narrower schemas (no partsupp table; no l_shipmode/l_commitdate/
+l_receiptdate/p_container columns — see TESTDATA.md).
+
+Each query keeps the ORIGINAL's plan shape — the point of the inventory row
+is the operator composition (disjunctive pushdown, NOT-IN anti join,
+correlated-min join-back, double EXISTS/NOT-EXISTS, group-HAVING-scalar),
+not the retail semantics. Where a column is missing, a present column with
+the same role is substituted and noted.
+
+Determinism notes (driver hash gate):
+- double-product sums are round()ed on BOTH sides AT THE DATA GRAIN (prices
+  and discounts are 2-decimal, so products have 1e-4 grain → round(_, 4)):
+  engines sum in different orders with ~1e-9 fp noise, and rounding COARSER
+  than the grain can land exactly on a half-way boundary where that noise
+  decides the cent (observed on q9/q10 at sf0.01), while rounding at the
+  grain always has the true value ≥ half-grain from a boundary;
+- every LIMIT's ORDER BY extends to a unique key, and ranking happens on
+  ROUNDED measures;
+- thresholds compare sums of l_quantity (integral-valued doubles: fp-exact,
+  order-independent) — never raw double-product sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.queries.registry import query
+from fhir_etl_spark.session import load_tables
+
+
+@query(
+    "q6_revenue_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("filter", "agg"),
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — the canonical predicate-pushdown
+    query (all four predicates reach the parquet scan; no shuffle at all
+    until the final 1-row reduce)."""
+    lineitem = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "agg"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: two-nation trade volume — a 5-way join where both nation
+    dims broadcast and the disjunctive nation-pair filter prunes early."""
+    supplier, lineitem, orders, customer, nation = load_tables(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    joined = (
+        lineitem.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    """,
+    tags=("join", "agg"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — 8-way join, conditional-sum ratio.
+    Customer nation restricts the market (region), supplier nation feeds the
+    numerator; all dims broadcast."""
+    part, lineitem, supplier, orders, customer, nation, region = load_tables(
+        spark, sf_dir, "part", "lineitem", "supplier", "orders", "customer",
+        "nation", "region",
+    )
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    promo_parts = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    america = region.filter(F.col("r_name") == "AMERICA").select("r_regionkey")
+    joined = (
+        lineitem.join(F.broadcast(promo_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(america), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(0.0))
+            / F.sum(volume),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_profit_by_nation",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.5 * p_retailprice * l_quantity AS amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    """,
+    tags=("join", "agg"),
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by nation and year. The testdata
+    has no partsupp.ps_supplycost, so cost is proxied as 0.5 * p_retailprice
+    — same plan (4-way join + LIKE-filtered dim + two-key agg)."""
+    part, lineitem, supplier, orders, nation = load_tables(
+        spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation"
+    )
+    widget_parts = part.filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    joined = (
+        lineitem.join(F.broadcast(widget_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+    FROM (
+      SELECT c_custkey, c_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             c_acctbal, n_name
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+    )
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue in a quarter.
+    Ranking happens on the ROUNDED revenue with c_custkey tiebreak so both
+    engines cut the same top-20."""
+    customer, orders, lineitem, nation = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    window_orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    per_cust = (
+        returned.join(window_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    return per_cust.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20).select(
+        "c_custkey", "c_name", "revenue", "c_acctbal", "n_name"
+    )
+
+
+@query(
+    "q12_priority_by_linestatus",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+    tags=("join", "agg"),
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority-split conditional counts. The testdata has
+    no l_shipmode/l_commitdate/l_receiptdate, so the group key is
+    l_linestatus and the window predicate uses l_shipdate — same plan
+    (join + two CASE-sums)."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    shipped = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        shipped.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_effect",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    tags=("join", "agg"),
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share in a month (broadcast part dim,
+    conditional-sum ratio, single row)."""
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    month = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        month.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                2,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: view + max-of-aggregate scalar subquery. The per-supplier
+    revenue is ROUNDED before the max-equality so both engines select the
+    same winner(s)."""
+    lineitem, supplier = load_tables(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part group with a
+    NOT-IN exclusion subquery (anti join; the "complaints" predicate is
+    proxied as s_acctbal < 0 — testdata has no s_comment). partsupp is
+    proxied by the lineitem (partkey, suppkey) pairs."""
+    lineitem, part, supplier = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    parts = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_suppliers = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad_suppliers), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders via IN-subquery over a grouped HAVING.
+    The threshold compares a sum of integral-valued doubles (fp-exact), so
+    the qualifying set is engine-independent."""
+    customer, orders, lineitem = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("order_qty"))
+        .filter(F.col("order_qty") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        lineitem.join(big_orders, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "q19_disjunctive_filter",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "filter", "agg"),
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs spanning both join sides — Catalyst pushes the
+    common p/l conjunct factors below the join and keeps the residual
+    disjunction as the join filter."""
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    joined = lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+
+
+@query(
+    "q20_part_shippers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 2000
+    )
+    """,
+    tags=("join", "subquery"),
+)
+def q20_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subquery chain (part filter → grouped
+    HAVING → semi join). availqty is proxied by total shipped quantity
+    (integral-double sum: fp-exact threshold)."""
+    supplier, lineitem, part = load_tables(spark, sf_dir, "supplier", "lineitem", "part")
+    widget_parts = part.filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    heavy_shippers = (
+        lineitem.join(F.broadcast(widget_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > 2000)
+    )
+    return supplier.join(
+        heavy_shippers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("join", "subquery", "topk"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who were the SOLE late shipper on multi-supplier
+    finished orders — correlated EXISTS + NOT EXISTS with a <> conjunct
+    (semi + anti join, each with a residual inequality). "Late" is adapted
+    to l_shipdate > o_orderdate + 60 days (no l_commitdate/l_receiptdate in
+    the testdata)."""
+    lineitem, orders, supplier = load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        lineitem.join(finished, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    other_supplier_lines = lineitem.select("l_orderkey", "l_suppkey").alias("l2")
+    other_late = late.alias("l3")
+    qualified = (
+        l1.join(
+            other_supplier_lines,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    counts = (
+        qualified.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return counts.orderBy(F.desc("numwait"), F.asc("s_name")).limit(20)
+
+
+@query(
+    "q11_value_share",
+    oracle="""
+    SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_quantity) >
+           (SELECT 0.0002 * sum(l_quantity) FROM lineitem)
+    """,
+    tags=("agg", "subquery"),
+)
+def q11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-key value filtered by a global-share scalar
+    subquery (HAVING > scalar). Share is computed on integral-double
+    quantity sums so the qualifying set is fp-deterministic; partsupp is
+    proxied by lineitem."""
+    lineitem = load_tables(spark, sf_dir, "lineitem")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("part_value"),
+        F.sum("l_quantity").alias("part_qty"),
+    )
+    threshold = lineitem.agg((F.sum("l_quantity") * 0.0002).alias("qty_threshold"))
+    return (
+        per_part.join(F.broadcast(threshold), F.col("part_qty") > F.col("qty_threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT DISTINCT p_partkey, s_suppkey, s_name, s_acctbal
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size < 5
+      AND s_acctbal = (SELECT min(s2.s_acctbal)
+                       FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+                       WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("join", "subquery"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery — for each small part, the
+    cheapest supplier that ever shipped it (cost proxied by s_acctbal; no
+    partsupp.ps_supplycost in the testdata). min() of raw doubles involves
+    no arithmetic, so the equality join-back is fp-safe."""
+    part, lineitem, supplier = load_tables(spark, sf_dir, "part", "lineitem", "supplier")
+    small_parts = part.filter(F.col("p_size") < 5).select("p_partkey")
+    shipped = (
+        lineitem.join(F.broadcast(small_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+    )
+    min_bal = shipped.groupBy(F.col("p_partkey").alias("mp_partkey")).agg(
+        F.min("s_acctbal").alias("min_acctbal")
+    )
+    return shipped.join(
+        min_bal,
+        (F.col("p_partkey") == F.col("mp_partkey"))
+        & (F.col("s_acctbal") == F.col("min_acctbal")),
+    ).select("p_partkey", "s_suppkey", "s_name", "s_acctbal")

@@ -1,0 +1,125 @@
+"""Training-dataset operators: determinism/stability properties and plan
+hygiene (split/sample/mix must be narrow; shard_shuffle exactly one hash
+shuffle, no global sort)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.operators.datasets import (
+    shard_shuffle,
+    split_assign,
+    stratified_sample,
+    weighted_mix,
+)
+from fhir_etl_spark.session import load_tables
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_split_is_stable_under_growth(spark, sf_dir):
+    """Enlarging the train fraction must not move any row OUT of the later
+    splits' kept region: test membership under 80/10/10 is a subset of test
+    membership under 60/20/20 (cumulative-range property)."""
+    docs = load_tables(spark, sf_dir, "documents")
+    small_train = split_assign(docs, "doc_id", {"train": 0.6, "val": 0.2, "test": 0.2})
+    big_train = split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    test_small = {
+        r["doc_id"] for r in small_train.filter(F.col("split") == "test").collect()
+    }
+    test_big = {
+        r["doc_id"] for r in big_train.filter(F.col("split") == "test").collect()
+    }
+    assert test_big and test_big <= test_small
+
+
+def test_split_partition_invariant(spark, sf_dir):
+    """The same row gets the same split regardless of input partitioning."""
+    docs = load_tables(spark, sf_dir, "documents")
+    a = split_assign(docs, "doc_id", {"train": 0.7, "test": 0.3})
+    b = split_assign(docs.repartition(17), "doc_id", {"train": 0.7, "test": 0.3})
+    assert {(r["doc_id"], r["split"]) for r in a.collect()} == {
+        (r["doc_id"], r["split"]) for r in b.collect()
+    }
+
+
+def test_split_and_sample_are_narrow_plans(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")
+    split_plan = _plan(split_assign(docs, "doc_id", {"train": 0.8, "test": 0.2}))
+    assert "Exchange" not in split_plan
+    events = load_tables(spark, sf_dir, "events")
+    sample_plan = _plan(
+        stratified_sample(events, "event_type", "event_id", {"click": 0.1})
+    )
+    assert "Exchange" not in sample_plan
+
+
+def test_stratified_fractions_approximate(spark, sf_dir):
+    events = load_tables(spark, sf_dir, "events")
+    totals = dict(
+        events.groupBy("event_type").count().rdd.map(tuple).collect()
+    )
+    kept = dict(
+        stratified_sample(
+            events, "event_type", "event_id", {"error": 0.5}, default_fraction=0.1
+        )
+        .groupBy("event_type")
+        .count()
+        .rdd.map(tuple)
+        .collect()
+    )
+    for etype, n in totals.items():
+        want = 0.5 if etype == "error" else 0.1
+        got = kept.get(etype, 0) / n
+        assert abs(got - want) < 0.05, (etype, got, want)
+
+
+def test_weighted_mix_aligns_schemas_and_weights(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")
+    a = docs.select("doc_id", "text")
+    b = docs.select("doc_id", "lang")  # different columns on purpose
+    mixed = weighted_mix({"a": (a, 1.0), "b": (b, 1.0)}, key="doc_id")
+    assert set(mixed.columns) == {"doc_id", "text", "lang", "src"}
+    n_docs = docs.count()
+    by_src = dict(mixed.groupBy("src").count().rdd.map(tuple).collect())
+    assert by_src == {"a": n_docs, "b": n_docs}  # weight 1.0 keeps everything
+    # null-fill on the unshared columns
+    assert mixed.filter((F.col("src") == "a") & F.col("lang").isNotNull()).count() == 0
+
+
+def test_shard_shuffle_dense_positions_and_determinism(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")
+    out = shard_shuffle(docs, "doc_id", n_shards=4).select("doc_id", "shard", "pos")
+    rows = out.collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # partitioning-independent: same (doc_id, shard, pos) from a reshuffled input
+    again = (
+        shard_shuffle(docs.repartition(13), "doc_id", n_shards=4)
+        .select("doc_id", "shard", "pos")
+        .collect()
+    )
+    assert {tuple(r) for r in rows} == {tuple(r) for r in again}
+
+
+def test_shard_shuffle_no_global_sort(spark, sf_dir):
+    """Exactly one hash-partition shuffle on the shard id; never a range
+    exchange (global sort) — the property that keeps this O(n/k) per node
+    at 100 TB."""
+    docs = load_tables(spark, sf_dir, "documents")
+    plan = _plan(shard_shuffle(docs, "doc_id", n_shards=8))
+    assert "rangepartitioning" not in plan.lower()
+    shuffles = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(shuffles) == 1, plan
