@@ -35,6 +35,9 @@ HEADLINE = [
     "d1_exact_dedup",
     "d4_minhash_lsh",
     "v1_cosine_topk",
+    "q9_profit_by_nation",
+    "q21_waiting_suppliers",
+    "ds4_shard_shuffle",
 ]
 
 

@@ -87,3 +87,52 @@ def test_text_features_no_python(spark):
     plan = formatted_plan(spark, with_text_features(docs))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # pure projection
+
+
+def test_q6_pure_pushdown_scan(spark):
+    """Q6 is scan→filter→1-row agg: every predicate reaches the parquet
+    scan and the only Exchange is the final single-partition reduce."""
+    plan = formatted_plan(spark, all_queries()["q6_revenue_forecast"].fn(spark, SF))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed and "l_discount" in pushed
+    shuffle_exchanges = re.findall(r"[+:]- Exchange ", plan)
+    assert len(shuffle_exchanges) <= 1, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q9_dims_broadcast(spark):
+    """Q9's three dimension joins (part/supplier/nation) broadcast; only
+    orders joins by shuffle — lineitem is never sort-merge-joined against a
+    dimension."""
+    plan = formatted_plan(spark, all_queries()["q9_profit_by_nation"].fn(spark, SF))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("BroadcastHashJoin") >= 3, tree
+
+
+def test_q19_common_filters_pushed_below_join(spark):
+    """The disjunction's common factors are extracted and pushed to both
+    scans (partial pushdown of OR-of-ANDs)."""
+    plan = formatted_plan(spark, all_queries()["q19_disjunctive_filter"].fn(spark, SF))
+    # part side: brand IN (...) ∪ size bounds reach the part scan
+    assert "p_brand" in plan.split("PushedFilters:")[-1].split("\n")[0] or \
+        plan.count("PushedFilters") >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ds_split_sample_no_python_udf(spark):
+    """Dataset split/sample assignments are pure JVM expressions (md5/conv
+    codegen) — no BatchEvalPython / ArrowEvalPython in the plan."""
+    from fhir_etl_spark.operators.datasets import split_assign, stratified_sample
+    from fhir_etl_spark.session import load_tables
+
+    docs = load_tables(spark, SF, "documents")
+    plan = formatted_plan(
+        spark, split_assign(docs, "doc_id", {"train": 0.9, "test": 0.1})
+    )
+    assert "Python" not in plan
+    events = load_tables(spark, SF, "events")
+    plan2 = formatted_plan(
+        spark, stratified_sample(events, "event_type", "event_id", {"click": 0.5})
+    )
+    assert "Python" not in plan2
