@@ -20,6 +20,7 @@ from fhir_etl_spark.queries import (  # noqa: F401  (import = register)
     text,
     tpch_extra,
     tpch_full,
+    training,
     windows,
 )
 from fhir_etl_spark.queries.registry import all_queries, get_query  # noqa: F401

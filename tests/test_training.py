@@ -1,0 +1,81 @@
+"""Training-pipeline operators: packing invariants, decontamination
+semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.operators.contamination import decontaminate
+from fhir_etl_spark.operators.packing import pack_sequences
+from fhir_etl_spark.operators.text import token_count
+from fhir_etl_spark.session import load_tables
+
+BUDGET = 256
+
+
+def _packed(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    return (
+        pack_sequences(docs, "n_tokens", budget=BUDGET, n_shards=4),
+        docs,
+    )
+
+
+def test_packing_partitions_all_docs_once(spark, sf_dir):
+    packed, docs = _packed(spark, sf_dir)
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_packing_respects_budget(spark, sf_dir):
+    """No sequence exceeds the budget unless it holds a single oversized
+    doc; offsets are the prefix sums of the sequence's docs."""
+    packed, _ = _packed(spark, sf_dir)
+    seqs = (
+        packed.groupBy("seq_id")
+        .agg(
+            F.sum("n_tokens").alias("total"),
+            F.count("*").alias("n_docs"),
+            F.min("seq_offset").alias("first_offset"),
+            F.max(F.col("seq_offset") + F.col("n_tokens")).alias("end"),
+        )
+        .collect()
+    )
+    for r in seqs:
+        if r["n_docs"] > 1:
+            assert r["total"] <= BUDGET, r
+        assert r["first_offset"] == 0
+        assert r["end"] == r["total"]  # contiguous, no gaps/overlap
+
+
+def test_packing_deterministic_under_repartition(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    a = pack_sequences(docs, "n_tokens", budget=BUDGET, n_shards=4).collect()
+    b = pack_sequences(
+        docs.repartition(11), "n_tokens", budget=BUDGET, n_shards=4
+    ).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+def test_decontaminate_removes_exact_copies(spark, sf_dir):
+    """A benchmark doc's verbatim text in the corpus must be dropped; a
+    corpus doc sharing no 5-gram must survive."""
+    docs = load_tables(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0).limit(5)
+    # corpus = clones of the benchmark (leaked) + unrelated synthetic rows
+    leaked = benchmark.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    clean = spark.createDataFrame(
+        [(2_000_000 + i, f"unique clean document number {i} zzz qqq xxx yyy www")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    corpus = leaked.unionByName(clean)
+    kept = decontaminate(corpus, benchmark, k=5)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids == {r["doc_id"] for r in clean.collect()}
