@@ -120,3 +120,51 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup key before MinHash."""
     documents = load_tables(spark, sf_dir, "documents")
     return documents.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@query(
+    "t6_clean_corpus",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             round(
+               0.4 * least(n_tok / 100.0, 1.0)
+             + 0.3 * (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0))
+             + 0.3 * least(CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END * 5.0, 1.0),
+             4) AS quality
+      FROM (
+        SELECT doc_id,
+               CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tok,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+               CAST(len(list_filter({_TOKS_SQL},
+                    x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], x)))
+                    AS DOUBLE) AS n_stop
+        FROM documents WHERE lang = 'en'
+      )
+    ), kept AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN scored USING (doc_id)
+      WHERE quality >= 0.5
+    )
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM (SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS dg
+          FROM kept)
+    GROUP BY dg
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def t6_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style cleaning pipeline end-to-end as ONE declarative plan:
+    language filter → quality threshold → exact dedup (min-id
+    representative). Composing the operators keeps everything in a single
+    Catalyst plan — the filters fuse into the scan, and the only shuffle
+    is the final digest groupBy."""
+    from fhir_etl_spark.operators.dedup import exact_dedup
+
+    documents = load_tables(spark, sf_dir, "documents")
+    cleaned = documents.filter(F.col("lang") == "en").filter(
+        quality_score("text") >= 0.5
+    )
+    return exact_dedup(cleaned)
