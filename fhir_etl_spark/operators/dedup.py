@@ -168,16 +168,35 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
 
-    Join docs on shared shingles → |A∩B| per pair; |A|,|B| from a tiny
-    per-doc size table; jaccard = inter / (|A|+|B|-inter). Only pairs with
-    at least one shared shingle are materialized; at scale this runs AFTER
-    LSH pruning (pass the candidate pairs in and semi-join first).
+    Join docs on shared shingles → |A∩B| per pair; |A|,|B| from a per-doc
+    size table; jaccard = inter / (|A|+|B|-inter). Only pairs with at least
+    one shared shingle are materialized.
+
+    Scale guard: the shingle self-join is quadratic PER SHINGLE — a
+    stop-word trigram appearing in d documents alone emits d·(d−1)/2 pair
+    rows. `max_shingle_df` drops shingles whose document frequency exceeds
+    the cap before the join (the denominators |A|,|B| stay exact, so the
+    estimate only ever UNDER-counts the intersection — conservative for a
+    keep-threshold). Any cap above the corpus's true max DF is
+    answer-identical (synthetic testdata max DF: 25 at sf0.1, so the
+    default 1000 changes nothing at test scale); at 100 TB the cap is what
+    makes the operator runnable at all. Pass None for the exact raw join,
+    or pre-prune with LSH and semi-join the candidates first.
     """
     sh = doc_shingles(df, id_col, text_col, k).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     left = sh.select(F.col(id_col).alias("a"), "shingle")
     right = sh.select(F.col(id_col).alias("b"), "shingle")
     inter = (
@@ -188,9 +207,11 @@ def ngram_jaccard_pairs(
     )
     size_a = sizes.select(F.col(id_col).alias("a"), F.col("n_shingles").alias("na"))
     size_b = sizes.select(F.col(id_col).alias("b"), F.col("n_shingles").alias("nb"))
+    # sizes scale with the corpus (one row per doc) → no broadcast hint;
+    # AQE broadcasts at runtime when the side actually fits.
     return (
-        inter.join(F.broadcast(size_a), "a")
-        .join(F.broadcast(size_b), "b")
+        inter.join(size_a, "a")
+        .join(size_b, "b")
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
@@ -255,6 +276,7 @@ def dedup_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
@@ -266,16 +288,25 @@ def dedup_clusters(
             .agg(F.min("label").alias("label"))
         )
         # fixpoint check: any node whose label still shrinks?
-        changed = (
+        at_fixpoint = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
             .filter(F.col("n.label") < F.col("o.label"))
             .isEmpty()
         )
         labels = new_labels.localCheckpoint()  # truncate the iterative lineage
-        if changed:
+        if at_fixpoint:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # Partial labels would silently SPLIT long-chain components (extra
+        # cluster ids → dedup keeps extra duplicates). Fail loudly instead:
+        # min-label propagation needs ~diameter rounds.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} rounds — "
+            "a component's diameter exceeds max_iterations; raise it"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

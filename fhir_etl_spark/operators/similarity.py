@@ -160,14 +160,13 @@ def ivf_topk(
     (assign → invert → probe → rank) is identical either way. Corpus cost:
     one centroid-assignment projection + an equi-join on the list id; each
     query touches |corpus| × n_probe / n_centroids rows in expectation.
+
+    The pick plans as TakeOrderedAndProject (each partition keeps its local
+    top-n_centroids, merged on the driver) — never a global single-partition
+    sort. Collecting n_centroids rows to the driver is O(n_centroids × dim).
     """
-    w_id = Window.orderBy(id_col)
     centroid_rows = (
-        corpus.select(id_col, vec_col)
-        .withColumn("_rn", F.row_number().over(w_id))
-        .filter(F.col("_rn") <= n_centroids)
-        .drop("_rn")
-        .collect()
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
     # pre-normalize centroids driver-side: ranking by dot(vec, ĉ) equals
     # ranking by cosine (the query-vector norm is constant across centroids),
@@ -217,7 +216,8 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 42,
-    dim: int | None = None,
+    *,
+    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -227,9 +227,10 @@ def lsh_topk(
     The corpus is signed once (a narrow projection), then the search is an
     equi-join on the signature — at 100 TB this is the difference between a
     full-corpus scan per query and touching ~1/2^n_planes of it.
+
+    `dim` is required: ArrayType carries no length, and sniffing it with a
+    `.first()` action would launch a job just to plan the query.
     """
-    if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
     sig_corpus = corpus.withColumn("_sig", lsh_signature(F.col(vec_col), planes))
     sig_queries = queries.select(

@@ -80,8 +80,8 @@ def e2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sess AS (
       SELECT user_id, ts, event_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, count(*) AS n_events,

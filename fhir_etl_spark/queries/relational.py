@@ -97,10 +97,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join → agg → deterministic top-k.
 
-    customer is the small side → broadcast hint (AQE would convert it
-    anyway at sf0.1; the hint makes the plan stable at any SF where the
-    dimension stays under the broadcast threshold). The tiebreak on
-    l_orderkey makes LIMIT deterministic across engines.
+    customer scales with SF, so no broadcast hint — AQE converts the join
+    to broadcast at runtime whenever the filtered dimension is actually
+    small. The tiebreak on l_orderkey makes LIMIT deterministic across
+    engines.
     """
     customer, orders, lineitem = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
     return (
@@ -110,7 +110,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -145,11 +145,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg"),
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join with three broadcast dimensions.
+    """TPC-H Q5 shape: 6-way join; only the BOUNDED dims broadcast.
 
-    region/nation/supplier are broadcast; the only shuffles left are the
-    orders⋈lineitem fact join and the final tiny agg — the minimal-shuffle
-    plan for this query at any scale.
+    region/nation are fixed-cardinality → explicit broadcast. customer and
+    supplier scale linearly with SF, so they get NO hint (a hardcoded
+    broadcast OOMs the driver at 100× SF); AQE broadcasts them at runtime
+    when they fit. The fact-fact orders⋈lineitem shuffle and the final tiny
+    agg are the only unavoidable exchanges.
     """
     customer, orders, lineitem, supplier, nation, region = load_tables(
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
@@ -159,9 +161,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

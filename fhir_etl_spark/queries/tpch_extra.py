@@ -84,14 +84,15 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar-aggregate subquery — expressed as
-    a pre-aggregated per-key threshold broadcast back onto the fact."""
+    a pre-aggregated per-key threshold joined back onto the fact (part
+    scales with SF → no broadcast hint; AQE decides at runtime)."""
     lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
     thresholds = lineitem.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.avg("l_quantity") * 0.8).alias("qty_threshold")
     )
     small_parts = part.filter(F.col("p_size") < 10)
     return (
-        lineitem.join(F.broadcast(small_parts), F.col("p_partkey") == F.col("l_partkey"))
+        lineitem.join(small_parts, F.col("p_partkey") == F.col("l_partkey"))
         .join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))

@@ -80,7 +80,9 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: two-nation trade volume — a 5-way join where both nation
-    dims broadcast and the disjunctive nation-pair filter prunes early."""
+    dims broadcast and the disjunctive nation-pair filter prunes early.
+    supplier is NOT hint-broadcast (it scales with SF); AQE converts the
+    join at runtime when the filtered side is small."""
     supplier, lineitem, orders, customer, nation = load_tables(
         spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
     )
@@ -91,7 +93,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
     joined = (
-        lineitem.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        lineitem.join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -133,7 +135,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: national market share — 8-way join, conditional-sum ratio.
     Customer nation restricts the market (region), supplier nation feeds the
-    numerator; all dims broadcast."""
+    numerator; only the bounded dims (nation, region) are hint-broadcast —
+    part/supplier scale with SF and are left to AQE."""
     part, lineitem, supplier, orders, customer, nation, region = load_tables(
         spark, sf_dir, "part", "lineitem", "supplier", "orders", "customer",
         "nation", "region",
@@ -147,8 +150,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo_parts = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
     america = region.filter(F.col("r_name") == "AMERICA").select("r_regionkey")
     joined = (
-        lineitem.join(F.broadcast(promo_parts), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        lineitem.join(promo_parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
@@ -194,8 +197,8 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_retailprice"
     )
     joined = (
-        lineitem.join(F.broadcast(widget_parts), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        lineitem.join(widget_parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
     )
@@ -307,8 +310,8 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg"),
 )
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promo revenue share in a month (broadcast part dim,
-    conditional-sum ratio, single row)."""
+    """TPC-H Q14: promo revenue share in a month (conditional-sum ratio,
+    single row). part scales with SF so no broadcast hint — AQE decides."""
     lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
     month = lineitem.filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
@@ -316,7 +319,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        month.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        month.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -365,7 +368,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(supplier, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -396,8 +399,8 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     bad_suppliers = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        lineitem.join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(bad_suppliers), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        lineitem.join(parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad_suppliers, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -457,7 +460,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     common p/l conjunct factors below the join and keeps the residual
     disjunction as the join filter."""
     lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
-    joined = lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    joined = lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
          & F.col("l_quantity").between(1, 11))
@@ -493,7 +496,7 @@ def q20_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier, lineitem, part = load_tables(spark, sf_dir, "supplier", "lineitem", "part")
     widget_parts = part.filter(F.col("p_name").like("%widget%")).select("p_partkey")
     heavy_shippers = (
-        lineitem.join(F.broadcast(widget_parts), F.col("p_partkey") == F.col("l_partkey"))
+        lineitem.join(widget_parts, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("shipped_qty"))
         .filter(F.col("shipped_qty") > 2000)
@@ -559,7 +562,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = (
-        qualified.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        qualified.join(supplier, F.col("s_suppkey") == F.col("l1.l_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -615,8 +618,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, lineitem, supplier = load_tables(spark, sf_dir, "part", "lineitem", "supplier")
     small_parts = part.filter(F.col("p_size") < 5).select("p_partkey")
     shipped = (
-        lineitem.join(F.broadcast(small_parts), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        lineitem.join(small_parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("p_partkey", "s_suppkey", "s_name", "s_acctbal")
         .distinct()
     )

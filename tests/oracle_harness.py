@@ -17,19 +17,27 @@ from pyspark.sql import DataFrame
 
 
 def _normalize_value(v: Any) -> Any:
+    """Driver-strict canonicalization: int and float are DISTINCT.
+
+    The driver serializes values before hashing, so DuckDB HUGEINT sums
+    (materialized by fetch_df as float64, e.g. 3.0) hash differently from
+    Spark BIGINT (3) even though Python's ``3 == 3.0``. Encoding the type
+    into the canonical value makes the local gate catch exactly what the
+    driver's hash would catch (the round-1 e3_sessionization red row).
+    """
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("bool", bool(v))
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return float(v)
-    if isinstance(v, bool):
-        return bool(v)
+        return ("float", float(v))
     if isinstance(v, int):
-        return int(v)
+        return ("int", int(v))
     if pd.isna(v):
         return None
-    return str(v)
+    return ("str", str(v))
 
 
 def canonical_rows(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:

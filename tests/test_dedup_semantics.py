@@ -67,6 +67,32 @@ def test_ngram_jaccard_exact(docs):
     assert all(a != 5 and b != 5 for a, b in got)
 
 
+def test_ngram_jaccard_df_cap_preserves_recall(docs, sf_dir, spark):
+    """The hot-shingle DF cap must not change the answer when the cap
+    exceeds the corpus's max shingle document frequency — the default 1000
+    vs the exact (None) run return identical pair sets on the synthetic
+    documents table (max trigram DF is 25 at sf0.1)."""
+    from fhir_etl_spark.session import load_tables
+
+    real_docs = load_tables(spark, sf_dir, "documents")
+    exact = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(real_docs, max_shingle_df=None).collect()
+    }
+    capped = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(real_docs).collect()
+    }
+    assert capped == exact and len(capped) > 0
+    # an aggressive cap only ever REMOVES pairs (conservative under-count),
+    # never invents them
+    tight = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(real_docs, max_shingle_df=2).collect()
+    }
+    assert tight <= {(a, b) for a, b, _ in exact}
+
+
 def test_simhash_distance(docs, spark):
     sh = simhash(docs)
     pairs = (

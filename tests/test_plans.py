@@ -120,6 +120,78 @@ def test_q19_common_filters_pushed_below_join(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ann_plans_have_no_unpartitioned_window(spark):
+    """Every Window in the ANN query plans must carry a partition spec —
+    an un-partitioned Window funnels the whole corpus through ONE partition
+    (the round-1 ivf_topk centroid-pick bug). In formatted explain a Window
+    node's second argument list is the partition spec; empty shows as
+    `, [], [`."""
+    for name in ("v2_lsh_topk", "v4_ivf_topk", "v1_cosine_topk"):
+        plan = formatted_plan(spark, all_queries()[name].fn(spark, SF))
+        for m in re.finditer(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", plan):
+            assert ", [], [" not in m.group(1), f"{name}: un-partitioned Window\n{plan}"
+
+
+def test_no_broadcast_hints_on_scaling_tables():
+    """`F.broadcast()` is only allowed on inputs whose size is BOUNDED
+    regardless of SF: fixed-cardinality dims (nation/region), 1-row scalar
+    aggregates, probe sets, and benchmark shingle sets. customer/supplier/
+    part/orders/lineitem (and anything derived from them) grow linearly
+    with SF — a hardcoded broadcast hint on them OOMs at 100× scale; AQE
+    converts those joins at runtime when the filtered side actually fits.
+    """
+    import ast
+    import pathlib
+
+    ALLOWED_BASES = {
+        # fixed-cardinality dims (nation=25, region=5) and their projections
+        "nation", "region", "n1", "n2", "cust_nation", "supp_nation", "america",
+        # 1-row scalar-aggregate probes
+        "max_rev", "max_price", "avg_bal", "threshold",
+        # bounded probe/ID sets (query vectors, benchmark shingles,
+        # membership ID lists — KBs-to-MBs by construction, documented at
+        # each call site)
+        "q", "probed", "sig_queries", "bench_sh", "flagged", "specimen_ids",
+        # gtex_group_members: distinct single-column aliquot-key set —
+        # bounded by the annotation table's sample count (~tens of
+        # thousands of short strings in the reference's domain)
+        "normalized",
+    }
+    root = pathlib.Path(__file__).resolve().parent.parent / "fhir_etl_spark"
+    violations = []
+    for path in sorted(root.rglob("*.py")):
+        src = path.read_text()
+        if "broadcast(" not in src:
+            continue
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            fn = node.func
+            name = (
+                fn.attr if isinstance(fn, ast.Attribute)
+                else fn.id if isinstance(fn, ast.Name) else None
+            )
+            if name != "broadcast" or not node.args:
+                continue
+            arg = node.args[0]
+            base = arg
+            while isinstance(base, (ast.Attribute, ast.Call, ast.Subscript)):
+                base = (
+                    base.value if not isinstance(base, ast.Call) else base.func
+                )
+            base_name = base.id if isinstance(base, ast.Name) else None
+            if base_name not in ALLOWED_BASES:
+                violations.append(
+                    f"{path.relative_to(root.parent)}:{node.lineno}: "
+                    f"broadcast({ast.get_source_segment(src, arg)})"
+                )
+    assert not violations, (
+        "broadcast() hint on un-allowlisted (possibly SF-scaling) input:\n"
+        + "\n".join(violations)
+    )
+
+
 def test_ds_split_sample_no_python_udf(spark):
     """Dataset split/sample assignments are pure JVM expressions (md5/conv
     codegen) — no BatchEvalPython / ArrowEvalPython in the plan."""
