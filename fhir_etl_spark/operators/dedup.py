@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fhir_etl_spark.operators.text import tokens
+from fhir_etl_spark.operators.text import WS_RUN, tokens
 
 
 def content_digest(text: Column | str, normalize: bool = True) -> Column:
@@ -29,7 +29,7 @@ def content_digest(text: Column | str, normalize: bool = True) -> Column:
     first (the usual 'exact-ish' policy); md5 on the result."""
     c = F.col(text) if isinstance(text, str) else text
     if normalize:
-        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+        c = F.lower(F.trim(F.regexp_replace(c, WS_RUN, " ")))
     return F.md5(c)
 
 

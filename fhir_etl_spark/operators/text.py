@@ -19,9 +19,17 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "es": ("el", "la", "los", "y", "es", "no", "una", "para", "con"),
 }
 
+# Explicit ASCII whitespace class (inside a char class), used instead of
+# \s on BOTH engines: Java's \s includes U+000B (vertical tab) but RE2's
+# (DuckDB's) does not, so a document containing \x0b would tokenize
+# differently across the oracle boundary. Same repo-wide Java/RE2
+# ASCII-class parity rule as the other regexes.
+ASCII_WS = r" \t\n\x0b\f\r"
+WS_RUN = rf"[{ASCII_WS}]+"
+
 # A BPE-ish word/number/punctuation segmentation: words (with optional
 # leading apostrophe contraction), numbers, or single non-space symbols.
-BPE_ISH_PATTERN = r"'?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_ISH_PATTERN = rf"'?[A-Za-z]+|[0-9]+|[^A-Za-z0-9{ASCII_WS}]"
 
 
 def _col(c: Column | str) -> Column:
@@ -30,7 +38,7 @@ def _col(c: Column | str) -> Column:
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization (empty strings removed)."""
-    return F.filter(F.split(_col(text), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(_col(text), WS_RUN), lambda t: t != "")
 
 
 def token_count(text: Column | str) -> Column:
@@ -64,7 +72,9 @@ def quality_score(text: Column | str) -> Column:
     t = _col(text)
     n_tok = token_count(t).cast("double")
     n_chars = F.length(t).cast("double")
-    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0)).cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all(t, F.lit(rf"[^\w{ASCII_WS}]"), 0)
+    ).cast("double")
     n_stop = stopword_hits(t, LANG_STOPWORDS["en"]).cast("double")
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))

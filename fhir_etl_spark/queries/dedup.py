@@ -24,7 +24,7 @@ from fhir_etl_spark.operators.dedup import (
 from fhir_etl_spark.queries.registry import query
 from fhir_etl_spark.session import load_tables
 
-_NORM_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+_NORM_SQL = "md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))"
 
 
 @query(
@@ -76,7 +76,7 @@ def d2_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d3_ngram_jaccard",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id,
@@ -109,7 +109,7 @@ def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pairs AS (
       WITH toks AS (
-        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+        SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
         FROM documents
       ), sh AS (
         SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle

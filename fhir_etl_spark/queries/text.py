@@ -19,7 +19,7 @@ from fhir_etl_spark.operators.text import (
 from fhir_etl_spark.queries.registry import query
 from fhir_etl_spark.session import load_tables
 
-_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_TOKS_SQL = "list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
 
 
 @query(
@@ -27,7 +27,7 @@ _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
     oracle=f"""
     SELECT doc_id,
            len({_TOKS_SQL}) AS n_tokens,
-           len(regexp_extract_all(text, '''?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+           len(regexp_extract_all(text, '''?[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS n_bpe_tokens
     FROM documents
     """,
     tags=("text",),
@@ -55,7 +55,7 @@ def t1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tok,
              CAST(length(text) AS DOUBLE) AS n_chars,
-             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+             CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS DOUBLE) AS n_punct,
              CAST(len(list_filter({_TOKS_SQL},
                   x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], x)))
                   AS DOUBLE) AS n_stop
@@ -136,7 +136,7 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tok,
                CAST(length(text) AS DOUBLE) AS n_chars,
-               CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS DOUBLE) AS n_punct,
                CAST(len(list_filter({_TOKS_SQL},
                     x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], x)))
                     AS DOUBLE) AS n_stop
@@ -149,7 +149,7 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT min(doc_id) AS doc_id, count(*) AS n_copies
     FROM (SELECT doc_id,
-                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS dg
+                 md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS dg
           FROM kept)
     GROUP BY dg
     """,

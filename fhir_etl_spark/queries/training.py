@@ -15,7 +15,7 @@ from fhir_etl_spark.session import load_tables
     "d8_contamination",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id,

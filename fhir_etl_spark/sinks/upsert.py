@@ -25,14 +25,36 @@ from fhir_etl_spark.schemas.systems import SUPPORTED_RESOURCE_TYPES
 from fhir_etl_spark.sinks.ndjson import serialize
 
 
-def _keyed_json(resources: DataFrame, col_name: str) -> DataFrame:
-    """(id, json) from a resource-struct DataFrame, preserving arrival order
-    for duplicate-id precedence via a monotonic sequence column."""
-    pruned = serialize(resources, col_name)
-    return pruned.select(
-        F.get_json_object("json", "$.id").alias("id"),
-        F.col("json"),
-        F.monotonically_increasing_id().alias("_seq"),
+def _keyed_json(
+    resources: DataFrame, col_name: str, order_col: str | None = None
+) -> DataFrame:
+    """(id, json, _seq) from a resource-struct DataFrame.
+
+    ``_seq`` drives duplicate-id precedence. With ``order_col`` it is that
+    column (explicit, shuffle-safe). Otherwise it falls back to
+    ``monotonically_increasing_id()``, which numbers rows PARTITION-MAJOR —
+    it equals arrival order only while partition order equals row order
+    (true for a single-file read or any narrow pipeline on it, NOT
+    guaranteed after a shuffle/repartition of ``resources``). Callers that
+    shuffled first must pass ``order_col``.
+    """
+    if order_col is None:
+        keyed = serialize(resources, col_name).withColumn(
+            "_seq", F.monotonically_increasing_id()
+        )
+    else:
+        # serialize() projects away every non-resource column, so carry the
+        # order column through the same prune+to_json expression ourselves
+        from fhir_etl_spark.operators.prune import prune_empty
+
+        keyed = prune_empty(resources, col_name).select(
+            F.coalesce(
+                F.to_json(F.col(col_name), {"ignoreNullFields": "true"}), F.lit("{}")
+            ).alias("json"),
+            F.col(order_col).cast("long").alias("_seq"),
+        )
+    return keyed.select(
+        F.get_json_object("json", "$.id").alias("id"), "json", "_seq"
     )
 
 
@@ -43,14 +65,19 @@ def create_or_extend(
     resource_type: str,
     update_existing: bool = False,
     col_name: str = "resource",
+    order_col: str | None = None,
 ) -> str:
-    """Upsert ``new_items`` into ``{folder}/{resource_type}.ndjson``."""
+    """Upsert ``new_items`` into ``{folder}/{resource_type}.ndjson``.
+
+    If ``new_items`` was shuffled/repartitioned, pass ``order_col`` naming a
+    column that defines arrival order for duplicate-id precedence (see
+    _keyed_json)."""
     assert resource_type in SUPPORTED_RESOURCE_TYPES, (
         f"Invalid resource type: {resource_type}"
     )
     file_path = os.path.join(folder_path, f"{resource_type}.ndjson")
 
-    new = _keyed_json(new_items, col_name)
+    new = _keyed_json(new_items, col_name, order_col)
     # duplicate-id precedence among new rows: first wins (insert-only) /
     # last wins (update mode) — utils.py:120-122 dict-overwrite order
     order = F.col("_seq").asc() if not update_existing else F.col("_seq").desc()

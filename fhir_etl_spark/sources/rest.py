@@ -108,7 +108,13 @@ class PaginatedRestDataSource(DataSource):
 
     def schema(self) -> str:
         fields = self.options.get("fields", "subjectId,sex,ageBracket,hardyScale")
-        return ", ".join(f"{f} string" for f in fields.split(","))
+        # strip whitespace and reject empties: "subjectId, sex" must not
+        # produce a field named " sex" (record.get(' sex') would yield an
+        # all-NULL column with no error)
+        names = [f.strip() for f in fields.split(",")]
+        if any(not n for n in names):
+            raise ValueError(f"empty field name in fields option: {fields!r}")
+        return ", ".join(f"{f} string" for f in names)
 
     def reader(self, schema: StructType) -> PaginatedRestReader:
         return PaginatedRestReader(schema, dict(self.options))

@@ -93,3 +93,21 @@ def test_coerce_numeric(spark):
         "": None,
     }
     assert _apply(spark, list(cases), coerce_numeric_or_null) == list(cases.values())
+
+def test_tokens_vertical_tab_parity(spark):
+    """Java's \\s includes U+000B but RE2's does not — tokens() uses an
+    explicit ASCII class so Spark and the DuckDB oracles agree on documents
+    containing a vertical tab (ADVICE r01)."""
+    import duckdb
+
+    from fhir_etl_spark.operators.text import tokens
+
+    doc = "a\x0bb  c\td"
+    spark_toks = _apply(spark, [doc], tokens)[0]
+    con = duckdb.connect()
+    duck_toks = con.execute(
+        "SELECT list_filter(string_split_regex(?, '[ \\t\\n\\x0b\\f\\r]+'),"
+        " x -> x <> '')",
+        [doc],
+    ).fetchone()[0]
+    assert spark_toks == duck_toks == ["a", "b", "c", "d"]

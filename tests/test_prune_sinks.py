@@ -109,3 +109,22 @@ def test_write_ndjson_scale_mode(spark, tmp_path):
         with open(part) as f:
             lines.extend(l for l in f if l.strip())
     assert len(lines) == 100
+
+def test_upsert_explicit_order_col_survives_shuffle(spark, tmp_path):
+    """monotonically_increasing_id precedence is only valid pre-shuffle; an
+    explicit order column must pin first/last-wins even after repartition
+    reorders rows (ADVICE r01)."""
+    folder = str(tmp_path)
+    rows = spark.createDataFrame(
+        [("c", "v0", 0), ("c", "v1", 1), ("c", "v2", 2), ("d", "x", 0)],
+        "id string, v string, arrival int",
+    )
+    shuffled = rows.repartition(8, "v").select(
+        F.struct(F.col("id"), F.col("v")).alias("resource"), "arrival"
+    )
+    create_or_extend(
+        spark, shuffled, folder, "Patient", update_existing=True, order_col="arrival"
+    )
+    data = _read_file(f"{folder}/Patient.ndjson")
+    assert data["c"]["v"] == "v2"  # last arrival wins in update mode
+    assert data["d"]["v"] == "x"
