@@ -1,10 +1,13 @@
 """CLI — the reference's three entry points (cli.py:17-65: ``transform -p
 {1kgenomes,gtex}`` and ``validate --path DIR``) over the Spark pipelines.
 
-The reference fetches sources inline over the network; this CLI takes
-STAGED input paths (the engine's bronze-zone design, SURVEY.md §4.4) so
-runs are reproducible and restartable. argparse, not click — zero extra
-dependencies.
+The reference fetches sources inline over the network; this CLI stages any
+URL input into the bronze zone first (sources/stage.py) and then reads the
+staged copy (SURVEY.md §4.4) so runs are reproducible and restartable.
+Pass ``--sample-info`` / ``--annotations`` as either a local path or an
+https:// URL (the reference's own source URLs are the defaults to reach
+for: stage.ONEKG_SAMPLE_INFO_URL, stage.GTEX_SAMPLE_ATTRIBUTES_URL).
+argparse, not click — zero extra dependencies.
 """
 
 from __future__ import annotations
@@ -21,13 +24,18 @@ def _build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("transform", help="run a cohort pipeline over staged inputs")
     t.add_argument("-p", "--pipeline", choices=["1kgenomes", "gtex"], required=True)
     t.add_argument("--meta-dir", required=True, help="output META directory")
-    t.add_argument("--sample-info", help="1KG: staged sample_info TSV")
+    t.add_argument(
+        "--bronze-dir",
+        default="bronze",
+        help="staging directory for URL inputs (default: ./bronze)",
+    )
+    t.add_argument("--sample-info", help="1KG: sample_info TSV (path or URL)")
     t.add_argument("--ftp-listing", help="1KG: staged FTP listing JSON (sources/ftp fixture format)")
     t.add_argument("--vcf-header", help="1KG: staged VCF header file")
     t.add_argument("--subjects", help="GTEx: staged subject pages dir (sources/rest fixture format)")
     t.add_argument("--samples", help="GTEx: staged sample pages dir")
     t.add_argument("--filelist", help="GTEx: staged fileList JSON (one document)")
-    t.add_argument("--annotations", help="GTEx: staged SampleAttributesDS TSV")
+    t.add_argument("--annotations", help="GTEx: SampleAttributesDS TSV (path or URL)")
 
     v = sub.add_parser("validate", help="validate NDJSON resources in a directory")
     v.add_argument("--path", required=True)
@@ -49,11 +57,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"ERROR {row['path']}: {row['error']}: {row['raw'][:200]}", file=sys.stderr)
         return 0 if result.ok else 1
 
+    from fhir_etl_spark.sources.stage import stage_if_url
+
     if args.pipeline == "1kgenomes":
         assert args.sample_info and args.meta_dir, "--sample-info required"
         from fhir_etl_spark.pipelines.onekg import transform_1k, transform_1k_files
 
-        transform_1k(spark, args.sample_info, args.meta_dir)
+        sample_info = stage_if_url(args.sample_info, args.bronze_dir)
+        transform_1k(spark, sample_info, args.meta_dir)
         if args.ftp_listing and args.vcf_header:
             from fhir_etl_spark.sources.ftp import FtpListingDataSource
 
@@ -89,8 +100,9 @@ def main(argv: list[str] | None = None) -> int:
         .load()
     )
     filelist = spark.read.schema(GTEX_FILELIST).json(args.filelist)
+    annotations_path = stage_if_url(args.annotations, args.bronze_dir)
     annotations = (
-        spark.read.option("sep", "\t").option("header", True).csv(args.annotations)
+        spark.read.option("sep", "\t").option("header", True).csv(annotations_path)
     )
     transform_gtex(spark, subjects, samples, filelist, annotations, args.meta_dir)
     return 0

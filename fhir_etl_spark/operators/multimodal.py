@@ -8,7 +8,8 @@ decode libraries (PIL/av/soundfile) are not in this container.
 
 What IS implemented without external libs (deterministic, content-based):
 - magic-number sniffing (PNG/JPEG/GIF/RIFF-WAV/MP4) from the binary prefix
-- PNG header parse (width/height/bit-depth straight from the IHDR chunk)
+- header dimension parses: PNG IHDR, JPEG SOF marker walk, GIF logical
+  screen descriptor (width/height/bit-depth, pure byte parsing)
 - content digest + byte length as stable features
 
 Scale notes: binary payloads dominate row size — the operators below keep
@@ -70,6 +71,63 @@ def png_dimensions(data: bytes) -> tuple[int | None, int | None, int | None]:
     return width, height, data[24]
 
 
+def jpeg_dimensions(data: bytes) -> tuple[int | None, int | None, int | None]:
+    """(width, height, bit_depth) by walking JPEG markers to the first SOF.
+
+    A JPEG is a sequence of 0xFF-prefixed marker segments; the frame header
+    (SOF0–SOF15, excluding DHT/JPG/DAC 0xC4/0xC8/0xCC) carries
+    [precision u8][height u16][width u16]. Pure byte walking — no codec.
+    """
+    if len(data) < 4 or not data.startswith(b"\xff\xd8"):
+        return None, None, None
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            i += 1  # padding/garbage between segments — resync
+            continue
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone markers
+            i += 2
+            continue
+        seg_len = _struct.unpack(">H", data[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None, None, None
+            precision = data[i + 4]
+            height, width = _struct.unpack(">HH", data[i + 5 : i + 9])
+            return width, height, precision
+        i += 2 + seg_len
+    return None, None, None
+
+
+def gif_dimensions(data: bytes) -> tuple[int | None, int | None, int | None]:
+    """(width, height, bits_per_pixel) from the GIF logical screen
+    descriptor (bytes 6-10 little-endian; packed byte bits 0-2 encode
+    colour resolution as bpp-1)."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None, None, None
+    width, height = _struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    bit_depth = ((packed >> 4) & 0x07) + 1
+    return width, height, bit_depth
+
+
+def image_dimensions(data: bytes) -> tuple[int | None, int | None, int | None]:
+    """Dispatch on magic number: PNG IHDR / JPEG SOF / GIF LSD — all pure
+    byte parsing, no codec dependency."""
+    if data.startswith(b"\x89PNG"):
+        return png_dimensions(data)
+    if data.startswith(b"\xff\xd8"):
+        return jpeg_dimensions(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_dimensions(data)
+    return None, None, None
+
+
 def extract_media_meta(
     df: DataFrame, bytes_col: str = "media", out_col: str = "media_meta"
 ) -> DataFrame:
@@ -88,7 +146,7 @@ def extract_media_meta(
                 if raw is None:
                     metas.append((None, None, None, None, None, None))
                     continue
-                width, height, depth = png_dimensions(raw)
+                width, height, depth = image_dimensions(raw)
                 metas.append(
                     (
                         sniff_mime(raw),

@@ -83,3 +83,68 @@ def test_membership_table_scale_mode(spark, tmp_path):
     back = spark.read.parquet(out)
     rows = {(r["group_id"], r["member_ref"]) for r in back.collect()}
     assert rows == {("g-1", "Specimen/u1"), ("g-1", "Specimen/u2")}
+
+def test_stage_https_file_url(tmp_path):
+    """stage_https over a file:// URL: idempotent, atomic, checksum-pinned —
+    the offline twin of the reference's two wire reads
+    (oneKg_fhirizer.py:216, gtex_fhirizer.py:90)."""
+    import hashlib
+
+    from fhir_etl_spark.sources.stage import is_url, stage_https, stage_if_url
+
+    src = tmp_path / "src" / "20130606_sample_info.txt"
+    src.parent.mkdir()
+    src.write_text("Sample\tGender\nHG1\tmale\n")
+    url = src.as_uri()
+    bronze = tmp_path / "bronze"
+
+    staged = stage_https(url, str(bronze))
+    assert staged == str(bronze / "20130606_sample_info.txt")
+    assert open(staged).read() == src.read_text()
+
+    # idempotent: second call returns without refetch even if source changed
+    src.write_text("changed")
+    assert open(stage_https(url, str(bronze))).read().startswith("Sample")
+    # overwrite refetches
+    assert open(stage_https(url, str(bronze), overwrite=True)).read() == "changed"
+
+    # checksum pin: wrong digest raises and leaves no partial file
+    with pytest.raises(ValueError, match="checksum"):
+        stage_https(url, str(bronze), filename="pinned.txt", sha256="0" * 64)
+    assert not (bronze / "pinned.txt").exists()
+    good = hashlib.sha256(b"changed").hexdigest()
+    assert open(stage_https(url, str(bronze), filename="pinned.txt", sha256=good)).read() == "changed"
+
+    # pass-through for local paths
+    assert stage_if_url(str(src), str(bronze)) == str(src)
+    assert is_url(url) and not is_url(str(src))
+
+
+def test_cli_stages_url_input(spark, tmp_path):
+    """The CLI accepts a URL for --sample-info and stages it into
+    --bronze-dir before running the pipeline (S1 live-fetch staging)."""
+    from fhir_etl_spark import cli
+
+    tsv = tmp_path / "sample_info.tsv"
+    tsv.write_text(
+        "Sample\tGender\tPopulation Description\tPopulation\tDNA Source from Coriell\tMain project LC platform\n"
+        "HG00096\tmale\tBritish\tGBR\t\tILLUMINA\n"
+    )
+    meta = tmp_path / "meta"
+    bronze = tmp_path / "bronze"
+    rc = cli.main(
+        [
+            "transform",
+            "-p",
+            "1kgenomes",
+            "--meta-dir",
+            str(meta),
+            "--bronze-dir",
+            str(bronze),
+            "--sample-info",
+            tsv.as_uri(),
+        ]
+    )
+    assert rc == 0
+    assert (bronze / "sample_info.tsv").exists()
+    assert (meta / "Patient.ndjson").exists()

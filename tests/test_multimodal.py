@@ -78,3 +78,57 @@ def test_decode_stub_gated(spark):
 def test_mime_sniff_unit():
     assert sniff_mime(None) is None
     assert sniff_mime(b"GIF89a...") == "image/gif"
+
+def minimal_jpeg(width: int, height: int, precision: int = 8) -> bytes:
+    """SOI + APP0 + (stray fill byte) + SOF0 + EOI — enough structure to
+    exercise the marker walk, including a segment to skip."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + bytes([precision])
+        + struct.pack(">HH", height, width)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + b"\xff" + sof0 + b"\xff\xd9"
+
+
+def minimal_gif(width: int, height: int, bpp: int = 8) -> bytes:
+    import struct
+
+    packed = ((bpp - 1) & 0x07) << 4
+    return b"GIF89a" + struct.pack("<HH", width, height) + bytes([packed, 0, 0]) + b"\x00;"
+
+
+def test_image_dimensions_all_formats():
+    """PNG IHDR, JPEG SOF walk, GIF LSD — width/height without PIL."""
+    from fhir_etl_spark.operators.multimodal import (
+        gif_dimensions,
+        image_dimensions,
+        jpeg_dimensions,
+    )
+
+    assert image_dimensions(minimal_png(640, 480)) == (640, 480, 8)
+    assert image_dimensions(minimal_jpeg(1920, 1080)) == (1920, 1080, 8)
+    assert image_dimensions(minimal_gif(320, 200, bpp=8)) == (320, 200, 8)
+    # truncated/garbage inputs return Nones, never raise
+    assert jpeg_dimensions(b"\xff\xd8\xff") == (None, None, None)
+    assert gif_dimensions(b"GIF89a\x01") == (None, None, None)
+    assert image_dimensions(b"random bytes") == (None, None, None)
+
+
+def test_extract_media_meta_jpeg_gif(spark):
+    """The mapInPandas metadata pass fills width/height for all three
+    header-parsed formats in one batch."""
+    from fhir_etl_spark.operators.multimodal import extract_media_meta
+
+    df = spark.createDataFrame(
+        [(1, minimal_png(64, 32)), (2, minimal_jpeg(800, 600)), (3, minimal_gif(10, 20))],
+        "id long, media binary",
+    )
+    out = {r["id"]: r["media_meta"] for r in extract_media_meta(df).collect()}
+    assert (out[1]["mime"], out[1]["width"], out[1]["height"]) == ("image/png", 64, 32)
+    assert (out[2]["mime"], out[2]["width"], out[2]["height"]) == ("image/jpeg", 800, 600)
+    assert (out[3]["mime"], out[3]["width"], out[3]["height"]) == ("image/gif", 10, 20)
