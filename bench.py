@@ -38,6 +38,11 @@ HEADLINE = [
     "q9_profit_by_nation",
     "q21_waiting_suppliers",
     "ds4_shard_shuffle",
+    # r02 additions: corpus cleaning (C4-style multi-op plan) and near-dup
+    # clustering (iterative label propagation) — regressions in the
+    # text-cleaning and connected-components paths must be visible here
+    "t6_clean_corpus",
+    "d6_dedup_clusters",
 ]
 
 

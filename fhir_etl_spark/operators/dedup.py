@@ -172,39 +172,53 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
 
-    Join docs on shared shingles → |A∩B| per pair; |A|,|B| from a per-doc
-    size table; jaccard = inter / (|A|+|B|-inter). Only pairs with at least
-    one shared shingle are materialized.
+    Inverted-index pair generation, NOT a shingle self-join: group postings
+    by shingle, explode each posting list's (a < b) pairs with a nested
+    array transform, count agreements per pair → |A∩B|; |A|,|B| from a
+    per-doc size table; jaccard = inter / (|A|+|B|-inter). The shingle
+    table shuffles ONCE (a self-join shuffles it twice) and needs no
+    cache/checkpoint.
 
-    Scale guard: the shingle self-join is quadratic PER SHINGLE — a
-    stop-word trigram appearing in d documents alone emits d·(d−1)/2 pair
-    rows. `max_shingle_df` drops shingles whose document frequency exceeds
-    the cap before the join (the denominators |A|,|B| stay exact, so the
-    estimate only ever UNDER-counts the intersection — conservative for a
-    keep-threshold). Any cap above the corpus's true max DF is
-    answer-identical (synthetic testdata max DF: 25 at sf0.1, so the
-    default 1000 changes nothing at test scale); at 100 TB the cap is what
-    makes the operator runnable at all. Pass None for the exact raw join,
-    or pre-prune with LSH and semi-join the candidates first.
+    Scale guard: pair generation is quadratic PER SHINGLE — a stop-word
+    trigram appearing in d documents alone yields d·(d−1)/2 pair structs
+    inside one posting row. `max_shingle_df` drops posting lists longer
+    than the cap, bounding both the pair count and the exploded row size
+    (the denominators |A|,|B| stay exact, so the estimate only ever
+    UNDER-counts the intersection — conservative for a keep-threshold).
+    Any cap above the corpus's true max DF is answer-identical (synthetic
+    testdata max DF: 25 at sf0.1, so the default 1000 changes nothing at
+    test scale); at 100 TB the cap is what makes the operator runnable at
+    all. ``None`` removes the guard — only for corpora with no hot
+    shingles, or after LSH pre-pruning.
     """
-    sh = doc_shingles(df, id_col, text_col, k).cache()
+    sh = doc_shingles(df, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle", "left_semi")
-    left = sh.select(F.col(id_col).alias("a"), "shingle")
-    right = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (
-        left.join(right, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
+    postings = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_set(id_col)).alias("ids")
     )
+    df_guard = F.size("ids") >= 2
+    if max_shingle_df is not None:
+        df_guard = df_guard & (F.size("ids") <= max_shingle_df)
+    # ids is sorted, so pairing element i with every later element
+    # enumerates each unordered (a < b) pair exactly once
+    pairs = (
+        postings.filter(df_guard)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice("ids", i + 2, F.size("ids")),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    inter = pairs.groupBy("a", "b").agg(F.count("*").alias("inter"))
     size_a = sizes.select(F.col(id_col).alias("a"), F.col("n_shingles").alias("na"))
     size_b = sizes.select(F.col(id_col).alias("b"), F.col("n_shingles").alias("nb"))
     # sizes scale with the corpus (one row per doc) → no broadcast hint;
@@ -276,28 +290,40 @@ def dedup_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+
+    def _label_sum(df: DataFrame):
+        # decimal(38,0) so the probe cannot overflow at any node count
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    # Fixpoint probe: labels are MONOTONE NON-INCREASING per node, so the
+    # total label sum strictly decreases exactly while any node still
+    # changes. Comparing sums costs one map-side-partial aggregate —
+    # no join, no extra execution of the round's plan (the localCheckpoint
+    # materializes it first). TWO propagation rounds run per
+    # checkpoint+probe: the loop is job-LATENCY-bound (the per-round data
+    # is a label table, not the corpus), so halving the driver round-trips
+    # halves wall time; the only cost is at most one extra (lazy) round
+    # after the true fixpoint.
+    rounds_per_probe = 2
+    prev_sum = _label_sum(labels)
     converged = False
-    for _ in range(max_iterations):
-        neighbor_labels = (
-            edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), F.col("label"))
-        )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # fixpoint check: any node whose label still shrinks?
-        at_fixpoint = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") < F.col("o.label"))
-            .isEmpty()
-        )
-        labels = new_labels.localCheckpoint()  # truncate the iterative lineage
-        if at_fixpoint:
+    for _ in range(0, max_iterations, rounds_per_probe):
+        for _inner in range(rounds_per_probe):
+            neighbor_labels = (
+                edges.join(labels, edges.dst == labels.node)
+                .select(F.col("src").alias("node"), F.col("label"))
+            )
+            labels = (
+                labels.unionByName(neighbor_labels)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+        labels = labels.localCheckpoint()  # eager; truncates iterative lineage
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     edges.unpersist()
     if not converged:
         # Partial labels would silently SPLIT long-chain components (extra
