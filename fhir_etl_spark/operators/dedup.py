@@ -107,13 +107,23 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 8,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from banded LSH over signatures.
 
     Docs agreeing on ALL rows of at least one band land in the same bucket.
-    The self-join key is (band, band_hash) — bucket sizes, not n², drive
-    cost. With the default 8×4 over 32 hashes, the s-curve threshold is
-    ≈ (1/8)^(1/4) ≈ 0.59 Jaccard.
+    Inverted-index pair generation: group ids by (band, band_hash) bucket
+    and enumerate each posting list's (a < b) pairs with a nested array
+    transform — the banded table shuffles ONCE (a bucket self-join would
+    shuffle it twice) and the final distinct collapses pairs that collide
+    in several bands. Bucket sizes, not n², drive cost. With the default
+    8×4 over 32 hashes, the s-curve threshold is ≈ (1/8)^(1/4) ≈ 0.59
+    Jaccard.
+
+    Scale guard: a bucket of d docs yields d·(d−1)/2 pairs; a degenerate
+    bucket (huge cluster of identical docs — run exact dedup first) would
+    blow up the explode. ``max_bucket_size`` drops larger buckets; any cap
+    above the corpus's true max bucket size is answer-identical.
     """
     banded = signatures.select(
         F.col(id_col),
@@ -131,12 +141,30 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    left = banded.select(F.col(id_col).alias("a"), "band", "bucket")
-    right = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    postings = banded.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_set(id_col)).alias("ids")
+    )
+    size_guard = F.size("ids") >= 2
+    if max_bucket_size is not None:
+        size_guard = size_guard & (F.size("ids") <= max_bucket_size)
+    # ids is sorted, so pairing element i with every later element
+    # enumerates each unordered (a < b) pair exactly once per bucket
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        postings.filter(size_guard)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice("ids", i + 2, F.size("ids")),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -279,16 +307,32 @@ def dedup_clusters(
     one aggregation, all shuffle-partitioned on the node id. This replaces
     a driver-side union-find, which cannot exist at corpus scale.
     """
+    # Bidirectional edge list. No distinct(): pairs carry the a<b contract
+    # (every generator in this module emits each unordered pair once), so the
+    # union cannot produce duplicates — and min-propagation is idempotent to
+    # duplicate edges regardless, they only cost join width.
+    #
+    # localCheckpoint, not cache(): cached plans compile WITHOUT adaptive
+    # partition coalescing (spark.sql.optimizer.canChangeCachedPlanOutput-
+    # Partitioning defaults false), so under a default-200-shuffle-partition
+    # session the tiny edge table would pin 400 partitions and every loop
+    # round would pay 400 near-empty tasks. The checkpoint materializes the
+    # AQE-coalesced result once; every round then scans a right-sized RDD.
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .distinct()
-        .cache()
+        .localCheckpoint()
     )
+    # Round 1 fused into initialization: after one propagation round every
+    # node's label is min(self, neighbors), which is exactly one groupBy over
+    # the edge list — no join, no separate "label = self" seed table.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("min_dst"))
+        .select(
+            F.col("src").alias("node"),
+            F.least("src", "min_dst").alias("label"),
+        )
     )
 
     def _label_sum(df: DataFrame):
@@ -297,17 +341,20 @@ def dedup_clusters(
 
     # Fixpoint probe: labels are MONOTONE NON-INCREASING per node, so the
     # total label sum strictly decreases exactly while any node still
-    # changes. Comparing sums costs one map-side-partial aggregate —
-    # no join, no extra execution of the round's plan (the localCheckpoint
-    # materializes it first). TWO propagation rounds run per
-    # checkpoint+probe: the loop is job-LATENCY-bound (the per-round data
-    # is a label table, not the corpus), so halving the driver round-trips
-    # halves wall time; the only cost is at most one extra (lazy) round
-    # after the true fixpoint.
-    rounds_per_probe = 2
+    # changes. Comparing sums costs one map-side-partial aggregate — no
+    # join, no extra execution of the round's plan (the localCheckpoint
+    # materializes it first). The loop is job-LATENCY-bound (the per-round
+    # data is a label table, not the corpus), so the probe cadence
+    # escalates geometrically (1, 2, 4, 4… rounds per checkpoint+probe):
+    # near-dup components are typically cliques or near-cliques that
+    # converge in the fused round 1, making the common case exactly one
+    # checkpoint and two tiny agg jobs; long-chain components still get
+    # probed often enough that at most ~2× the needed rounds run.
     prev_sum = _label_sum(labels)
     converged = False
-    for _ in range(0, max_iterations, rounds_per_probe):
+    rounds_done = 1  # the fused initialization round
+    rounds_per_probe = 1
+    while rounds_done < max_iterations:
         for _inner in range(rounds_per_probe):
             neighbor_labels = (
                 edges.join(labels, edges.dst == labels.node)
@@ -318,13 +365,14 @@ def dedup_clusters(
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
             )
+        rounds_done += rounds_per_probe
         labels = labels.localCheckpoint()  # eager; truncates iterative lineage
         new_sum = _label_sum(labels)
         if new_sum == prev_sum:
             converged = True
             break
         prev_sum = new_sum
-    edges.unpersist()
+        rounds_per_probe = min(rounds_per_probe * 2, 4)
     if not converged:
         # Partial labels would silently SPLIT long-chain components (extra
         # cluster ids → dedup keeps extra duplicates). Fail loudly instead:
