@@ -97,6 +97,66 @@ def lang_id(text: Column | str) -> Column:
     return expr
 
 
+def word_ngrams(toks: Column | str, n: int) -> Column:
+    """Space-joined word n-grams from a token array (empty array when the
+    document has fewer than ``n`` tokens). 1-indexed ``element_at`` over a
+    ``sequence`` keeps the whole thing a single codegen expression — no
+    explode needed until the caller wants per-gram rows."""
+    t = _col(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021, table
+    A1 — the repetition family of quality rules used to clean MassiveText):
+
+    - ``top_bigram_frac``: occurrences of the document's most frequent word
+      bigram divided by its total bigram count (high → boilerplate/spam).
+    - ``dup_trigram_frac``: fraction of word trigrams that are repeats of an
+      earlier trigram (``1 - distinct/total``).
+
+    Documents with fewer than 3 tokens are dropped (signals undefined).
+
+    Scale shape: the per-doc n-gram arrays are pure codegen expressions; the
+    only shuffle is the ``(doc, bigram)`` groupBy, whose keys are doc-local
+    (no global hot key, map-side partial aggregation applies). No Python in
+    the plan.
+    """
+    toks = df.select(
+        id_col, tokens(text_col).alias("_toks")
+    ).where(F.size("_toks") >= 3)
+    grams = toks.select(
+        id_col,
+        word_ngrams("_toks", 2).alias("_bi"),
+        word_ngrams("_toks", 3).alias("_tri"),
+    )
+    per_gram = grams.select(
+        id_col,
+        F.round(
+            1.0
+            - F.size(F.array_distinct("_tri")).cast("double")
+            / F.size("_tri").cast("double"),
+            4,
+        ).alias("dup_trigram_frac"),
+        F.explode("_bi").alias("_bigram"),
+    )
+    counts = per_gram.groupBy(id_col, "_bigram").agg(
+        F.count("*").alias("_c"), F.max("dup_trigram_frac").alias("dup_trigram_frac")
+    )
+    return counts.groupBy(id_col).agg(
+        F.round(F.max("_c").cast("double") / F.sum("_c").cast("double"), 4).alias(
+            "top_bigram_frac"
+        ),
+        F.max("dup_trigram_frac").alias("dup_trigram_frac"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set. Identical token bags → identical fingerprint, robust to

@@ -168,3 +168,44 @@ def t6_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("text") >= 0.5
     )
     return exact_dedup(cleaned)
+
+
+@query(
+    "t7_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), ok AS (
+      SELECT doc_id, t FROM toks WHERE len(t) >= 3
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bi,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tri
+      FROM ok
+    ), per_gram AS (
+      SELECT doc_id,
+             round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE)
+                       / CAST(len(tri) AS DOUBLE), 4) AS dup_trigram_frac,
+             unnest(bi) AS bigram
+      FROM grams
+    ), counts AS (
+      SELECT doc_id, bigram, count(*) AS c, max(dup_trigram_frac) AS dup_trigram_frac
+      FROM per_gram GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac,
+           max(dup_trigram_frac) AS dup_trigram_frac
+    FROM counts GROUP BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def t7_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules (top-bigram fraction +
+    duplicate-trigram fraction) per document — the repetition family of
+    MassiveText cleaning signals, as codegen n-gram arrays plus one
+    doc-local groupBy."""
+    from fhir_etl_spark.operators.text import repetition_signals
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return repetition_signals(documents)

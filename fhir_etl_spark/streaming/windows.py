@@ -45,6 +45,29 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: turns an at-least-once source (Kafka
+    redelivery, file re-drops) into effectively-once downstream delivery.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    key's event time falls behind the watermark, so state is BOUNDED by the
+    watermark horizon — plain ``dropDuplicates`` on an unbounded stream
+    grows state forever, which is the 100 TB failure mode. Duplicates
+    arriving after the horizon are dropped as late data by the same
+    watermark, so each key still emits at most once.
+
+    Streaming twin of the batch exact-dedup operator
+    (operators/dedup.exact_dedup) and of the reference's merge-by-id upsert
+    precedence (utils.py:101-135)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def tumbling_counts(
     events: DataFrame, window_size: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -187,3 +187,38 @@ def test_merge_rollup_additive(spark):
         ("2024-01-01 00:00:00", "click"): (5, 6.5),
         ("2024-01-01 01:00:00", "view"): (1, 9.0),
     }
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Duplicate delivery (same file dropped twice) collapses to exactly one
+    row per event_id, with state bounded by the watermark."""
+    import shutil
+
+    from fhir_etl_spark.streaming.windows import EVENTS_SCHEMA, dedup_within_watermark
+
+    dup_dir = tmp_path / "dup_feed"
+    dup_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", dup_dir / "delivery_1.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", dup_dir / "delivery_2.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(dup_dir))
+        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    )
+    q = run_to_memory(dedup_within_watermark(stream), "dedup_stream_out")
+    try:
+        got = spark.sql(
+            "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream_out"
+        ).first()
+        batch_n = (
+            spark.read.schema(EVENTS_SCHEMA)
+            .parquet(f"{sf_dir}/events.parquet")
+            .count()
+        )
+        assert got["n"] == batch_n, "each event_id must survive exactly once"
+        assert got["d"] == batch_n
+    finally:
+        q.stop()

@@ -79,3 +79,18 @@ def test_decontaminate_removes_exact_copies(spark, sf_dir):
     kept = decontaminate(corpus, benchmark, k=5)
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert kept_ids == {r["doc_id"] for r in clean.collect()}
+
+
+def test_repetition_signals_known_doc(spark):
+    """Pin the Gopher-rule math on a constructed document: 'a b a b a b'
+    has 5 bigrams (top 'a b' x3 -> 0.6) and 4 trigrams (2 distinct -> 0.5);
+    a 2-token doc is dropped (signals undefined below 3 tokens)."""
+    from fhir_etl_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "too short")], "doc_id long, text string"
+    )
+    rows = repetition_signals(df).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 1
+    assert rows[0]["top_bigram_frac"] == 0.6
+    assert rows[0]["dup_trigram_frac"] == 0.5
