@@ -73,10 +73,20 @@ def doc_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
     """One row per (doc, distinct shingle) — tokens materialized first."""
+    # explode_outer + post-filter, NOT plain explode: for an inner explode
+    # Catalyst's InferFiltersFromGenerate adds `size(arr) > 0` and filter
+    # pushdown then inlines the ENTIRE shingling expression (including the
+    # regex split, re-evaluated per lambda invocation) into that predicate
+    # below the projections — measured 7× slower at sf0.1. An outer explode
+    # infers nothing; the isNotNull on the OUTPUT attribute cannot sink
+    # below the Generate, so the array is computed exactly once.
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    return toked.select(
-        F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), k)).alias("shingle")
+    arrays = toked.select(
+        F.col(id_col), shingles_from_tokens(F.col("_toks"), k).alias("_sh")
     )
+    return arrays.select(
+        F.col(id_col), F.explode_outer("_sh").alias("shingle")
+    ).where(F.col("shingle").isNotNull())
 
 
 def minhash_signatures(
@@ -127,7 +137,9 @@ def lsh_candidate_pairs(
     """
     banded = signatures.select(
         F.col(id_col),
-        F.explode(
+        # explode_outer: sidesteps the inferred size()>0 filter, which would
+        # otherwise re-hash every band a second time (see doc_shingles).
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -149,10 +161,13 @@ def lsh_candidate_pairs(
         size_guard = size_guard & (F.size("ids") <= max_bucket_size)
     # ids is sorted, so pairing element i with every later element
     # enumerates each unordered (a < b) pair exactly once per bucket
+    # explode_outer: an inner explode's inferred size()>0 filter would
+    # re-materialize the full quadratic pair array a second time (see
+    # doc_shingles).
     return (
         postings.filter(size_guard)
         .select(
-            F.explode(
+            F.explode_outer(
                 F.flatten(
                     F.transform(
                         "ids",
@@ -164,6 +179,7 @@ def lsh_candidate_pairs(
                 )
             ).alias("p")
         )
+        .where(F.col("p").isNotNull())
         .select("p.a", "p.b")
         .distinct()
     )
@@ -202,10 +218,14 @@ def ngram_jaccard_pairs(
 
     Inverted-index pair generation, NOT a shingle self-join: group postings
     by shingle, explode each posting list's (a < b) pairs with a nested
-    array transform, count agreements per pair → |A∩B|; |A|,|B| from a
-    per-doc size table; jaccard = inter / (|A|+|B|-inter). The shingle
-    table shuffles ONCE (a self-join shuffles it twice) and needs no
-    cache/checkpoint.
+    array transform, count agreements per pair → |A∩B|. Each posting entry
+    carries its doc's shingle count (known map-side before the explode), so
+    |A|+|B| travels WITH the pair and jaccard = inter / (|A|+|B| − inter)
+    needs no per-doc size table and no size joins: the whole operator is
+    exactly two shuffles (shingle→postings, pairs→counts), versus four in
+    the join formulation (shingles twice for sizes, candidate pairs twice
+    through the size joins — and the candidate-pair table is the LARGEST
+    intermediate, so those were the expensive shuffles at corpus scale).
 
     Scale guard: pair generation is quadratic PER SHINGLE — a stop-word
     trigram appearing in d documents alone yields d·(d−1)/2 pair structs
@@ -219,44 +239,75 @@ def ngram_jaccard_pairs(
     all. ``None`` removes the guard — only for corpora with no hot
     shingles, or after LSH pre-pruning.
     """
-    sh = doc_shingles(df, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    # |A| = size of the doc's shingle array, known map-side BEFORE the
+    # explode — so carry it WITH each posting entry as (id, n) instead of
+    # building a separate per-doc size table. That removes the second
+    # groupBy over the shingle table AND both size joins: the whole
+    # operator is shingle→postings→pairs, exactly two shuffles, and the
+    # shingling itself executes once. (Two selects: tokens materialized as
+    # a column first — no CSE inside higher-order lambdas.)
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    arrays = toked.select(
+        F.col(id_col), shingles_from_tokens(F.col("_toks"), k).alias("_sh")
+    )
+    # explode_outer + post-filter: see doc_shingles — an inner explode's
+    # inferred `size(arr) > 0` filter re-inlines the whole shingling
+    # expression below the projections.
+    sh = arrays.select(
+        F.col(id_col),
+        F.size("_sh").alias("_n"),
+        F.explode_outer("_sh").alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
+    # array_sort on array<struct> orders by the first field (the id, unique
+    # within a posting), preserving the a < b pair-enumeration contract.
     postings = sh.groupBy("shingle").agg(
-        F.array_sort(F.collect_set(id_col)).alias("ids")
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("_n").alias("n")))
+        ).alias("ids")
     )
     df_guard = F.size("ids") >= 2
     if max_shingle_df is not None:
         df_guard = df_guard & (F.size("ids") <= max_shingle_df)
     # ids is sorted, so pairing element i with every later element
     # enumerates each unordered (a < b) pair exactly once
+    # explode_outer: an inner explode's inferred size()>0 filter would
+    # re-materialize the full quadratic pair array a second time (see
+    # doc_shingles).
+    # Jaccard only ever uses |A|+|B|, so carry the SUM as one field: the
+    # quadratic pair structs (the largest intermediate in the operator)
+    # stay three longs wide instead of four.
     pairs = (
         postings.filter(df_guard)
         .select(
-            F.explode(
+            F.explode_outer(
                 F.flatten(
                     F.transform(
                         "ids",
                         lambda x, i: F.transform(
                             F.slice("ids", i + 2, F.size("ids")),
-                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                            lambda y: F.struct(
+                                x["id"].alias("a"),
+                                y["id"].alias("b"),
+                                (x["n"] + y["n"]).alias("s"),
+                            ),
                         ),
                     )
                 )
             ).alias("p")
         )
-        .select("p.a", "p.b")
+        .where(F.col("p").isNotNull())
+        .select("p.a", "p.b", "p.s")
     )
-    inter = pairs.groupBy("a", "b").agg(F.count("*").alias("inter"))
-    size_a = sizes.select(F.col(id_col).alias("a"), F.col("n_shingles").alias("na"))
-    size_b = sizes.select(F.col(id_col).alias("b"), F.col("n_shingles").alias("nb"))
-    # sizes scale with the corpus (one row per doc) → no broadcast hint;
-    # AQE broadcasts at runtime when the side actually fits.
+    # s is constant per (a, b) — min() just picks the carried value, so
+    # |A|+|B| arrives with the pair and no size join is needed.
+    inter = pairs.groupBy("a", "b").agg(
+        F.count("*").alias("inter"),
+        F.min("s").alias("s"),
+    )
     return (
-        inter.join(size_a, "a")
-        .join(size_b, "b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+            F.round(F.col("inter") / (F.col("s") - F.col("inter")), 4),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
@@ -273,7 +324,13 @@ def simhash(
     Hamming distance between simhashes approximates cosine distance of the
     token-count vectors. 64 min-width aggregates in one groupBy pass.
     """
-    toked = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    # materialize + explode_outer: avoids the inferred-filter split re-eval
+    # (see doc_shingles).
+    toked = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode_outer("_toks").alias("tok"))
+        .where(F.col("tok").isNotNull())
+    )
     h = F.xxhash64("tok")
     aggs = [
         F.sum(

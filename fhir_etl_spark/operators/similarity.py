@@ -196,10 +196,21 @@ def ivf_topk(
     inverted = corpus.withColumn(
         "_list", F.element_at(nearest_lists(F.col(vec_col), 1), 1)
     )
-    probed = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        F.explode(nearest_lists(F.col(vec_col), n_probe)).alias("_list"),
+    # materialize + explode_outer: an inner explode's inferred size()>0
+    # filter would re-run the centroid-distance transform a second time
+    # (see operators/dedup.doc_shingles).
+    probed = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            nearest_lists(F.col(vec_col), n_probe).alias("_lists"),
+        )
+        .select(
+            F.col(query_id_col),
+            "_qvec",
+            F.explode_outer("_lists").alias("_list"),
+        )
+        .where(F.col("_list").isNotNull())
     )
     scored = inverted.join(F.broadcast(probed), "_list").select(
         F.col(query_id_col),

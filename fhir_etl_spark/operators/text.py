@@ -144,8 +144,8 @@ def repetition_signals(
             / F.size("_tri").cast("double"),
             4,
         ).alias("dup_trigram_frac"),
-        F.explode("_bi").alias("_bigram"),
-    )
+        F.explode_outer("_bi").alias("_bigram"),
+    ).where(F.col("_bigram").isNotNull())
     counts = per_gram.groupBy(id_col, "_bigram").agg(
         F.count("*").alias("_c"), F.max("dup_trigram_frac").alias("dup_trigram_frac")
     )

@@ -208,3 +208,30 @@ def test_ds_split_sample_no_python_udf(spark):
         spark, stratified_sample(events, "event_type", "event_id", {"click": 0.5})
     )
     assert "Python" not in plan2
+
+
+def test_shingle_plan_splits_text_exactly_once(spark):
+    """Regression: for an inner explode, InferFiltersFromGenerate pushes a
+    size(arr) > 0 predicate below the projections and filter pushdown
+    inlines the ENTIRE shingling expression (regex split re-evaluated per
+    transform-lambda invocation) into it — measured 7x slower at sf0.1.
+    doc_shingles uses explode_outer + isNotNull precisely so the optimized
+    plan tokenizes each document exactly once."""
+    from fhir_etl_spark.operators.dedup import doc_shingles
+    from fhir_etl_spark.session import load_tables
+
+    docs = load_tables(spark, SF, "documents")
+    plan = doc_shingles(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+
+
+def test_ngram_pairs_no_size_joins(spark):
+    """ngram_jaccard_pairs carries |A|+|B| inside the pair structs — the
+    plan must contain NO join (the join formulation shuffles the candidate
+    -pair table, the largest intermediate, twice more)."""
+    from fhir_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from fhir_etl_spark.session import load_tables
+
+    docs = load_tables(spark, SF, "documents")
+    plan = formatted_plan(spark, ngram_jaccard_pairs(docs))
+    assert "Join" not in plan, plan
