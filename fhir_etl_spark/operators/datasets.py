@@ -133,6 +133,85 @@ def weighted_mix(
     return out
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Cluster-aware train/val/test split: near-duplicate documents NEVER
+    straddle a split boundary.
+
+    A plain per-row hash split leaks: two near-identical documents can land
+    one in train, one in test, and the held-out metric silently measures
+    memorization. Here the split key is the near-dup *cluster* id (the
+    component's min doc id from ``dedup_clusters``; unpaired docs are their
+    own cluster), so every member of a near-dup cluster receives the same
+    assignment — the standard leakage guard a corpus pipeline runs after
+    near-dup mining.
+
+    ``pairs`` is the near-dup edge list (a, b) from ``ngram_jaccard_pairs``
+    or ``lsh_candidate_pairs``+verify. Cost beyond the pair mining itself:
+    one left join of the corpus against the (tiny — paired docs only)
+    cluster table, then the same zero-shuffle bucket projection as
+    ``split_assign``. The join key is the doc id on both sides and the
+    cluster table is orders of magnitude smaller than the corpus, so AQE
+    broadcasts it at runtime — no hint needed, no corpus shuffle.
+    """
+    from fhir_etl_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs)
+    grouped = df.join(
+        clusters.withColumnRenamed("doc_id", key), key, "left"
+    ).withColumn("_group_key", F.coalesce(F.col("cluster_id"), F.col(key)))
+    return (
+        split_assign(grouped, "_group_key", weights, salt=salt, out_col=out_col)
+        .drop("_group_key", "cluster_id")
+    )
+
+
+def quota_cap(
+    df: DataFrame,
+    key_col: str,
+    per_key: int,
+    order_key: str,
+    salt: str = "cap",
+    pos_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``per_key`` rows per ``key_col`` value, chosen by
+    deterministic hash order — the per-domain contribution cap of corpus
+    curation (no single source may dominate the mix).
+
+    Selection order is ``md5(salt || order_key)`` with the raw key as
+    tiebreak, so the surviving subset is a pure function of row identity:
+    stable under re-runs, repartitioning, and corpus growth *appends*
+    (existing rows keep their hash rank; a new row displaces at most the
+    current rank-``per_key`` row, never reshuffles the whole quota).
+
+    Scale shape: rank-then-filter compiles to Spark's WindowGroupLimit —
+    each map task pre-prunes to its local top-``per_key`` per key BEFORE
+    the exchange, so the shuffle carries at most ``per_key`` rows per key
+    per input partition, not the full corpus. A hot domain therefore costs
+    bounded shuffle volume; the residual single-reducer rank over
+    ``per_key × n_partitions`` rows is trivial. (Pinned by
+    tests/test_plans.py.)
+    """
+    order = F.md5(
+        F.concat(F.lit(salt), F.col(order_key).cast("string")).cast("binary")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(order.alias("_h"), order_key)
+    ranked = df.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= per_key
+    )
+    if pos_col is None:
+        return ranked.drop("_rank")
+    return ranked.withColumnRenamed("_rank", pos_col)
+
+
 def shard_shuffle(
     df: DataFrame,
     key: str,

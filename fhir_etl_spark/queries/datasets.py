@@ -132,3 +132,97 @@ def ds4_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_shuffle(documents, "doc_id", n_shards=8).select(
         "doc_id", "shard", "pos"
     )
+
+
+# the d3/d6 near-dup pair mining + transitive closure, reused as the
+# cluster key for the leakage-safe split below
+_CLUSTERS_CTE = """
+    pairs AS (
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
+        FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 3
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT a, b FROM inter
+        JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.5
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.node
+      ) SELECT * FROM r
+    ), clusters AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    )
+"""
+
+
+@query(
+    "ds6_leakage_safe_split",
+    oracle=f"""
+    WITH {_CLUSTERS_CTE},
+    grouped AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_key
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN b < 800000 THEN 'train'
+                WHEN b < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {_BUCKET.format(salt='split', key='group_key')} AS b
+          FROM grouped)
+    """,
+    tags=("datasets", "split", "dedup"),
+)
+def ds6_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware 80/10/10 split: the split key is the near-dup cluster
+    id, so near-duplicate documents can never straddle train/test (the
+    leakage a per-row split silently permits). The oracle recomputes the
+    clusters via recursive-CTE transitive closure and verifies every row's
+    assignment."""
+    from fhir_etl_spark.operators.datasets import leakage_safe_split
+    from fhir_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    documents = load_tables(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(documents, threshold=0.5)
+    return leakage_safe_split(
+        documents, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+@query(
+    "ds7_source_quota",
+    oracle="""
+    SELECT doc_id, source, pos FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS INT) AS pos
+      FROM documents
+    ) WHERE pos <= 15
+    """,
+    tags=("datasets", "sample"),
+)
+def ds7_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap (max 15 docs per source, deterministic
+    hash order) — no single domain may dominate the mix. Compiles to
+    WindowGroupLimit: map tasks pre-prune to their local top-15 per source
+    before the exchange (pinned in test_plans)."""
+    from fhir_etl_spark.operators.datasets import quota_cap
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return quota_cap(
+        documents, "source", per_key=15, order_key="doc_id", pos_col="pos"
+    ).select("doc_id", "source", "pos")

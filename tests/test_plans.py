@@ -235,3 +235,17 @@ def test_ngram_pairs_no_size_joins(spark):
     docs = load_tables(spark, SF, "documents")
     plan = formatted_plan(spark, ngram_jaccard_pairs(docs))
     assert "Join" not in plan, plan
+
+
+def test_quota_cap_plan_has_window_group_limit(spark):
+    """quota_cap's rank<=N filter must compile to WindowGroupLimit so map
+    tasks pre-prune to their local top-N per key BEFORE the exchange —
+    the property that bounds shuffle volume on a hot domain."""
+    from fhir_etl_spark.operators.datasets import quota_cap
+    from fhir_etl_spark.session import load_tables
+
+    docs = load_tables(spark, SF, "documents")
+    plan = formatted_plan(
+        spark, quota_cap(docs, "source", per_key=15, order_key="doc_id")
+    )
+    assert "WindowGroupLimit" in plan, plan
