@@ -10,6 +10,8 @@ What IS implemented without external libs (deterministic, content-based):
 - magic-number sniffing (PNG/JPEG/GIF/RIFF-WAV/MP4) from the binary prefix
 - header dimension parses: PNG IHDR, JPEG SOF marker walk, GIF logical
   screen descriptor (width/height/bit-depth, pure byte parsing)
+- WAV RIFF chunk walk: sample rate / channels / bits / duration from the
+  ``fmt `` and ``data`` chunks
 - content digest + byte length as stable features
 
 Scale notes: binary payloads dominate row size — the operators below keep
@@ -37,6 +39,10 @@ MEDIA_META_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("bit_depth", T.IntegerType()),
+        # audio (RIFF/WAV fmt chunk); NULL for images
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
     ]
 )
 
@@ -116,6 +122,38 @@ def gif_dimensions(data: bytes) -> tuple[int | None, int | None, int | None]:
     return width, height, bit_depth
 
 
+def wav_audio_meta(
+    data: bytes,
+) -> tuple[int | None, int | None, int | None, int | None]:
+    """(sample_rate, channels, bits_per_sample, duration_ms) by walking the
+    RIFF chunk list to ``fmt `` (and ``data`` for duration). Pure byte
+    parsing — no codec. Chunks are [id u32][size u32 LE][payload, padded to
+    even]; fmt carries [format u16][channels u16][sample_rate u32]
+    [byte_rate u32][block_align u16][bits_per_sample u16].
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None, None, None, None
+    sample_rate = channels = bits = None
+    byte_rate = data_size = None
+    i, n = 12, len(data)
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        size = _struct.unpack("<I", data[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            channels, sample_rate, byte_rate = _struct.unpack(
+                "<HII", data[i + 10 : i + 20]
+            )
+            if i + 24 <= n:
+                bits = _struct.unpack("<H", data[i + 22 : i + 24])[0]
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are padded to even length
+    duration_ms = None
+    if byte_rate and data_size is not None:
+        duration_ms = data_size * 1000 // byte_rate
+    return sample_rate, channels, bits, duration_ms
+
+
 def image_dimensions(data: bytes) -> tuple[int | None, int | None, int | None]:
     """Dispatch on magic number: PNG IHDR / JPEG SOF / GIF LSD — all pure
     byte parsing, no codec dependency."""
@@ -144,9 +182,10 @@ def extract_media_meta(
             for data in pdf[bytes_col]:
                 raw = bytes(data) if data is not None else None
                 if raw is None:
-                    metas.append((None, None, None, None, None, None))
+                    metas.append((None,) * 9)
                     continue
                 width, height, depth = image_dimensions(raw)
+                sample_rate, channels, bits, duration_ms = wav_audio_meta(raw)
                 metas.append(
                     (
                         sniff_mime(raw),
@@ -154,11 +193,18 @@ def extract_media_meta(
                         hashlib.md5(raw).hexdigest(),
                         width,
                         height,
-                        depth,
+                        depth if depth is not None else bits,
+                        sample_rate,
+                        channels,
+                        duration_ms,
                     )
                 )
             meta_df = pd.DataFrame(
-                metas, columns=["mime", "n_bytes", "digest", "width", "height", "bit_depth"]
+                metas,
+                columns=[
+                    "mime", "n_bytes", "digest", "width", "height",
+                    "bit_depth", "sample_rate", "channels", "duration_ms",
+                ],
             )
             pdf = pdf.reset_index(drop=True)
             pdf[out_col] = meta_df.to_dict("records")

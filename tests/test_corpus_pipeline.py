@@ -1,0 +1,74 @@
+"""End-to-end corpus curation pipeline (pipelines/corpus.py): stage
+invariants over the synthetic documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.operators.dedup import content_digest, dedup_clusters, ngram_jaccard_pairs
+from fhir_etl_spark.operators.text import lang_id, quality_score
+from fhir_etl_spark.pipelines.corpus import curate_corpus
+from fhir_etl_spark.session import load_tables
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, "documents")
+
+
+def test_curate_corpus_invariants(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.orderBy("doc_id").limit(5)
+    out = curate_corpus(docs, benchmark=bench, per_source_cap=20).cache()
+    rows = out.count()
+    assert 0 < rows < docs.count()
+
+    # survivors pass the quality/language gate
+    bad = out.filter(
+        ~lang_id(F.col("text")).isin("en") | (quality_score(F.col("text")) < 0.3)
+    ).count()
+    assert bad == 0
+
+    # no two survivors share a normalized content digest (exact dedup held)
+    assert (
+        out.select(content_digest(F.col("text")).alias("d"))
+        .groupBy("d").count().filter("count > 1").count()
+    ) == 0
+
+    # per-source quota respected
+    assert all(
+        r["count"] <= 20 for r in out.groupBy("source").count().collect()
+    )
+
+    # benchmark docs' exact texts are gone (decontamination at 5-gram
+    # overlap certainly removes identical text long enough to shingle)
+    leaked = out.join(
+        bench.select(F.col("text").alias("btext")).distinct(),
+        (F.col("text") == F.col("btext"))
+        & (F.size(F.split(F.col("btext"), " ")) >= 5),
+        "inner",
+    ).count()
+    assert leaked == 0
+
+    # split column present and complete
+    assert out.filter(~F.col("split").isin("train", "val", "test")).count() == 0
+    out.unpersist()
+
+
+def test_curate_corpus_keep_near_dups_split_cohesion(spark, sf_dir):
+    """With keep_near_dups=True the near-dups survive, and every member of
+    a near-dup cluster lands in the SAME split."""
+    docs = _docs(spark, sf_dir)
+    out = curate_corpus(docs, keep_near_dups=True).cache()
+    # re-mine pairs from the SAME survivor set the pipeline mined from
+    # (stages 1-2 survivors) — subgraph components differ from full-graph
+    # components, so mining from raw docs would compare the wrong clusters
+    pairs = ngram_jaccard_pairs(out.drop("split"), threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    violations = (
+        out.join(clusters, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter("n > 1")
+        .count()
+    )
+    assert violations == 0

@@ -132,3 +132,45 @@ def test_extract_media_meta_jpeg_gif(spark):
     assert (out[1]["mime"], out[1]["width"], out[1]["height"]) == ("image/png", 64, 32)
     assert (out[2]["mime"], out[2]["width"], out[2]["height"]) == ("image/jpeg", 800, 600)
     assert (out[3]["mime"], out[3]["width"], out[3]["height"]) == ("image/gif", 10, 20)
+
+
+def minimal_wav(
+    sample_rate: int, channels: int, bits: int, n_frames: int
+) -> bytes:
+    import struct
+
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data = b"\x00" * (n_frames * block_align)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_audio_meta_unit():
+    from fhir_etl_spark.operators.multimodal import sniff_mime, wav_audio_meta
+
+    wav = minimal_wav(16000, 2, 16, n_frames=16000)  # exactly 1 s
+    assert sniff_mime(wav) == "audio/wav"
+    assert wav_audio_meta(wav) == (16000, 2, 16, 1000)
+    # truncated/garbage inputs return Nones, never raise
+    assert wav_audio_meta(b"RIFF\x00\x00\x00\x00WAVE") == (None, None, None, None)
+    assert wav_audio_meta(b"not audio") == (None, None, None, None)
+
+
+def test_extract_media_meta_wav(spark):
+    """Audio rows fill sample_rate/channels/duration; image rows leave the
+    audio fields NULL — one metadata pass covers both modalities."""
+    from fhir_etl_spark.operators.multimodal import extract_media_meta
+
+    df = spark.createDataFrame(
+        [(1, minimal_wav(44100, 1, 16, n_frames=22050)), (2, minimal_png(8, 8))],
+        "id long, media binary",
+    )
+    out = {r["id"]: r["media_meta"] for r in extract_media_meta(df).collect()}
+    assert out[1]["mime"] == "audio/wav"
+    assert (out[1]["sample_rate"], out[1]["channels"], out[1]["bit_depth"]) == (44100, 1, 16)
+    assert out[1]["duration_ms"] == 500
+    assert out[2]["sample_rate"] is None and out[2]["duration_ms"] is None
+    assert out[2]["width"] == 8
