@@ -364,10 +364,13 @@ def dedup_clusters(
     one aggregation, all shuffle-partitioned on the node id. This replaces
     a driver-side union-find, which cannot exist at corpus scale.
     """
-    # Bidirectional edge list. No distinct(): pairs carry the a<b contract
-    # (every generator in this module emits each unordered pair once), so the
-    # union cannot produce duplicates — and min-propagation is idempotent to
-    # duplicate edges regardless, they only cost join width.
+    # Bidirectional edge list in ONE scan of the pair plan: a union of two
+    # selects would execute the upstream pair-mining pipeline TWICE inside
+    # the checkpoint job (it is the expensive part — the quadratic pair
+    # explode + two shuffles), whereas exploding both orientations per row
+    # costs one extra projected row. No distinct(): pairs carry the a<b
+    # contract (every generator in this module emits each unordered pair
+    # once) — and min-propagation is idempotent to duplicate edges anyway.
     #
     # localCheckpoint, not cache(): cached plans compile WITHOUT adaptive
     # partition coalescing (spark.sql.optimizer.canChangeCachedPlanOutput-
@@ -376,8 +379,18 @@ def dedup_clusters(
     # round would pay 400 near-empty tasks. The checkpoint materializes the
     # AQE-coalesced result once; every round then scans a right-sized RDD.
     edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        pairs.select(
+            # explode_outer per the module-wide inferred-filter rule
+            # (see doc_shingles), though the 2-element array here is
+            # never empty
+            F.explode_outer(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .localCheckpoint()
     )
     # Round 1 fused into initialization: after one propagation round every
