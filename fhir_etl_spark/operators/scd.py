@@ -57,40 +57,43 @@ def scd2_merge(
         changes.alias("chg"), F.col(f"cur.{key}") == F.col(f"chg.{key}"), "full_outer"
     )
 
-    # rows to close: existing current rows with a REAL change
-    to_close = joined.filter(
-        F.col(f"cur.{key}").isNotNull() & F.col(f"chg.{key}").isNotNull() & cmp_cond
-    ).select(
-        *[F.col(f"cur.{c}") for c in current.columns if c not in ("valid_to", "is_current")],
-        F.col(f"chg.{effective_ts}").alias("valid_to"),
-        F.lit(False).alias("is_current"),
+    # ONE pass over the join: filtering three disposition branches out of
+    # `joined` would execute the full-outer join three times (it is the
+    # operator's only shuffle, over the full dimension). Instead each
+    # joined row emits an array of 0-2 output structs (a changed row
+    # yields its closed-out version AND its new version) which one
+    # explode flattens — the join runs once and the plan stays narrow.
+    has_cur = F.col(f"cur.{key}").isNotNull()
+    has_chg = F.col(f"chg.{key}").isNotNull()
+
+    def _struct(per_col) -> F.Column:
+        return F.struct(*[per_col(c).alias(c) for c in history.columns])
+
+    close_struct = _struct(
+        lambda c: F.col(f"chg.{effective_ts}")
+        if c == "valid_to"
+        else (F.lit(False) if c == "is_current" else F.col(f"cur.{c}"))
     )
-
-    # rows that stay current untouched: no matching change or no-op change
-    untouched = joined.filter(
-        F.col(f"cur.{key}").isNotNull()
-        & (F.col(f"chg.{key}").isNull() | ~cmp_cond)
-    ).select(*[F.col(f"cur.{c}") for c in current.columns])
-
-    # new versions: real changes + brand-new keys — aligned to the history
-    # schema (the effective-ts column only survives if history carries it)
-    new_versions = (
-        joined.filter(
-            F.col(f"chg.{key}").isNotNull()
-            & (F.col(f"cur.{key}").isNull() | cmp_cond)
+    untouched_struct = _struct(lambda c: F.col(f"cur.{c}"))
+    # new versions align to the history schema; the effective-ts column
+    # only survives if history carries it
+    new_struct = _struct(
+        lambda c: F.col(f"chg.{effective_ts}")
+        if c == "valid_from"
+        else (
+            F.lit(OPEN_END).cast("timestamp")
+            if c == "valid_to"
+            else (F.lit(True) if c == "is_current" else F.col(f"chg.{c}"))
         )
-        .select(*[F.col(f"chg.{c}") for c in changes.columns])
-        .select(
-            "*",
-            F.col(effective_ts).alias("valid_from"),
-            F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
-            F.lit(True).alias("is_current"),
-        )
-        .select(*history.columns)
     )
+    emitted = joined.select(
+        F.explode_outer(  # outer + post-filter per the inferred-filter rule
+            F.array(
+                F.when(has_cur & has_chg & cmp_cond, close_struct),
+                F.when(has_cur & (~has_chg | ~cmp_cond), untouched_struct),
+                F.when(has_chg & (~has_cur | cmp_cond), new_struct),
+            )
+        ).alias("s")
+    ).where(F.col("s").isNotNull())
 
-    return (
-        closed.unionByName(to_close)
-        .unionByName(untouched)
-        .unionByName(new_versions)
-    )
+    return closed.unionByName(emitted.select("s.*"))

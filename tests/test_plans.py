@@ -249,3 +249,24 @@ def test_quota_cap_plan_has_window_group_limit(spark):
         spark, quota_cap(docs, "source", per_key=15, order_key="doc_id")
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_scd2_merge_joins_once(spark):
+    """scd2_merge emits all three dispositions (close/untouched/new) from
+    ONE pass over the full-outer join — the three-branch filter+union
+    formulation executes the operator's only shuffle three times."""
+    from fhir_etl_spark.operators.scd import scd2_init, scd2_merge
+    from fhir_etl_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    customer = load_tables(spark, SF, "customer")
+    snap = customer.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("2021-01-01").cast("timestamp").alias("ts"),
+    )
+    history = scd2_init(snap, "key", "ts").drop("ts")
+    changes = snap.withColumn("bal", F.col("bal") + 1)
+    merged = scd2_merge(history, changes, "key", "ts", ["bal"])
+    plan = merged._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1, plan
