@@ -66,24 +66,36 @@ def quality_score(text: Column | str) -> Column:
           + 0.3 * (1 - min(punct_ratio * 5, 1))
           + 0.3 * min(stopword_ratio * 5, 1)
 
-    All components are rational arithmetic over counts — deterministic and
-    SQL-expressible for the oracle.
+    Evaluated as ONE division of exact integers, NOT rounded: summing
+    three separately divided doubles left the result one ulp apart across
+    engines on half-boundary scores (0.84025 → .8402 here, .8403 in
+    DuckDB at sf0.1). num and den are exact in int64 (and in double —
+    products stay under 2^53 for any document below ~10^6 chars × ~10^5
+    tokens) and IEEE division is correctly rounded, so both engines
+    produce the bit-identical double. No round(): the exact rationals
+    land on decimal half-boundaries (e.g. 631/800 = .78875) where Spark
+    rounds the shortest-decimal representation (HALF_UP → .7888) but
+    DuckDB rounds the binary value (→ .7887) — unrounded, there is
+    nothing to disagree about.
     """
     t = _col(text)
-    n_tok = token_count(t).cast("double")
-    n_chars = F.length(t).cast("double")
+    n_tok = token_count(t).cast("long")
+    n_chars = F.length(t).cast("long")
     n_punct = F.size(
         F.regexp_extract_all(t, F.lit(rf"[^\w{ASCII_WS}]"), 0)
-    ).cast("double")
-    n_stop = stopword_hits(t, LANG_STOPWORDS["en"]).cast("double")
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
-    score = (
-        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
-        + 0.3 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
-        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+    ).cast("long")
+    n_stop = stopword_hits(t, LANG_STOPWORDS["en"]).cast("long")
+    # guard denominators: counts are 0 exactly when the numerators are, so
+    # substituting 1 leaves every ratio at the original formula's 0 branch
+    nc = F.greatest(n_chars, F.lit(1))
+    nt = F.greatest(n_tok, F.lit(1))
+    num = (
+        4 * F.least(n_tok, F.lit(100)) * nc * nt
+        + 300 * (nc - F.least(5 * n_punct, nc)) * nt
+        + 300 * F.least(5 * n_stop, nt) * nc
     )
-    return F.round(score, 4)
+    den = 1000 * nc * nt
+    return num / den
 
 
 def lang_id(text: Column | str) -> Column:

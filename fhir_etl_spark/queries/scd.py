@@ -21,7 +21,8 @@ from fhir_etl_spark.session import load_tables
              true AS is_current
       FROM customer
     ), changes AS (
-      -- every third customer gets a balance bump; keys 9001/9002 are new
+      -- every third customer gets a balance bump; two brand-new keys use
+      -- values above any SF's custkey range (9001 collided at sf0.1)
       SELECT c_custkey AS key, round(c_acctbal + 100, 2) AS bal,
              TIMESTAMP '2021-06-01' AS ts
       FROM customer WHERE c_custkey % 3 = 0
@@ -29,8 +30,8 @@ from fhir_etl_spark.session import load_tables
       SELECT c_custkey AS key, c_acctbal AS bal, TIMESTAMP '2021-06-01' AS ts
       FROM customer WHERE c_custkey % 3 = 1   -- no-op changes
       UNION ALL
-      SELECT 9001, 50.0, TIMESTAMP '2021-06-01'
-      UNION ALL SELECT 9002, 60.0, TIMESTAMP '2021-06-01'
+      SELECT 10000000001, 50.0, TIMESTAMP '2021-06-01'
+      UNION ALL SELECT 10000000002, 60.0, TIMESTAMP '2021-06-01'
     )
     SELECT h.key, h.bal,
            CAST(c.ts AS VARCHAR) AS valid_to_str, false AS is_current
@@ -70,7 +71,7 @@ def scd2_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2021-06-01").cast("timestamp").alias("ts"),
     )
     fresh = spark.createDataFrame(
-        [(9001, 50.0, "2021-06-01"), (9002, 60.0, "2021-06-01")],
+        [(10_000_000_001, 50.0, "2021-06-01"), (10_000_000_002, 60.0, "2021-06-01")],
         "key long, bal double, ts string",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     changes = bumped.unionByName(noops).unionByName(fresh)

@@ -45,21 +45,28 @@ def t1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t2_quality_score",
     oracle=f"""
+    -- single exact-integer division, UNROUNDED (same shape as operators/
+    -- text.quality_score): identical int64 inputs + correctly-rounded IEEE
+    -- division = bit-identical doubles on both engines; round() would
+    -- diverge on decimal half-boundaries (Spark rounds the shortest-
+    -- decimal form, DuckDB the binary value)
     SELECT doc_id,
-           round(
-             0.4 * least(n_tok / 100.0, 1.0)
-           + 0.3 * (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0))
-           + 0.3 * least(CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END * 5.0, 1.0),
-           4) AS quality
+           (4*least(n_tok, 100)*nc*nt
+          + 300*(nc - least(5*n_punct, nc))*nt
+          + 300*least(5*n_stop, nt)*nc) / (1000*nc*nt) AS quality
     FROM (
-      SELECT doc_id,
-             CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tok,
-             CAST(length(text) AS DOUBLE) AS n_chars,
-             CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS DOUBLE) AS n_punct,
-             CAST(len(list_filter({_TOKS_SQL},
-                  x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], x)))
-                  AS DOUBLE) AS n_stop
-      FROM documents
+      SELECT doc_id, n_tok, n_punct, n_stop,
+             greatest(n_chars, 1) AS nc, greatest(n_tok, 1) AS nt
+      FROM (
+        SELECT doc_id,
+               len({_TOKS_SQL}) AS n_tok,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS n_punct,
+               len(list_filter({_TOKS_SQL},
+                    x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], x)))
+                    AS n_stop
+        FROM documents
+      )
     )
     """,
     tags=("text",),
@@ -127,20 +134,22 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
       SELECT doc_id,
-             round(
-               0.4 * least(n_tok / 100.0, 1.0)
-             + 0.3 * (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0))
-             + 0.3 * least(CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END * 5.0, 1.0),
-             4) AS quality
+             (4*least(n_tok, 100)*nc*nt
+            + 300*(nc - least(5*n_punct, nc))*nt
+            + 300*least(5*n_stop, nt)*nc) / (1000*nc*nt) AS quality
       FROM (
-        SELECT doc_id,
-               CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tok,
-               CAST(length(text) AS DOUBLE) AS n_chars,
-               CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS DOUBLE) AS n_punct,
-               CAST(len(list_filter({_TOKS_SQL},
-                    x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], x)))
-                    AS DOUBLE) AS n_stop
-        FROM documents WHERE lang = 'en'
+        SELECT doc_id, n_tok, n_punct, n_stop,
+               greatest(n_chars, 1) AS nc, greatest(n_tok, 1) AS nt
+        FROM (
+          SELECT doc_id,
+                 len({_TOKS_SQL}) AS n_tok,
+                 length(text) AS n_chars,
+                 len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS n_punct,
+                 len(list_filter({_TOKS_SQL},
+                      x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], x)))
+                      AS n_stop
+          FROM documents WHERE lang = 'en'
+        )
       )
     ), kept AS (
       SELECT d.doc_id, d.text

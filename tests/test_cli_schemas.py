@@ -148,3 +148,29 @@ def test_cli_stages_url_input(spark, tmp_path):
     assert rc == 0
     assert (bronze / "sample_info.tsv").exists()
     assert (meta / "Patient.ndjson").exists()
+
+
+def test_coverage_rotation_aliases_mirror_base_entries():
+    """__spark_entry__ re-exposes driver-unchecked queries under a0_*
+    aliases so they sort into the driver's 50-name correctness window.
+    Every alias must map to the SAME fn and oracle as its base name, and
+    every rotation name must exist in the registry."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs, osql = mod.queries(), mod.oracle_sql()
+    from fhir_etl_spark.queries import all_queries
+
+    registry = all_queries()
+    for base in mod.COVERAGE_ROTATION:
+        alias = f"a0_{base}"
+        assert base in registry, base
+        assert alias in qs and qs[alias] is qs[base], alias
+        if registry[base].oracle is not None:
+            assert osql[alias] == osql[base], alias
+        else:
+            assert alias not in osql, alias
