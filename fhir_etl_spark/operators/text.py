@@ -6,7 +6,7 @@ they run JVM-side at full codegen speed on 100 TB of documents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -166,6 +166,44 @@ def repetition_signals(
             "top_bigram_frac"
         ),
         F.max("dup_trigram_frac").alias("dup_trigram_frac"),
+    )
+
+
+def distinctive_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k most distinctive terms per document, TF-IDF-motivated but
+    integer-exact: terms are ranked by term frequency DESC, then document
+    frequency ASC (rare-in-corpus beats common-in-corpus at equal tf),
+    then term ASC as the deterministic tiebreak. Ordering by (tf, -df) is
+    rank-equivalent to tf·idf within a document for ties in tf — and,
+    unlike an ln()-based score, has no cross-engine float parity risk.
+
+    Output: ``(doc_id, term, tf, df, term_rank)``, ``term_rank`` 1..k.
+
+    Scale shape: one shuffle for the (doc, term) tf groupBy, one for the
+    corpus df groupBy over the already-deduped tf table (never the raw
+    token stream), one shuffle join of tf against df on term, and a
+    per-doc row_number whose ``term_rank <= k`` filter compiles to
+    WindowGroupLimit (map-side top-k pre-prune before the exchange). The
+    df table scales with vocabulary, not corpus size; it is deliberately
+    not hardcoded-broadcast — Catalyst/AQE broadcasts it while the
+    vocabulary is small and falls back to a shuffle join when it is not
+    (vocabulary grows unboundedly at 100 TB).
+    """
+    toks = df.select(
+        id_col, F.explode_outer(tokens(text_col)).alias("term")
+    ).where(F.col("term").isNotNull())
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "df", "term_rank")
     )
 
 

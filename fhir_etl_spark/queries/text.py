@@ -180,6 +180,39 @@ def t6_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t8_distinctive_terms",
+    oracle=f"""
+    -- integer-only TF-IDF ranking (tf DESC, df ASC): rank-equivalent to
+    -- tf*idf per doc without ln()'s cross-engine float parity risk
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC
+             ) AS INTEGER) AS term_rank
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, tf, df, term_rank FROM ranked WHERE term_rank <= 3
+    """,
+    tags=("text",),
+)
+def t8_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document (tf DESC, df ASC, term) — the
+    keyword-extraction building block of corpus exploration; WindowGroupLimit
+    prunes the per-doc top-k map-side."""
+    from fhir_etl_spark.operators.text import distinctive_terms
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return distinctive_terms(documents, k=3)
+
+
+@query(
     "t7_repetition_signals",
     oracle=f"""
     WITH toks AS (

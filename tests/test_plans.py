@@ -270,3 +270,20 @@ def test_scd2_merge_joins_once(spark):
     merged = scd2_merge(history, changes, "key", "ts", ["bal"])
     plan = merged._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") == 1, plan
+
+
+def test_distinctive_terms_plan(spark):
+    """t8's per-doc top-k must compile to WindowGroupLimit (map-side
+    pre-prune), stay Python-free, and must NOT hardcode a broadcast of the
+    document-frequency side — Catalyst may broadcast it at small scale,
+    but the logical plan carries no hint (vocabulary is unbounded)."""
+    from fhir_etl_spark.operators.text import distinctive_terms
+    from fhir_etl_spark.session import load_tables
+
+    docs = load_tables(spark, SF, "documents")
+    df = distinctive_terms(docs, k=3)
+    plan = formatted_plan(spark, df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
