@@ -207,6 +207,45 @@ def distinctive_terms(
     )
 
 
+# PII patterns shared with the DuckDB oracles — ASCII-only classes per the
+# Java/RE2 parity rule (no \d, no unicode word boundaries in char classes).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", redacted_col: str = "clean_text"
+) -> DataFrame:
+    """Detect-and-redact PII (emails, +CC-prefixed phone numbers, IPv4
+    addresses) — the standard pre-training scrub pass. Adds per-document
+    match counts (``n_emails``/``n_phones``/``n_ips``, counted BEFORE
+    redaction) and the redacted text. The email pattern requires an
+    alphabetic TLD, so a numeric-host address like ``bob@10.0.0.1`` is
+    not an email match — its host is still caught by the IP pass
+    (→ ``bob@<IP>``), which is the safe failure direction for a scrub.
+
+    Pure codegen (regexp_extract_all + chained regexp_replace): no
+    shuffle, no Python — scrubbing 100 TB is a map-only scan.
+    """
+    t = _col(text_col)
+    counted = df.withColumns(
+        {
+            "n_emails": F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)),
+            "n_phones": F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)),
+            "n_ips": F.size(F.regexp_extract_all(t, F.lit(PII_IP), 0)),
+        }
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    return counted.withColumn(redacted_col, clean)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set. Identical token bags → identical fingerprint, robust to

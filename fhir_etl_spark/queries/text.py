@@ -213,6 +213,85 @@ def t8_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t9_pii_scrub",
+    oracle="""
+    -- the synthetic corpus has no natural PII, so inject deterministic
+    -- doc_id-derived emails/phones/IPs first, then scrub; counts are
+    -- taken BEFORE redaction. Patterns are ASCII-only (Java/RE2 parity);
+    -- DuckDB regexp_replace needs the 'g' flag (Spark replaces all).
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           len(regexp_extract_all(text, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ips,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                 '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g')) AS clean_fp
+    FROM aug
+    """,
+    tags=("text", "pii"),
+)
+def t9_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect-and-redact over the corpus (emails, phones, IPv4).
+    Deterministic doc_id-derived PII is injected first because the
+    synthetic text contains none — the scrub itself is the operator under
+    test (`operators/text.pii_scrub`, map-only codegen)."""
+    from fhir_etl_spark.operators.text import pii_scrub
+
+    documents = load_tables(spark, sf_dir, "documents")
+    aug = documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return pii_scrub(aug).select(
+        "doc_id", "n_emails", "n_phones", "n_ips", F.md5("clean_text").alias("clean_fp")
+    )
+
+
+@query(
     "t7_repetition_signals",
     oracle=f"""
     WITH toks AS (

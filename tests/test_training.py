@@ -94,3 +94,26 @@ def test_repetition_signals_known_doc(spark):
     assert len(rows) == 1 and rows[0]["doc_id"] == 1
     assert rows[0]["top_bigram_frac"] == 0.6
     assert rows[0]["dup_trigram_frac"] == 0.5
+
+
+def test_pii_scrub_known_strings(spark):
+    """Counts are taken before redaction. The email pattern requires an
+    alphabetic TLD, so a numeric-host address (bob@10.0.0.1) is not an
+    email — its host still gets scrubbed by the IP pass, the safe failure
+    direction."""
+    from fhir_etl_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@10.0.0.1 and carol@example.org here"),
+            (2, "call +1-555-0142 from 192.168.1.77 twice 192.168.1.78"),
+            (3, "nothing sensitive"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_ips"] == 1
+    assert rows[1]["clean_text"] == "mail bob@<IP> and <EMAIL> here"
+    assert rows[2]["n_phones"] == 1 and rows[2]["n_ips"] == 2
+    assert rows[2]["clean_text"] == "call <PHONE> from <IP> twice <IP>"
+    assert rows[3]["clean_text"] == "nothing sensitive"
