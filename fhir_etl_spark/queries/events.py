@@ -102,10 +102,13 @@ def e3_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev_ts = F.lag("ts").over(w_order)
-    # cast-to-double keeps microsecond precision (unix_timestamp truncates
-    # to whole seconds and would disagree with the oracle's INTERVAL math)
-    gap_seconds = F.col("ts").cast("double") - prev_ts.cast("double")
-    new_session = F.when(prev_ts.isNull() | (gap_seconds > 1800.0), 1).otherwise(0)
+    # timestamp subtraction yields a DayTimeInterval on both TIMESTAMP and
+    # TIMESTAMP_NTZ inputs, keeps microsecond precision (unix_timestamp
+    # truncates to whole seconds), and mirrors the oracle's INTERVAL math
+    gap = F.col("ts") - prev_ts
+    new_session = F.when(
+        prev_ts.isNull() | (gap > F.expr("INTERVAL '30' MINUTE")), 1
+    ).otherwise(0)
     return (
         events.withColumn("new_session", new_session)
         .withColumn("session_id", F.sum("new_session").over(w_run))

@@ -84,10 +84,19 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
             return spark.read.parquet(path)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
             )
+        elif ts_type == "timestamp_ntz":
+            # Parquet micros with isAdjustedToUTC=false reads back as
+            # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default.
+            # DuckDB reads the same file as its (naive) TIMESTAMP, so with
+            # the session tz pinned to UTC this cast is value-identical on
+            # both sides and restores the LTZ arithmetic surface
+            # (cast-to-double epoch math, unix_timestamp, etc.).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
 
     dfs = tuple(_read(name) for name in names)

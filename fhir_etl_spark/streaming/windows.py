@@ -32,17 +32,39 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     production this is Kafka — the transformations are source-agnostic).
 
     The file source requires a DIRECTORY; the testdata keeps one file per
-    table in the sf dir, so a glob filter narrows the stream to events."""
+    table in the sf dir, so a glob filter narrows the stream to events.
+
+    The testdata's ts encoding has varied across driver revisions —
+    TIMESTAMP(NANOS) (reads as bigint under nanosAsLong) and micros with
+    isAdjustedToUTC=false (reads as TIMESTAMP_NTZ). A schema-only batch
+    read (footer metadata, no data scan) sniffs which one this file uses so
+    the stream normalizes to a session-tz TIMESTAMP either way — identical
+    to the batch loader (session.load_tables), so streaming twins and their
+    batch queries agree."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    ts_kind = dict(spark.read.parquet(path).dtypes)["ts"]
+    ts_type = {
+        "bigint": T.LongType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+    }.get(ts_kind, T.TimestampType())
+    schema = T.StructType(
+        [
+            T.StructField(f.name, ts_type if f.name == "ts" else f.dataType)
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    if ts_kind == "bigint":  # TIMESTAMP(NANOS) → micros
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def dedup_within_watermark(

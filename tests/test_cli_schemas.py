@@ -153,8 +153,9 @@ def test_cli_stages_url_input(spark, tmp_path):
 def test_coverage_rotation_aliases_mirror_base_entries():
     """__spark_entry__ re-exposes driver-unchecked queries under a0_*
     aliases so they sort into the driver's 50-name correctness window.
-    Every alias must map to the SAME fn and oracle as its base name, and
-    every rotation name must exist in the registry."""
+    Aliases are DISTINCT callables (r02 showed identical fn objects get
+    deduped out of the gate) that must delegate to the base fn, and the
+    alias oracle must be the base oracle plus an annotation comment."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -166,11 +167,17 @@ def test_coverage_rotation_aliases_mirror_base_entries():
     from fhir_etl_spark.queries import all_queries
 
     registry = all_queries()
+    seen_fns = set()
     for base in mod.COVERAGE_ROTATION:
         alias = f"a0_{base}"
         assert base in registry, base
-        assert alias in qs and qs[alias] is qs[base], alias
+        assert alias in qs and qs[alias] is not qs[base], alias
+        assert id(qs[alias]) not in seen_fns, alias
+        seen_fns.add(id(qs[alias]))
+        assert qs[alias].__closure__[0].cell_contents is qs[base], alias
         if registry[base].oracle is not None:
-            assert osql[alias] == osql[base], alias
+            assert osql[alias] != osql[base], alias
+            assert osql[alias].endswith(osql[base]), alias
+            assert osql[alias].startswith("--"), alias
         else:
             assert alias not in osql, alias

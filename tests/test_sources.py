@@ -86,3 +86,23 @@ def test_ftp_feeds_pipeline(registered, tmp_path_factory):
     vcfs = listing.filter(F.lower("file").contains("vcf")).na.drop(subset=["file"])
     docs = fhirize_document_reference_1kg(vcfs).collect()
     assert len(docs) == 1
+
+def test_events_ts_loads_as_ltz_timestamp(spark, sf_dir):
+    """The driver's events parquet has shipped ts as TIMESTAMP(NANOS) (r01)
+    and as micros with isAdjustedToUTC=false → TIMESTAMP_NTZ (r02, which
+    broke e3's epoch arithmetic in the gate AND the bench). load_tables
+    must normalize both encodings to a session-tz TIMESTAMP so downstream
+    epoch/interval arithmetic works regardless of the file's encoding."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, "events")
+    assert dict(events.dtypes)["ts"] == "timestamp"
+    # the arithmetic that broke in r02 must resolve on what load_tables returns
+    w = Window.partitionBy("user_id").orderBy("ts")
+    events.select(
+        F.col("ts").cast("double"),
+        (F.col("ts") - F.lag("ts").over(w)).alias("gap"),
+    ).limit(1).collect()
