@@ -13,6 +13,7 @@ from fhir_etl_spark.queries import (  # noqa: F401  (import = register)
     functions,
     datasets,
     joins_advanced,
+    layout,
     nested,
     relational,
     scd,
