@@ -464,3 +464,64 @@ def dedup_keep_representatives(
         F.col("doc_id").alias(id_col)
     )
     return df.join(non_representatives, id_col, "left_anti")
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Cross-document repeated-passage removal (the RefinedWeb / Gopher
+    "remove duplicated lines across documents" step, adapted to
+    fixed-width token chunks since the corpus carries no line structure).
+
+    Policy: each DISTINCT chunk text survives only in the document with
+    the smallest id; every other occurrence is dropped. Deterministic
+    under any partitioning (min-id keeper, positional reassembly).
+
+    Plan shape (scale notes):
+    - one narrow explode of non-overlapping ``chunk_tokens``-token chunks
+      (cardinality ≈ tokens/chunk_tokens, NOT tokens like shingling);
+    - one groupBy on the chunk to elect the keeper (min id);
+    - one co-partitioned join back (both sides shuffled on chunk — at
+      100 TB swap the join key for xxhash64(chunk) to shuffle 8-byte keys;
+      kept as text here so DuckDB can replay it value-exactly);
+    - one groupBy on the doc to reassemble kept chunks in position order.
+    No UDFs; collect_list carries (pos, chunk) structs only for the doc's
+    own surviving chunks.
+
+    Returns (id_col, clean_text, n_removed).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = df.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda k: F.array_join(
+                    F.slice(toks, k * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    keepers = chunks.groupBy("chunk").agg(F.min(id_col).alias("_keeper"))
+    marked = chunks.join(keepers, "chunk").withColumn(
+        "_keep", F.col(id_col) == F.col("_keeper")
+    )
+    kept_struct = F.when(F.col("_keep"), F.struct("pos", "chunk"))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

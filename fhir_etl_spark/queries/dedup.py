@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fhir_etl_spark.operators.dedup import (
+    chunk_dedup,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_jaccard,
@@ -186,3 +187,35 @@ def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (rows-only: xxhash64-dependent)."""
     documents = load_tables(spark, sf_dir, "documents")
     return simhash(documents)
+
+
+@query(
+    "d9_chunk_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), chunks AS (
+      SELECT doc_id, CAST(k AS INT) AS pos,
+             array_to_string(tokens[k*10+1 : k*10+10], ' ') AS chunk
+      FROM toks,
+           UNNEST(generate_series(0, CAST(ceil(len(tokens)/10.0) AS BIGINT) - 1)) AS t(k)
+    ), keepers AS (
+      SELECT chunk, min(doc_id) AS keeper FROM chunks GROUP BY chunk
+    ), marked AS (
+      SELECT c.doc_id, c.pos, c.chunk, (c.doc_id = s.keeper) AS keep
+      FROM chunks c JOIN keepers s USING (chunk)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY pos), '')
+             AS clean_text,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+    tags=("dedup", "text"),
+)
+def d9_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage removal: each distinct 10-token
+    chunk survives only in its lowest-id document (operators/dedup.py
+    chunk_dedup; RefinedWeb-style line dedup on a line-less corpus)."""
+    docs = load_tables(spark, sf_dir, "documents")
+    return chunk_dedup(docs, chunk_tokens=10)

@@ -136,3 +136,44 @@ def e4_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     signup = events.filter(F.col("event_type") == "signup").select("user_id").distinct()
     purchase = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     return signup.join(purchase, "user_id", "left_semi")
+
+
+@query(
+    "e5_click_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           CAST(count(c.click_id) AS BIGINT) AS n_clicks_30m,
+           CAST(epoch_us(max(c.click_ts)) AS BIGINT) AS last_click_us
+    FROM purchases p LEFT JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.click_ts BETWEEN p.purchase_ts - INTERVAL '30 minutes'
+                        AND p.purchase_ts
+    GROUP BY p.purchase_id, p.user_id
+    """,
+    tags=("events", "join", "streaming-twin"),
+)
+def e5_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-bounded attribution: every purchase joined to the same
+    user's clicks in the preceding 30 minutes. Batch twin of the
+    watermarked stream-stream join (streaming/joins.py) — identical join
+    expressions, so the streaming test compares pair sets against this."""
+    from fhir_etl_spark.streaming.joins import stream_stream_attribution
+
+    events = load_tables(spark, sf_dir, "events")
+    pairs = stream_stream_attribution(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        tolerance="30 minutes",
+        join_type="left_outer",
+    )
+    return pairs.groupBy("purchase_id", "user_id").agg(
+        F.count("click_id").cast("long").alias("n_clicks_30m"),
+        F.unix_micros(F.max("click_ts")).alias("last_click_us"),
+    )

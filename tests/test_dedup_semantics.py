@@ -138,3 +138,37 @@ def test_ivf_topk_self_match_and_recall(spark, sf_dir):
         assert rows[0]["vec_id"] == qid and rows[0]["sim"] == 1.0
     # probing its own list always finds the query vector itself
     assert set(by_query) == {1, 2, 3}
+
+
+def test_chunk_dedup_keeps_earliest_copy_only(spark):
+    from fhir_etl_spark.operators.dedup import chunk_dedup
+
+    shared = "one two three four five"  # exactly one 5-token chunk
+    rows = [
+        (1, shared),
+        (2, shared),                       # whole doc duplicated → emptied
+        (3, shared + " six seven eight nine ten"),  # 2 chunks, first is a dup
+        (4, "unique text that stays here"),
+    ]
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in chunk_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            chunk_tokens=5,
+        ).collect()
+    }
+    assert out[1] == (shared, 0)           # earliest copy keeps the chunk
+    assert out[2] == ("", 1)               # later copy loses it entirely
+    assert out[3] == ("six seven eight nine ten", 1)
+    assert out[4] == ("unique text that stays here", 0)
+
+
+def test_chunk_dedup_noop_on_unique_corpus(spark):
+    from fhir_etl_spark.operators.dedup import chunk_dedup
+
+    rows = [(i, f"alpha{i} beta{i} gamma{i}") for i in range(20)]
+    out = chunk_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"), chunk_tokens=3
+    )
+    assert out.filter("n_removed > 0").count() == 0
+    assert out.filter("clean_text != ''").count() == 20

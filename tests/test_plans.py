@@ -146,8 +146,8 @@ def test_no_broadcast_hints_on_scaling_tables():
     ALLOWED_BASES = {
         # fixed-cardinality dims (nation=25, region=5) and their projections
         "nation", "region", "n1", "n2", "cust_nation", "supp_nation", "america",
-        # 1-row scalar-aggregate probes
-        "max_rev", "max_price", "avg_bal", "threshold",
+        # 1-row scalar-aggregate probes (incl. layout.py's min/max stats row)
+        "max_rev", "max_price", "avg_bal", "threshold", "stats",
         # bounded probe/ID sets (query vectors, benchmark shingles,
         # membership ID lists — KBs-to-MBs by construction, documented at
         # each call site)
@@ -287,3 +287,28 @@ def test_distinctive_terms_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
+def test_zorder_key_no_python_no_extra_shuffle(spark):
+    """The z-value is pure codegen arithmetic over a broadcast stats row:
+    no Python eval, no shuffle exchange beyond the broadcast itself."""
+    from fhir_etl_spark.operators.layout import zorder_key
+    from fhir_etl_spark.session import load_tables
+
+    li = load_tables(spark, SF, "lineitem").select("l_partkey", "l_suppkey")
+    plan = formatted_plan(spark, zorder_key(li, ["l_partkey", "l_suppkey"]))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan  # the 1-row min/max stats
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_chunk_dedup_shuffles_chunks_not_docs_twice(spark):
+    """chunk_dedup: explode → chunk groupBy → co-partitioned join →
+    doc groupBy. No Python; text is split exactly once per branch."""
+    from fhir_etl_spark.operators.dedup import chunk_dedup
+    from fhir_etl_spark.session import load_tables
+
+    docs = load_tables(spark, SF, "documents")
+    plan = formatted_plan(spark, chunk_dedup(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Generate posexplode") <= 2  # one per join branch

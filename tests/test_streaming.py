@@ -222,3 +222,36 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
         assert got["d"] == batch_n
     finally:
         q.stop()
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir, events_stream):
+    """Watermarked stream-stream interval join (clicks ⋈ purchases) emits
+    exactly the pair set the batch twin computes with the same
+    expressions (inner flavor: rows emit as soon as both sides arrive)."""
+    from fhir_etl_spark.session import load_tables
+    from fhir_etl_spark.streaming.joins import stream_stream_attribution
+
+    clicks = events_stream.filter(F.col("event_type") == "click")
+    purchases = events_stream.filter(F.col("event_type") == "purchase")
+    q = run_to_memory(
+        stream_stream_attribution(clicks, purchases), "attribution_out"
+    )
+    try:
+        got = {
+            (r["purchase_id"], r["click_id"])
+            for r in spark.sql(
+                "SELECT purchase_id, click_id FROM attribution_out"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    events = load_tables(spark, sf_dir, "events")
+    expected = {
+        (r["purchase_id"], r["click_id"])
+        for r in stream_stream_attribution(
+            events.filter(F.col("event_type") == "click"),
+            events.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
