@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fhir_etl_spark.operators.joins import asof_join, range_join_bucketed
+from fhir_etl_spark.operators.joins import asof_join, range_join_bucketed, salted_join
 from fhir_etl_spark.queries.registry import query
 from fhir_etl_spark.session import load_tables
 
@@ -121,3 +121,27 @@ def j8_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.join(
         F.broadcast(region), nation.n_regionkey != region.r_regionkey
     ).select("n_name", "r_name")
+
+
+@query(
+    "j9_skew_salted_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    tags=("join", "skew"),
+)
+def j9_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim equi join (operators/joins.salted_join): the
+    hot-key rows spread over salt_buckets tasks; the dim side replicates
+    ×salt_buckets. Result is IDENTICAL to the plain join — the oracle is
+    the plain join, which is exactly the operator's correctness contract
+    (salting must never change semantics)."""
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    joined = salted_join(
+        lineitem.select("l_orderkey", "l_linenumber", F.col("l_partkey").alias("k")),
+        part.select(F.col("p_partkey").alias("k"), "p_name"),
+        on="k",
+        salt_buckets=8,
+    )
+    return joined.select("l_orderkey", "l_linenumber", "p_name")
