@@ -43,6 +43,10 @@ HEADLINE = [
     # text-cleaning and connected-components paths must be visible here
     "t6_clean_corpus",
     "d6_dedup_clusters",
+    # r03 additions: storage-layout curve math (map-only plan) and
+    # cross-doc chunk dedup (explode + keeper join + reassembly)
+    "y1_zorder_curve",
+    "d9_chunk_dedup",
 ]
 
 

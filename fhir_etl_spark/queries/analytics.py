@@ -172,3 +172,62 @@ def x7_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("urgent_total"),
     )
+
+
+@query(
+    "x8_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("json", "variant"),
+)
+def x8_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path access through Spark 4's VARIANT type:
+    parse_json once, variant_get typed extraction — the open-schema
+    answer to the reference's props-style nested JSON (no fixed
+    StructType needed, binary-encoded columnar storage at scale)."""
+    events = load_tables(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.sum(
+            F.try_variant_get(F.parse_json("props"), "$.k", "long")
+        ).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "g1_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(node, depth) AS (
+      SELECT n_nationkey, 0 FROM nation WHERE n_nationkey = 0
+      UNION ALL
+      SELECT n.n_nationkey, w.depth + 1
+      FROM nation n JOIN walk w ON n.n_nationkey // 2 = w.node
+      WHERE n.n_nationkey > 0
+    )
+    SELECT node, depth FROM walk
+    """,
+    tags=("recursive", "graph"),
+)
+def g1_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): walk the implicit binary-heap hierarchy
+    parent(k)=k div 2 over nation keys from the root — the declarative
+    twin of the iterative label-propagation operator (dedup_clusters),
+    usable when the recursion IS expressible in SQL. Spark executes it as
+    an iterative union loop; DuckDB runs the identical recursion
+    natively (// is DuckDB's integer division, div Spark's)."""
+    nation = load_tables(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("nation_g1_rcte")
+    return spark.sql("""
+      WITH RECURSIVE walk(node, depth) AS (
+        SELECT n_nationkey, 0 FROM nation_g1_rcte WHERE n_nationkey = 0
+        UNION ALL
+        SELECT n.n_nationkey, w.depth + 1
+        FROM nation_g1_rcte n JOIN walk w ON n.n_nationkey div 2 = w.node
+        WHERE n.n_nationkey > 0
+      )
+      SELECT node, CAST(depth AS INT) AS depth FROM walk
+    """)
