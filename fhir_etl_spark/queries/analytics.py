@@ -231,3 +231,31 @@ def g1_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       SELECT node, CAST(depth AS INT) AS depth FROM walk
     """)
+
+
+@query(
+    "x9_map_functions",
+    oracle="""
+    SELECT p_partkey,
+           CAST(map(['brand', 'ptype'], [p_brand, p_type])['brand'][1]
+                AS VARCHAR) AS brand_val,
+           CAST(cardinality(map(['brand', 'ptype'],
+                                [p_brand, p_type])) AS INT) AS n_keys
+    FROM part
+    """,
+    tags=("map",),
+)
+def x9_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: create_map, element_at, map_keys cardinality —
+    the open-keyed sibling of the struct columns the fhirize operators
+    use (SURVEY §1.2 notes the reference needs no maps; the engine
+    exposes them for open schemas)."""
+    part = load_tables(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("ptype"), F.col("p_type")
+    )
+    return part.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )

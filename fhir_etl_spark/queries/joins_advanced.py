@@ -145,3 +145,39 @@ def j9_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_buckets=8,
     )
     return joined.select("l_orderkey", "l_linenumber", "p_name")
+
+
+@query(
+    "j10_null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 5 END AS k
+      FROM orders
+    ), r AS (
+      SELECT CASE WHEN g.k = 5 THEN NULL ELSE g.k END AS k, g.k AS tag
+      FROM (SELECT unnest(generate_series(0, 5)) AS k) g
+    )
+    SELECT l.o_orderkey, r.tag
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+    tags=("join", "null-safe"),
+)
+def j10_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    NULL keys — plans as a hash join on the null-safe key, unlike a plain
+    equi join which silently drops every NULL row."""
+    orders = load_tables(spark, sf_dir, "orders")
+    left = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderkey") % 5)
+        .alias("k"),
+    )
+    right = spark.range(0, 6).select(
+        F.when(F.col("id") == 5, None).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("tag"),
+    )
+    return left.join(right, left["k"].eqNullSafe(right["k"])).select(
+        "o_orderkey", "tag"
+    )

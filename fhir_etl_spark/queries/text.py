@@ -330,3 +330,31 @@ def t7_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_tables(spark, sf_dir, "documents")
     return repetition_signals(documents)
+
+
+@query(
+    "m1_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,  -- VARCHAR md5 hashes the UTF-8 bytes
+           substring(text, 1, 4) AS magic4  -- ASCII corpus: char slice = byte slice
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def m1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing with a full value oracle: byte
+    length, content digest, and leading magic bytes over a binary column
+    (documents.text encoded to UTF-8 stands in for media blobs — the real
+    corpus media path is operators/multimodal.extract_media_meta, whose
+    sniffing/dimension parsing is pinned by test_multimodal; this query
+    proves the binary-type scan/expression surface against DuckDB)."""
+    documents = load_tables(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    return documents.select(
+        "doc_id",
+        F.length(blob).cast("long").alias("n_bytes"),
+        F.md5(blob).alias("content_md5"),
+        F.substring(blob, 1, 4).cast("string").alias("magic4"),  # byte slice
+    )
