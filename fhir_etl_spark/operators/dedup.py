@@ -351,18 +351,67 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path for dedup_clusters: collect the (already
+    materialized) edge list and run path-compressed union-find. Bounded
+    by the caller's edge threshold — two longs per edge — never by corpus
+    size. Result is identical to the distributed fixpoint: cluster_id =
+    min doc id of the component."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.toLocalIterator():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the final root IS the cluster id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = [(node, find(node)) for node in parent]
+    return edges.sparkSession.createDataFrame(
+        rows, schema="node long, label long"
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def dedup_clusters(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    driver_threshold_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs (a, b) → (doc_id, cluster_id)
     with cluster_id = min doc id in the component.
 
-    Distributed label propagation: every node starts labeled with itself;
-    each round, every node takes the min label in its neighborhood; stop at
-    fixpoint. Rounds needed = graph diameter (near-dup clusters are
-    shallow — a handful of rounds in practice); each round is one join +
-    one aggregation, all shuffle-partitioned on the node id. This replaces
-    a driver-side union-find, which cannot exist at corpus scale.
+    Hybrid execution, picked by EDGE count (never corpus size — the pair
+    list only contains documents that near-dup-matched something, orders
+    of magnitude smaller than the corpus):
+
+    - ≤ ``driver_threshold_edges``: one bounded collect (two longs per
+      edge; the default 1M cap is ~16 MB) + path-compressed union-find on
+      the driver. The iterative-jobs overhead (per-round join + agg +
+      checkpoint + probe action) costs seconds of fixed latency; below
+      the cap the driver finishes in milliseconds with the identical
+      result.
+    - above it: distributed min-label propagation — every node starts
+      labeled with itself; each round every node takes the min label in
+      its neighborhood; stop at fixpoint. Rounds needed = graph diameter
+      (near-dup clusters are shallow); each round is one join + one
+      aggregation, shuffle-partitioned on node id. This is the 100 TB
+      path: no single machine ever holds the edge list.
+
+    Both paths are deterministic and agree exactly (pinned by
+    tests/test_scd_sketch_clusters.py with the threshold forced to 0).
     """
     # Bidirectional edge list in ONE scan of the pair plan: a union of two
     # selects would execute the upstream pair-mining pipeline TWICE inside
@@ -377,7 +426,9 @@ def dedup_clusters(
     # Partitioning defaults false), so under a default-200-shuffle-partition
     # session the tiny edge table would pin 400 partitions and every loop
     # round would pay 400 near-empty tasks. The checkpoint materializes the
-    # AQE-coalesced result once; every round then scans a right-sized RDD.
+    # AQE-coalesced result once; every round (or the driver collect) then
+    # scans a right-sized RDD — the mining plan executes exactly ONCE on
+    # either path.
     edges = (
         pairs.select(
             # explode_outer per the module-wide inferred-filter rule
@@ -393,6 +444,11 @@ def dedup_clusters(
         .select("e.src", "e.dst")
         .localCheckpoint()
     )
+    if driver_threshold_edges > 0:
+        # count on the CHECKPOINT (no recompute); collect only when small
+        n_edges = edges.count()  # = 2 × pairs
+        if n_edges <= 2 * driver_threshold_edges:
+            return _driver_union_find(edges)
     # Round 1 fused into initialization: after one propagation round every
     # node's label is min(self, neighbors), which is exactly one groupBy over
     # the edge list — no join, no separate "label = self" seed table.

@@ -43,10 +43,18 @@ def test_dedup_clusters_and_representatives(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (7, 9)], "a long, b long"
     )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+    # driver union-find path (default threshold) and distributed
+    # label-propagation path (threshold forced off) must agree exactly
     clusters = {
         r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
     }
-    assert clusters == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+    assert clusters == expected
+    distributed = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, driver_threshold_edges=0).collect()
+    }
+    assert distributed == expected
 
     docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 4, 5, 6, 7, 9]], "doc_id long, text string")
     kept = sorted(r["doc_id"] for r in dedup_keep_representatives(docs, pairs).collect())
