@@ -45,15 +45,11 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def fhir_uuid5(namespace: uuid.UUID | str, name: Column | str) -> Column:
-    """uuid5(namespace, name) as a pure column expression.
-
-    SHA-1 the 16 namespace bytes ++ UTF-8 name, then splice the hex:
-    version nibble (13th hex char) := '5'; clock_seq_hi byte :=
-    (byte & 0x3F) | 0x80. Verified bit-identical to CPython uuid.uuid5.
-    """
-    ns = uuid.UUID(namespace) if isinstance(namespace, str) else namespace
-    h = F.sha1(F.concat(F.lit(ns.bytes), F.encode(_col(name), "UTF-8")))
+def uuid_splice(h: Column, version: str) -> Column:
+    """RFC 4122 byte surgery over a 32+-hex-char digest: version nibble
+    (13th hex char) := ``version``; clock_seq_hi byte := (byte & 0x3F) |
+    0x80; 8-4-4-4-12 hyphenation. Shared by uuid5 (sha1) and uuid3 (md5)
+    minting — verified bit-identical to CPython's uuid module."""
     clock_hi = F.lower(
         F.hex((F.conv(F.substring(h, 17, 2), 16, 10).cast("int") % 64) + 128)
     )
@@ -61,10 +57,30 @@ def fhir_uuid5(namespace: uuid.UUID | str, name: Column | str) -> Column:
         "-",
         F.substring(h, 1, 8),
         F.substring(h, 9, 4),
-        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.concat(F.lit(version), F.substring(h, 14, 3)),
         F.concat(clock_hi, F.substring(h, 19, 2)),
         F.substring(h, 21, 12),
     )
+
+
+def fhir_uuid5(namespace: uuid.UUID | str, name: Column | str) -> Column:
+    """uuid5(namespace, name) as a pure column expression.
+
+    SHA-1 the 16 namespace bytes ++ UTF-8 name, then uuid_splice.
+    Verified bit-identical to CPython uuid.uuid5.
+    """
+    ns = uuid.UUID(namespace) if isinstance(namespace, str) else namespace
+    h = F.sha1(F.concat(F.lit(ns.bytes), F.encode(_col(name), "UTF-8")))
+    return uuid_splice(h, "5")
+
+
+def content_uuid3(name: Column | str) -> Column:
+    """uuid3-STYLE content id straight over a string's UTF-8 bytes (no
+    namespace prefix): md5 + uuid_splice with version '3'. Exists so the
+    splice machinery has a cross-engine value oracle (DuckDB ships md5
+    but not sha1; the namespaced sha1 path is pinned to CPython by the
+    golden-ID tests instead)."""
+    return uuid_splice(F.md5(F.encode(_col(name), "UTF-8")), "3")
 
 
 def fhir_uuid5_udf(namespace: uuid.UUID | str):

@@ -240,3 +240,34 @@ def f9_numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", raw.alias("raw"), coerce_numeric_or_null(raw).alias("num")
     )
+
+
+@query(
+    "f1_uuid_splice",
+    oracle="""
+    WITH h AS (SELECT c_custkey, md5(c_name) AS hx FROM customer)
+    SELECT c_custkey,
+           concat_ws('-',
+             substr(hx, 1, 8),
+             substr(hx, 9, 4),
+             concat('3', substr(hx, 14, 3)),
+             concat(lower(to_hex((CAST(concat('0x', substr(hx, 17, 2)) AS INT) % 64) + 128)),
+                    substr(hx, 19, 2)),
+             substr(hx, 21, 12)
+           ) AS content_uuid
+    FROM h
+    """,
+    tags=("function", "identity"),
+)
+def f1_uuid_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RFC 4122 byte surgery behind the engine's uuid5 identity mint
+    (functions/identity.uuid_splice — reference IDHelper.mint_id,
+    utils.py:44-55), value-oracled over md5 since DuckDB lacks sha1; the
+    sha1-namespaced composition is pinned bit-identical to CPython by the
+    golden-ID tests."""
+    from fhir_etl_spark.functions.identity import content_uuid3
+
+    customer = load_tables(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey", content_uuid3(F.col("c_name")).alias("content_uuid")
+    )
