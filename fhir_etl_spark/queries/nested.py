@@ -187,3 +187,55 @@ def u1_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.p_partkey, t.i FROM _part_u1, "
         "LATERAL expand_rows(p_partkey, p_size) t"
     )
+
+
+@query(
+    "n9_prune_serialize",
+    oracle="""
+    SELECT o_orderkey,
+           concat(
+             '{"priority":"', o_orderpriority, '"',
+             CASE WHEN o_orderstatus = 'F' THEN ''
+                  ELSE concat(',"status":"', o_orderstatus, '"') END,
+             CASE WHEN o_custkey % 3 = 0 THEN ''
+                  ELSE concat(',"tag":["', o_orderpriority, '"]') END,
+             '}'
+           ) AS resource_json
+    FROM orders
+    """,
+    tags=("nested", "prune", "serialize"),
+)
+def n9_prune_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 empty-pruning + N4 serialize-once with a full value oracle:
+    build a struct whose fields are selectively emptied, prune it (empty
+    string -> dropped, empty array -> dropped), serialize once with
+    ignoreNullFields - the oracle constructs the identical JSON by CASE
+    (reference remove_empty_dicts, utils.py:138-161 + single-serialize,
+    utils.py:220-228). Field order is struct declaration order, which
+    to_json preserves."""
+    from fhir_etl_spark.operators.prune import prune_empty
+
+    orders = load_tables(spark, sf_dir, "orders")
+    shaped = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderpriority").alias("priority"),
+            # 'F' status -> empty string, which the pruner must drop
+            F.when(F.col("o_orderstatus") == "F", "")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            # every third customer -> empty array, which the pruner must drop
+            F.when(
+                F.col("o_custkey") % 3 == 0, F.array().cast("array<string>")
+            )
+            .otherwise(F.array(F.col("o_orderpriority")))
+            .alias("tag"),
+        ).alias("resource"),
+    )
+    pruned = prune_empty(shaped, "resource")
+    return pruned.select(
+        "o_orderkey",
+        F.to_json(F.col("resource"), {"ignoreNullFields": "true"}).alias(
+            "resource_json"
+        ),
+    )
