@@ -358,3 +358,103 @@ def m1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(blob).alias("content_md5"),
         F.substring(blob, 1, 4).cast("string").alias("magic4"),  # byte slice
     )
+
+
+@query(
+    "t10_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bigrams AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    ), uni AS (
+      SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1
+    ), bi AS (
+      SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2
+    )
+    SELECT bi.w1, bi.w2,
+           CAST(bi.c12 AS BIGINT) AS c12,
+           CAST(uni.c1 AS BIGINT) AS c1,
+           round(bi.c12 / uni.c1, 6) AS p_w2_given_w1
+    FROM bi JOIN uni ON bi.w1 = uni.w1
+    """,
+    tags=("text", "lm"),
+)
+def t10_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model: P(w2|w1) = c(w1,w2)/c(w1).
+    Two groupBys over one bigram explode + a co-partitioned join (both
+    sides shuffled on w1) — per-row division, so the rounded probability
+    is order-independent and value-oracle-able. The LM table is itself
+    the input to OOV/novelty scoring (t11)."""
+    documents = load_tables(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = documents.select(
+        F.posexplode(F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))).alias(
+            "i", "w1"
+        ),
+        toks.alias("_t"),
+    ).select("w1", F.expr("_t[i + 1]").alias("w2"))
+    uni = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    return bi.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.col("c12").cast("long").alias("c12"),
+        F.col("c1").cast("long").alias("c1"),
+        F.round(F.col("c12") / F.col("c1"), 6).alias("p_w2_given_w1"),
+    )
+
+
+@query(
+    "t11_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), words AS (
+      SELECT doc_id, t[i] AS w
+      FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+    ), vocab AS (
+      SELECT w FROM words GROUP BY w HAVING count(DISTINCT doc_id) >= 5
+    )
+    SELECT words.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) / count(*), 6)
+             AS oov_rate
+    FROM words LEFT JOIN vocab ON words.w = vocab.w
+    GROUP BY words.doc_id
+    """,
+    tags=("text", "lm", "quality"),
+)
+def t11_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary scoring: the vocabulary is corpus-derived (words
+    in ≥5 distinct docs), each doc scored by its OOV token fraction — the
+    standard cheap proxy for 'weird' documents before an expensive model
+    pass. One explode, one vocab agg, one join, one doc agg; the rate is
+    per-row division (order-independent → value oracle)."""
+    documents = load_tables(spark, sf_dir, "documents")
+    words = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 5)
+        .select("w", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        words.join(vocab, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
