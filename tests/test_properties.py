@@ -160,3 +160,77 @@ def test_coerce_numeric_matches_reference(spark, values):
             assert r["n"] is None, repr(r["v"])
         else:
             assert r["n"] == pytest.approx(float(expected)), repr(r["v"])
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 10_000)),
+        min_size=2,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_zorder_key_properties(spark, pts):
+    """The distributed z-value equals a from-scratch local reconstruction
+    (bucketization + bit interleave) for arbitrary integer point sets."""
+    from fhir_etl_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(i, x, y) for i, (x, y) in enumerate(pts)], "id long, x long, y long")
+    out = zorder_key(df, ["x", "y"], bits=8).collect()
+    xs = [r["x"] for r in out]
+    ys = [r["y"] for r in out]
+    xmin, xmax, ymin, ymax = min(xs), max(xs), min(ys), max(ys)
+
+    def bucket(v, lo, hi):
+        return ((v - lo) * 256) // (hi - lo + 1)
+
+    def interleave(bx, by):
+        z = 0
+        for bit in range(8):
+            z |= ((bx >> bit) & 1) << (2 * bit)
+            z |= ((by >> bit) & 1) << (2 * bit + 1)
+        return z
+
+    for r in out:
+        assert r["_zvalue"] == interleave(
+            bucket(r["x"], xmin, xmax), bucket(r["y"], ymin, ymax)
+        )
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_chunk_dedup_reassembly_invariants(spark, docs):
+    """Kept text is always a prefix-order-preserving subsequence of the
+    original chunking; total chunks = kept + removed; every distinct
+    chunk text survives somewhere (in its min-id doc)."""
+    from fhir_etl_spark.operators.dedup import chunk_dedup
+
+    k = 3
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in chunk_dedup(df, chunk_tokens=k).collect()}
+
+    def chunks_of(text):
+        t = text.split(" ")
+        return [" ".join(t[i : i + k]) for i in range(0, len(t), k)]
+
+    all_chunks = set()
+    survivors = set()
+    for doc_id, text in enumerate(docs):
+        orig = chunks_of(text)
+        all_chunks.update(orig)
+        row = out[doc_id]
+        kept = [c for c in chunks_of(row["clean_text"]) if row["clean_text"]] if row["clean_text"] else []
+        # kept chunks appear in original order as a subsequence
+        it = iter(orig)
+        assert all(any(c == o for o in it) for c in kept), (orig, kept)
+        assert len(orig) == len(kept) + row["n_removed"]
+        survivors.update(kept)
+    assert all_chunks == survivors
