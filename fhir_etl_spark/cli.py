@@ -39,6 +39,25 @@ def _build_parser() -> argparse.ArgumentParser:
 
     v = sub.add_parser("validate", help="validate NDJSON resources in a directory")
     v.add_argument("--path", required=True)
+
+    c = sub.add_parser(
+        "compact", help="rewrite a parquet directory into ~target-size files"
+    )
+    c.add_argument("--src", required=True)
+    c.add_argument("--dest", required=True)
+    c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument(
+        "--sort-cols",
+        help="comma-separated: range-partition + sort instead of round-robin",
+    )
+
+    z = sub.add_parser(
+        "zorder", help="rewrite a parquet directory clustered on a Z-order curve"
+    )
+    z.add_argument("--src", required=True)
+    z.add_argument("--dest", required=True)
+    z.add_argument("--cols", required=True, help="comma-separated cluster columns")
+    z.add_argument("--partitions", type=int, default=None)
     return parser
 
 
@@ -47,6 +66,30 @@ def main(argv: list[str] | None = None) -> int:
     from fhir_etl_spark.session import get_spark
 
     spark = get_spark("fhir_etl_spark_cli")
+
+    if args.command == "compact":
+        from fhir_etl_spark.operators.maintenance import compact
+
+        sort_cols = args.sort_cols.split(",") if args.sort_cols else None
+        plan = compact(
+            spark, args.src, args.dest,
+            target_bytes=args.target_mb * 1024 * 1024, sort_cols=sort_cols,
+        )
+        print(json.dumps({
+            "files_before": plan.n_files, "bytes": plan.total_bytes,
+            "files_after": plan.target_partitions,
+        }))
+        return 0
+
+    if args.command == "zorder":
+        from fhir_etl_spark.operators.layout import zorder_layout
+
+        df = spark.read.parquet(args.src)
+        zorder_layout(
+            df, args.cols.split(","), num_partitions=args.partitions
+        ).write.mode("overwrite").parquet(args.dest)
+        print(json.dumps({"rows": spark.read.parquet(args.dest).count()}))
+        return 0
 
     if args.command == "validate":
         from fhir_etl_spark.operators.validate import validate_dir

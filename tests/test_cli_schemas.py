@@ -181,3 +181,24 @@ def test_coverage_rotation_aliases_mirror_base_entries():
             assert osql[alias].startswith("--"), alias
         else:
             assert alias not in osql, alias
+
+
+def test_cli_compact_and_zorder(spark, sf_dir, tmp_path):
+    import glob
+
+    from fhir_etl_spark import cli
+    from fhir_etl_spark.session import load_tables
+
+    src = str(tmp_path / "src")
+    load_tables(spark, sf_dir, "lineitem").repartition(16).write.parquet(src)
+
+    dest_c = str(tmp_path / "compacted")
+    assert cli.main(["compact", "--src", src, "--dest", dest_c, "--target-mb", "1"]) == 0
+    assert len(glob.glob(f"{dest_c}/*.parquet")) < 16
+
+    dest_z = str(tmp_path / "zordered")
+    assert cli.main([
+        "zorder", "--src", src, "--dest", dest_z,
+        "--cols", "l_partkey,l_suppkey", "--partitions", "8",
+    ]) == 0
+    assert spark.read.parquet(dest_z).count() == spark.read.parquet(src).count()
