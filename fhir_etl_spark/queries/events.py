@@ -177,3 +177,90 @@ def e5_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("click_id").cast("long").alias("n_clicks_30m"),
         F.unix_micros(F.max("click_ts")).alias("last_click_us"),
     )
+
+
+@query(
+    "e6_cohort_retention",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id,
+             strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk
+      FROM events
+    ), firsts AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM weekly GROUP BY user_id
+    )
+    SELECT f.cohort_wk, w.wk AS activity_wk,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM weekly w JOIN firsts f ON w.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("events", "analytics"),
+)
+def e6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-active ISO week,
+    counted in every week they return. Two user-keyed aggregations + one
+    co-partitioned join; Monday-anchored date_trunc('week') matches both
+    engines."""
+    events = load_tables(spark, sf_dir, "events")
+    weekly = events.select(
+        "user_id",
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("wk"),
+    ).distinct()
+    firsts = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        weekly.join(firsts, "user_id")
+        .groupBy("cohort_wk", F.col("wk").alias("activity_wk"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "e7_ordered_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS ts_s FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS ts_c
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.ts_s
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS ts_p
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.ts_c
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT p.user_id,
+           strftime(s.ts_s, '%Y-%m-%d %H:%M:%S') AS first_signup,
+           strftime(c.ts_c, '%Y-%m-%d %H:%M:%S') AS first_click_after,
+           strftime(p.ts_p, '%Y-%m-%d %H:%M:%S') AS first_purchase_after
+    FROM p JOIN c ON p.user_id = c.user_id JOIN s ON p.user_id = s.user_id
+    """,
+    tags=("events", "analytics", "funnel"),
+)
+def e7_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel (signup → later click → later purchase):
+    each stage is a min-aggregate constrained to follow the previous
+    stage's timestamp — user-keyed aggs and joins only, no window over
+    the whole event stream."""
+    events = load_tables(spark, sf_dir, "events")
+
+    def stage(etype: str, after: DataFrame | None, after_col: str | None):
+        e = events.filter(F.col("event_type") == etype)
+        if after is not None:
+            e = e.join(after, "user_id").filter(F.col("ts") > F.col(after_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"ts_{etype[0]}"))
+
+    s = stage("signup", None, None)
+    c = stage("click", s, "ts_s")
+    p = stage("purchase", c, "ts_c")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        p.join(c, "user_id")
+        .join(s, "user_id")
+        .select(
+            "user_id",
+            F.date_format("ts_s", fmt).alias("first_signup"),
+            F.date_format("ts_c", fmt).alias("first_click_after"),
+            F.date_format("ts_p", fmt).alias("first_purchase_after"),
+        )
+    )
