@@ -243,3 +243,24 @@ def shard_shuffle(
 
     w = Window.partitionBy(shard_col).orderBy("_order", key)
     return out.withColumn(pos_col, F.row_number().over(w)).drop("_order")
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    scale: float = 1.0,
+    salt: str = "qws",
+) -> DataFrame:
+    """Importance sampling with per-row keep probability ``scale *
+    weight`` (clamped to [0,1]), decided by the row's deterministic hash
+    bucket — a pure map-side filter, no shuffle, no RNG.
+
+    The standard corpus-mixing move (quality-weighted upweighting by
+    DOWN-sampling the bad tail rather than duplicating the good head):
+    every row keeps independently with probability proportional to its
+    quality weight, reproducibly across runs/cluster sizes, and the
+    decision is ANSI-SQL-expressible for the oracle."""
+    p = F.least(F.greatest(weight * scale, F.lit(0.0)), F.lit(1.0))
+    keep = hash_bucket(F.col(id_col), salt=salt) < (p * BUCKETS).cast("long")
+    return df.filter(keep)

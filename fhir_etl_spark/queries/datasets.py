@@ -226,3 +226,32 @@ def ds7_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quota_cap(
         documents, "source", per_key=15, order_key="doc_id", pos_col="pos"
     ).select("doc_id", "source", "pos")
+
+
+@query(
+    "ds8_quality_weighted_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             least(greatest(n_chars / 400.0, 0.0), 1.0) AS p
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars
+    FROM scored
+    WHERE CAST('0x' || substr(md5('qws' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+          % 1000000 < CAST(p * 1000000 AS BIGINT)
+    """,
+    tags=("datasets", "sample"),
+)
+def ds8_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: keep probability scales with
+    a quality proxy (length here), decided per row by deterministic md5
+    bucketing — map-side filter, zero shuffle, reproducible anywhere
+    (operators/datasets.quality_weighted_sample)."""
+    from fhir_etl_spark.operators.datasets import quality_weighted_sample
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return quality_weighted_sample(
+        documents.select("doc_id", "source", "n_chars"),
+        weight=F.col("n_chars") / 400.0,
+    )
