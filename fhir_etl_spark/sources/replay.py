@@ -58,16 +58,25 @@ class ParquetReplayStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"row": 0}
 
+    # The reader object does not survive a query restart, but the offset
+    # log does: every entry point that carries an offset bumps the
+    # monotonic high-water mark, so latestOffset can never fall behind
+    # the checkpointed position and poison the offset log backward
+    # (which would re-emit already-delivered rows — the restart
+    # exactly-once test pins this).
+    def _bump(self, *offsets: int) -> None:
+        self._high = max(getattr(self, "_high", 0), *offsets)
+
     def latestOffset(self) -> dict:
         # advance one batch per trigger; cap at the table end unless looping
-        current = getattr(self, "_last", 0)
-        nxt = current + self.rows_per_batch
+        nxt = getattr(self, "_high", 0) + self.rows_per_batch
         if not self.loop:
             nxt = min(nxt, self.n_rows)
-        self._last = nxt
+        self._bump(nxt)
         return {"row": nxt}
 
     def partitions(self, start: dict, end: dict):
+        self._bump(start["row"], end["row"])
         lo, hi = start["row"], end["row"]
         if hi <= lo:
             return [RowSlice(self.path, lo, lo)]
@@ -112,14 +121,17 @@ class ParquetReplayStreamReader(DataSourceStreamReader):
         return iter(rows_out)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._bump(end["row"])
 
-    # offset (de)serialization for the checkpoint log
-    def serializeOffset(self, offset: dict) -> str:  # pragma: no cover
+    # offset (de)serialization for the checkpoint log; deserialization is
+    # the restart signal — the checkpointed offset seeds the high-water
+    def serializeOffset(self, offset: dict) -> str:
         return json.dumps(offset)
 
-    def deserializeOffset(self, raw: str) -> dict:  # pragma: no cover
-        return json.loads(raw)
+    def deserializeOffset(self, raw: str) -> dict:
+        offset = json.loads(raw)
+        self._bump(offset["row"])
+        return offset
 
 
 class ParquetReplayDataSource(DataSource):

@@ -95,3 +95,25 @@ def test_zorder_handles_constant_and_null_columns(spark, bits):
     keyed = zorder_key(df, ["const", "holey"], bits=bits)
     got = keyed.agg(F.count("*"), F.min("_zvalue")).first()
     assert got[0] == 100 and got[1] >= 0
+
+
+def test_dynamic_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout + a filtered dim join plans a dynamic
+    partition pruning subquery: only matching partitions are scanned —
+    the partition-level sibling of the z-order row-group pruning."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.session import load_tables
+
+    pdir = str(tmp_path / "orders_by_status")
+    orders = load_tables(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").parquet(pdir)
+
+    fact = spark.read.parquet(pdir)
+    dim = spark.createDataFrame([("F", "finished")], "st string, label string")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    joined = fact.join(dim.filter(F.col("label") == "finished"),
+                       fact.o_orderstatus == dim.st)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == orders.filter("o_orderstatus = 'F'").count()
