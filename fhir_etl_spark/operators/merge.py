@@ -1,0 +1,78 @@
+"""Generic MERGE INTO as a pure DataFrame operator.
+
+The reference's only merge is file-level insert-or-update by id
+(`create_or_extend`, utils.py:101-135); SCD2 history merge lives in
+operators/scd.py; the Delta `MERGE INTO` path (sinks/upsert.delta_merge)
+is gated on jars this image lacks. This operator is the engine-native
+three-way merge the others specialize:
+
+    WHEN MATCHED [AND cond] THEN UPDATE | DELETE
+    WHEN NOT MATCHED THEN INSERT
+
+as one full-outer join + per-row CASE — a single shuffle on the key
+(or zero with both sides bucketed on the key, sinks/bucketed.py), fully
+deterministic, and ANSI-expressible so the driver can value-check it.
+
+Scale shape: the join is key-partitioned (AQE may broadcast a small
+source); no window, no collect. Rewriting only touched partitions is a
+table-format concern (Delta/Iceberg) — this operator computes the merged
+RESULT, the sink decides placement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: str,
+    update_when_matched: bool = True,
+    delete_condition: Column | None = None,
+    insert_when_not_matched: bool = True,
+) -> DataFrame:
+    """Merge ``source`` into ``target`` by key ``on``; both sides must
+    share the schema. Row fate:
+
+    - key in both: when ``delete_condition`` (a Column over SOURCE
+      columns, evaluated per source row) holds, the row is dropped; else
+      the source row replaces the target's when ``update_when_matched``,
+      else the target row stays.
+    - source-only: inserted when ``insert_when_not_matched`` (a
+      source-only row whose delete_condition holds is never inserted).
+    - target-only: kept unchanged.
+    """
+    cols = target.columns
+    if set(cols) != set(source.columns):
+        raise ValueError(f"schema mismatch: {cols} vs {source.columns}")
+
+    delete_flag = (
+        delete_condition if delete_condition is not None else F.lit(False)
+    )
+    t = target.select(F.col(on).alias("_tk"), F.struct(*cols).alias("_t"))
+    s = source.select(
+        F.col(on).alias("_sk"),
+        F.struct(*cols).alias("_s"),
+        F.coalesce(delete_flag, F.lit(False)).alias("_del"),
+    )
+    joined = t.join(s, t["_tk"] == s["_sk"], "full_outer")
+
+    matched = F.col("_tk").isNotNull() & F.col("_sk").isNotNull()
+    source_only = F.col("_sk").isNotNull() & F.col("_tk").isNull()
+
+    drop_matched = matched & F.col("_del")
+    insert_row = source_only & F.lit(insert_when_not_matched) & ~F.col("_del")
+    keep = (F.col("_tk").isNotNull() & ~drop_matched) | insert_row
+
+    take_source = F.col("_sk").isNotNull() & (
+        source_only | F.lit(update_when_matched)
+    )
+    return (
+        joined.filter(keep)
+        .select(
+            F.when(take_source, F.col("_s")).otherwise(F.col("_t")).alias("_r")
+        )
+        .select("_r.*")
+    )

@@ -264,3 +264,48 @@ def e7_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts_p", fmt).alias("first_purchase_after"),
         )
     )
+
+
+@query(
+    "e8_native_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT DISTINCT user_id, ts FROM events)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           CAST(count(*) AS BIGINT) AS n_distinct_ts
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("events", "window", "session"),
+)
+def e8_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (gap-merged event-time sessions,
+    window.end = last event + gap) checked against the lag+cumsum
+    construction — proving the built-in operator and the manual twin
+    (e3) agree on session boundaries. Distinct timestamps per user first:
+    session_window merges per distinct event time."""
+    events = load_tables(spark, sf_dir, "events").select("user_id", "ts").distinct()
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").cast("long").alias("n_distinct_ts"))
+        .select(
+            "user_id",
+            F.date_format("w.start", fmt).alias("session_start"),
+            F.date_format("w.end", fmt).alias("session_end"),
+            "n_distinct_ts",
+        )
+    )

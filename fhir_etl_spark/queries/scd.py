@@ -83,3 +83,56 @@ def scd2_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to_str"),
         "is_current",
     )
+
+
+@query(
+    "u2_merge_into",
+    oracle="""
+    WITH src AS (
+      SELECT CASE WHEN c_custkey % 10 = 0 THEN c_custkey + 100000
+                  ELSE c_custkey END AS c_custkey,
+             c_name, c_nationkey,
+             round(c_acctbal + 50.0, 2) AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 4 = 0
+    ), merged AS (
+      SELECT coalesce(s.c_custkey, t.c_custkey) AS k,
+             t.c_custkey AS tk, s.c_custkey AS sk,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment,
+             coalesce(s.c_mktsegment = 'MACHINERY', FALSE) AS del
+      FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    )
+    SELECT k AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM merged
+    WHERE (tk IS NOT NULL AND NOT (sk IS NOT NULL AND del))
+       OR (tk IS NULL AND sk IS NOT NULL AND NOT del)
+    """,
+    tags=("merge", "upsert"),
+)
+def u2_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic three-way MERGE INTO (operators/merge.py): an update set
+    (acctbal bumped), an insert set (shifted keys), and a delete
+    condition (MACHINERY segment) applied to customer in ONE full-outer
+    join + CASE — the engine-native form of Delta's MERGE and the
+    reference's create_or_extend (utils.py:101-135)."""
+    from fhir_etl_spark.operators.merge import merge_into
+
+    customer = load_tables(spark, sf_dir, "customer")
+    src = customer.filter(F.col("c_custkey") % 4 == 0).select(
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_custkey") + 100000)
+        .otherwise(F.col("c_custkey"))
+        .alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 50.0, 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return merge_into(
+        customer,
+        src,
+        on="c_custkey",
+        delete_condition=F.col("c_mktsegment") == "MACHINERY",
+    )

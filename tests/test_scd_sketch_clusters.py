@@ -90,3 +90,37 @@ def test_distinct_sketch_accuracy(spark):
     approx = distinct_sketch(customer, "c_custkey").first()["approx_distinct"]
     exact = customer.select("c_custkey").distinct().count()
     assert abs(approx - exact) / exact < 0.1
+
+def test_merge_into_row_fates(spark):
+    """All five row fates: matched-update, matched-delete, source-only
+    insert, source-only delete (never inserted), target-only keep."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0),       # matched → update
+         (3, "DEL", -1.0),     # matched + delete_condition → drop
+         (4, "d", 40.0),       # source-only → insert
+         (5, "DEL", -2.0)],    # source-only + delete_condition → never inserted
+        "k long, v string, x double",
+    )
+    got = {
+        r["k"]: (r["v"], r["x"])
+        for r in merge_into(
+            target, source, on="k", delete_condition=F.col("v") == "DEL"
+        ).collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 4: ("d", 40.0)}
+
+    # insert-only mode (update_when_matched=False) keeps target versions
+    got2 = {
+        r["k"]: r["v"]
+        for r in merge_into(
+            target, source, on="k", update_when_matched=False
+        ).collect()
+    }
+    assert got2 == {1: "a", 2: "b", 3: "c", 4: "d", 5: "DEL"}
