@@ -219,3 +219,22 @@ def d9_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_dedup; RefinedWeb-style line dedup on a line-less corpus)."""
     docs = load_tables(spark, sf_dir, "documents")
     return chunk_dedup(docs, chunk_tokens=10)
+
+
+@query("g2_pagerank", oracle=None, tags=("graph", "iterative"))
+def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup pair graph (which documents
+    sit at the center of duplicate clusters). Float summation order makes
+    a cross-engine value hash inappropriate → rows-only driver check;
+    the analytic small-graph test pins the math
+    (operators/graph.pagerank)."""
+    from fhir_etl_spark.operators.graph import pagerank
+
+    documents = load_tables(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(documents, threshold=0.5)
+    edges = pairs.selectExpr("a AS src", "b AS dst").unionByName(
+        pairs.selectExpr("b AS src", "a AS dst")
+    )
+    return pagerank(edges, n_iterations=5).select(
+        "node", F.round("rank", 6).alias("rank_r")
+    )

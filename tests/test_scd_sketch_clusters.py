@@ -124,3 +124,37 @@ def test_merge_into_row_fates(spark):
         ).collect()
     }
     assert got2 == {1: "a", 2: "b", 3: "c", 4: "d", 5: "DEL"}
+
+
+def test_pagerank_analytic_small_graph(spark):
+    """3-node cycle → uniform 1/3 regardless of damping; star graph →
+    ranks match a plain-Python twin to 1e-9 (deterministic per-node sums
+    on a tiny graph)."""
+    from fhir_etl_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(cycle, n_iterations=5).collect()}
+    for v in got.values():
+        assert abs(v - 1 / 3) < 1e-9
+
+    # star: 2,3,4 -> 1; 1 dangling (mass redistributes uniformly)
+    star = spark.createDataFrame([(2, 1), (3, 1), (4, 1)], "src long, dst long")
+
+    def twin(n_iter, d=0.85, n=4):
+        ranks = {k: 1 / n for k in (1, 2, 3, 4)}
+        for _ in range(n_iter):
+            dang = ranks[1]  # node 1 has no out-edges
+            base = (1 - d) / n + d * dang / n
+            new = {k: base for k in ranks}
+            new[1] += d * (ranks[2] + ranks[3] + ranks[4])
+            ranks = new
+        return ranks
+
+    got = {r["node"]: r["rank"] for r in pagerank(star, n_iterations=7).collect()}
+    expected = twin(7)
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
