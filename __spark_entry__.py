@@ -68,6 +68,7 @@ COVERAGE_ROTATION = [
     "f1_uuid_splice", "n9_prune_serialize", "t10_bigram_lm", "t11_oov_rate",
     "e6_cohort_retention", "e7_ordered_funnel", "ds8_quality_weighted_sample",
     "u2_merge_into", "e8_native_session_window", "g2_pagerank",
+    "w7_range_frame",
     "v1_cosine_topk", "v2_lsh_topk", "v3_embedding_neardup", "v4_ivf_topk",
     "w1_topk_per_group", "w2_running_sum", "w3_lag_lead",
     "w4_rank_dense_ntile", "w5_sliding_avg", "w6_pct_of_group",

@@ -175,3 +175,35 @@ def w6_pct_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_share"
         ),
     )
+
+
+@query(
+    "w7_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW), 2) AS nearby_sum,
+           CAST(count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS nearby_n
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-range window frame (RANGE BETWEEN x PRECEDING): each order
+    aggregated with the same customer's orders within a 10k price band
+    below it — peers included by value, not by row position (the frame
+    kind the ROWS queries w1–w6 don't exercise)."""
+    orders = load_tables(spark, sf_dir, "orders")
+    return orders.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        """round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW), 2) AS nearby_sum""",
+        """CAST(count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS nearby_n""",
+    )
