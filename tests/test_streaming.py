@@ -255,3 +255,30 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir, events_stream):
         ).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, events_stream):
+    """Stream-static join: each micro-batch joins against a static dim
+    (re-resolved per batch — the standard enrichment pattern; no state
+    store involved). Result equals the batch twin exactly."""
+    from fhir_etl_spark.session import load_tables
+
+    static_dim = spark.createDataFrame(
+        [(i, f"tier_{i % 3}") for i in range(150)], "user_id long, tier string"
+    )
+    enriched = events_stream.join(static_dim, "user_id").groupBy("tier").count()
+    q = run_to_memory(enriched, "stream_static_out", output_mode="complete")
+    try:
+        got = {
+            (r["tier"], r["count"])
+            for r in spark.sql("SELECT * FROM stream_static_out").collect()
+        }
+    finally:
+        q.stop()
+
+    events = load_tables(spark, sf_dir, "events")
+    expected = {
+        (r["tier"], r["count"])
+        for r in events.join(static_dim, "user_id").groupBy("tier").count().collect()
+    }
+    assert got == expected and len(expected) == 3
