@@ -33,7 +33,11 @@ HEADLINE = [
     "r1_asof_join_backward",
     "t2_quality_score",
     "d1_exact_dedup",
-    "d4_minhash_lsh",
+    # the xxhash64 production MinHash pipeline — the SAME computation
+    # BENCH_r01–r03 timed as "d4_minhash_lsh" (that name now runs the
+    # ~2×-slower md5-twin hash so the correctness gate can value-oracle
+    # it; the throughput series continues here)
+    "d4x_minhash_lsh_xxh64",
     "v1_cosine_topk",
     "q9_profit_by_nation",
     "q21_waiting_suppliers",

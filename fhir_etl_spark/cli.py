@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -63,6 +64,18 @@ def _build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+
+    if args.command in ("compact", "zorder"):
+        # both verbs overwrite --dest while LAZILY reading --src: the same
+        # path for both would delete the source mid-read ("never rewrite
+        # in place" — operators/maintenance.compact docstring)
+        if os.path.realpath(args.src) == os.path.realpath(args.dest):
+            raise SystemExit(
+                f"{args.command}: --dest must differ from --src "
+                f"({args.src!r}): the rewrite overwrites dest while src is "
+                "still being read lazily"
+            )
+
     from fhir_etl_spark.session import get_spark
 
     spark = get_spark("fhir_etl_spark_cli")

@@ -89,23 +89,40 @@ def doc_shingles(
     ).where(F.col("shingle").isNotNull())
 
 
+def _seeded_hash(col: Column, seed: int, hash_fn: str) -> Column:
+    """Seeded shingle hash for MinHash. ``xxhash64`` (default, fastest,
+    JVM-only) or ``md5`` (hex string — slower, but DuckDB computes the
+    identical value, which is what makes the d4 gate query value-oracled:
+    MinHash only needs SOME total order per hash function, and min() over
+    md5 hex strings is a valid one on both engines)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(seed), col)
+    if hash_fn == "md5":
+        return F.md5(F.concat_ws(":", F.lit(str(seed)), col))
+    raise ValueError(f"unknown hash_fn: {hash_fn!r} (want 'xxhash64' or 'md5')")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
     k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, sig ARRAY<BIGINT>[num_hashes]) — column-i is
-    min(xxhash64(seed=i, shingle)) over the doc's shingles.
+    """(doc_id, sig ARRAY[num_hashes]) — column-i is
+    min(hash(seed=i, shingle)) over the doc's shingles.
 
-    One explode + one groupBy; each hash function is the same xxhash64 with
-    a distinct literal seed column, so all num_hashes minima come out of a
+    One explode + one groupBy; each hash function is the same seeded hash
+    with a distinct literal seed, so all num_hashes minima come out of a
     single aggregation pass (partial aggregation runs map-side).
+    ``hash_fn='xxhash64'`` is the production default (BIGINT components);
+    ``'md5'`` yields hex-string components with a DuckDB twin (see
+    :func:`_seeded_hash`) — same estimator, oracle-able.
     """
     exploded = doc_shingles(df, id_col, text_col, k)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(_seeded_hash(F.col("shingle"), i, hash_fn)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
@@ -118,6 +135,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     max_bucket_size: int | None = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from banded LSH over signatures.
 
@@ -134,7 +152,21 @@ def lsh_candidate_pairs(
     bucket (huge cluster of identical docs — run exact dedup first) would
     blow up the explode. ``max_bucket_size`` drops larger buckets; any cap
     above the corpus's true max bucket size is answer-identical.
+
+    ``hash_fn`` must match the one the signatures were built with:
+    ``xxhash64`` buckets are BIGINT hashes of the band slice; ``md5``
+    buckets are md5 over the '|'-joined band components (hex strings),
+    the DuckDB-replayable twin (see :func:`_seeded_hash`).
     """
+
+    def band_bucket(b: int) -> Column:
+        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        if hash_fn == "xxhash64":
+            return F.xxhash64(sl)
+        if hash_fn == "md5":
+            return F.md5(F.array_join(sl, "|"))
+        raise ValueError(f"unknown hash_fn: {hash_fn!r} (want 'xxhash64' or 'md5')")
+
     banded = signatures.select(
         F.col(id_col),
         # explode_outer: sidesteps the inferred size()>0 filter, which would
@@ -142,12 +174,7 @@ def lsh_candidate_pairs(
         F.explode_outer(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
-                            "bucket"
-                        ),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -315,14 +342,24 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, simhash BIGINT): sign-aggregated token-hash bits.
 
     Explode tokens once; per bit b, sum +1/−1 by whether bit b of
-    xxhash64(token) is set; the sign vector packs back into one BIGINT.
+    hash(token) is set; the sign vector packs back into one BIGINT.
     Hamming distance between simhashes approximates cosine distance of the
     token-count vectors. 64 min-width aggregates in one groupBy pass.
+
+    ``hash_fn='xxhash64'`` (default) takes bit b of xxhash64(token);
+    ``'md5'`` takes bit b%4 of hex nibble b//4 of md5(token) — an equally
+    arbitrary 64-bit assignment, but one DuckDB reproduces exactly
+    (strpos on the hex digit), which is what value-oracles the d5 gate
+    query. SimHash is hash-agnostic: any fixed bit assignment works.
     """
     # materialize + explode_outer: avoids the inferred-filter split re-eval
     # (see doc_shingles).
@@ -331,11 +368,34 @@ def simhash(
         .select(F.col(id_col), F.explode_outer("_toks").alias("tok"))
         .where(F.col("tok").isNotNull())
     )
-    h = F.xxhash64("tok")
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("tok")
+        bit_is_set = [
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1 for b in range(bits)
+        ]
+    elif hash_fn == "md5":
+        if bits > 64:
+            raise ValueError("md5 twin packs at most 64 bits")
+        # materialize the nibbles as columns (one conv per hex digit, not
+        # one per bit): bit b = bit (b % 4) of nibble (b // 4)
+        hx = F.md5("tok")
+        toked = toked.select(
+            F.col(id_col),
+            *[
+                F.conv(F.substring(hx, i + 1, 1), 16, 10)
+                .cast("int")
+                .alias(f"_n{i}")
+                for i in range((bits + 3) // 4)
+            ],
+        )
+        bit_is_set = [
+            F.shiftright(F.col(f"_n{b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1
+            for b in range(bits)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r} (want 'xxhash64' or 'md5')")
     aggs = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.sum(F.when(bit_is_set[b], 1).otherwise(-1)).alias(f"b{b}")
         for b in range(bits)
     ]
     packed = None

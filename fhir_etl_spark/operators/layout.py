@@ -43,6 +43,14 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
     if not cols:
         raise ValueError("zorder_key needs at least one column")
     n = len(cols)
+    if bits * n > 63:
+        # bit 63 is the BIGINT sign bit: interleaving into it flips the
+        # sign and silently reorders the range partitioning; higher bits
+        # would be dropped entirely
+        raise ValueError(
+            f"bits * len(cols) = {bits * n} exceeds 63: the interleaved key "
+            f"must fit a signed BIGINT — lower bits (e.g. {63 // n}) or drop columns"
+        )
     buckets = 1 << bits
 
     stats = df.agg(

@@ -32,6 +32,7 @@ def merge_into(
     update_when_matched: bool = True,
     delete_condition: Column | None = None,
     insert_when_not_matched: bool = True,
+    validate_unique_source_keys: bool = False,
 ) -> DataFrame:
     """Merge ``source`` into ``target`` by key ``on``; both sides must
     share the schema. Row fate:
@@ -43,10 +44,38 @@ def merge_into(
     - source-only: inserted when ``insert_when_not_matched`` (a
       source-only row whose delete_condition holds is never inserted).
     - target-only: kept unchanged.
+
+    PRECONDITION: ``on`` must be unique within ``source`` (and within
+    ``target``, as for any keyed table). A duplicated source key would
+    multiply matched target rows through the full-outer join — the
+    situation SQL MERGE and Delta abort on. ``validate_unique_source_keys``
+    enforces it in-plan: a per-key window count + ``assert_true`` fails
+    the job on the first duplicate (one extra shuffle on the merge key,
+    co-partitioned with the join's own — opt-in for when the source
+    isn't trusted).
     """
     cols = target.columns
     if set(cols) != set(source.columns):
         raise ValueError(f"schema mismatch: {cols} vs {source.columns}")
+
+    if validate_unique_source_keys:
+        from pyspark.sql import Window
+
+        # assert_true returns NULL when the predicate holds, so the filter
+        # keeps every row — but Catalyst cannot prune it, and any
+        # duplicate key raises at execution time (Delta's
+        # "multiple source rows matched" error, reproduced engine-side).
+        n_per_key = F.count(F.lit(1)).over(Window.partitionBy(on))
+        source = (
+            source.withColumn("_n_per_key", n_per_key)
+            .filter(
+                F.assert_true(
+                    F.col("_n_per_key") == 1,
+                    F.lit(f"merge_into: duplicate source rows for key '{on}'"),
+                ).isNull()
+            )
+            .drop("_n_per_key")
+        )
 
     delete_flag = (
         delete_condition if delete_condition is not None else F.lit(False)

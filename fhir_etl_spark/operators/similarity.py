@@ -141,6 +141,90 @@ def embedding_neardup_pairs(
     )
 
 
+def lsh_bucketed_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    seed: int = 42,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at corpus scale: the composed
+    LSH-bucketed form of :func:`embedding_neardup_pairs`.
+
+    Per band b, the corpus is signed with an independent hyperplane set
+    (seed + b); candidate pairs only ever form INSIDE a (band, signature)-
+    equal bucket — the join is an equi-join on (band, sig), so the O(n²)
+    comparison never materializes. Multi-band boosts recall exactly like
+    MinHash banding: a pair at cosine s collides per band with
+    p = (1 − θ(s)/π)^n_planes and overall with 1 − (1 − p)^n_bands.
+    Recall < 1 by design; the result is deterministic (seeded planes).
+
+    Scale shape: one narrow projection computes all band signatures, one
+    explode to (id, band, sig) — |corpus| × n_bands rows of (long, int,
+    long) plus the vector — then ONE shuffle on (band, sig) for the
+    self-join. Same-pair collisions across bands collapse via the final
+    distinct on (a, b, sim) — sim is rounded before the distinct, so the
+    rows are bit-identical. Compare `embedding_neardup_pairs`, whose
+    nested-loop theta join is the in-bucket verifier this operator calls
+    implicitly through the sim filter.
+    """
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_signature(
+                    F.col(vec_col), random_hyperplanes(dim, n_planes, seed + b)
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    # explode_outer: an inner explode's inferred size()>0 filter would
+    # re-evaluate every band signature a second time (see
+    # operators/dedup.doc_shingles for the Catalyst mechanics).
+    signed = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _norm(F.col(vec_col)).alias("_nrm"),
+            F.explode_outer(band_sigs).alias("_bs"),
+        )
+        .select(id_col, vec_col, "_nrm", "_bs.band", "_bs.sig")
+        .where(F.col("sig").isNotNull())
+    )
+    a = signed.select(
+        F.col("band"),
+        F.col("sig"),
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    b = signed.select(
+        F.col("band"),
+        F.col("sig"),
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )
+
+
 def centroid_assign(
     corpus: DataFrame,
     centroids: DataFrame,

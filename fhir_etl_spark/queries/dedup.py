@@ -168,25 +168,121 @@ def d7_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(lineitem, "l_partkey", k=10)
 
 
-@query("d4_minhash_lsh", oracle=None, tags=("dedup", "approx"))
-def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) → LSH(8 bands × 4 rows) candidate pairs with estimated
-    Jaccard. Hash-dependent → rows-only driver check; semantics are pinned
-    by tests/test_dedup.py (recall vs d3's exact pairs on known dups)."""
+# --- d4 oracle: md5-twin MinHash ------------------------------------------
+# MinHash needs SOME total order per hash function; min() over md5 hex
+# strings is one BOTH engines compute identically (the F1 content_uuid3
+# trick, functions/identity.py). The gate query therefore runs the operator
+# with hash_fn='md5' and the oracle replays every stage — shingles,
+# 32 min-aggregates, 8-band bucketing, candidate pairs, agreement fraction
+# — in DuckDB SQL. Production default stays xxhash64 (BIGINT, faster).
+_NH, _BANDS, _RPB = 32, 8, 4
+_MH_AGGS = ",\n             ".join(
+    f"min(md5(concat('{i}:', shingle))) AS h{i}" for i in range(_NH)
+)
+_BAND_SELECTS = "\n      UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(
+        b=b, cols=", ".join(f"h{i}" for i in range(b * _RPB, (b + 1) * _RPB))
+    )
+    for b in range(_BANDS)
+)
+_AGREE = " + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_NH))
+_D4_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    ), sig AS (
+      SELECT doc_id, {_MH_AGGS}
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      {_BAND_SELECTS}
+    ), pairs AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    )
+    SELECT p.a, p.b, round(({_AGREE}) / {_NH}.0, 4) AS jaccard_est
+    FROM pairs p JOIN sig sa ON sa.doc_id = p.a JOIN sig sb ON sb.doc_id = p.b
+    """
+
+
+@query("d4x_minhash_lsh_xxh64", oracle=None, tags=("dedup", "approx", "bench"))
+def d4x_minhash_lsh_xxh64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The xxhash64 PRODUCTION MinHash+LSH pipeline (the computation
+    BENCH_r01–r03 measured under the name d4_minhash_lsh; renamed when d4
+    switched to the md5-twin hash to gain a value oracle). Rows-only by
+    nature — xxhash64 has no DuckDB twin — and kept out of the gate's
+    rotation window; semantics pinned by tests/test_dedup_semantics.py."""
     documents = load_tables(spark, sf_dir, "documents")
-    # signatures feed three plan branches (banding + both sides of the
-    # jaccard join); localCheckpoint materializes the shingle pass exactly
-    # once (cache() raced the three branches — unstable timings measured)
     sigs = minhash_signatures(documents).localCheckpoint()
     pairs = lsh_candidate_pairs(sigs)
     return minhash_jaccard(sigs, pairs)
 
 
-@query("d5_simhash", oracle=None, tags=("dedup", "approx"))
-def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only: xxhash64-dependent)."""
+@query("d4_minhash_lsh", oracle=_D4_ORACLE, tags=("dedup", "approx"))
+def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) → LSH(8 bands × 4 rows) candidate pairs with estimated
+    Jaccard, run with the md5-twin hash so DuckDB can replay every stage
+    (same estimator as the xxhash64 production default — MinHash is
+    hash-agnostic given a total order). Recall semantics are additionally
+    pinned by tests/test_dedup_semantics.py against d3's exact pairs."""
     documents = load_tables(spark, sf_dir, "documents")
-    return simhash(documents)
+    # signatures feed three plan branches (banding + both sides of the
+    # jaccard join); localCheckpoint materializes the shingle pass exactly
+    # once (cache() raced the three branches — unstable timings measured)
+    sigs = minhash_signatures(documents, hash_fn="md5").localCheckpoint()
+    pairs = lsh_candidate_pairs(sigs, hash_fn="md5")
+    return minhash_jaccard(sigs, pairs)
+
+
+# --- d5 oracle: md5-twin SimHash ------------------------------------------
+# SimHash needs an arbitrary-but-fixed 64-bit hash per token; the md5 twin
+# takes bit b%4 of hex nibble b//4 (conv() in Spark, strpos() in DuckDB —
+# identical values on lowercase hex). Sign-aggregate and bit-pack are plain
+# integer math both engines replay exactly. Bit 63 packs as the min-long
+# literal: DuckDB raises on 1::BIGINT << 63, and adding disjoint powers
+# equals Spark's bitwiseOR pack (two's complement for the sign bit).
+_D5_NIBBLES = ",\n             ".join(
+    f"strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1 AS n{i}"
+    for i in range(16)
+)
+_D5_SUMS = ",\n             ".join(
+    f"sum(CASE WHEN ((n{b // 4} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(64)
+)
+_D5_PACK = "\n           + ".join(
+    f"CASE WHEN b{b} > 0 THEN "
+    + (f"CAST(1 AS BIGINT) << {b}" if b < 63 else "CAST(-9223372036854775808 AS BIGINT)")
+    + " ELSE CAST(0 AS BIGINT) END"
+    for b in range(64)
+)
+_D5_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(t) AS tok FROM toks
+    ), nib AS (
+      SELECT doc_id, {_D5_NIBBLES}
+      FROM (SELECT doc_id, md5(tok) AS hx FROM tok)
+    ), bs AS (
+      SELECT doc_id, {_D5_SUMS}
+      FROM nib GROUP BY doc_id
+    )
+    SELECT doc_id, ({_D5_PACK}) AS simhash FROM bs
+    """
+
+
+@query("d5_simhash", oracle=_D5_ORACLE, tags=("dedup", "approx"))
+def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document, md5-twin bit assignment so DuckDB
+    replays the full sign-aggregate + bit-pack (see _D5_ORACLE). The
+    xxhash64 production default is pinned by distance tests instead."""
+    documents = load_tables(spark, sf_dir, "documents")
+    return simhash(documents, hash_fn="md5")
 
 
 @query(
@@ -221,12 +317,70 @@ def d9_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(docs, chunk_tokens=10)
 
 
-@query("g2_pagerank", oracle=None, tags=("graph", "iterative"))
+# --- g2 oracle: unrolled fixed-iteration PageRank -------------------------
+# The g2 edge list is SYMMETRIZED (every near-dup pair contributes both
+# orientations), so every node has out-edges and the dangling term is
+# exactly 0.0 on both engines — the one scale-dependent scalar drops out
+# and the remaining per-iteration math (rank/out_deg shipped along edges,
+# summed per dst, damped) is replayable as an unrolled CTE chain. in_mass
+# sums run over a node's near-dup neighbors (small in-degree), so float
+# summation-order skew is far below the 1e-6 rounding grain.
+_G2_PAIRS = """
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
+        FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 3
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT a, b FROM inter
+        JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.5
+"""
+_G2_ITERS = "".join(
+    f""", r{it} AS (
+      SELECT n.node,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * coalesce(m.in_mass, 0.0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / d.out_deg) AS in_mass
+        FROM edges e JOIN r{it - 1} r ON e.src = r.node
+                     JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) m ON m.node = n.node
+    )"""
+    for it in range(1, 6)
+)
+_G2_ORACLE = f"""
+    WITH pairs AS ({_G2_PAIRS}
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), deg AS (
+      SELECT src, count(*) AS out_deg FROM edges GROUP BY src
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+    ){_G2_ITERS}
+    SELECT node, round(rank, 6) AS rank_r FROM r5
+    """
+
+
+@query("g2_pagerank", oracle=_G2_ORACLE, tags=("graph", "iterative"))
 def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the near-dup pair graph (which documents
-    sit at the center of duplicate clusters). Float summation order makes
-    a cross-engine value hash inappropriate → rows-only driver check;
-    the analytic small-graph test pins the math
+    sit at the center of duplicate clusters). Fixed 5-iteration run;
+    the symmetrized edge list has zero dangling mass, so the oracle
+    replays the iterations exactly (see _G2_ORACLE above); the analytic
+    small-graph test additionally pins the math
     (operators/graph.pagerank)."""
     from fhir_etl_spark.operators.graph import pagerank
 

@@ -67,10 +67,61 @@ def v3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(embeddings, threshold=0.55)
 
 
-@query("v4_ivf_topk", oracle=None, tags=("similarity", "approx"))
+# --- v4 oracle: IVF probe replayed in DuckDB ------------------------------
+# Every stage of ivf_topk is deterministic: centroids are the first 16
+# corpus rows by id (normalized), assignment is argmax of the ROUNDED
+# normalized dot (ties → larger list_id, mirroring the reverse-struct-sort
+# in operators/similarity.nearest_lists), queries probe their 2 best lists.
+# All of it is list math DuckDB replays; similarity rounds to 6 decimals
+# before every comparison so float summation-order skew (~1e-15) cannot
+# reorder either engine. Recall < 1 by design — but the RESULT is exact.
+_V4_ORACLE = f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ), ncent AS (
+      SELECT list_id,
+             list_transform(cvec, x -> x / (CASE WHEN sqrt(list_sum(list_transform(cvec, y -> y * y))) = 0.0
+                                            THEN 1.0 ELSE sqrt(list_sum(list_transform(cvec, y -> y * y))) END)) AS ncvec
+      FROM cent
+    ), corpus_sims AS (
+      SELECT e.vec_id, e.embedding, n.list_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), n.ncvec), 6) AS csim
+      FROM embeddings e CROSS JOIN ncent n
+    ), assigned AS (
+      SELECT vec_id, embedding, list_id AS _list FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, list_id DESC) AS rn
+        FROM corpus_sims
+      ) WHERE rn = 1
+    ), probed AS (
+      SELECT vec_id AS query_id, embedding AS qvec, list_id AS _list FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, list_id DESC) AS rn
+        FROM corpus_sims WHERE vec_id IN {_QUERY_IDS}
+      ) WHERE rn <= 2
+    ), scored AS (
+      SELECT p.query_id, a.vec_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(p.qvec AS DOUBLE[])), 6) AS sim
+      FROM assigned a JOIN probed p ON a._list = p._list
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("v4_ivf_topk", oracle=_V4_ORACLE, tags=("similarity", "approx"))
 def v4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-5 (rows-only: recall < 1 by design;
-    tests pin self-match and probe behavior)."""
+    """IVF-bucketed approximate top-5. Recall < 1 by design, but centroid
+    pick, assignment, and probing are all deterministic rounded math, so
+    the oracle replays them exactly (see _V4_ORACLE); tests additionally
+    pin self-match and probe behavior."""
     from fhir_etl_spark.operators.similarity import ivf_topk
 
     embeddings = load_tables(spark, sf_dir, "embeddings")
@@ -80,10 +131,106 @@ def v4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embeddings, queries, k=5)
 
 
-@query("v2_lsh_topk", oracle=None, tags=("similarity", "approx"))
+# --- v2 oracle: hyperplane signatures replayed in DuckDB ------------------
+# The LSH signature is deterministic math, not a black-box hash: bit i is
+# sign(vec · plane_i) with the planes seeded literals (random_hyperplanes
+# seed=42). DuckDB replays the same dot products with list_dot_product over
+# the same literal plane arrays, so bucket membership — and therefore the
+# approximate result set — is value-oracled end to end. repr() round-trips
+# each plane coefficient exactly; a sign flip would need |dot| below float
+# summation-order skew (~1e-15 against O(1) magnitudes) — verified across
+# all three SFs by tools/vanilla_sweep.py.
+def _v2_oracle() -> str:
+    from fhir_etl_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim=64, n_planes=8, seed=42)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{lits}]) >= 0.0"
+        " THEN {pow} ELSE 0 END)".format(
+            lits=", ".join(repr(x) for x in plane), pow=1 << i
+        )
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding, ({bits}) AS sig FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, sig
+      FROM sigs WHERE vec_id IN {_QUERY_IDS}
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(q.qvec AS DOUBLE[])), 6) AS sim
+      FROM sigs c JOIN q ON c.sig = q.sig
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+# --- v5 oracle: banded-LSH near-dup pairs replayed in DuckDB --------------
+# Same signature-replay trick as _v2_oracle, once per band (independent
+# plane sets, seeds 42+b): candidates are exactly the (band, sig)-equal
+# bucket mates, scored with rounded cosine, distinct across bands.
+def _v5_oracle(n_planes: int = 6, n_bands: int = 4, seed: int = 42,
+               threshold: float = 0.4) -> str:
+    from fhir_etl_spark.operators.similarity import random_hyperplanes
+
+    def sig_expr(planes: list[list[float]]) -> str:
+        return " + ".join(
+            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{lits}]) >= 0.0"
+            " THEN {pow} ELSE 0 END)".format(
+                lits=", ".join(repr(x) for x in plane), pow=1 << i
+            )
+            for i, plane in enumerate(planes)
+        )
+
+    banded = "\n      UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band,"
+        f" ({sig_expr(random_hyperplanes(64, n_planes, seed + b))}) AS sig"
+        " FROM embeddings"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH banded AS (
+      {banded}
+    )
+    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+           round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                        CAST(y.embedding AS DOUBLE[])), 6) AS sim
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
+    WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                       CAST(y.embedding AS DOUBLE[])), 6) >= {threshold}
+    """
+
+
+@query("v5_lsh_bucketed_neardup", oracle=_v5_oracle(), tags=("similarity", "dedup"))
+def v5_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale embedding near-dup: banded hyperplane LSH buckets the
+    corpus (4 independent 6-plane bands), brute-force cosine runs only
+    inside (band, signature)-equal buckets. The synthetic embeddings have
+    no planted near-dups, so the threshold (0.4) sits in the occupied
+    tail of the sim distribution; recall-vs-brute-force on PLANTED dups
+    is pinned by tests/test_scale_paths.py."""
+    from fhir_etl_spark.operators.similarity import lsh_bucketed_neardup
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    return lsh_bucketed_neardup(
+        embeddings, threshold=0.4, n_planes=6, n_bands=4, dim=64
+    )
+
+
+@query("v2_lsh_topk", oracle=_v2_oracle(), tags=("similarity", "approx"))
 def v2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed approximate top-5 (rows-only: recall < 1 by
-    design; tests assert the self-match and bucket behavior)."""
+    """Hyperplane-LSH bucketed approximate top-5. Recall < 1 by design,
+    but the RESULT is deterministic (seeded literal planes), so the oracle
+    replays the signature math in DuckDB (see _v2_oracle); tests assert
+    the self-match and bucket behavior."""
     embeddings = load_tables(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -23,8 +23,6 @@ Usage:
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
@@ -76,6 +74,13 @@ class ParquetReplayStreamReader(DataSourceStreamReader):
         return {"row": nxt}
 
     def partitions(self, start: dict, end: dict):
+        # Restart safety lives HERE (and in commit), not in offset
+        # (de)serialization: pyspark 4.1's runner json-encodes offsets
+        # itself and never calls back into the reader for it. After a
+        # restart the engine replays the checkpointed range through
+        # partitions()/commit(), whose _bump seeds the high-water mark, so
+        # latestOffset can never fall behind the offset log (pinned by the
+        # mid-stream AND fully-committed restart tests in test_sources).
         self._bump(start["row"], end["row"])
         lo, hi = start["row"], end["row"]
         if hi <= lo:
@@ -121,17 +126,9 @@ class ParquetReplayStreamReader(DataSourceStreamReader):
         return iter(rows_out)
 
     def commit(self, end: dict) -> None:
+        # see partitions(): the _bump here is the other half of the
+        # restart-safety contract
         self._bump(end["row"])
-
-    # offset (de)serialization for the checkpoint log; deserialization is
-    # the restart signal — the checkpointed offset seeds the high-water
-    def serializeOffset(self, offset: dict) -> str:
-        return json.dumps(offset)
-
-    def deserializeOffset(self, raw: str) -> dict:
-        offset = json.loads(raw)
-        self._bump(offset["row"])
-        return offset
 
 
 class ParquetReplayDataSource(DataSource):

@@ -9,9 +9,12 @@ pages in parallel with per-request retry/backoff.
 Two transports, chosen by option:
 - ``fixture_dir``: staged page files ``page_<n>.json`` (offline tests and
   the bronze-staging deployment mode)
-- ``endpoint``: live HTTP via urllib (stdlib; per-page retries), with
+- ``endpoint``: live HTTP via urllib (stdlib; per-page retries with
+  exponential backoff — ``retries``/``backoff_s`` options), with
   ``paging_info.numberOfPages`` discovered from page 0 at planning time —
-  exactly the reference's discovery step, minus the serial loop.
+  exactly the reference's discovery step, minus the serial loop. The
+  retry/backoff/pagination-boundary behavior is pinned offline by a
+  localhost flaky-server fixture (tests/test_sources.py).
 
 Usage:
     spark.dataSource.register(PaginatedRestDataSource)
@@ -60,6 +63,8 @@ class PaginatedRestReader(DataSourceReader):
         self.dataset_id = options.get("dataset_id", "gtex_v10")
         self.items_per_page = int(options.get("items_per_page", "100"))
         self.pages_per_partition = int(options.get("pages_per_partition", "8"))
+        self.retries = int(options.get("retries", "3"))
+        self.backoff_s = float(options.get("backoff_s", "1.0"))
         if not self.fixture_dir and not self.endpoint:
             raise ValueError("paginated_rest requires fixture_dir or endpoint")
 
@@ -71,6 +76,8 @@ class PaginatedRestReader(DataSourceReader):
         first = _fetch_http(
             self.endpoint,
             {"datasetId": self.dataset_id, "itemsPerPage": self.items_per_page, "page": 0},
+            retries=self.retries,
+            backoff=self.backoff_s,
         )
         return int(first["paging_info"]["numberOfPages"])
 
@@ -92,6 +99,8 @@ class PaginatedRestReader(DataSourceReader):
                 "itemsPerPage": self.items_per_page,
                 "page": page,
             },
+            retries=self.retries,
+            backoff=self.backoff_s,
         )
         return resp["data"]
 

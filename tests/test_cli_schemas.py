@@ -202,3 +202,21 @@ def test_cli_compact_and_zorder(spark, sf_dir, tmp_path):
         "--cols", "l_partkey,l_suppkey", "--partitions", "8",
     ]) == 0
     assert spark.read.parquet(dest_z).count() == spark.read.parquet(src).count()
+
+
+def test_cli_compact_zorder_reject_in_place_rewrite(tmp_path):
+    """compact/zorder overwrite --dest while lazily reading --src: the
+    same (normalized) path for both would delete the source mid-read, so
+    the CLI must refuse before any Spark work starts."""
+    import pytest
+
+    from fhir_etl_spark import cli
+
+    src = str(tmp_path / "data")
+    alias = str(tmp_path / "x" / ".." / "data")  # same path, unnormalized
+    for argv in (
+        ["compact", "--src", src, "--dest", src],
+        ["zorder", "--src", src, "--dest", alias, "--cols", "a"],
+    ):
+        with pytest.raises(SystemExit, match="must differ"):
+            cli.main(argv)

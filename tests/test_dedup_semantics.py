@@ -140,6 +140,91 @@ def test_ivf_topk_self_match_and_recall(spark, sf_dir):
     assert set(by_query) == {1, 2, 3}
 
 
+def test_md5_twin_minhash_same_semantics(docs):
+    """The md5-twin hash (the d4 oracle path) is the same estimator as the
+    xxhash64 default: exact dups collide with jaccard_est 1.0, near-dups
+    are caught by banding, unrelated docs stay apart."""
+    sigs = minhash_signatures(docs, hash_fn="md5")
+    pairs = lsh_candidate_pairs(sigs, hash_fn="md5")
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (5, 6) not in got
+    est = {
+        (r["a"], r["b"]): r["jaccard_est"]
+        for r in minhash_jaccard(sigs, pairs).collect()
+    }
+    assert est[(1, 2)] == 1.0
+
+
+def test_md5_twin_simhash_distance(docs):
+    """md5-twin SimHash (the d5 oracle path) preserves the distance
+    ordering the xxhash64 default promises."""
+    sh = simhash(docs, hash_fn="md5")
+    dist = {
+        (r["a"], r["b"]): r["d"]
+        for r in sh.alias("x")
+        .crossJoin(sh.alias("y"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            hamming64(F.col("x.simhash"), F.col("y.simhash")).alias("d"),
+        )
+        .collect()
+    }
+    assert dist[(1, 2)] == 0
+    assert dist[(1, 3)] < dist[(1, 5)]
+
+
+@pytest.fixture(scope="module")
+def planted_corpus(spark):
+    """200 16-dim vectors: 50 bases each with a high-cosine perturbed copy
+    (planted near-dups), plus 100 unrelated vectors. Seeded → deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for _ in range(50):
+        base = rng.normal(size=16)
+        noise = rng.normal(size=16) * 0.05
+        rows.append((vid, [float(x) for x in base]))
+        rows.append((vid + 1, [float(x) for x in base + noise]))
+        vid += 2
+    for _ in range(100):
+        rows.append((vid, [float(x) for x in rng.normal(size=16)]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_bucketed_neardup_recall_vs_brute_force(planted_corpus):
+    """The composed scale path (lsh_bucketed_neardup) must (a) return a
+    SUBSET of the brute-force pairs — bucketing can only prune, never
+    invent — and (b) recover most planted high-cosine pairs: per-band
+    collision at cos 0.95 is (1 − θ/π)^8 ≈ 0.42, so 6 bands give
+    1 − (1 − 0.42)^6 ≈ 0.96 expected recall."""
+    from fhir_etl_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        lsh_bucketed_neardup,
+    )
+
+    brute = {
+        (r["a"], r["b"]): r["sim"]
+        for r in embedding_neardup_pairs(planted_corpus, threshold=0.95).collect()
+    }
+    assert len(brute) >= 40  # the planted pairs are actually there
+    bucketed = {
+        (r["a"], r["b"]): r["sim"]
+        for r in lsh_bucketed_neardup(
+            planted_corpus, threshold=0.95, n_planes=8, n_bands=6, dim=16
+        ).collect()
+    }
+    assert set(bucketed) <= set(brute)
+    for pair, sim in bucketed.items():
+        assert sim == brute[pair]  # identical rounded cosine per pair
+    recall = len(bucketed) / len(brute)
+    assert recall >= 0.7, f"recall {recall:.2f} below floor"
+
+
 def test_chunk_dedup_keeps_earliest_copy_only(spark):
     from fhir_etl_spark.operators.dedup import chunk_dedup
 

@@ -97,6 +97,18 @@ def test_zorder_handles_constant_and_null_columns(spark, bits):
     assert got[0] == 100 and got[1] >= 0
 
 
+def test_zorder_rejects_curve_overflowing_bigint(spark):
+    """bits × len(cols) > 63 would interleave into (or past) the BIGINT
+    sign bit, silently corrupting the curve order — must raise instead."""
+    df = spark.range(10).select(
+        *[(F.col("id") * i).alias(f"c{i}") for i in range(8)]
+    )
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(df, [f"c{i}" for i in range(8)], bits=8)  # 64 bits
+    # 7 cols × 8 bits = 56 still fine
+    assert zorder_key(df, [f"c{i}" for i in range(7)], bits=8).count() == 10
+
+
 def test_dynamic_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     """Hive-partitioned layout + a filtered dim join plans a dynamic
     partition pruning subquery: only matching partitions are scanned —

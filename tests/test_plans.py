@@ -132,6 +132,29 @@ def test_ann_plans_have_no_unpartitioned_window(spark):
             assert ", [], [" not in m.group(1), f"{name}: un-partitioned Window\n{plan}"
 
 
+def test_lsh_bucketed_neardup_join_is_equi_not_nested_loop(spark):
+    """The scale contract of lsh_bucketed_neardup: candidate pairs form
+    ONLY inside (band, sig)-equal buckets — the join must plan as an
+    equi-join (hash or sort-merge on the signature), never the
+    all-pairs nested loop that embedding_neardup_pairs (the in-bucket
+    verifier) legitimately uses."""
+    from fhir_etl_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        lsh_bucketed_neardup,
+    )
+    from fhir_etl_spark.session import load_tables
+
+    emb = load_tables(spark, SF, "embeddings")
+    plan = formatted_plan(
+        spark, lsh_bucketed_neardup(emb, threshold=0.4, n_planes=6, n_bands=4, dim=64)
+    )
+    assert "NestedLoop" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+    # ...whereas the raw brute-force tier IS the theta join (documented)
+    brute_plan = formatted_plan(spark, embedding_neardup_pairs(emb, threshold=0.4))
+    assert "BroadcastNestedLoopJoin" in brute_plan
+
+
 def test_no_broadcast_hints_on_scaling_tables():
     """`F.broadcast()` is only allowed on inputs whose size is BOUNDED
     regardless of SF: fixed-cardinality dims (nation/region), 1-row scalar

@@ -126,6 +126,32 @@ def test_merge_into_row_fates(spark):
     assert got2 == {1: "a", 2: "b", 3: "c", 4: "d", 5: "DEL"}
 
 
+def test_merge_into_duplicate_source_keys(spark):
+    """Duplicate source keys multiply matched target rows through the
+    full-outer join (the documented precondition);
+    validate_unique_source_keys=True turns that into a loud in-plan
+    failure, mirroring Delta's multiple-match error."""
+    import pytest
+
+    from fhir_etl_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    dup_source = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
+    with pytest.raises(Exception, match="duplicate source rows|ASSERT"):
+        merge_into(
+            target, dup_source, on="k", validate_unique_source_keys=True
+        ).collect()
+    # unique keys pass through the validation unchanged
+    ok_source = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    got = {
+        r["k"]: r["v"]
+        for r in merge_into(
+            target, ok_source, on="k", validate_unique_source_keys=True
+        ).collect()
+    }
+    assert got == {1: "x", 2: "y"}
+
+
 def test_pagerank_analytic_small_graph(spark):
     """3-node cycle → uniform 1/3 regardless of damping; star graph →
     ranks match a plain-Python twin to 1e-9 (deterministic per-node sums

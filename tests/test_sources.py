@@ -44,6 +44,97 @@ def test_rest_requires_source(registered):
         registered.read.format("paginated_rest").load().collect()
 
 
+@pytest.fixture()
+def flaky_rest_server():
+    """Localhost HTTP server speaking the paginated-REST shape, failing the
+    first ``fail_first`` requests PER URL with a 500 before succeeding —
+    the offline twin of the live-endpoint path the sandbox can't reach."""
+    import http.server
+    import threading
+    from urllib.parse import parse_qs, urlparse
+
+    state = {"fail_first": 0, "pages": 3, "items": 2, "counts": {}, "log": []}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            q = parse_qs(urlparse(self.path).query)
+            page = int(q.get("page", ["0"])[0])
+            with lock:
+                state["log"].append(page)
+                n = state["counts"].get(self.path, 0)
+                state["counts"][self.path] = n + 1
+            if n < state["fail_first"]:
+                self.send_response(500)
+                self.end_headers()
+                return
+            body = json.dumps(
+                {
+                    "data": [
+                        {"subjectId": f"S-{page}-{i}", "sex": "male",
+                         "ageBracket": "50-59", "hardyScale": None}
+                        for i in range(state["items"])
+                    ],
+                    "paging_info": {"numberOfPages": state["pages"]},
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # silence per-request stderr noise
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}/api", state
+    finally:
+        srv.shutdown()
+
+
+def test_rest_live_endpoint_retries_through_transient_failures(
+    registered, flaky_rest_server
+):
+    """Every request (page discovery AND data pages) fails twice with a 500
+    before succeeding; with retries=3 the full read must still deliver
+    every row exactly once. Pins the backoff/retry path that staged
+    fixtures never execute."""
+    endpoint, state = flaky_rest_server
+    state["fail_first"] = 2
+    df = (
+        registered.read.format("paginated_rest")
+        .option("endpoint", endpoint)
+        .option("items_per_page", str(state["items"]))
+        .option("pages_per_partition", "2")
+        .option("retries", "3")
+        .option("backoff_s", "0.05")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == state["pages"] * state["items"]
+    assert {r["subjectId"] for r in rows} == {
+        f"S-{p}-{i}" for p in range(state["pages"]) for i in range(state["items"])
+    }
+    # pagination boundary: pages requested are exactly 0..numberOfPages-1
+    assert set(state["log"]) == set(range(state["pages"]))
+
+
+def test_rest_retry_exhaustion_raises(flaky_rest_server):
+    """A server that NEVER recovers must surface ConnectionError after
+    exactly `retries` attempts — not hang, not return partial data."""
+    from fhir_etl_spark.sources.rest import _fetch_http
+
+    endpoint, state = flaky_rest_server
+    state["fail_first"] = 10**9
+    with pytest.raises(ConnectionError, match="failed after 2 retries"):
+        _fetch_http(endpoint, {"page": 0}, retries=2, backoff=0.01)
+    assert sum(state["counts"].values()) == 2  # attempt count honored
+
+
 def test_ftp_listing_fixture(registered, tmp_path_factory):
     staged = tmp_path_factory.mktemp("ftp")
     listing = {
@@ -208,6 +299,70 @@ def test_parquet_replay_restart_exactly_once(spark, sf_dir, tmp_path):
         dup = (
             spark.read.parquet(out)
             .groupBy("n_nationkey")
+            .count()
+            .filter("count > 1")
+            .count()
+        )
+        assert dup == 0
+    finally:
+        q2.stop()
+
+
+def test_parquet_replay_fully_committed_restart_no_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """Run the replay table TO COMPLETION, then restart from the same
+    checkpoint: a fresh reader must seed its high-water mark from the
+    replayed partitions()/commit() calls (the restart-safety contract
+    documented on those methods) and emit ZERO additional rows — a
+    latestOffset falling behind the offset log here would re-deliver the
+    whole table."""
+    import time
+
+    from fhir_etl_spark.sources.replay import ParquetReplayDataSource
+
+    spark.dataSource.register(ParquetReplayDataSource)
+    path = f"{sf_dir}/region.parquet"
+    expected = spark.read.parquet(path).count()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        return (
+            spark.readStream.format("parquet_replay")
+            .option("path", path)
+            .option("rows_per_batch", 2)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+
+    def rows_out() -> int:
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q = start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and rows_out() < expected:
+            time.sleep(0.3)
+        assert rows_out() == expected
+    finally:
+        q.stop()
+
+    # restart after full commit: give it a few triggers, expect no growth
+    q2 = start()
+    try:
+        time.sleep(3)
+        assert rows_out() == expected, "fully-committed restart re-emitted rows"
+        dup = (
+            spark.read.parquet(out)
+            .groupBy("r_regionkey")
             .count()
             .filter("count > 1")
             .count()
