@@ -73,11 +73,12 @@ COVERAGE_ROTATION = [
     "y1_zorder_curve",
     "e3_sessionization",
     "d4_minhash_lsh", "d5_simhash", "g2_pagerank",
+    # round-4 codec tier: real PNG/WAV/GIF decode, formula-replayable oracles
+    "m2_image_decode", "m3_audio_decode", "m4_gif_frame_sample",
     # padding to the full 50: oldest driver evidence (r01), re-verified
     "p1_fhirize_projection", "a4_cube", "a6_grouping_sets",
     "j3_semi_join_normalized_key", "j6_full_outer_join", "j8_theta_join",
-    "f4_mdtm_parse", "f9_numeric_coercion", "n5b_posexplode",
-    "n6_double_explode", "n7_array_functions", "n8_struct_roundtrip",
+    "n5b_posexplode", "n6_double_explode", "n8_struct_roundtrip",
     "e4_event_funnel", "d8_contamination",
 ]
 

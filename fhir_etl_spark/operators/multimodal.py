@@ -1,18 +1,24 @@
 """Multimodal column plumbing (north-star per BASELINE.json).
 
 Images/audio/video ride through the engine as opaque ``binary`` columns
-with a typed metadata struct alongside. The Spark-side plumbing — schema,
-partition sizing, Arrow batch shape through mapInPandas — is real and
-tested; the actual codec work is stubbed behind import-tries because the
-decode libraries (PIL/av/soundfile) are not in this container.
+with a typed metadata struct alongside. Everything below runs without
+PIL/av/soundfile (absent from this container):
 
-What IS implemented without external libs (deterministic, content-based):
 - magic-number sniffing (PNG/JPEG/GIF/RIFF-WAV/MP4) from the binary prefix
 - header dimension parses: PNG IHDR, JPEG SOF marker walk, GIF logical
   screen descriptor (width/height/bit-depth, pure byte parsing)
 - WAV RIFF chunk walk: sample rate / channels / bits / duration from the
   ``fmt `` and ``data`` chunks
 - content digest + byte length as stable features
+- REAL PNG decode + resize + re-encode (pure numpy+zlib codec,
+  functions/png.py) — ``decode_image`` / ``resize_image``
+- REAL WAV PCM decode to normalized float32 — ``decode_audio``
+- REAL animated-GIF frame sampling (container-level re-wrap, no LZW
+  decode needed) — ``split_gif_frames``
+
+Still codec-gated (NotImplementedError): JPEG pixel decode (needs a DCT
+codec) and mp4/webm demuxing (needs av/ffmpeg); per-row failures in the
+decode operators land in an ``error`` field rather than failing the job.
 
 Scale notes: binary payloads dominate row size — the operators below keep
 them out of shuffles (metadata extraction is a projection; grouping happens
@@ -213,19 +219,69 @@ def extract_media_meta(
     return df.mapInPandas(batches, out_schema)
 
 
-def decode_image(df: DataFrame, bytes_col: str = "media") -> DataFrame:
-    """Decode to pixel arrays. STUB: requires an image codec library that is
-    not in this container. The Spark plumbing (schema + batching) is what
-    the engine provides; swap the inner function when PIL is available."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decode requires Pillow (not in this environment); "
-            "use extract_media_meta for codec-free metadata, or "
-            "fake_image_features for deterministic testing"
-        ) from exc
-    raise NotImplementedError("wire PIL decode here when the dependency lands")
+PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        # row-major H×W×C uint8 — binary, NOT array<array<...>>: a 256×256
+        # RGB image is one 196 KB buffer instead of ~200k boxed ints, and
+        # Arrow moves it zero-copy
+        T.StructField("pixels", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_image(
+    df: DataFrame, bytes_col: str = "media", out_col: str = "image"
+) -> DataFrame:
+    """Decode PNG binary columns to raw pixel buffers via the engine's pure
+    numpy+zlib codec (functions/png.py — no PIL needed). Output struct:
+    (height, width, channels, pixels: binary row-major uint8, error).
+
+    Per-image failures (JPEG/GIF/video bytes, corrupt files) land in the
+    ``error`` field instead of failing the batch — at corpus scale a
+    decode job must survive bad files. JPEG decode needs a DCT codec
+    (libjpeg/PIL, absent here); those rows report
+    ``unsupported: image/jpeg``.
+    """
+    from fhir_etl_spark.functions.png import decode_png
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, PIXELS_SCHEMA)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for data in pdf[bytes_col]:
+                if data is None:
+                    out.append(None)
+                    continue
+                raw = bytes(data)
+                if not raw.startswith(b"\x89PNG"):
+                    mime = sniff_mime(raw)
+                    out.append(
+                        {"height": None, "width": None, "channels": None,
+                         "pixels": None, "error": f"unsupported: {mime}"}
+                    )
+                    continue
+                try:
+                    arr = decode_png(raw)
+                    out.append(
+                        {"height": arr.shape[0], "width": arr.shape[1],
+                         "channels": arr.shape[2], "pixels": arr.tobytes(),
+                         "error": None}
+                    )
+                except Exception as exc:  # corrupt file → row-level error
+                    out.append(
+                        {"height": None, "width": None, "channels": None,
+                         "pixels": None, "error": str(exc)[:200]}
+                    )
+            pdf = pdf.reset_index(drop=True)
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
 
 
 def fake_image_features(
@@ -260,16 +316,231 @@ def fake_image_features(
     return df.mapInPandas(batches, out_schema)
 
 
-def resize_image(df: DataFrame, width: int, height: int, bytes_col: str = "media") -> DataFrame:
-    """STUB: codec-dependent (see decode_image)."""
-    raise NotImplementedError(
-        "resize requires an image codec; plumbing contract: binary in, "
-        "binary out, metadata width/height updated"
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    bytes_col: str = "media",
+    method: str = "bilinear",
+) -> DataFrame:
+    """Binary in, binary out: PNG → decode → numpy resample (bilinear or
+    nearest) → re-encode PNG. Non-PNG / corrupt rows pass through with
+    ``{bytes_col}_resize_error`` set (same survive-bad-files contract as
+    decode_image). Map-only: no shuffle, scales linearly with rows."""
+    from fhir_etl_spark.functions.png import (
+        decode_png,
+        encode_png,
+        resize_bilinear,
+        resize_nearest,
     )
+
+    if method not in ("bilinear", "nearest"):
+        raise ValueError(f"method must be bilinear|nearest, got {method!r}")
+    resample = resize_bilinear if method == "bilinear" else resize_nearest
+    err_col = f"{bytes_col}_resize_error"
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(err_col, T.StringType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            new_bytes, errs = [], []
+            for data in pdf[bytes_col]:
+                if data is None:
+                    new_bytes.append(None)
+                    errs.append(None)
+                    continue
+                raw = bytes(data)
+                if not raw.startswith(b"\x89PNG"):
+                    new_bytes.append(raw)  # pass through unchanged
+                    errs.append(f"unsupported: {sniff_mime(raw)}")
+                    continue
+                try:
+                    arr = decode_png(raw)
+                    new_bytes.append(encode_png(resample(arr, width, height)))
+                    errs.append(None)
+                except Exception as exc:
+                    new_bytes.append(raw)
+                    errs.append(str(exc)[:200])
+            pdf = pdf.reset_index(drop=True)
+            pdf[bytes_col] = new_bytes
+            pdf[err_col] = errs
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        # interleaved float32 in [-1, 1], one value per channel per frame —
+        # binary for the same Arrow zero-copy reason as PIXELS_SCHEMA
+        T.StructField("samples", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame, bytes_col: str = "media", out_col: str = "audio"
+) -> DataFrame:
+    """RIFF/WAV PCM decode (stdlib struct + numpy frombuffer — no codec
+    lib): 8/16/32-bit integer PCM and 32-bit float → normalized float32
+    interleaved frames. Non-WAV / compressed-WAV rows get ``error``."""
+    import numpy as np
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, AUDIO_SCHEMA)])
+
+    def _decode(raw: bytes) -> dict:
+        if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+            return {"sample_rate": None, "channels": None, "n_samples": None,
+                    "samples": None, "error": f"unsupported: {sniff_mime(raw)}"}
+        fmt_code = channels = rate = bits = None
+        payload = None
+        i, n = 12, len(raw)
+        while i + 8 <= n:
+            cid = raw[i : i + 4]
+            size = _struct.unpack("<I", raw[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 24 <= n:
+                fmt_code, channels, rate = _struct.unpack(
+                    "<HHI", raw[i + 8 : i + 16]
+                )
+                bits = _struct.unpack("<H", raw[i + 22 : i + 24])[0]
+            elif cid == b"data":
+                payload = raw[i + 8 : i + 8 + size]
+            i += 8 + size + (size & 1)
+        if fmt_code is None or payload is None:
+            return {"sample_rate": None, "channels": None, "n_samples": None,
+                    "samples": None, "error": "missing fmt/data chunk"}
+        try:
+            if fmt_code == 1 and bits == 16:
+                x = np.frombuffer(payload, "<i2").astype(np.float32) / 32768.0
+            elif fmt_code == 1 and bits == 8:  # 8-bit WAV PCM is unsigned
+                x = (np.frombuffer(payload, "u1").astype(np.float32) - 128.0) / 128.0
+            elif fmt_code == 1 and bits == 32:
+                x = np.frombuffer(payload, "<i4").astype(np.float32) / 2147483648.0
+            elif fmt_code == 3 and bits == 32:  # IEEE float
+                x = np.frombuffer(payload, "<f4").astype(np.float32)
+            else:
+                return {"sample_rate": rate, "channels": channels,
+                        "n_samples": None, "samples": None,
+                        "error": f"unsupported PCM: fmt={fmt_code} bits={bits}"}
+        except ValueError as exc:
+            return {"sample_rate": rate, "channels": channels, "n_samples": None,
+                    "samples": None, "error": str(exc)[:200]}
+        frames = len(x) // channels if channels else 0
+        return {"sample_rate": rate, "channels": channels,
+                "n_samples": frames, "samples": x[: frames * channels].tobytes(),
+                "error": None}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [
+                None if data is None else _decode(bytes(data))
+                for data in pdf[bytes_col]
+            ]
+            pdf = pdf.reset_index(drop=True)
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def split_gif_frames(
+    df: DataFrame, every_n: int = 1, bytes_col: str = "media", id_col: str = "id"
+) -> DataFrame:
+    """Animated-GIF frame sampling at the CONTAINER level: walk the GIF
+    block list (image descriptors, extensions, sub-block chains — pure
+    byte parsing, no LZW decode) and re-wrap every ``every_n``-th frame as
+    a standalone single-frame GIF sharing the global color table. One
+    input row → ceil(n_frames / every_n) output rows
+    (frame_index, frame: binary).
+
+    Raw frame extraction, not composition: frames that partially update
+    the canvas (disposal methods) come out as their own sub-rectangle,
+    exactly as stored. Real video (mp4/webm) needs an av/ffmpeg demuxer —
+    absent here, those rows are dropped with a counted error row
+    (frame_index = -1, frame = NULL, error set).
+    """
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def _frames(raw: bytes) -> list[bytes]:
+        if raw[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError(f"unsupported: {sniff_mime(raw)}")
+        # header (6) + logical screen descriptor (7) [+ global color table]
+        packed = raw[10]
+        gct_size = 3 * (2 << (packed & 0x07)) if packed & 0x80 else 0
+        header = raw[: 13 + gct_size]
+        i, n = 13 + gct_size, len(raw)
+        frames: list[bytes] = []
+        pending_gce = b""  # graphic control extension riding with next frame
+        while i < n:
+            b0 = raw[i]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension: label + sub-block chain
+                j = i + 2
+                while j < n and raw[j] != 0:
+                    j += 1 + raw[j]
+                j += 1  # block terminator
+                if raw[i + 1] == 0xF9:  # GCE — keep with the frame
+                    pending_gce = raw[i:j]
+                i = j
+            elif b0 == 0x2C:  # image descriptor
+                j = i + 10
+                if raw[i + 9] & 0x80:  # local color table
+                    j += 3 * (2 << (raw[i + 9] & 0x07))
+                j += 1  # LZW minimum code size byte
+                while j < n and raw[j] != 0:
+                    j += 1 + raw[j]
+                j += 1
+                frames.append(header + pending_gce + raw[i:j] + b"\x3b")
+                pending_gce = b""
+                i = j
+            else:
+                raise ValueError(f"corrupt GIF block 0x{b0:02x} at {i}")
+        return frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, blobs, errs = [], [], [], []
+            for rid, data in zip(pdf[id_col], pdf[bytes_col]):
+                if data is None:
+                    continue
+                try:
+                    for k, frame in enumerate(_frames(bytes(data))):
+                        if k % every_n == 0:
+                            ids.append(rid)
+                            idxs.append(k)
+                            blobs.append(frame)
+                            errs.append(None)
+                except ValueError as exc:
+                    ids.append(rid)
+                    idxs.append(-1)
+                    blobs.append(None)
+                    errs.append(str(exc)[:200])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_index": idxs, "frame": blobs, "error": errs}
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(batches, out_schema)
 
 
 def sample_video_frames(df: DataFrame, every_n: int = 30, bytes_col: str = "media") -> DataFrame:
-    """STUB: container parsing requires av/ffmpeg (not in this image).
-    Contract: one input row → N rows (frame_index, frame binary) via
-    mapInPandas with an exploding batch function."""
-    raise NotImplementedError("video frame sampling requires PyAV/ffmpeg")
+    """STUB: true video (mp4/webm) demuxing requires PyAV/ffmpeg (not in
+    this image). Animated-GIF frame sampling IS implemented —
+    ``split_gif_frames`` above — with the same one-row→N-rows contract
+    this operator will adopt when a demuxer lands."""
+    raise NotImplementedError(
+        "mp4/webm frame sampling requires PyAV/ffmpeg; "
+        "use split_gif_frames for animated GIFs"
+    )

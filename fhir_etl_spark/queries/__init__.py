@@ -14,6 +14,7 @@ from fhir_etl_spark.queries import (  # noqa: F401  (import = register)
     datasets,
     joins_advanced,
     layout,
+    multimodal,
     nested,
     relational,
     scd,

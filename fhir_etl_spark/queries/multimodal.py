@@ -1,0 +1,270 @@
+"""Multimodal codec inventory: value-oracled queries over the REAL decode
+tier (operators/multimodal.py + functions/png.py).
+
+The trick that makes a binary codec DuckDB-oracle-able: media is
+synthesized per ``documents.doc_id`` from a closed-form pixel/sample
+formula, round-tripped through the actual encoder+decoder inside the
+operator under test, and reduced to arithmetic statistics (pixel sums,
+amplitude sums, frame geometry) that the oracle recomputes from the same
+formula in pure SQL. A wrong unfilter / PCM scale / frame walk corrupts
+the statistic, so hash_match is a real codec check — the driver row
+covers decode_image / decode_audio / split_gif_frames, not just plumbing.
+
+Reference parity note: the reference treats media as opaque attachments
+(document_references.py:125-153, metadata only); the decode tier is a
+north-star extension for multimodal training pipelines.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fhir_etl_spark.queries.registry import query
+from fhir_etl_spark.session import load_tables
+
+_MEDIA_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+)
+
+
+def _png_media(df: DataFrame) -> DataFrame:
+    """doc_id → PNG of a (4+id%5) × (4+id%7) × 3 ramp image,
+    pixel[i] = (doc_id*7 + i) % 256, filter type id%5 (all five scanline
+    filters exercised across the corpus)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from fhir_etl_spark.functions.png import encode_png
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                h, w = 4 + doc_id % 5, 4 + doc_id % 7
+                n = h * w * 3
+                arr = ((doc_id * 7 + np.arange(n)) % 256).astype("uint8")
+                blobs.append(
+                    encode_png(arr.reshape(h, w, 3), filter_type=int(doc_id % 5))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    return df.select("doc_id").mapInPandas(batches, _MEDIA_SCHEMA)
+
+
+@query(
+    "m2_image_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS h, 4 + doc_id % 7 AS w FROM documents
+    ), px AS (
+      SELECT doc_id, h, w, unnest(range(0, h * w * 3)) AS i FROM dims
+    )
+    SELECT doc_id,
+           CAST(max(h) AS INTEGER) AS height,
+           CAST(max(w) AS INTEGER) AS width,
+           3 AS channels,
+           CAST(sum((doc_id * 7 + i) % 256) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "codec"),
+)
+def m2_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG decode, value-checked: formula image → encode_png (per-doc
+    filter type) → decode_image (the production operator) → pixel-buffer
+    statistics the oracle recomputes arithmetically. Map-only plan: two
+    Arrow-batched python stages, no shuffle."""
+    from fhir_etl_spark.operators.multimodal import decode_image
+
+    documents = load_tables(spark, sf_dir, "documents")
+    decoded = decode_image(_png_media(documents), bytes_col="media")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, img in zip(pdf["doc_id"], pdf["image"]):
+                assert img["error"] is None, f"doc {doc_id}: {img['error']}"
+                buf = np.frombuffer(img["pixels"], "uint8")
+                rows.append(
+                    (doc_id, img["height"], img["width"], img["channels"],
+                     int(buf.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "height", "width", "channels", "pixel_sum"]
+            )
+
+    return decoded.mapInPandas(stats, out_schema)
+
+
+@query(
+    "m3_audio_decode",
+    oracle="""
+    WITH spec AS (
+      SELECT doc_id,
+             CAST(8000 + doc_id % 100 AS INTEGER) AS sample_rate,
+             64 + doc_id % 32 AS n FROM documents
+    ), smp AS (
+      SELECT doc_id, sample_rate, n, unnest(range(0, n)) AS i FROM spec
+    )
+    SELECT doc_id,
+           max(sample_rate) AS sample_rate,
+           1 AS channels,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum((doc_id * 31 + i * 17) % 65536 - 32768) AS BIGINT) AS amp_sum
+    FROM smp GROUP BY doc_id
+    """,
+    tags=("multimodal", "codec"),
+)
+def m3_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV PCM16 decode, value-checked: formula samples
+    s_i = (doc_id*31 + i*17) % 65536 − 32768 → RIFF/WAV bytes →
+    decode_audio → the integer amplitudes recovered exactly (16-bit
+    values are exact in float32) and summed; the oracle replays the
+    formula. Map-only, no shuffle."""
+    from fhir_etl_spark.operators.multimodal import decode_audio
+
+    documents = load_tables(spark, sf_dir, "documents")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                n = 64 + doc_id % 32
+                rate = int(8000 + doc_id % 100)
+                x = ((doc_id * 31 + np.arange(n) * 17) % 65536 - 32768).astype("<i2")
+                pcm = x.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                body = (
+                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                blobs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    decoded = decode_audio(media, bytes_col="media")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("amp_sum", T.LongType()),
+        ]
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, a in zip(pdf["doc_id"], pdf["audio"]):
+                assert a["error"] is None, f"doc {doc_id}: {a['error']}"
+                x = np.frombuffer(a["samples"], "<f4")
+                ints = np.rint(x * 32768.0).astype("int64")  # exact for PCM16
+                rows.append(
+                    (doc_id, a["sample_rate"], a["channels"], a["n_samples"],
+                     int(ints.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channels", "n_samples", "amp_sum"],
+            )
+
+    return decoded.mapInPandas(stats, out_schema)
+
+
+@query(
+    "m4_gif_frame_sample",
+    oracle="""
+    WITH spec AS (
+      SELECT doc_id,
+             1 + doc_id % 4 AS n_frames,
+             CAST(4 + doc_id % 7 AS INTEGER) AS w,
+             CAST(4 + doc_id % 5 AS INTEGER) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, n_frames, 2)) AS INTEGER) AS frame_index,
+           w AS width, h AS height
+    FROM spec
+    """,
+    tags=("multimodal", "codec"),
+)
+def m4_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real animated-GIF container walk, value-checked: a (1 + id%4)-frame
+    GIF per doc → split_gif_frames(every_n=2) → each emitted standalone
+    frame re-parsed for geometry (gif_dimensions on the operator's own
+    output bytes). One row in → ceil(n/2) rows out; the oracle replays
+    the sampling arithmetic. Map-only."""
+    from fhir_etl_spark.operators.multimodal import (
+        gif_dimensions,
+        split_gif_frames,
+    )
+
+    documents = load_tables(spark, sf_dir, "documents")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                n_frames = 1 + doc_id % 4
+                w, h = 4 + doc_id % 7, 4 + doc_id % 5
+                gct = bytes(6)
+                gif = (
+                    b"GIF89a" + struct.pack("<HH", w, h)
+                    + bytes([0x80, 0, 0]) + gct
+                )
+                for k in range(n_frames):
+                    gif += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+                    gif += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+                    gif += b"\x02" + bytes([3, k % 256, 0x01, 0x02]) + b"\x00"
+                blobs.append(gif + b"\x3b")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    frames = split_gif_frames(media, every_n=2, bytes_col="media", id_col="doc_id")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def geom(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, idx, blob, err in zip(
+                pdf["doc_id"], pdf["frame_index"], pdf["frame"], pdf["error"]
+            ):
+                assert err is None, f"doc {doc_id}: {err}"
+                w, h, _ = gif_dimensions(bytes(blob))
+                rows.append((doc_id, idx, w, h))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_index", "width", "height"]
+            )
+
+    return frames.mapInPandas(geom, out_schema)

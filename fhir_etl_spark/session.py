@@ -19,6 +19,38 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 
 
+_SHIPPED: set[int] = set()  # SparkContext ids already carrying the package zip
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``fhir_etl_spark`` importable on Python workers regardless of
+    the driver's CWD/PYTHONPATH.
+
+    Closures passed to mapInPandas/applyInPandas unpickle module-level
+    references (and run their own ``from fhir_etl_spark...`` imports)
+    INSIDE the worker process, which does not inherit the driver's
+    ``sys.path`` mutations. The Spark-native fix is ``addPyFile`` with a
+    zip of the package: workers prepend it to their sys.path (zipimport),
+    exactly how cluster deployments ship job code. Idempotent per
+    SparkContext; the zip is rebuilt at most once per driver process.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_root = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / f"fhir_etl_spark_pkg_{os.getpid()}.zip"
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for py in sorted(pkg_root.rglob("*.py")):
+                zf.write(py, f"fhir_etl_spark/{py.relative_to(pkg_root)}")
+    sc.addPyFile(str(zip_path))
+    _SHIPPED.add(id(sc))
+
+
 def get_spark(
     app_name: str = "fhir_etl_spark",
     master: str | None = None,
@@ -77,6 +109,9 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     # DuckDB timestamps are UTC-naive. Pin it even under a caller-built
     # session (runtime-settable conf).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Every query path flows through here — ship the package so queries
+    # with Python workers survive a driver CWD outside the repo.
+    ship_package(spark)
 
     def _read(name: str):
         path = f"{sf_dir}/{name}.parquet"

@@ -70,9 +70,151 @@ def test_fake_features_feed_similarity(spark):
     assert top[0]["vec_id"] == 1 and top[0]["sim"] == 1.0  # self-match first
 
 
-def test_decode_stub_gated(spark):
+def test_video_stub_gated(spark):
+    """mp4/webm demuxing stays gated on av/ffmpeg (absent here)."""
+    from fhir_etl_spark.operators.multimodal import sample_video_frames
+
     with pytest.raises(NotImplementedError):
-        decode_image(_media_df(spark))
+        sample_video_frames(_media_df(spark))
+
+
+def _real_png(seed: int, h: int = 12, w: int = 9, ch: int = 3) -> tuple:
+    import numpy as np
+
+    from fhir_etl_spark.functions.png import encode_png
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype="uint8")
+    return arr, encode_png(arr)
+
+
+def test_decode_image_real_png(spark):
+    """Full valid PNGs (all 5 scanline filters) decode to exact pixel
+    buffers through the Arrow-batched operator; JPEG and corrupt rows get
+    row-level errors instead of failing the job."""
+    import numpy as np
+
+    from fhir_etl_spark.functions.png import encode_png
+
+    arr0, png0 = _real_png(0)
+    arr1 = np.arange(2 * 3 * 4, dtype="uint8").reshape(2, 3, 4)
+    rows = [(0, png0)]
+    rows += [(ft, encode_png(arr1, filter_type=ft)) for ft in (1, 2, 3, 4)]
+    rows += [(10, minimal_jpeg(8, 8)), (11, b"\x89PNG\r\n\x1a\ngarbage")]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = {r["id"]: r["image"] for r in decode_image(df).collect()}
+
+    assert (out[0]["height"], out[0]["width"], out[0]["channels"]) == (12, 9, 3)
+    assert bytes(out[0]["pixels"]) == arr0.tobytes()
+    for ft in (1, 2, 3, 4):  # every unfilter path, end to end
+        assert bytes(out[ft]["pixels"]) == arr1.tobytes(), f"filter {ft}"
+        assert out[ft]["error"] is None
+    assert out[10]["pixels"] is None and "image/jpeg" in out[10]["error"]
+    assert out[11]["pixels"] is None and out[11]["error"]
+
+
+def test_resize_image_real_png(spark):
+    """decode → bilinear resample → re-encode round-trips through Spark;
+    output re-decodes to the target geometry, constant images stay exact."""
+    import numpy as np
+
+    from fhir_etl_spark.functions.png import decode_png, encode_png
+    from fhir_etl_spark.operators.multimodal import resize_image
+
+    flat = np.full((10, 10, 3), 200, dtype="uint8")
+    _, noisy = _real_png(3, h=16, w=8)
+    df = spark.createDataFrame(
+        [(1, encode_png(flat)), (2, noisy), (3, minimal_jpeg(4, 4))],
+        "id long, media binary",
+    )
+    out = {r["id"]: r for r in resize_image(df, width=4, height=6).collect()}
+    r1 = decode_png(bytes(out[1]["media"]))
+    assert r1.shape == (6, 4, 3) and (r1 == 200).all()
+    assert decode_png(bytes(out[2]["media"])).shape == (6, 4, 3)
+    # non-PNG passes through unchanged, error recorded
+    assert bytes(out[3]["media"]) == minimal_jpeg(4, 4)
+    assert "unsupported" in out[3]["media_resize_error"]
+
+
+def _pcm16_wav(rate: int, channels: int, samples) -> bytes:
+    import numpy as np
+
+    x = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels, 2 * channels, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(x)) + x
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_audio_pcm(spark):
+    """16-bit PCM decodes to normalized float32 interleaved frames;
+    unsupported payloads get row-level errors."""
+    import numpy as np
+
+    from fhir_etl_spark.operators.multimodal import decode_audio
+
+    pcm = [0, 16384, -16384, 32767, -32768, 100]  # 3 stereo frames
+    df = spark.createDataFrame(
+        [(1, _pcm16_wav(8000, 2, pcm)), (2, minimal_png(4, 4))],
+        "id long, media binary",
+    )
+    out = {r["id"]: r["audio"] for r in decode_audio(df).collect()}
+    a = out[1]
+    assert (a["sample_rate"], a["channels"], a["n_samples"]) == (8000, 2, 3)
+    got = np.frombuffer(bytes(a["samples"]), "<f4")
+    want = np.array(pcm, dtype="f4") / 32768.0
+    assert np.allclose(got, want, atol=1e-7)
+    assert out[2]["samples"] is None and "unsupported" in out[2]["error"]
+
+
+def _animated_gif(n_frames: int, w: int = 4, h: int = 4) -> bytes:
+    """Hand-built n-frame GIF89a: global color table, per-frame GCE +
+    image descriptor + fake LZW sub-blocks (container parsing never
+    decodes pixel data)."""
+    gct = bytes(6)  # 2-entry color table (packed size bits = 0)
+    out = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80, 0, 0]) + gct
+    for k in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: 10cs delay
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # descriptor
+        out += b"\x02" + bytes([3, k, 0x01, 0x02]) + b"\x00"  # LZW min + 1 sub-block
+    return out + b"\x3b"
+
+
+def test_split_gif_frames(spark):
+    """Animated GIF → one standalone parseable GIF per sampled frame;
+    non-GIF rows produce a counted error row."""
+    from fhir_etl_spark.operators.multimodal import gif_dimensions, split_gif_frames
+
+    df = spark.createDataFrame(
+        [(1, _animated_gif(5)), (2, minimal_png(4, 4))],
+        "id long, media binary",
+    )
+    rows = split_gif_frames(df, every_n=2).collect()
+    frames = sorted(
+        [r for r in rows if r["id"] == 1], key=lambda r: r["frame_index"]
+    )
+    assert [r["frame_index"] for r in frames] == [0, 2, 4]
+    for r in frames:
+        blob = bytes(r["frame"])
+        assert blob.startswith(b"GIF89a") and blob.endswith(b"\x3b")
+        assert gif_dimensions(blob)[:2] == (4, 4)
+        assert blob[19:25] == b"\x21\xf9\x04\x00\x0a\x00"  # GCE rode along
+    (err,) = [r for r in rows if r["id"] == 2]
+    assert err["frame_index"] == -1 and "unsupported" in err["error"]
+
+
+def test_png_codec_property_roundtrip():
+    """Pure-unit codec check across shapes/channels/filters (no Spark)."""
+    import numpy as np
+
+    from fhir_etl_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    for ch in (1, 2, 3, 4):
+        for ft in range(5):
+            h, w = int(rng.integers(1, 20)), int(rng.integers(1, 20))
+            img = rng.integers(0, 256, size=(h, w, ch), dtype="uint8")
+            assert (decode_png(encode_png(img, filter_type=ft)) == img).all()
 
 
 def test_mime_sniff_unit():
