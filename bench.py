@@ -54,17 +54,46 @@ HEADLINE = [
 ]
 
 
-def fhirize_throughput(spark, n_rows: int = 1_000_000) -> float:
+# Per-query wall-time floor (seconds) from BENCH_r03.json — the standing
+# regression bar (VERDICT r03 item 6): any query above 1.5× its floor is
+# flagged in the output's "regressions" field. Update when a round's
+# numbers become the new accepted baseline.
+R03_FLOOR = {
+    "q1_pricing_summary": 0.712, "q3_shipping_priority": 1.123,
+    "q5_local_supplier_volume": 1.363, "q13_customer_distribution": 0.607,
+    "w1_topk_per_group": 0.452, "e3_sessionization": 0.672,
+    "r1_asof_join_backward": 0.781, "t2_quality_score": 0.461,
+    "d1_exact_dedup": 0.310, "d4x_minhash_lsh_xxh64": 2.275,
+    "v1_cosine_topk": 0.737, "q9_profit_by_nation": 1.119,
+    "q21_waiting_suppliers": 1.230, "ds4_shard_shuffle": 0.326,
+    "t6_clean_corpus": 0.490, "d6_dedup_clusters": 3.970,
+    "y1_zorder_curve": 0.650, "d9_chunk_dedup": 1.070,
+}
+
+
+def fhirize_throughput(spark, n_rows: int = 1_000_000, warm: bool = True) -> float:
     """Rows/sec through the full fhirize path: synthetic sample_info →
     nested Patient struct (P1) + uuid5 mint (F1) + prune (N1) + to_json (S8)
     → noop sink. The reference's pandas iterrows path is the floor this
-    measures against (BASELINE.md self-measured baseline)."""
+    measures against (BASELINE.md self-measured baseline).
+
+    ``warm`` runs the same plan once untimed at 1/20 scale first: the
+    fhirize expression tree is large (the N1 prune compiler emits each
+    nested field's pruned form twice — once in the rebuilt struct, once
+    in the any-field-set test), so the FIRST execution pays a codegen +
+    JIT compile cost worth ~40% of a 1M-row run. That one-time cost is
+    irrelevant at production scale and r03 showed it dominating
+    run-to-run noise (90.6k vs 118k r01); steady-state throughput is the
+    comparable number."""
     import time
 
     from pyspark.sql import functions as F
 
     from fhir_etl_spark.operators.fhirize import fhirize_patient_1kg
     from fhir_etl_spark.sinks.ndjson import serialize
+
+    if warm:
+        fhirize_throughput(spark, n_rows=max(n_rows // 20, 1), warm=False)
 
     synthetic = spark.range(n_rows).select(
         F.concat(F.lit("HG"), F.col("id").cast("string")).alias("Sample"),
@@ -113,6 +142,11 @@ def main() -> None:
             samples.append(time.perf_counter() - start)
         timings[name] = round(min(samples), 3)
 
+    regressions = {
+        name: {"sec": t, "floor": R03_FLOOR[name], "ratio": round(t / R03_FLOOR[name], 2)}
+        for name, t in timings.items()
+        if name in R03_FLOOR and t > 1.5 * R03_FLOOR[name]
+    }
     print(
         json.dumps(
             {
@@ -124,6 +158,7 @@ def main() -> None:
                 "fhirize_rows_per_sec": max(
                     fhirize_throughput(spark) for _ in range(2)
                 ),
+                "regressions": regressions,
             }
         )
     )
