@@ -236,3 +236,76 @@ def v2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_topk(embeddings, queries, k=5, dim=64)
+
+
+@query(
+    "v6_knn_classify",
+    oracle="""
+    WITH neigh AS (
+      SELECT query_id, vec_id, label, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                       CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                          c.vec_id) AS rank
+        FROM embeddings c
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) q
+        WHERE c.vec_id >= 20
+      ) WHERE rank <= 5
+    ), votes AS (
+      SELECT query_id, label, count(*) AS votes FROM neigh GROUP BY query_id, label
+    ), winner AS (
+      SELECT query_id, label AS pred_label, CAST(votes AS BIGINT) AS votes FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, label) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT w.query_id, w.pred_label, w.votes, e.label AS true_label
+    FROM winner w JOIN embeddings e ON w.query_id = e.vec_id
+    """,
+    tags=("similarity", "ml"),
+)
+def v6_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN classification over the embedding column: 20 held-out
+    query vectors, each labeled by the majority vote of its 5 nearest
+    corpus neighbors (rounded cosine; ties → lower vec_id, then lower
+    label — fully deterministic, so the vote is value-oracle-able).
+
+    Composition: cosine_topk (queries broadcast, corpus never shuffles)
+    → neighbor→label join → per-query vote agg → one-row-per-query
+    window pick → label join back. The corpus-scale variant swaps
+    cosine_topk for ivf_topk/lsh_topk with the same downstream vote —
+    the voting pipeline is score-source-agnostic."""
+    from pyspark.sql import Window
+
+    from fhir_etl_spark.operators.similarity import cosine_topk
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = embeddings.filter(F.col("vec_id") >= 20)
+    neigh = cosine_topk(corpus, queries, k=5).join(
+        corpus.select("vec_id", "label"), "vec_id"
+    )
+    votes = neigh.groupBy("query_id", "label").agg(
+        F.count("*").cast("long").alias("votes")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    )
+    winner = (
+        votes.withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+    truth = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    # broadcast the BOUNDED side (≤ n_queries rows); truth scales with the
+    # corpus and must stay streamable
+    return truth.join(F.broadcast(winner), "query_id").select(
+        "query_id", "pred_label", "votes", "true_label"
+    )

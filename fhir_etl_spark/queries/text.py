@@ -458,3 +458,67 @@ def t11_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@query(
+    "t12_lm_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bigrams AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    ), uni AS (
+      SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1
+    ), bi AS (
+      SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2
+    ), v AS (
+      SELECT count(*) AS v FROM uni
+    )
+    SELECT bigrams.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln((bi.c12 + 1.0) / (uni.c1 + v.v))), 4) AS xent
+    FROM bigrams
+    JOIN bi  ON bigrams.w1 = bi.w1 AND bigrams.w2 = bi.w2
+    JOIN uni ON bigrams.w1 = uni.w1
+    CROSS JOIN v
+    GROUP BY bigrams.doc_id
+    """,
+    tags=("text", "lm", "quality"),
+)
+def t12_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own add-one-smoothed
+    bigram LM — the CCNet/KenLM-style quality filter: documents whose
+    token transitions are improbable under the corpus LM score high and
+    get filtered or down-weighted before training.
+
+    Composition of the t10 LM with per-doc scoring: one bigram explode,
+    two count aggs (w1 and w1,w2 keys), two joins back onto the bigram
+    stream (all shuffled on w1 — co-partitioned), the |V| scalar rides a
+    1-row broadcast cross join, one doc-level agg. Integer counts make
+    every per-row probability deterministic; the avg of ~100 doubles per
+    doc rounds at 1e-4, far above cross-engine summation-order noise
+    (~1e-13), so the value oracle is exact in practice."""
+    documents = load_tables(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = documents.select(
+        "doc_id",
+        F.posexplode(F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))).alias(
+            "i", "w1"
+        ),
+        toks.alias("_t"),
+    ).select("doc_id", "w1", F.expr("_t[i + 1]").alias("w2"))
+    uni = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    v = uni.agg(F.count("*").alias("v"))
+    neg_logp = -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+    return (
+        bigrams.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(neg_logp), 4).alias("xent"),
+        )
+    )

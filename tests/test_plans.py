@@ -169,8 +169,11 @@ def test_no_broadcast_hints_on_scaling_tables():
     ALLOWED_BASES = {
         # fixed-cardinality dims (nation=25, region=5) and their projections
         "nation", "region", "n1", "n2", "cust_nation", "supp_nation", "america",
-        # 1-row scalar-aggregate probes (incl. layout.py's min/max stats row)
-        "max_rev", "max_price", "avg_bal", "threshold", "stats",
+        # 1-row scalar-aggregate probes (incl. layout.py's min/max stats
+        # row and t12's vocab-size row)
+        "max_rev", "max_price", "avg_bal", "threshold", "stats", "v",
+        # v6_knn_classify: one winner row per probe vector (≤ n_queries)
+        "winner",
         # bounded probe/ID sets (query vectors, benchmark shingles,
         # membership ID lists — KBs-to-MBs by construction, documented at
         # each call site)
