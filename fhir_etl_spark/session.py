@@ -37,18 +37,24 @@ def ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if id(sc) in _SHIPPED:
         return
-    import tempfile
-    import zipfile
-    from pathlib import Path
+    _SHIPPED.add(id(sc))  # one attempt per context, even on failure
+    try:
+        import tempfile
+        import zipfile
+        from pathlib import Path
 
-    pkg_root = Path(__file__).resolve().parent
-    zip_path = Path(tempfile.gettempdir()) / f"fhir_etl_spark_pkg_{os.getpid()}.zip"
-    if not zip_path.exists():
-        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-            for py in sorted(pkg_root.rglob("*.py")):
-                zf.write(py, f"fhir_etl_spark/{py.relative_to(pkg_root)}")
-    sc.addPyFile(str(zip_path))
-    _SHIPPED.add(id(sc))
+        pkg_root = Path(__file__).resolve().parent
+        zip_path = Path(tempfile.gettempdir()) / f"fhir_etl_spark_pkg_{os.getpid()}.zip"
+        if not zip_path.exists():
+            with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+                for py in sorted(pkg_root.rglob("*.py")):
+                    zf.write(py, f"fhir_etl_spark/{py.relative_to(pkg_root)}")
+        sc.addPyFile(str(zip_path))
+    except Exception:
+        # best-effort: when the zip/tempdir path is unavailable, workers
+        # fall back to inheriting PYTHONPATH/CWD (the pre-existing path,
+        # sufficient whenever the driver runs from the repo root)
+        pass
 
 
 def get_spark(
