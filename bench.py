@@ -51,6 +51,11 @@ HEADLINE = [
     # cross-doc chunk dedup (explode + keeper join + reassembly)
     "y1_zorder_curve",
     "d9_chunk_dedup",
+    # r04 additions: real-codec image decode (two Arrow python stages,
+    # map-only) and bigram-LM perplexity scoring (explode + 2 aggs +
+    # co-partitioned joins)
+    "m2_image_decode",
+    "t12_lm_perplexity",
 ]
 
 

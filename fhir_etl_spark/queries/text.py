@@ -512,13 +512,22 @@ def t12_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     v = uni.agg(F.count("*").alias("v"))
     neg_logp = -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
-    return (
-        bigrams.join(bi, ["w1", "w2"])
-        .join(uni, "w1")
+    # Score the (much smaller) DISTINCT-bigram LM table first, then join
+    # the full bigram stream exactly once — the naive shape joins the
+    # stream twice (on (w1,w2) and again on w1), paying two full-stream
+    # shuffles; this one pays one. Per-bigram float values are computed
+    # from the same integers either way, so the avg matches the oracle
+    # well inside its 1e-4 rounding.
+    lm = (
+        bi.join(uni, "w1")
         .crossJoin(F.broadcast(v))
+        .select("w1", "w2", neg_logp.alias("_nlp"))
+    )
+    return (
+        bigrams.join(lm, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),
-            F.round(F.avg(neg_logp), 4).alias("xent"),
+            F.round(F.avg("_nlp"), 4).alias("xent"),
         )
     )
