@@ -400,3 +400,87 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_centroid: int = 4,
+    round_dist: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column → (id, cluster_id, dist_r).
+
+    The clustering pass behind SemDeDup-style curation (cluster, then
+    dedup/diversify within clusters). Fully deterministic and therefore
+    cross-engine replayable:
+
+    - init: centroids = the first ``k`` corpus rows by id
+      (TakeOrderedAndProject — no global sort);
+    - assign: squared euclidean distance ROUNDED to ``round_dist``
+      decimals before the argmin (ties → lower cluster id), so float
+      summation order can never flip an assignment between engines;
+    - update: per-dimension mean ROUNDED to ``round_centroid`` decimals
+      (avg-order noise ~1e-15 is far below the rounding quantum).
+
+    Scale shape per iteration: corpus ⋈ broadcast(k centroids) — map-only
+    scoring, the corpus never shuffles for it — then one groupBy(id)
+    argmin and one groupBy(cluster, dim) mean over a posexplode (rows =
+    corpus × dim, but only (cluster, dim, value) triples — the vectors
+    themselves stay put). Centroids are k×dim rows: always broadcastable.
+    Fixed iteration count; convergence-based stopping would add one
+    driver probe per round (see graph.pagerank for the bounded pattern).
+    """
+    corpus = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    # first k by id, numbered 0..k-1 — k rows, TakeOrdered then a tiny sort
+    cent = (
+        corpus.orderBy("_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("_id")) - 1).alias("_c"),
+            F.col("_v").alias("_cv"),
+        )
+    )
+
+    def _dist2(v: Column, cv: Column) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+            round_dist,
+        )
+
+    assigned = None
+    for _ in range(n_iterations):
+        scored = corpus.join(F.broadcast(cent)).select(
+            "_id", "_v", "_c", _dist2(F.col("_v"), F.col("_cv")).alias("_d")
+        )
+        assigned = scored.groupBy("_id").agg(
+            F.min(F.struct("_d", "_c")).alias("_best"), F.first("_v").alias("_v")
+        ).select("_id", "_v", F.col("_best._c").alias("_c"), F.col("_best._d").alias("_d"))
+        cent = (
+            assigned.select("_c", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("_c", "_i")
+            .agg(F.round(F.avg("_x"), round_centroid).alias("_m"))
+            .groupBy("_c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_i", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_cv")
+            )
+        )
+    # final distances against the POST-update centroids would need one
+    # more scoring pass; the contract is the assignment of the last
+    # iteration with its own distance (what the oracle replays)
+    return assigned.select(
+        F.col("_id").alias(id_col),
+        F.col("_c").alias("cluster_id"),
+        F.col("_d").alias("dist_r"),
+    )

@@ -309,3 +309,50 @@ def v6_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truth.join(F.broadcast(winner), "query_id").select(
         "query_id", "pred_label", "votes", "true_label"
     )
+
+
+_V7_ORACLE = """
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+      FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 8)
+    ), d1 AS (
+      SELECT vec_id, v, c,
+             round(list_sum(list_transform(generate_series(1, len(v)),
+                   i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6) AS d
+      FROM corpus CROSS JOIN cent0
+    ), a1 AS (
+      SELECT vec_id, v, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM d1) WHERE rn = 1
+    ), m1 AS (
+      SELECT c, i, round(avg(v[i]), 4) AS m
+      FROM a1, unnest(generate_series(1, len(v))) AS g(i)
+      GROUP BY c, i
+    ), cent1 AS (
+      SELECT c, list(m ORDER BY i) AS cv FROM m1 GROUP BY c
+    ), d2 AS (
+      SELECT vec_id, c,
+             round(list_sum(list_transform(generate_series(1, len(v)),
+                   i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6) AS d
+      FROM corpus CROSS JOIN cent1
+    )
+    SELECT vec_id, c AS cluster_id, d AS dist_r FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      FROM d2) WHERE rn = 1
+    """
+
+
+@query("v7_kmeans_assign", oracle=_V7_ORACLE, tags=("similarity", "ml", "clustering"))
+def v7_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-iteration Lloyd's k-means (k=8) over the embedding
+    corpus — the clustering pass behind SemDeDup-style curation. Every
+    stage (first-k init, rounded-distance argmin with lower-cluster
+    tie-break, rounded centroid means) is replayed by the DuckDB oracle
+    CTE chain; see operators/similarity.kmeans_assign for the scale
+    shape (broadcast centroids, corpus never shuffles for scoring)."""
+    from fhir_etl_spark.operators.similarity import kmeans_assign
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    return kmeans_assign(embeddings, k=8, n_iterations=2)

@@ -257,3 +257,23 @@ def test_chunk_dedup_noop_on_unique_corpus(spark):
     )
     assert out.filter("n_removed > 0").count() == 0
     assert out.filter("clean_text != ''").count() == 20
+
+
+def test_kmeans_separated_blobs(spark):
+    """Two well-separated blobs → k=2 k-means recovers them exactly, with
+    cluster_id = the blob containing the lowest ids (init = first-k)."""
+    from fhir_etl_spark.operators.similarity import kmeans_assign
+
+    rows = []
+    for i in range(10):  # blob A near (0, 0, 0, 0)
+        rows.append((i, [0.0 + 0.01 * i, 0.0, 0.0, 0.01 * (i % 3)]))
+    for i in range(10, 20):  # blob B near (10, 10, 10, 10)
+        rows.append((i, [10.0 + 0.01 * i, 10.0, 10.0, 10.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["cluster_id"] for r in kmeans_assign(df, k=2, n_iterations=3).collect()}
+    # init: centroids = rows 0 and 1 (both blob A); after the first
+    # update the far blob pulls one centroid over — classic Lloyd's
+    a_clusters = {out[i] for i in range(10)}
+    b_clusters = {out[i] for i in range(10, 20)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters

@@ -174,6 +174,8 @@ def test_no_broadcast_hints_on_scaling_tables():
         "max_rev", "max_price", "avg_bal", "threshold", "stats", "v",
         # v6_knn_classify: one winner row per probe vector (≤ n_queries)
         "winner",
+        # kmeans_assign: k centroid rows (k × dim doubles)
+        "cent",
         # bounded probe/ID sets (query vectors, benchmark shingles,
         # membership ID lists — KBs-to-MBs by construction, documented at
         # each call site)
