@@ -59,13 +59,23 @@ def _build_parser() -> argparse.ArgumentParser:
     z.add_argument("--dest", required=True)
     z.add_argument("--cols", required=True, help="comma-separated cluster columns")
     z.add_argument("--partitions", type=int, default=None)
+
+    p = sub.add_parser(
+        "partition",
+        help="rewrite a parquet directory as a hive-partitioned table "
+        "(dynamic partition overwrite)",
+    )
+    p.add_argument("--src", required=True)
+    p.add_argument("--dest", required=True)
+    p.add_argument("--cols", required=True, help="comma-separated partition columns")
+    p.add_argument("--max-records-per-file", type=int, default=None)
     return parser
 
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
 
-    if args.command in ("compact", "zorder"):
+    if args.command in ("compact", "zorder", "partition"):
         # both verbs overwrite --dest while LAZILY reading --src: the same
         # path for both would delete the source mid-read ("never rewrite
         # in place" — operators/maintenance.compact docstring)
@@ -101,6 +111,17 @@ def main(argv: list[str] | None = None) -> int:
         zorder_layout(
             df, args.cols.split(","), num_partitions=args.partitions
         ).write.mode("overwrite").parquet(args.dest)
+        print(json.dumps({"rows": spark.read.parquet(args.dest).count()}))
+        return 0
+
+    if args.command == "partition":
+        from fhir_etl_spark.sinks.partitioned import write_partitioned
+
+        df = spark.read.parquet(args.src)
+        write_partitioned(
+            df, args.dest, args.cols.split(","),
+            max_records_per_file=args.max_records_per_file,
+        )
         print(json.dumps({"rows": spark.read.parquet(args.dest).count()}))
         return 0
 

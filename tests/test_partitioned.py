@@ -84,3 +84,22 @@ def test_validation_errors(spark):
         write_partitioned(df, "/tmp/x", [])
     with pytest.raises(ValueError, match="not in DataFrame"):
         write_partitioned(df, "/tmp/x", ["nope"])
+
+
+def test_cli_partition_verb(spark, tmp_path):
+    """CLI plumbing for the partitioned sink, incl. the src==dest guard."""
+    import pytest
+
+    from fhir_etl_spark import cli
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, part string"
+    ).write.parquet(src)
+    dest = str(tmp_path / "dest")
+    assert cli.main(["partition", "--src", src, "--dest", dest, "--cols", "part"]) == 0
+    assert {d for d in os.listdir(dest) if d.startswith("part=")} == {
+        "part=a", "part=b"
+    }
+    with pytest.raises(SystemExit):
+        cli.main(["partition", "--src", src, "--dest", src, "--cols", "part"])
