@@ -76,12 +76,13 @@ COVERAGE_ROTATION = [
     # round-4 codec tier: real PNG/WAV/GIF decode, formula-replayable oracles
     "m2_image_decode", "m3_audio_decode", "m4_gif_frame_sample",
     # round-4 additions: LM-perplexity quality filter, kNN classification,
-    # deterministic k-means clustering
+    # deterministic k-means clustering, exact repeated-substring removal
     "t12_lm_perplexity", "v6_knn_classify", "v7_kmeans_assign",
+    "d10_substring_dedup",
     # padding to the full 50: oldest driver evidence (r01), re-verified
     "p1_fhirize_projection", "a4_cube", "a6_grouping_sets",
     "j3_semi_join_normalized_key", "j6_full_outer_join", "j8_theta_join",
-    "n5b_posexplode", "n6_double_explode",
+    "n5b_posexplode",
 ]
 
 

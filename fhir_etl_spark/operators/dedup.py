@@ -641,3 +641,96 @@ def chunk_dedup(
             .alias("n_removed"),
         )
     )
+
+
+def substring_dedup(
+    documents: DataFrame,
+    k: int = 10,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_key: str = "text",
+) -> DataFrame:
+    """Exact repeated-substring removal: delete every token span that is
+    part of a whitespace-token k-gram occurring ≥ ``min_count`` times
+    ANYWHERE in the corpus (the ExactSubstr policy of "Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022 —
+    approximated at k-token granularity instead of a suffix array, the
+    standard distributed formulation).
+
+    Returns (id, n_tokens, n_removed, clean_text) with surviving tokens
+    rejoined in order; docs shorter than ``k`` tokens pass through whole.
+
+    Scale shape (5 key-partitioned shuffles, none carrying full texts
+    beyond the k-gram strings):
+    1. one explode to (doc, position, gram);
+    2. corpus-wide gram count (groupBy gram) → duplicated grams;
+    3. semi join occurrences against duplicated grams (co-keyed);
+    4. covered-position explode (k rows per duplicated occurrence) +
+       distinct on (doc, position);
+    5. anti join token stream against covered positions (both keyed on
+       (doc, position)) → per-doc ordered reassembly.
+
+    ``gram_key='hash'`` swaps the join/group key for xxhash64(gram) so
+    the shuffles carry 8-byte keys instead of k-token strings — the
+    100 TB default; ``'text'`` keeps the raw gram so a SQL oracle can
+    replay the exact pipeline (same trick as chunk_dedup's documented
+    key swap).
+    """
+    if gram_key not in ("text", "hash"):
+        raise ValueError(f"gram_key must be text|hash, got {gram_key!r}")
+    toked = documents.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    )
+    # (doc, start position 0-based, gram string); sequence() with
+    # start > stop counts DOWN in Spark, so short docs need the explicit
+    # empty-array guard, not a clamped stop
+    starts = F.when(
+        F.size("_t") >= k, F.sequence(F.lit(1), F.size("_t") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toked.select(
+        "_id",
+        F.posexplode(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice("_t", i, k)))
+        ).alias("_i", "_gram"),
+    )
+    key = F.xxhash64("_gram") if gram_key == "hash" else F.col("_gram")
+    grams = grams.select("_id", "_i", key.alias("_k"))
+    dup_keys = (
+        grams.groupBy("_k").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_k")
+    )
+    covered = (
+        grams.join(dup_keys, "_k", "semi")
+        .select("_id", F.explode(F.sequence(F.col("_i"), F.col("_i") + k - 1)).alias("_p"))
+        .distinct()
+    )
+    toks_stream = toked.select(
+        "_id", F.posexplode("_t").alias("_p", "_w")
+    )
+    kept = toks_stream.join(covered, ["_id", "_p"], "anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_w"))),
+                lambda s: s["_w"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("_kept"),
+    )
+    # left join from the full doc list: a fully-duplicated doc (every
+    # token covered) must come back as empty text, not disappear
+    return (
+        toked.select("_id", F.size("_t").alias("_nt"))
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_nt").cast("long").alias("n_tokens"),
+            (F.col("_nt") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -392,3 +392,52 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iterations=5).select(
         "node", F.round("rank", 6).alias("rank_r")
     )
+
+
+@query(
+    "d10_substring_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS s(i)
+      WHERE len(t) >= 8
+    ), dups AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, p
+      FROM (SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM dups)),
+           unnest(generate_series(i, i + 7)) AS c(p)
+    ), kept AS (
+      SELECT toks.doc_id, u.p, t[u.p] AS w
+      FROM toks, unnest(generate_series(1, len(t))) AS u(p)
+      WHERE NOT EXISTS (SELECT 1 FROM cov
+                        WHERE cov.doc_id = toks.doc_id AND cov.p = u.p)
+    ), reb AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - coalesce(kept_n, 0) AS BIGINT) AS n_removed,
+           coalesce(clean_text, '') AS clean_text
+    FROM toks LEFT JOIN reb ON toks.doc_id = reb.doc_id
+    """,
+    tags=("dedup", "text"),
+)
+def d10_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring removal (ExactSubstr, Lee et al. 2022) at
+    8-token granularity: any 8-gram occurring ≥2 times anywhere in the
+    corpus is deleted from every document. ~9% of the sf0.01 corpus's
+    token mass is duplicated under this policy. gram_key='text' keeps the
+    raw gram as the shuffle key so the oracle replays the pipeline;
+    production uses gram_key='hash' (8-byte xxhash64 keys — documented
+    swap, same as chunk_dedup)."""
+    from fhir_etl_spark.operators.dedup import substring_dedup
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return substring_dedup(documents, k=8, gram_key="text")

@@ -277,3 +277,31 @@ def test_kmeans_separated_blobs(spark):
     b_clusters = {out[i] for i in range(10, 20)}
     assert len(a_clusters) == 1 and len(b_clusters) == 1
     assert a_clusters != b_clusters
+
+
+def test_substring_dedup_semantics(spark):
+    """ExactSubstr policy: a 10-gram planted in three docs is removed
+    from all of them (a fully-duplicated doc becomes empty text, not a
+    missing row); unique and shorter-than-k docs pass through whole."""
+    from fhir_etl_spark.operators.dedup import substring_dedup
+
+    boiler = " ".join(f"tok{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"delta {boiler} epsilon zeta"),
+            (3, boiler),
+            (4, "totally unique words only here right"),
+            (5, "x x x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(df, k=10).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[2]["clean_text"] == "delta epsilon zeta"
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 10
+    assert out[4]["n_removed"] == 0
+    assert out[5]["n_removed"] == 0 and out[5]["clean_text"] == "x x x"
+    # hash-keyed production path agrees with the oracle-able text-keyed path
+    hashed = {r["doc_id"]: r for r in substring_dedup(df, k=10, gram_key="hash").collect()}
+    assert all(hashed[i]["clean_text"] == out[i]["clean_text"] for i in out)
