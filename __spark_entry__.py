@@ -78,11 +78,10 @@ COVERAGE_ROTATION = [
     # round-4 additions: LM-perplexity quality filter, kNN classification,
     # deterministic k-means clustering, exact repeated-substring removal
     "t12_lm_perplexity", "v6_knn_classify", "v7_kmeans_assign",
-    "d10_substring_dedup",
+    "d10_substring_dedup", "x10_table_profile",
     # padding to the full 50: oldest driver evidence (r01), re-verified
     "p1_fhirize_projection", "a4_cube", "a6_grouping_sets",
     "j3_semi_join_normalized_key", "j6_full_outer_join", "j8_theta_join",
-    "n5b_posexplode",
 ]
 
 

@@ -259,3 +259,46 @@ def x9_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "brand").alias("brand_val"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+@query(
+    "x10_table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_nulls,
+           count(DISTINCT o_custkey) AS n_distinct,
+           round(min(CAST(o_custkey AS DOUBLE)), 4) AS min_num,
+           round(max(CAST(o_custkey AS DOUBLE)), 4) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate), NULL, NULL FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+           count(DISTINCT o_orderkey),
+           round(min(CAST(o_orderkey AS DOUBLE)), 4),
+           round(max(CAST(o_orderkey AS DOUBLE)), 4) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority), NULL, NULL FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), NULL, NULL FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(min(CAST(o_totalprice AS DOUBLE)), 4),
+           round(max(CAST(o_totalprice AS DOUBLE)), 4) FROM orders
+    """,
+    tags=("analytics", "profiling"),
+)
+def x10_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile (DESCRIBE/SUMMARY surface) in a single
+    aggregation pass: row/null/exact-distinct counts for every column of
+    `orders`, numeric min/max as rounded doubles. The operator's
+    ``approx=True`` HLL tier is the corpus-scale path (rows-only by
+    nature; this exact tier is the value oracle)."""
+    from fhir_etl_spark.operators.profile import profile_table
+
+    orders = load_tables(spark, sf_dir, "orders")
+    return profile_table(orders)
