@@ -1,0 +1,160 @@
+"""Snapshot-versioned parquet tables: time travel on a plain filesystem.
+
+The engine's Delta path (`sinks/upsert.delta_merge`) is gated on jars
+this image lacks; this module provides the table-format CONCEPT —
+atomic commits, snapshot isolation for readers, time travel, vacuum —
+with nothing but parquet + JSON manifests, the way log-structured table
+formats actually work:
+
+- every commit writes its data files into a fresh
+  ``data/v{N}-{token}/`` directory (never touching earlier files),
+- then publishes ``_manifests/v{N}.json`` listing the directories that
+  make up the snapshot (parent's list + new for ``append``, new only
+  for ``overwrite``),
+- the manifest is staged to a temp file and ``os.replace``d into place:
+  readers either see the whole commit or none of it (POSIX rename
+  atomicity). A reader pins a manifest ONCE and reads a consistent file
+  set regardless of concurrent writers.
+
+Single-writer contract: version allocation is list-and-increment, so
+concurrent committers can race to the same version number — real
+multi-writer needs a coordination service (what Delta's log store
+provides). Readers are always safe.
+
+Reference parity note: the reference's NDJSON store overwrites files in
+place (utils.py:101-135) — no history, no atomicity. This sink is the
+engine's scale extension for the same outputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import secrets
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_path(table_path: str, version: int) -> str:
+    return os.path.join(table_path, _MANIFEST_DIR, f"v{version}.json")
+
+
+def _versions(table_path: str) -> list[int]:
+    mdir = os.path.join(table_path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _load_manifest(table_path: str, version: int) -> dict:
+    with open(_manifest_path(table_path, version)) as fh:
+        return json.load(fh)
+
+
+def write_snapshot(
+    df: DataFrame, table_path: str, mode: str = "append"
+) -> int:
+    """Commit ``df`` as the next snapshot; returns the new version.
+
+    ``append`` stacks onto the previous snapshot's file set;
+    ``overwrite`` starts a fresh set (earlier versions stay readable
+    until vacuumed).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(os.path.join(table_path, _MANIFEST_DIR), exist_ok=True)
+    existing = _versions(table_path)
+    version = (existing[-1] + 1) if existing else 0
+
+    token = secrets.token_hex(4)
+    rel_dir = os.path.join(_DATA_DIR, f"v{version}-{token}")
+    out_dir = os.path.join(table_path, rel_dir)
+    # data first — an interrupted job leaves an orphan dir (vacuumable),
+    # never a corrupt table
+    df.write.mode("errorifexists").parquet(out_dir)
+
+    parent_dirs: list[str] = []
+    if mode == "append" and existing:
+        parent_dirs = _load_manifest(table_path, existing[-1])["data_dirs"]
+    manifest = {
+        "version": version,
+        "parent": existing[-1] if existing else None,
+        "mode": mode,
+        "data_dirs": parent_dirs + [rel_dir],
+        "schema": df.schema.jsonValue(),
+    }
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.join(table_path, _MANIFEST_DIR), suffix=".tmp"
+    )
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(table_path, version))  # the atomic commit
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot (latest when ``version`` is None). The file list is
+    pinned from one manifest, so the read is consistent under concurrent
+    commits."""
+    versions = _versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    manifest = _load_manifest(table_path, version)
+    paths = [os.path.join(table_path, d) for d in manifest["data_dirs"]]
+    return spark.read.parquet(*paths)
+
+
+def snapshot_history(table_path: str) -> list[dict]:
+    """[{version, parent, mode, n_data_dirs}] oldest → newest."""
+    return [
+        {
+            "version": v,
+            "parent": (m := _load_manifest(table_path, v))["parent"],
+            "mode": m["mode"],
+            "n_data_dirs": len(m["data_dirs"]),
+        }
+        for v in _versions(table_path)
+    ]
+
+
+def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
+    """Drop manifests older than the last ``keep_last`` and delete data
+    directories no retained snapshot references (incl. orphans from
+    interrupted commits). Returns the deleted directory names."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _versions(table_path)
+    keep = versions[-keep_last:]
+    referenced = set()
+    for v in keep:
+        referenced.update(_load_manifest(table_path, v)["data_dirs"])
+    deleted = []
+    data_root = os.path.join(table_path, _DATA_DIR)
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            rel = os.path.join(_DATA_DIR, d)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(data_root, d))
+                deleted.append(rel)
+    for v in versions:
+        if v not in keep:
+            os.remove(_manifest_path(table_path, v))
+    return deleted
