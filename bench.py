@@ -52,10 +52,12 @@ HEADLINE = [
     "y1_zorder_curve",
     "d9_chunk_dedup",
     # r04 additions: real-codec image decode (two Arrow python stages,
-    # map-only) and bigram-LM perplexity scoring (explode + 2 aggs +
-    # co-partitioned joins)
+    # map-only), bigram-LM perplexity scoring (explode + 2 aggs +
+    # co-partitioned joins), and ExactSubstr repeated-substring removal
+    # (gram count + covered-span anti join + ordered reassembly)
     "m2_image_decode",
     "t12_lm_perplexity",
+    "d10_substring_dedup",
 ]
 
 

@@ -17,7 +17,14 @@ def coerce_numeric_string(col: Column | str) -> Column:
     numeric-extraction case.
     """
     c = F.col(col) if isinstance(col, str) else col
-    is_float = c.rlike(r"^-?\d+\.\d+$")
+    # Float form mirrors what the reference's float() call ACCEPTS after
+    # its isdigit() gate: exactly one dot, digits on at least one side,
+    # optional leading '-' ('5.', '.5', '-.5' all convert in the
+    # reference). ASCII digits only (Java \d): inputs the reference's
+    # int()/float() would RAISE on — unicode digits like '²', misplaced
+    # '-', multiple dots — map to NULL here (a crash cannot be a value;
+    # pinned by the hypothesis parity test).
+    is_float = c.rlike(r"^-?(\d+\.\d*|\.\d+)$")
     is_int = c.rlike(r"^-?\d+$")
     num = (
         F.when(is_float, c.cast("double"))
@@ -32,6 +39,6 @@ def coerce_numeric_or_null(col: Column | str) -> Column:
     """Numeric-looking string → DOUBLE, else NULL (the scalar projection of
     coerce_numeric_string used in flat queries)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(c.rlike(r"^-?\d+(\.\d+)?$"), c.cast("double")).otherwise(
-        F.lit(None).cast("double")
-    )
+    return F.when(
+        c.rlike(r"^-?(\d+(\.\d*)?|\.\d+)$"), c.cast("double")
+    ).otherwise(F.lit(None).cast("double"))

@@ -218,7 +218,7 @@ def f7_age_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f9_numeric_coercion",
     oracle="""
     SELECT event_id, raw,
-           CASE WHEN regexp_matches(raw, '^-?\\d+(\\.\\d+)?$')
+           CASE WHEN regexp_matches(raw, '^-?(\\d+(\\.\\d*)?|\\.\\d+)$')
                 THEN CAST(raw AS DOUBLE) END AS num
     FROM (
       SELECT event_id,

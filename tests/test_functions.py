@@ -88,7 +88,11 @@ def test_coerce_numeric(spark):
     cases = {
         "12": 12.0,
         "-3.5": -3.5,
-        "1.2.3": None,
+        "5.": 5.0,     # reference float('5.') == 5.0
+        ".5": 0.5,     # reference float('.5') == 0.5
+        "-.5": -0.5,
+        "1.2.3": None,  # reference would CRASH (float raises) → NULL
+        "²": None,      # unicode digit: isdigit() True, int() raises → NULL
         "abc": None,
         "": None,
     }

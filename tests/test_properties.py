@@ -130,12 +130,19 @@ def _clean_dict(r):
 
 def reference_coerce(value: str):
     """The reference's numeric-string predicate (utils.py:199-205): digits
-    with one optional leading '-', optional '.', → float iff '.' present."""
-    if value.replace(".", "").replace("-", "", 1).isdigit() and "." in value:
-        return float(value)
-    if value.replace(".", "").replace("-", "", 1).isdigit() and "." not in value:
-        return int(value)
-    return None
+    with one optional leading '-', optional '.', → float iff '.' present.
+
+    The reference's isdigit() gate passes strings its int()/float() then
+    RAISES on — unicode digits ('²'), a non-leading '-' ('5-4'),
+    multiple dots ('1.2.3') — killing the whole pipeline. The engine's
+    documented policy maps those reference-crash inputs to NULL, so this
+    replica returns None where the reference would raise."""
+    if not value.replace(".", "").replace("-", "", 1).isdigit():
+        return None
+    try:
+        return float(value) if "." in value else int(value)
+    except ValueError:  # the reference would crash here
+        return None
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
