@@ -266,3 +266,47 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def lm_cross_entropy(
+    documents: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-document cross-entropy under the corpus's own add-one-smoothed
+    bigram LM → (id, n_bigrams, xent). The CCNet/KenLM-style quality
+    signal: improbable token transitions ⇒ high xent ⇒ filter or
+    down-weight before training. Integer counts make per-row
+    probabilities deterministic (value-oracled as t12).
+
+    Shape: one bigram explode, two count aggs, the small distinct-bigram
+    LM table scored first, ONE join of the full bigram stream, one
+    doc-level agg (see queries/text.t12 for the shuffle accounting)."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(text_col, " ")
+    bigrams = documents.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))).alias(
+            "i", "w1"
+        ),
+        toks.alias("_t"),
+    ).select("_id", "w1", F.expr("_t[i + 1]").alias("w2"))
+    uni = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    v = uni.agg(F.count("*").alias("v"))
+    neg_logp = -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+    lm = (
+        bi.join(uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("w1", "w2", neg_logp.alias("_nlp"))
+    )
+    return (
+        bigrams.join(lm, ["w1", "w2"])
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("_nlp"), 4).alias("xent"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

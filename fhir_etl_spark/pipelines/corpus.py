@@ -61,6 +61,8 @@ def curate_corpus(
     split_weights: dict[str, float] | None = None,
     pair_miner: Callable[[DataFrame], DataFrame] | None = None,
     keep_near_dups: bool = False,
+    max_xent: float | None = None,
+    substring_k: int | None = None,
 ) -> DataFrame:
     """Raw documents → curated, split-assigned corpus (see module doc).
 
@@ -74,6 +76,14 @@ def curate_corpus(
     With removal (the default) one representative survives per cluster and
     the cluster-keyed split degenerates to a per-row split, which is then
     already safe. Output = input columns + ``split``.
+
+    ``max_xent``: drop documents whose cross-entropy under the corpus's
+    own bigram LM exceeds the threshold (CCNet-style perplexity gate,
+    stage 1.5 — the LM is fit on the quality-gated corpus itself).
+    ``substring_k``: after near-dup handling, delete every ``k``-token
+    span that occurs ≥2 times anywhere in the surviving corpus
+    (ExactSubstr, stage 3.5) — ``text_col`` is REWRITTEN to the cleaned
+    text and docs scrubbed to emptiness are dropped.
     """
     if split_weights is None:
         split_weights = {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -89,6 +99,20 @@ def curate_corpus(
         & (quality_score(F.col(text_col)) >= min_quality)
     )
 
+    # 1.5 LM-perplexity gate: fit the bigram LM on the quality-gated
+    # corpus, drop docs whose transitions the corpus itself finds
+    # improbable (CCNet recipe; the LM join is corpus-internal, no
+    # external model)
+    if max_xent is not None:
+        from fhir_etl_spark.operators.text import lm_cross_entropy
+
+        ok_ids = (
+            lm_cross_entropy(gated, id_col=id_col, text_col=text_col)
+            .filter(F.col("xent") <= max_xent)
+            .select(id_col)
+        )
+        gated = gated.join(ok_ids, id_col, "left_semi")
+
     # 2. exact dedup (digest groupBy, min-id representative)
     deduped_ids = exact_dedup(gated, id_col=id_col, text_col=text_col).select(id_col)
     exact_unique = gated.join(deduped_ids, id_col, "left_semi")
@@ -100,6 +124,22 @@ def curate_corpus(
         near_unique = exact_unique
     else:
         near_unique = dedup_keep_representatives(exact_unique, pairs, id_col=id_col)
+
+    # 3.5 ExactSubstr: scrub k-token spans duplicated anywhere in the
+    # surviving corpus; text_col is rewritten, empty survivors dropped
+    if substring_k is not None:
+        from fhir_etl_spark.operators.dedup import substring_dedup
+
+        cleaned = substring_dedup(
+            near_unique, k=substring_k, id_col=id_col, text_col=text_col,
+            gram_key="hash",
+        ).select(id_col, "clean_text")
+        near_unique = (
+            near_unique.drop(text_col)
+            .join(cleaned, id_col)
+            .withColumnRenamed("clean_text", text_col)
+            .filter(F.col(text_col) != "")
+        )
 
     # 4. benchmark decontamination (broadcast, zero corpus shuffle)
     if benchmark is not None:

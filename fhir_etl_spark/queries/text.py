@@ -499,35 +499,13 @@ def t12_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     every per-row probability deterministic; the avg of ~100 doubles per
     doc rounds at 1e-4, far above cross-engine summation-order noise
     (~1e-13), so the value oracle is exact in practice."""
+    # Implementation note (shuffle accounting): the operator scores the
+    # (much smaller) DISTINCT-bigram LM table first, then joins the full
+    # bigram stream exactly once — the naive shape joins the stream twice
+    # (on (w1,w2) and again on w1), paying two full-stream shuffles.
+    # Per-bigram float values come from the same integers either way, so
+    # the avg matches the oracle well inside its 1e-4 rounding.
+    from fhir_etl_spark.operators.text import lm_cross_entropy
+
     documents = load_tables(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    bigrams = documents.select(
-        "doc_id",
-        F.posexplode(F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))).alias(
-            "i", "w1"
-        ),
-        toks.alias("_t"),
-    ).select("doc_id", "w1", F.expr("_t[i + 1]").alias("w2"))
-    uni = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
-    bi = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    v = uni.agg(F.count("*").alias("v"))
-    neg_logp = -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
-    # Score the (much smaller) DISTINCT-bigram LM table first, then join
-    # the full bigram stream exactly once — the naive shape joins the
-    # stream twice (on (w1,w2) and again on w1), paying two full-stream
-    # shuffles; this one pays one. Per-bigram float values are computed
-    # from the same integers either way, so the avg matches the oracle
-    # well inside its 1e-4 rounding.
-    lm = (
-        bi.join(uni, "w1")
-        .crossJoin(F.broadcast(v))
-        .select("w1", "w2", neg_logp.alias("_nlp"))
-    )
-    return (
-        bigrams.join(lm, ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.round(F.avg("_nlp"), 4).alias("xent"),
-        )
-    )
+    return lm_cross_entropy(documents)
