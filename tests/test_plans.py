@@ -340,3 +340,34 @@ def test_chunk_dedup_shuffles_chunks_not_docs_twice(spark):
     plan = formatted_plan(spark, chunk_dedup(docs))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Generate posexplode") <= 2  # one per join branch
+
+
+def test_round4_operator_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-4 operators:
+
+    - v7 kmeans: centroid scoring is a BroadcastNestedLoopJoin against the
+      broadcast k-row centroid table (one per iteration) — the intended
+      cross-scoring shape, never a CartesianProduct of two big sides;
+    - d10 ExactSubstr: the covered-position removal is a LeftAnti join,
+      with no nested-loop/cartesian anywhere;
+    - m2 codec path: map-only — ZERO exchanges, all Python work in
+      Arrow-batched MapInPandas stages.
+    """
+    from fhir_etl_spark.queries import all_queries
+
+    qs = all_queries()
+
+    v7 = qs["v7_kmeans_assign"].fn(spark, sf_dir)
+    p = v7._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastNestedLoopJoin") == 2  # one per iteration
+    assert "CartesianProduct" not in p
+
+    d10 = qs["d10_substring_dedup"].fn(spark, sf_dir)
+    p = d10._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    m2 = qs["m2_image_decode"].fn(spark, sf_dir)
+    p = m2._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert p.count("MapInPandas") == 3  # build → decode → stats
