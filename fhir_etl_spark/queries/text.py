@@ -509,3 +509,23 @@ def t12_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_tables(spark, sf_dir, "documents")
     return lm_cross_entropy(documents)
+
+
+@query("t13_bpe_tokenize", oracle=None, tags=("text", "tokenizer"))
+def t13_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 6-merge BPE vocabulary on the corpus (operators/bpe.py —
+    distributed pair counting over the distinct-word table, codegen
+    merge folds) and tokenize every document with it. Rows-only by
+    nature (the iterative argmax-collect loop has no single-statement
+    SQL twin — kept OUT of the gate window like ds5/x4); the algorithm
+    is pinned instead by the Sennrich worked example and corpus
+    compression/round-trip invariants in tests/test_training.py."""
+    from fhir_etl_spark.operators.bpe import bpe_encode, bpe_train
+
+    documents = load_tables(spark, sf_dir, "documents")
+    merges = bpe_train(documents, n_merges=6)
+    return bpe_encode(documents, merges).select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.slice("bpe_tokens", 1, 5).alias("head_tokens"),
+    )

@@ -117,3 +117,53 @@ def test_pii_scrub_known_strings(spark):
     assert rows[2]["n_phones"] == 1 and rows[2]["n_ips"] == 2
     assert rows[2]["clean_text"] == "call <PHONE> from <IP> twice <IP>"
     assert rows[3]["clean_text"] == "nothing sensitive"
+
+
+def test_bpe_classic_example(spark):
+    """Sennrich et al.'s worked example: merge order and counts match the
+    paper's algorithm exactly (ties broken by pair string ascending)."""
+    from fhir_etl_spark.operators.bpe import bpe_encode, bpe_train
+
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    merges = bpe_train(df, n_merges=5)
+    assert [(m[0], m[1]) for m in merges] == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"),
+    ]
+    assert merges[0][2] == 9 and merges[3][2] == 7
+
+    enc = bpe_encode(
+        spark.createDataFrame([(1, "lowest newest")], "id long, text string"), merges
+    )
+    assert enc.collect()[0]["bpe_tokens"] == [
+        "low", "est</w>", "n", "e", "w", "est</w>",
+    ]
+
+
+def test_bpe_invariants_on_corpus(spark, sf_dir):
+    """Corpus-level properties: more merges never increase the token
+    count, and decoding (concat symbols, strip sentinels) restores the
+    lowercased text."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.bpe import END_OF_WORD, bpe_encode, bpe_train
+    from fhir_etl_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents").limit(50).cache()
+    merges = bpe_train(docs, n_merges=6)
+    assert len(merges) == 6
+
+    n0 = bpe_encode(docs, []).select(F.sum(F.size("bpe_tokens"))).first()[0]
+    n3 = bpe_encode(docs, merges[:3]).select(F.sum(F.size("bpe_tokens"))).first()[0]
+    n6 = bpe_encode(docs, merges).select(F.sum(F.size("bpe_tokens"))).first()[0]
+    assert n0 >= n3 >= n6 and n6 < n0  # merges strictly compress overall
+
+    decoded = bpe_encode(docs, merges).select(
+        "doc_id",
+        F.regexp_replace(
+            F.concat_ws("", "bpe_tokens"), END_OF_WORD, " "
+        ).alias("rt"),
+        F.lower(F.regexp_replace("text", r"\s+", " ")).alias("want"),
+    )
+    bad = decoded.filter(F.trim("rt") != F.trim("want")).count()
+    assert bad == 0
