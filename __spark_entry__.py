@@ -54,7 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     MinHash/SimHash, unrolled fixed-iteration PageRank).
 #   - v5_lsh_bucketed_neardup: new operator this round.
 #   - 14 r01-checked queries padding the window to 50 so the sorted-name
-#     cutoff cannot reach base-registry rows-only names (ds5/x4, the only
+#     cutoff cannot reach base-registry rows-only names (x4/t13, the only
 #     two left without oracles — approx/imperative by nature, kept OUT of
 #     the window by construction).
 COVERAGE_ROTATION = [
@@ -79,9 +79,12 @@ COVERAGE_ROTATION = [
     # deterministic k-means clustering, exact repeated-substring removal
     "t12_lm_perplexity", "v6_knn_classify", "v7_kmeans_assign",
     "d10_substring_dedup", "x10_table_profile",
+    # ds5 gained a recursive-CTE value oracle this round (previously the
+    # registry's only imperative rows-only query)
+    "ds5_pack_sequences",
     # padding to the full 50: oldest driver evidence (r01), re-verified
     "p1_fhirize_projection", "a4_cube", "a6_grouping_sets",
-    "j3_semi_join_normalized_key", "j6_full_outer_join", "j8_theta_join",
+    "j3_semi_join_normalized_key", "j6_full_outer_join",
 ]
 
 

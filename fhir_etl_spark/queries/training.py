@@ -72,12 +72,64 @@ def t5_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return documents.select("doc_id", norm.alias("norm_text"))
 
 
-@query("ds5_pack_sequences", oracle=None, tags=("training", "stateful"))
+_DS5_ORACLE = r"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, shard, n_tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS rn
+      FROM (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+                    % 1000000 % 8 AS INTEGER) AS shard,
+               CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens,
+               md5('pack:ord' || CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents
+      )
+    ), walk AS (
+      -- state machine: (seq_after, used_after) carried row to row in
+      -- per-shard hash order; expressions are fully expanded because
+      -- DuckDB's lateral column aliases misresolve inside a recursive
+      -- member (verified: lateral form silently yields wrong offsets)
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS seq_cur,
+             CAST(0 AS BIGINT) AS off,
+             CAST(CASE WHEN n_tokens >= 2048 THEN 1 ELSE 0 END AS BIGINT) AS seq_after,
+             CAST(CASE WHEN n_tokens >= 2048 THEN 0 ELSE n_tokens END AS BIGINT) AS used_after
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+             CASE WHEN w.used_after > 0 AND w.used_after + b.n_tokens > 2048
+                  THEN w.seq_after + 1 ELSE w.seq_after END,
+             CASE WHEN w.used_after > 0 AND w.used_after + b.n_tokens > 2048
+                  THEN 0 ELSE w.used_after END,
+             (CASE WHEN w.used_after > 0 AND w.used_after + b.n_tokens > 2048
+                   THEN w.seq_after + 1 ELSE w.seq_after END)
+             + CASE WHEN (CASE WHEN w.used_after > 0 AND w.used_after + b.n_tokens > 2048
+                               THEN 0 ELSE w.used_after END) + b.n_tokens >= 2048
+                    THEN 1 ELSE 0 END,
+             CASE WHEN (CASE WHEN w.used_after > 0 AND w.used_after + b.n_tokens > 2048
+                             THEN 0 ELSE w.used_after END) + b.n_tokens >= 2048
+                  THEN 0
+                  ELSE (CASE WHEN w.used_after > 0 AND w.used_after + b.n_tokens > 2048
+                             THEN 0 ELSE w.used_after END) + b.n_tokens END
+      FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn + 1
+    )
+    SELECT doc_id, shard,
+           CAST(shard * 1099511627776 + seq_cur AS BIGINT) AS seq_id,
+           off AS seq_offset, n_tokens
+    FROM walk
+    """
+
+
+@query("ds5_pack_sequences", oracle=_DS5_ORACLE, tags=("training", "stateful"))
 def ds5_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy first-fit packing of documents into 2048-token sequences
     (whitespace token counts), 8 shards. Sequential-per-shard recurrence →
-    applyInPandas; not SQL-expressible, driver does the rows-only check
-    (unit tests pin the packing invariants: tests/test_training.py)."""
+    applyInPandas (parallel across shards); the oracle replays the exact
+    state machine as a DuckDB recursive CTE over per-shard row numbers
+    (recursion depth = max rows per shard), so even this imperative
+    operator is value-checked end to end. Unit tests additionally pin the
+    packing invariants (tests/test_training.py)."""
     from fhir_etl_spark.operators.packing import pack_sequences
     from fhir_etl_spark.operators.text import token_count
 
