@@ -73,8 +73,10 @@ COVERAGE_ROTATION = [
     "y1_zorder_curve",
     "e3_sessionization",
     "d4_minhash_lsh", "d5_simhash", "g2_pagerank",
-    # round-4 codec tier: real PNG/WAV/GIF decode, formula-replayable oracles
+    # round-4 codec tier: real PNG/WAV/GIF decode + resize,
+    # formula-replayable oracles
     "m2_image_decode", "m3_audio_decode", "m4_gif_frame_sample",
+    "m5_image_resize",
     # round-4 additions: LM-perplexity quality filter, kNN classification,
     # deterministic k-means clustering, exact repeated-substring removal
     "t12_lm_perplexity", "v6_knn_classify", "v7_kmeans_assign",
@@ -84,7 +86,7 @@ COVERAGE_ROTATION = [
     "ds5_pack_sequences",
     # padding to the full 50: oldest driver evidence (r01), re-verified
     "p1_fhirize_projection", "a4_cube", "a6_grouping_sets",
-    "j3_semi_join_normalized_key", "j6_full_outer_join",
+    "j3_semi_join_normalized_key",
 ]
 
 

@@ -267,3 +267,75 @@ def m4_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return frames.mapInPandas(geom, out_schema)
+
+
+@query(
+    "m5_image_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS BIGINT) AS h0,
+             CAST(4 + doc_id % 7 AS BIGINT) AS w0
+      FROM documents
+    ), px AS (
+      SELECT doc_id, h0, w0, y.y, x.x, c.c,
+             CAST(floor(least((y.y + 0.5) * h0 / 6.0, h0 - 1)) AS BIGINT) AS ys,
+             CAST(floor(least((x.x + 0.5) * w0 / 5.0, w0 - 1)) AS BIGINT) AS xs
+      FROM dims,
+           unnest(range(0, 6)) AS y(y),
+           unnest(range(0, 5)) AS x(x),
+           unnest(range(0, 3)) AS c(c)
+    )
+    SELECT doc_id, 6 AS height, 5 AS width, 3 AS channels,
+           CAST(sum((doc_id * 7 + (ys * w0 + xs) * 3 + c) % 256) AS BIGINT)
+             AS pixel_sum
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "codec"),
+)
+def m5_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real resize path, value-checked end to end: formula PNG →
+    resize_image(nearest, 5×6) → decode_image → pixel sum. Nearest
+    resampling is pure integer index gather (ys = floor(min((y+0.5)·h0/H,
+    h0−1))), so the oracle recomputes each resized pixel from the ramp
+    formula — a wrong index map, filter, or re-encode breaks the hash.
+    Map-only (three Arrow stages + decode), no shuffle before the final
+    stats agg."""
+    from fhir_etl_spark.operators.multimodal import decode_image, resize_image
+
+    documents = load_tables(spark, sf_dir, "documents")
+    resized = resize_image(
+        _png_media(documents), width=5, height=6, bytes_col="media",
+        method="nearest",
+    )
+    decoded = decode_image(resized, bytes_col="media")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+
+    def stats(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, img, err in zip(
+                pdf["doc_id"], pdf["image"], pdf["media_resize_error"]
+            ):
+                assert err is None and img["error"] is None, f"doc {doc_id}"
+                buf = np.frombuffer(img["pixels"], "uint8")
+                rows.append(
+                    (doc_id, img["height"], img["width"], img["channels"],
+                     int(buf.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "height", "width", "channels", "pixel_sum"]
+            )
+
+    return decoded.mapInPandas(stats, out_schema)
