@@ -123,8 +123,13 @@ def weighted_mix(
         raise ValueError("sources must be non-empty")
     parts = []
     for name, (df, weight) in sources.items():
+        # round(), not int(): computed weights (e.g. temperature_weights'
+        # pow-math) sit arbitrarily close to bucket boundaries, and a SQL
+        # oracle recomputing the same threshold must land on the same
+        # integer — truncation flips on a 1-ulp difference, rounding
+        # doesn't (0.3/0.9-style literals are unaffected)
         kept = df.filter(
-            hash_bucket(F.col(key), salt=f"{salt}:{name}") < int(weight * BUCKETS)
+            hash_bucket(F.col(key), salt=f"{salt}:{name}") < round(weight * BUCKETS)
         )
         parts.append(kept.withColumn(src_col, F.lit(name)))
     out = parts[0]
@@ -264,3 +269,35 @@ def quality_weighted_sample(
     p = F.least(F.greatest(weight * scale, F.lit(0.0)), F.lit(1.0))
     keep = hash_bucket(F.col(id_col), salt=salt) < (p * BUCKETS).cast("long")
     return df.filter(keep)
+
+
+def temperature_weights(
+    sizes: dict[str, int], temperature: float = 1.0, cap: float = 1.0
+) -> dict[str, float]:
+    """Per-source inclusion rates from corpus sizes under temperature
+    sampling (the multilingual/multi-source balancing rule of mBERT/XLM-R
+    and data-mixture tuning): sampling probability p_i ∝ size_i^(1/T),
+    converted to the per-source KEEP rate that realizes those
+    probabilities in one pass over each corpus, scaled so the largest
+    rate is ``cap`` (≤ 1 — hash filtering can drop rows, never duplicate
+    them; up-sampling beyond 1× is the trainer's epoch loop's job).
+
+    T=1 reproduces natural proportions (every rate = cap); T→∞ equalizes
+    EXPECTED CONTRIBUTIONS (rate_i ∝ 1/size_i — every source contributes
+    the same row count); T<1 sharpens toward the biggest sources. Pure
+    driver-side arithmetic over the (tiny) size dict — feed the result to
+    :func:`weighted_mix`."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    if not sizes:
+        raise ValueError("sizes must be non-empty")
+    if any(n <= 0 for n in sizes.values()):
+        raise ValueError("corpus sizes must be positive")
+    total = sum(sizes.values())
+    probs = {k: (n / total) ** (1.0 / temperature) for k, n in sizes.items()}
+    z = sum(probs.values())
+    # keep rate realizing p_i from a one-pass filter: expected rows kept
+    # = rate_i * size_i ∝ p_i  ⇒  rate_i ∝ p_i / size_i
+    rates = {k: (probs[k] / z) / sizes[k] for k in sizes}
+    scale = cap / max(rates.values())
+    return {k: r * scale for k, r in rates.items()}

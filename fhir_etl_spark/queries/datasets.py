@@ -255,3 +255,54 @@ def ds8_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents.select("doc_id", "source", "n_chars"),
         weight=F.col("n_chars") / 400.0,
     )
+
+
+@query(
+    "ds9_temperature_mix",
+    oracle=f"""
+    -- thresholds replayed from the same T=2 temperature formula the
+    -- Spark side computes driver-side: p_i ∝ (n_i/total)^(1/2),
+    -- keep-rate_i ∝ p_i/n_i scaled so max rate = 0.9, threshold =
+    -- round(rate*1e6). pow/division agree across engines to ~1e-16;
+    -- round() at integer bucket granularity absorbs it.
+    WITH sizes AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
+    ), tot AS (SELECT sum(n) AS total FROM sizes),
+    rates AS (
+      SELECT source, (pow(n / total, 0.5) /
+                      (SELECT sum(pow(n / total, 0.5)) FROM sizes, tot)) / n AS r
+      FROM sizes, tot
+    ), thresh AS (
+      SELECT source,
+             CAST(round(r * 0.9 / (SELECT max(r) FROM rates) * 1000000)
+                  AS BIGINT) AS t
+      FROM rates
+    )
+    SELECT d.doc_id, d.source AS src
+    FROM documents d JOIN thresh ON d.source = thresh.source
+    WHERE {_BUCKET.format(salt="tmix:' || d.source || '", key="d.doc_id")} < thresh.t
+    """,
+    tags=("datasets", "mix"),
+)
+def ds9_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced corpus mixing (the mBERT/XLM-R T=2 rule):
+    per-source keep rates from operators/datasets.temperature_weights
+    (p_i ∝ size_i^(1/T), realized as one-pass hash filters via
+    weighted_mix, max rate capped at 0.9). Sizes come from one bounded
+    groupBy-collect (a handful of sources); everything after is the
+    zero-shuffle tagged union."""
+    from fhir_etl_spark.operators.datasets import temperature_weights, weighted_mix
+
+    documents = load_tables(spark, sf_dir, "documents")
+    sizes = {
+        r["source"]: r["n"]
+        for r in documents.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    rates = temperature_weights(sizes, temperature=2.0, cap=0.9)
+    sources = {
+        name: (documents.filter(F.col("source") == name), rate)
+        for name, rate in rates.items()
+    }
+    return weighted_mix(sources, key="doc_id", salt="tmix").select(
+        "doc_id", F.col("source").alias("src")
+    )

@@ -219,3 +219,29 @@ def test_quota_cap_deterministic_and_bounded(spark, sf_dir):
     }
     # old selection minus displaced rows is still selected
     assert len(a - regrown) <= 250
+
+
+def test_temperature_weights_math():
+    """T=1 → natural proportions (all rates = cap); T→∞ → equal expected
+    contributions; T=2 sits between; invalid inputs raise."""
+    import pytest
+
+    from fhir_etl_spark.operators.datasets import temperature_weights
+
+    w = temperature_weights({"a": 1000, "b": 100, "c": 10}, temperature=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in w.values())
+
+    w = temperature_weights({"a": 1000, "b": 100}, temperature=1e9)
+    assert abs(w["a"] * 1000 - w["b"] * 100) < 1e-6
+
+    w = temperature_weights({"a": 1000, "b": 10}, temperature=2.0, cap=0.9)
+    assert max(w.values()) == pytest.approx(0.9)
+    assert w["a"] * 1000 > w["b"] * 10  # big source still contributes more
+    assert w["b"] > w["a"]  # but small source is up-weighted per row
+
+    with pytest.raises(ValueError):
+        temperature_weights({}, 2.0)
+    with pytest.raises(ValueError):
+        temperature_weights({"a": 10}, 0.0)
+    with pytest.raises(ValueError):
+        temperature_weights({"a": 0}, 2.0)
