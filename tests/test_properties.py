@@ -241,3 +241,49 @@ def test_chunk_dedup_reassembly_invariants(spark, docs):
         assert len(orig) == len(kept) + row["n_removed"]
         survivors.update(kept)
     assert all_chunks == survivors
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0, max_size=30,
+        ),
+        min_size=2, max_size=12,
+    )
+)
+def test_substring_dedup_matches_local_model(spark, data):
+    """The distributed ExactSubstr result equals a from-scratch local
+    model (count k-grams, mark covered positions, rebuild) on arbitrary
+    small corpora — including k-gram overlaps, repeats within one doc,
+    and empty docs."""
+    from fhir_etl_spark.operators.dedup import substring_dedup
+
+    k = 3
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(data)]
+
+    # local model
+    from collections import Counter
+
+    counts = Counter()
+    for _, text in docs:
+        toks = text.split()
+        for i in range(len(toks) - k + 1):
+            counts[tuple(toks[i : i + k])] += 1
+    expected = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        covered = set()
+        for i in range(len(toks) - k + 1):
+            if counts[tuple(toks[i : i + k])] >= 2:
+                covered.update(range(i, i + k))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        expected[doc_id] = (len(toks), len(toks) - len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in substring_dedup(df, k=k).collect()
+    }
+    assert got == expected
