@@ -86,10 +86,10 @@ COVERAGE_ROTATION = [
     "t12_lm_perplexity", "v6_knn_classify", "v7_kmeans_assign",
     "d10_substring_dedup", "x10_table_profile",
     # ds5 gained a recursive-CTE value oracle this round (previously the
-    # registry's only imperative rows-only query); ds9 is new
-    "ds5_pack_sequences", "ds9_temperature_mix",
+    # registry's only imperative rows-only query); ds9/t14 are new
+    "ds5_pack_sequences", "ds9_temperature_mix", "t14_chunk_documents",
     # padding to the full 50: oldest driver evidence (r01), re-verified
-    "p1_fhirize_projection", "a4_cube", "a6_grouping_sets",
+    "p1_fhirize_projection", "a4_cube",
 ]
 
 

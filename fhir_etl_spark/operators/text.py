@@ -310,3 +310,54 @@ def lm_cross_entropy(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def chunk_documents(
+    documents: "DataFrame",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Split documents into overlapping token windows — the
+    context-window prep step for RAG indexing and fixed-length training
+    examples. Chunk k starts at k·stride (stride = chunk_tokens −
+    overlap) and takes ``chunk_tokens`` tokens; a trailing start is
+    emitted only when it contributes tokens beyond the previous chunk
+    (start < n − overlap), so no chunk is a suffix-duplicate of its
+    predecessor. Empty docs emit nothing.
+
+    Output: (id, chunk_index, chunk_start, n_chunk_tokens, chunk_text).
+    Map-only: one codegen sequence + posexplode per doc, no shuffle —
+    at 100 TB this is a pure scan-side transform. Pairs with
+    dedup.chunk_dedup (which dedups non-overlapping chunks corpus-wide)
+    and packing.pack_sequences downstream."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toked = documents.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    )
+    n = F.size("_t")
+    starts = F.filter(
+        F.transform(
+            F.when(n > 0, F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int")))
+            .otherwise(F.array().cast("array<int>")),
+            lambda k: k * stride,
+        ),
+        lambda s: (s == 0) | (s < n - overlap),
+    )
+    return (
+        toked.select("_id", "_t", F.posexplode(starts).alias("_k", "_s"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_k").cast("int").alias("chunk_index"),
+            F.col("_s").cast("long").alias("chunk_start"),
+            F.least(F.lit(chunk_tokens), F.size("_t") - F.col("_s"))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ", F.slice("_t", F.col("_s") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        )
+    )

@@ -529,3 +529,32 @@ def t13_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
         F.slice("bpe_tokens", 1, 5).alias("head_tokens"),
     )
+
+
+@query(
+    "t14_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t, len(t) AS n, unnest(range(0, len(t), 48)) AS s
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(s / 48 AS INTEGER) AS chunk_index,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(least(64, n - s) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+    FROM starts
+    WHERE s = 0 OR s < n - 16
+    """,
+    tags=("text", "chunking"),
+)
+def t14_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token / 16-overlap context windows per document
+    (RAG/training prep; operators/text.chunk_documents). Map-only plan;
+    the oracle replays the start arithmetic and token slicing."""
+    from fhir_etl_spark.operators.text import chunk_documents
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return chunk_documents(documents, chunk_tokens=64, overlap=16)

@@ -167,3 +167,27 @@ def test_bpe_invariants_on_corpus(spark, sf_dir):
     )
     bad = decoded.filter(F.trim("rt") != F.trim("want")).count()
     assert bad == 0
+
+
+def test_chunk_documents_edges(spark):
+    """Chunking edge cases: short doc → one whole chunk; boundary doc
+    (n = chunk) → one chunk (tail suppressed); overlap honored; empty
+    doc emits nothing."""
+    from fhir_etl_spark.operators.text import chunk_documents
+
+    toks = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, toks(10)), (2, toks(64)), (3, toks(70)), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in chunk_documents(df, chunk_tokens=64, overlap=16).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    assert len(out[1]) == 1 and out[1][0]["n_chunk_tokens"] == 10
+    assert len(out[2]) == 1  # start 48 adds nothing beyond 0..64
+    assert len(out[3]) == 2
+    c0, c1 = sorted(out[3], key=lambda r: r["chunk_index"])
+    assert (c0["chunk_start"], c0["n_chunk_tokens"]) == (0, 64)
+    assert (c1["chunk_start"], c1["n_chunk_tokens"]) == (48, 22)
+    assert c0["chunk_text"].split()[48:] == c1["chunk_text"].split()[:16]  # overlap
+    assert 4 not in out
