@@ -56,8 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   - round-4 NEW operators: v5 banded-LSH near-dup, m2/m3/m4/m5 real
 #     codec tier (PNG decode, WAV PCM, GIF frames, nearest resize —
 #     formula-replayable oracles), t12 LM perplexity, v6 kNN classify,
-#     v7 k-means, d10 ExactSubstr, x10 table profile.
-#   - 4 r01-checked queries padding the window to 50 so the sorted-name
+#     v7 k-means, d10 ExactSubstr, x10 table profile, ds9 temperature
+#     mix, t14 context-window chunking.
+#   - 2 r01-checked queries padding the window to 50 so the sorted-name
 #     cutoff cannot reach base-registry rows-only names (x4/t13/d4x, the
 #     only ones left without oracles — approx/iterative by nature, kept
 #     OUT of the window by construction).
