@@ -147,6 +147,7 @@ def lsh_bucketed_neardup(
     n_planes: int = 8,
     n_bands: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
     *,
     dim: int,
     id_col: str = "vec_id",
@@ -171,6 +172,20 @@ def lsh_bucketed_neardup(
     rows are bit-identical. Compare `embedding_neardup_pairs`, whose
     nested-loop theta join is the in-bucket verifier this operator calls
     implicitly through the sim filter.
+
+    Scale guard: a (band, sig) bucket of d vectors yields d·(d−1)/2
+    comparisons inside the equi-join — a degenerate bucket (a huge cluster
+    of near-identical embeddings, or many all-negative-signature vectors)
+    re-materializes exactly the quadratic blowup this operator exists to
+    avoid. ``max_bucket_size`` drops buckets whose occupancy exceeds the
+    cap BEFORE the self-join, mirroring ``dedup.lsh_candidate_pairs``: one
+    extra aggregation pass (map-side partial combine; shuffle output is one
+    row per distinct bucket) finds the oversized buckets, and a broadcast
+    anti-join prunes them map-side — the over-cap bucket list is bounded by
+    |corpus| / max_bucket_size rows, always broadcastable. Any cap above
+    the corpus's true max bucket occupancy is answer-identical; run exact
+    dedup first if identical vectors are expected. ``None`` disables the
+    guard (NOT recommended at scale).
     """
     band_sigs = F.array(
         *[
@@ -196,6 +211,14 @@ def lsh_bucketed_neardup(
         .select(id_col, vec_col, "_nrm", "_bs.band", "_bs.sig")
         .where(F.col("sig").isNotNull())
     )
+    if max_bucket_size is not None:
+        oversized = (
+            signed.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .where(F.col("_occ") > max_bucket_size)
+            .select("band", "sig")
+        )
+        signed = signed.join(F.broadcast(oversized), ["band", "sig"], "left_anti")
     a = signed.select(
         F.col("band"),
         F.col("sig"),

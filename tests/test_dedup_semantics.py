@@ -225,6 +225,56 @@ def test_lsh_bucketed_neardup_recall_vs_brute_force(planted_corpus):
     assert recall >= 0.7, f"recall {recall:.2f} below floor"
 
 
+def test_lsh_bucketed_neardup_degenerate_bucket_guard(spark, planted_corpus):
+    """Scale guard (VERDICT r04 #1): a planted cluster of identical
+    embeddings lands every copy in the same (band, sig) bucket of every
+    band; without a cap the self-join materializes d·(d−1)/2 pairs. With
+    ``max_bucket_size`` below the cluster size the degenerate bucket is
+    dropped entirely — pair counts stay bounded — while every cap ABOVE
+    the corpus's true max bucket occupancy is answer-identical."""
+    import numpy as np
+
+    from fhir_etl_spark.operators.similarity import lsh_bucketed_neardup
+
+    rng = np.random.default_rng(11)
+    ident = [float(x) for x in rng.normal(size=16)]
+    rows = [(i, ident) for i in range(300)]  # 300 identical → one bucket/band
+    rows += [(300 + i, [float(x) for x in rng.normal(size=16)]) for i in range(50)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    capped = lsh_bucketed_neardup(
+        corpus, threshold=0.9, n_planes=8, n_bands=4, dim=16, max_bucket_size=100
+    ).collect()
+    # 300·299/2 = 44,850 identical pairs would survive an uncapped run;
+    # the capped run drops the degenerate bucket, so only pairs among the
+    # 50 random vectors (and none of the identical cluster) can remain.
+    capped_ids = {r["a"] for r in capped} | {r["b"] for r in capped}
+    assert not any(i < 300 for i in capped_ids)
+    assert len(capped) < 1000
+
+    # Answer-identity for caps above the true max bucket occupancy:
+    # the planted_corpus (200 vectors, no degenerate cluster) must give
+    # bit-identical results with the guard on (cap=1000 default) and off.
+    guarded = {
+        (r["a"], r["b"], r["sim"])
+        for r in lsh_bucketed_neardup(
+            planted_corpus, threshold=0.95, n_planes=8, n_bands=6, dim=16
+        ).collect()
+    }
+    unguarded = {
+        (r["a"], r["b"], r["sim"])
+        for r in lsh_bucketed_neardup(
+            planted_corpus,
+            threshold=0.95,
+            n_planes=8,
+            n_bands=6,
+            dim=16,
+            max_bucket_size=None,
+        ).collect()
+    }
+    assert guarded == unguarded
+
+
 def test_chunk_dedup_keeps_earliest_copy_only(spark):
     from fhir_etl_spark.operators.dedup import chunk_dedup
 
