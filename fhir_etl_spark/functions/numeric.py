@@ -21,9 +21,13 @@ def coerce_numeric_string(col: Column | str) -> Column:
     # its isdigit() gate: exactly one dot, digits on at least one side,
     # optional leading '-' ('5.', '.5', '-.5' all convert in the
     # reference). ASCII digits only (Java \d): inputs the reference's
-    # int()/float() would RAISE on — unicode digits like '²', misplaced
+    # int()/float() would RAISE on — superscripts like '²', misplaced
     # '-', multiple dots — map to NULL here (a crash cannot be a value;
-    # pinned by the hypothesis parity test).
+    # pinned by the hypothesis parity test). Documented divergence: the
+    # reference DOES convert non-ASCII Unicode decimal digits
+    # (int('٥') == 5); here they are NULL — Spark's string→double cast
+    # cannot parse them, and the reference's TSV inputs never contain
+    # them (see tests/test_properties.reference_coerce).
     is_float = c.rlike(r"^-?(\d+\.\d*|\.\d+)$")
     is_int = c.rlike(r"^-?\d+$")
     num = (

@@ -671,11 +671,18 @@ def substring_dedup(
     5. anti join token stream against covered positions (both keyed on
        (doc, position)) → per-doc ordered reassembly.
 
-    ``gram_key='hash'`` swaps the join/group key for xxhash64(gram) so
-    the shuffles carry 8-byte keys instead of k-token strings — the
-    100 TB default; ``'text'`` keeps the raw gram so a SQL oracle can
-    replay the exact pipeline (same trick as chunk_dedup's documented
-    key swap).
+    ``gram_key='hash'`` swaps the join/group key for a PAIR of
+    independently-seeded xxhash64s over the gram — 16-byte keys instead
+    of k-token strings — the 100 TB default; ``'text'`` keeps the raw
+    gram so a SQL oracle can replay the exact pipeline (same trick as
+    chunk_dedup's documented key swap). A single 64-bit hash is not
+    enough here (ADVICE r04): at b distinct grams the expected number of
+    birthday collisions is ≈ b²/2⁶⁵ — about 54 false gram-identities at
+    b = 10⁹, and unlike chunk_dedup a collision between two UNIQUE grams
+    gives both count 2 and falsely deletes both spans. The 128-bit pair
+    pushes that to ≈ b²/2¹²⁹ (~10⁻²⁰ at 10⁹ grams — negligible); the
+    residual risk is inherent to any hash-keyed formulation and only
+    ``gram_key='text'`` is collision-free.
     """
     if gram_key not in ("text", "hash"):
         raise ValueError(f"gram_key must be text|hash, got {gram_key!r}")
@@ -694,7 +701,17 @@ def substring_dedup(
             F.transform(starts, lambda i: F.concat_ws(" ", F.slice("_t", i, k)))
         ).alias("_i", "_gram"),
     )
-    key = F.xxhash64("_gram") if gram_key == "hash" else F.col("_gram")
+    # 128-bit composite key: two xxhash64s with distinct literal seeds
+    # (the extra literal column changes the hash input, giving an
+    # independent second hash) — see the collision note in the docstring
+    key = (
+        F.struct(
+            F.xxhash64("_gram").alias("h1"),
+            F.xxhash64(F.lit(0x9E3779B9), "_gram").alias("h2"),
+        )
+        if gram_key == "hash"
+        else F.col("_gram")
+    )
     grams = grams.select("_id", "_i", key.alias("_k"))
     dup_keys = (
         grams.groupBy("_k").agg(F.count("*").alias("_n"))

@@ -476,6 +476,8 @@ def split_gif_frames(
     def _frames(raw: bytes) -> list[bytes]:
         if raw[:6] not in (b"GIF87a", b"GIF89a"):
             raise ValueError(f"unsupported: {sniff_mime(raw)}")
+        if len(raw) < 14:  # header (6) + LSD (7) + at least a trailer byte
+            raise ValueError(f"truncated GIF: {len(raw)} bytes")
         # header (6) + logical screen descriptor (7) [+ global color table]
         packed = raw[10]
         gct_size = 3 * (2 << (packed & 0x07)) if packed & 0x80 else 0
@@ -488,6 +490,8 @@ def split_gif_frames(
             if b0 == 0x3B:  # trailer
                 break
             if b0 == 0x21:  # extension: label + sub-block chain
+                if i + 1 >= n:
+                    raise ValueError(f"truncated GIF extension at {i}")
                 j = i + 2
                 while j < n and raw[j] != 0:
                     j += 1 + raw[j]
@@ -496,6 +500,8 @@ def split_gif_frames(
                     pending_gce = raw[i:j]
                 i = j
             elif b0 == 0x2C:  # image descriptor
+                if i + 10 > n:
+                    raise ValueError(f"truncated GIF image descriptor at {i}")
                 j = i + 10
                 if raw[i + 9] & 0x80:  # local color table
                     j += 3 * (2 << (raw[i + 9] & 0x07))
@@ -523,11 +529,15 @@ def split_gif_frames(
                             idxs.append(k)
                             blobs.append(frame)
                             errs.append(None)
-                except ValueError as exc:
+                # broad catch, same contract as decode_image: one corrupt
+                # file must land in an error row, never fail the Spark job
+                # (truncated bytes raise IndexError from raw[...] reads,
+                # not just ValueError)
+                except Exception as exc:  # noqa: BLE001
                     ids.append(rid)
                     idxs.append(-1)
                     blobs.append(None)
-                    errs.append(str(exc)[:200])
+                    errs.append(f"{type(exc).__name__}: {exc}"[:200])
             yield pd.DataFrame(
                 {id_col: ids, "frame_index": idxs, "frame": blobs, "error": errs}
             )

@@ -106,12 +106,17 @@ def curate_corpus(
     if max_xent is not None:
         from fhir_etl_spark.operators.text import lm_cross_entropy
 
-        ok_ids = (
+        # Gate by ANTI-join against the over-threshold docs, not semi-join
+        # against the under-threshold ones: lm_cross_entropy emits NO row
+        # for docs with zero bigrams (< 2 whitespace tokens), and their
+        # perplexity is undefined, not high — a semi-join would silently
+        # drop them regardless of threshold (ADVICE r04).
+        bad_ids = (
             lm_cross_entropy(gated, id_col=id_col, text_col=text_col)
-            .filter(F.col("xent") <= max_xent)
+            .filter(F.col("xent") > max_xent)
             .select(id_col)
         )
-        gated = gated.join(ok_ids, id_col, "left_semi")
+        gated = gated.join(bad_ids, id_col, "left_anti")
 
     # 2. exact dedup (digest groupBy, min-id representative)
     deduped_ids = exact_dedup(gated, id_col=id_col, text_col=text_col).select(id_col)

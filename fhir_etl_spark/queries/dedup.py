@@ -435,7 +435,7 @@ def d10_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is deleted from every document. ~9% of the sf0.01 corpus's
     token mass is duplicated under this policy. gram_key='text' keeps the
     raw gram as the shuffle key so the oracle replays the pipeline;
-    production uses gram_key='hash' (8-byte xxhash64 keys — documented
+    production uses gram_key='hash' (16-byte double-xxhash64 keys — documented
     swap, same as chunk_dedup)."""
     from fhir_etl_spark.operators.dedup import substring_dedup
 

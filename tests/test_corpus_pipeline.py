@@ -74,6 +74,36 @@ def test_curate_corpus_keep_near_dups_split_cohesion(spark, sf_dir):
     assert violations == 0
 
 
+def test_curate_corpus_xent_gate_keeps_zero_bigram_docs(spark):
+    """ADVICE r04: lm_cross_entropy emits no row for docs with < 2
+    whitespace tokens, so the old semi-join gate silently dropped them at
+    ANY threshold. Their perplexity is undefined, not high — with a
+    permissive threshold every doc, including the one-token one, must
+    survive; with a strict threshold the one-token doc must STILL survive
+    while the high-xent docs go."""
+    from fhir_etl_spark.operators.text import lang_id
+
+    rows = [
+        (1, "the cat sat on the mat and the cat sat again"),
+        (2, "completely different words about weather patterns over water"),
+        (3, "zqx"),  # one token → zero bigrams → no xent row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    keep = tuple(
+        r[0] for r in docs.select(lang_id(F.col("text")).alias("l")).distinct().collect()
+    )
+    permissive = curate_corpus(
+        docs, keep_langs=keep, min_quality=0.0, max_xent=1e9
+    )
+    assert {r["doc_id"] for r in permissive.collect()} == {1, 2, 3}
+    strict = curate_corpus(
+        docs, keep_langs=keep, min_quality=0.0, max_xent=1e-9
+    )
+    survivors = {r["doc_id"] for r in strict.collect()}
+    assert 3 in survivors  # undefined perplexity is never "too high"
+    assert not {1, 2} & survivors
+
+
 def test_curate_corpus_xent_and_substring_stages(spark, sf_dir):
     """The round-4 stages compose: the perplexity gate drops the
     highest-xent docs, and ExactSubstr rewrites text so no duplicated

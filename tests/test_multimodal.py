@@ -203,6 +203,33 @@ def test_split_gif_frames(spark):
     assert err["frame_index"] == -1 and "unsupported" in err["error"]
 
 
+def test_split_gif_frames_truncated_bytes_become_error_rows(spark):
+    """Per-row error contract under CORRUPT (not just non-GIF) bytes:
+    truncated GIFs used to raise IndexError out of the block walk and fail
+    the whole job (ADVICE r04). Every malformation must land in an error
+    row with frame_index = -1."""
+    from fhir_etl_spark.operators.multimodal import split_gif_frames
+
+    good = _animated_gif(3)
+    hdr = 13 + 3 * (2 << (good[10] & 0x07))  # header + global color table
+    corrupt = [
+        (1, b"GIF89a\x04\x00"),             # header cut mid-LSD (the ADVICE repro)
+        (2, b"GIF89a"),                      # nothing after the magic
+        (3, good[:hdr] + b"\x21"),           # extension intro byte at EOF
+        (4, good[:hdr] + b"\x2c\x00\x00"),   # image descriptor cut short
+        (5, good),                           # sanity: the good one still splits
+    ]
+    df = spark.createDataFrame(corrupt, "id long, media binary")
+    rows = split_gif_frames(df, every_n=1).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    for rid in (1, 2, 3, 4):
+        (err,) = by_id[rid]
+        assert err["frame_index"] == -1 and err["error"]
+    assert [r["frame_index"] for r in sorted(by_id[5], key=lambda r: r["frame_index"])] == [0, 1, 2]
+
+
 def test_png_codec_property_roundtrip():
     """Pure-unit codec check across shapes/channels/filters (no Spark)."""
     import numpy as np

@@ -133,10 +133,21 @@ def reference_coerce(value: str):
     with one optional leading '-', optional '.', → float iff '.' present.
 
     The reference's isdigit() gate passes strings its int()/float() then
-    RAISES on — unicode digits ('²'), a non-leading '-' ('5-4'),
+    RAISES on — superscripts ('²'), a non-leading '-' ('5-4'),
     multiple dots ('1.2.3') — killing the whole pipeline. The engine's
     documented policy maps those reference-crash inputs to NULL, so this
-    replica returns None where the reference would raise."""
+    replica returns None where the reference would raise.
+
+    DOCUMENTED DIVERGENCE (ADVICE r04): non-ASCII Unicode decimal digits
+    ('٥', '５') pass isdigit() AND convert successfully in the reference
+    (int('٥') == 5, no crash), while the engine's Java-regex \\d is
+    ASCII-only and yields NULL. The engine keeps ASCII-only semantics on
+    purpose — Spark's string→double cast does not parse non-ASCII digits,
+    so 'matching' would need a ~650-codepoint translate table for a case
+    the reference's genomics TSVs never contain. The replica therefore
+    ASCII-gates first, encoding the divergence rather than hiding it."""
+    if not value.isascii():
+        return None  # engine policy; the reference would convert Nd digits
     if not value.replace(".", "").replace("-", "", 1).isdigit():
         return None
     try:
@@ -167,6 +178,22 @@ def test_coerce_numeric_matches_reference(spark, values):
             assert r["n"] is None, repr(r["v"])
         else:
             assert r["n"] == pytest.approx(float(expected)), repr(r["v"])
+
+def test_coerce_numeric_unicode_digits_documented_divergence(spark):
+    """Pin the ADVICE-r04 divergence deterministically (hypothesis only
+    finds it by luck): Arabic-Indic '٥' and fullwidth '５' convert in the
+    reference (int('٥') == 5) but are NULL in the engine AND None in the
+    ASCII-gated replica — so the property test can never flake on them."""
+    from fhir_etl_spark.functions.numeric import coerce_numeric_or_null
+
+    cases = ["٥", "５", "١٢٣", "5٥", "²"]
+    assert all(reference_coerce(v) is None for v in cases)
+    df = spark.createDataFrame([(v,) for v in cases], "v string")
+    rows = df.select(coerce_numeric_or_null("v").alias("n")).collect()
+    assert all(r["n"] is None for r in rows)
+    # and the reference really would convert the pure-Nd ones (the divergence)
+    assert int("٥") == 5 and float("５") == 5.0
+
 
 @settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
