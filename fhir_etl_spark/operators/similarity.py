@@ -433,6 +433,8 @@ def kmeans_assign(
     vec_col: str = "embedding",
     round_centroid: int = 4,
     round_dist: int = 6,
+    init: str = "first_k",
+    init_seed: int = 42,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column → (id, cluster_id, dist_r).
 
@@ -440,8 +442,15 @@ def kmeans_assign(
     dedup/diversify within clusters). Fully deterministic and therefore
     cross-engine replayable:
 
-    - init: centroids = the first ``k`` corpus rows by id
-      (TakeOrderedAndProject — no global sort);
+    - init: ``'first_k'`` (default, the oracle-replayable path) takes the
+      first ``k`` corpus rows by id (TakeOrderedAndProject — no global
+      sort). ``'hash_sample'`` takes the ``k`` rows minimizing
+      ``xxhash64(init_seed, id)`` — a deterministic uniform pseudo-random
+      sample, so init quality no longer depends on how ids were assigned
+      (consecutive ids from one source would otherwise seed all centroids
+      inside one region). Same TakeOrderedAndProject shape, still exactly
+      replayable given the seed, but the DuckDB twin would need the
+      xxhash64 function, so the registered oracle query keeps 'first_k';
     - assign: squared euclidean distance ROUNDED to ``round_dist``
       decimals before the argmin (ties → lower cluster id), so float
       summation order can never flip an assignment between engines;
@@ -456,15 +465,23 @@ def kmeans_assign(
     Fixed iteration count; convergence-based stopping would add one
     driver probe per round (see graph.pagerank for the bounded pattern).
     """
+    if init not in ("first_k", "hash_sample"):
+        raise ValueError(f"init must be first_k|hash_sample, got {init!r}")
     corpus = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    # first k by id, numbered 0..k-1 — k rows, TakeOrdered then a tiny sort
+    # k seed rows, numbered 0..k-1 — TakeOrdered then a tiny sort; the
+    # hash_sample order key makes the pick a seeded uniform sample while
+    # keeping the exact same plan shape (no global sort either way)
+    seed_key = (
+        F.col("_id") if init == "first_k" else F.xxhash64(F.lit(init_seed), F.col("_id"))
+    )
     cent = (
-        corpus.orderBy("_id")
+        corpus.withColumn("_ord", seed_key)
+        .orderBy("_ord", "_id")
         .limit(k)
         .select(
-            (F.row_number().over(Window.orderBy("_id")) - 1).alias("_c"),
+            (F.row_number().over(Window.orderBy("_ord", "_id")) - 1).alias("_c"),
             F.col("_v").alias("_cv"),
         )
     )

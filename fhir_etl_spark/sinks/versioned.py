@@ -7,19 +7,29 @@ with nothing but parquet + JSON manifests, the way log-structured table
 formats actually work:
 
 - every commit writes its data files into a fresh
-  ``data/v{N}-{token}/`` directory (never touching earlier files),
+  ``data/c-{token}/`` directory (never touching earlier files; the name
+  is version-agnostic so a retried commit can re-publish the same files
+  under a later version),
 - then publishes ``_manifests/v{N}.json`` listing the directories that
   make up the snapshot (parent's list + new for ``append``, new only
   for ``overwrite``),
-- the manifest is staged to a temp file and ``os.replace``d into place:
-  readers either see the whole commit or none of it (POSIX rename
-  atomicity). A reader pins a manifest ONCE and reads a consistent file
-  set regardless of concurrent writers.
+- the manifest is staged to a temp file and ``os.link``ed into place
+  (atomic AND exclusive): readers either see the whole commit or none of
+  it. A reader pins a manifest ONCE and reads a consistent file set
+  regardless of concurrent writers.
 
-Single-writer contract: version allocation is list-and-increment, so
-concurrent committers can race to the same version number — real
-multi-writer needs a coordination service (what Delta's log store
-provides). Readers are always safe.
+Concurrent-writer contract: version allocation is list-and-increment, so
+two committers CAN race to the same version number — the manifest is
+therefore published with ``os.link`` (exclusive hard-link, atomic on
+POSIX), so exactly one racer wins the version and the loser gets a LOUD
+``ConcurrentWriteError``, never a silently-lost commit. The loser's data
+directory is already on disk and version-agnostic, so a manifest-level
+retry (``max_retries``) re-reads the head and re-publishes the same
+files at the next version — optimistic concurrency, the same protocol a
+Delta log store implements, minus cross-node coordination (plain NFS
+hard-link semantics are the limit of what a filesystem gives you).
+Readers are always safe: they pin one manifest and vacuum never deletes
+a directory referenced by a retained snapshot.
 
 Reference parity note: the reference's NDJSON store overwrites files in
 place (utils.py:101-135) — no history, no atomicity. This sink is the
@@ -38,6 +48,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published this version first (optimistic-concurrency
+    conflict). The losing commit's data directory is left on disk as an
+    orphan — re-calling write_snapshot re-writes it, and vacuum() collects
+    it; nothing of the WINNING commit is ever disturbed."""
 
 
 def _manifest_path(table_path: str, version: int) -> str:
@@ -64,44 +81,70 @@ def _load_manifest(table_path: str, version: int) -> dict:
 
 
 def write_snapshot(
-    df: DataFrame, table_path: str, mode: str = "append"
+    df: DataFrame, table_path: str, mode: str = "append", max_retries: int = 0
 ) -> int:
     """Commit ``df`` as the next snapshot; returns the new version.
 
     ``append`` stacks onto the previous snapshot's file set;
     ``overwrite`` starts a fresh set (earlier versions stay readable
     until vacuumed).
+
+    Concurrency: the manifest is published with an exclusive atomic
+    hard-link, so when two writers race to the same version exactly one
+    wins; the loser raises :class:`ConcurrentWriteError` (loud, never a
+    silent overwrite). ``max_retries > 0`` turns the loser into an
+    optimistic retry: the data files are already written and
+    version-agnostic, so each retry only re-reads the head manifest and
+    re-publishes — the Spark job never re-runs.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(os.path.join(table_path, _MANIFEST_DIR), exist_ok=True)
-    existing = _versions(table_path)
-    version = (existing[-1] + 1) if existing else 0
 
     token = secrets.token_hex(4)
-    rel_dir = os.path.join(_DATA_DIR, f"v{version}-{token}")
+    rel_dir = os.path.join(_DATA_DIR, f"c-{token}")
     out_dir = os.path.join(table_path, rel_dir)
     # data first — an interrupted job leaves an orphan dir (vacuumable),
     # never a corrupt table
     df.write.mode("errorifexists").parquet(out_dir)
+    schema_json = df.schema.jsonValue()
 
-    parent_dirs: list[str] = []
-    if mode == "append" and existing:
-        parent_dirs = _load_manifest(table_path, existing[-1])["data_dirs"]
-    manifest = {
-        "version": version,
-        "parent": existing[-1] if existing else None,
-        "mode": mode,
-        "data_dirs": parent_dirs + [rel_dir],
-        "schema": df.schema.jsonValue(),
-    }
-    fd, tmp = tempfile.mkstemp(
-        dir=os.path.join(table_path, _MANIFEST_DIR), suffix=".tmp"
-    )
-    with os.fdopen(fd, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, _manifest_path(table_path, version))  # the atomic commit
-    return version
+    for attempt in range(max_retries + 1):
+        existing = _versions(table_path)
+        version = (existing[-1] + 1) if existing else 0
+        parent_dirs: list[str] = []
+        if mode == "append" and existing:
+            parent_dirs = _load_manifest(table_path, existing[-1])["data_dirs"]
+        manifest = {
+            "version": version,
+            "parent": existing[-1] if existing else None,
+            "mode": mode,
+            "data_dirs": parent_dirs + [rel_dir],
+            "schema": schema_json,
+        }
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.join(table_path, _MANIFEST_DIR), suffix=".tmp"
+        )
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            # the atomic commit: hard-link is exclusive (EEXIST if a racer
+            # published this version first) AND atomic for readers — unlike
+            # os.replace, which would let the last racer silently clobber
+            # the winner's manifest
+            os.link(tmp, _manifest_path(table_path, version))
+            return version
+        except FileExistsError:
+            if attempt == max_retries:
+                raise ConcurrentWriteError(
+                    f"version {version} at {table_path} was published by a "
+                    f"concurrent writer (after {attempt + 1} attempt(s)); "
+                    "the data files are written — retry with max_retries>0 "
+                    "or re-call write_snapshot"
+                ) from None
+        finally:
+            os.unlink(tmp)
+    raise AssertionError("unreachable")
 
 
 def read_snapshot(

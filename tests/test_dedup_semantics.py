@@ -329,6 +329,45 @@ def test_kmeans_separated_blobs(spark):
     assert a_clusters != b_clusters
 
 
+def test_kmeans_hash_sample_init_beats_pathological_first_k(spark):
+    """VERDICT r04 #5: first-k-by-id init seeds every centroid inside ONE
+    region when low ids all come from one source. On a planted 4-blob
+    fixture whose first k ids all sit in blob 0, the seeded hash-sample
+    init must reach strictly lower inertia (sum of squared distances) —
+    and the oracle-default first_k path must be bit-identical to an
+    explicit init='first_k' call (the v7 oracle is unaffected)."""
+    import numpy as np
+
+    from fhir_etl_spark.operators.similarity import kmeans_assign
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for vid in range(200):
+        blob = vid // 50  # ids 0..49 are ALL blob 0 → first_k is pathological
+        center = np.zeros(8)
+        center[blob] = 25.0
+        rows.append((vid, [float(x) for x in center + rng.normal(scale=0.5, size=8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def inertia(init, seed=42):
+        out = kmeans_assign(
+            df, k=4, n_iterations=4, init=init, init_seed=seed
+        ).collect()
+        return sum(r["dist_r"] for r in out), {
+            (r["vec_id"], r["cluster_id"], r["dist_r"]) for r in out
+        }
+
+    bad, bad_rows = inertia("first_k")
+    good, _ = inertia("hash_sample")
+    assert good < bad * 0.5, f"hash_sample {good:.1f} not better than first_k {bad:.1f}"
+
+    default_rows = {
+        (r["vec_id"], r["cluster_id"], r["dist_r"])
+        for r in kmeans_assign(df, k=4, n_iterations=4).collect()
+    }
+    assert default_rows == bad_rows  # default == explicit first_k, bit-identical
+
+
 def test_substring_dedup_semantics(spark):
     """ExactSubstr policy: a 10-gram planted in three docs is removed
     from all of them (a fully-duplicated doc becomes empty text, not a

@@ -63,10 +63,102 @@ def test_vacuum_drops_unreferenced(spark, tmp_path):
     orphan = os.path.join(t, "data", "v99-dead")
     os.makedirs(orphan)
     deleted = vacuum(t, keep_last=1)
-    assert any("v0-" in d for d in deleted) and any("v99-dead" in d for d in deleted)
+    assert len(deleted) == 2 and any("v99-dead" in d for d in deleted)
     assert {r["id"] for r in read_snapshot(spark, t).collect()} == {2}
     with pytest.raises(ValueError):
         read_snapshot(spark, t, version=0)  # manifest gone
+
+
+def test_concurrent_writer_conflict_is_loud(spark, tmp_path, monkeypatch):
+    """Two writers racing to the same version: the exclusive hard-link
+    publish makes the loser raise ConcurrentWriteError — never a silent
+    clobber of the winner's manifest (VERDICT r04 #6). Provoked
+    deterministically by feeding the second writer a stale head listing."""
+    import fhir_etl_spark.sinks.versioned as V
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, [1]), t)  # v0 (the winner)
+    real_versions = V._versions
+    monkeypatch.setattr(V, "_versions", lambda p: [])  # stale: table looks empty
+    with pytest.raises(V.ConcurrentWriteError):
+        write_snapshot(_df(spark, [2]), t)  # races for v0 → EEXIST → loud
+    monkeypatch.setattr(V, "_versions", real_versions)
+    # the winner's commit is untouched; the loser left only a vacuumable orphan
+    assert {r["id"] for r in read_snapshot(spark, t).collect()} == {1}
+    assert [h["version"] for h in snapshot_history(t)] == [0]
+    assert len(vacuum(t, keep_last=1)) == 1  # the loser's orphan data dir
+
+
+def test_concurrent_writer_retry_republishes_without_rerunning_job(
+    spark, tmp_path, monkeypatch
+):
+    """max_retries > 0: the losing writer re-reads the head and re-publishes
+    the SAME data directory at the next version — optimistic concurrency at
+    manifest level only."""
+    import fhir_etl_spark.sinks.versioned as V
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, [1]), t)  # v0
+    real_versions = V._versions
+    calls = {"n": 0}
+
+    def stale_once(p):
+        calls["n"] += 1
+        return [] if calls["n"] == 1 else real_versions(p)
+
+    monkeypatch.setattr(V, "_versions", stale_once)
+    v = write_snapshot(_df(spark, [2]), t, mode="append", max_retries=1)
+    assert v == 1
+    assert {r["id"] for r in read_snapshot(spark, t).collect()} == {1, 2}
+    assert snapshot_history(t)[-1]["parent"] == 0
+
+
+def test_two_threads_racing_appends_both_land(spark, tmp_path):
+    """A REAL threaded race: two writers commit concurrently with retries
+    enabled. Both must land at distinct versions (order unspecified), the
+    history must be linear, and the final table must contain both rows —
+    whichever interleaving the scheduler produced."""
+    import threading
+
+    from fhir_etl_spark.sinks.versioned import ConcurrentWriteError
+
+    t = str(tmp_path / "tbl")
+    barrier = threading.Barrier(2)
+    results: dict[int, tuple] = {}
+
+    def writer(tag):
+        df = _df(spark, [tag])
+        barrier.wait()
+        try:
+            results[tag] = ("ok", write_snapshot(df, t, mode="append", max_retries=8))
+        except ConcurrentWriteError as exc:  # pragma: no cover - 8 retries suffice
+            results[tag] = ("conflict", str(exc))
+
+    threads = [threading.Thread(target=writer, args=(tag,)) for tag in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert all(r[0] == "ok" for r in results.values()), results
+    assert {r[1] for r in results.values()} == {0, 1}
+    assert {r["id"] for r in read_snapshot(spark, t).collect()} == {1, 2}
+    assert [h["version"] for h in snapshot_history(t)] == [0, 1]
+
+
+def test_vacuum_during_read_pinned_retained_reader_is_safe(spark, tmp_path):
+    """Vacuum never deletes a directory referenced by a retained snapshot:
+    a reader pinned at the retained latest survives a concurrent vacuum;
+    a reader pinned at a vacuumed version fails LOUDLY at action time
+    (missing files), never returns silently wrong rows."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, [1]), t, mode="overwrite")  # v0
+    write_snapshot(_df(spark, [2]), t, mode="overwrite")  # v1
+    pinned_latest = read_snapshot(spark, t)  # pins v1's file set
+    pinned_old = read_snapshot(spark, t, version=0)  # pins v0's file set
+    vacuum(t, keep_last=1)
+    assert {r["id"] for r in pinned_latest.collect()} == {2}
+    with pytest.raises(Exception):
+        pinned_old.collect()
 
 
 def test_errors(spark, tmp_path):
