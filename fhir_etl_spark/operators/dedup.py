@@ -18,7 +18,7 @@ Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fhir_etl_spark.operators.text import WS_RUN, tokens
@@ -650,6 +650,7 @@ def substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     gram_key: str = "text",
+    min_span_tokens: int | None = None,
 ) -> DataFrame:
     """Exact repeated-substring removal: delete every token span that is
     part of a whitespace-token k-gram occurring ≥ ``min_count`` times
@@ -661,13 +662,28 @@ def substring_dedup(
     Returns (id, n_tokens, n_removed, clean_text) with surviving tokens
     rejoined in order; docs shorter than ``k`` tokens pass through whole.
 
+    ``min_span_tokens`` (default None = k, i.e. everything covered) is the
+    paper's removal-length threshold: duplicated-gram occurrences are first
+    merged into MAXIMAL covered spans per document, and only spans of at
+    least this many tokens are removed — Lee et al. drop duplicated
+    substrings above 50 tokens, keeping incidental short repeats. Values
+    below ``k`` are meaningless (a single occurrence already covers k
+    tokens) and rejected.
+
     Scale shape (5 key-partitioned shuffles, none carrying full texts
     beyond the k-gram strings):
     1. one explode to (doc, position, gram);
     2. corpus-wide gram count (groupBy gram) → duplicated grams;
     3. semi join occurrences against duplicated grams (co-keyed);
-    4. covered-position explode (k rows per duplicated occurrence) +
-       distinct on (doc, position);
+    4. maximal-span merge: a doc-partitioned window over start positions
+       (classic interval merge — new span when the start clears the
+       running max end) — then ONE explode of the DISJOINT spans to
+       covered positions. Merging before exploding keeps the shuffle at
+       one row per duplicated occurrence instead of k, and disjoint
+       spans need no distinct: in a boilerplate-heavy corpus where
+       occurrences overlap (a duplicated run of L tokens has L−k+1
+       occurrences), the old explode-then-distinct shape shuffled
+       k·(L−k+1) rows per run against L here;
     5. anti join token stream against covered positions (both keyed on
        (doc, position)) → per-doc ordered reassembly.
 
@@ -686,6 +702,13 @@ def substring_dedup(
     """
     if gram_key not in ("text", "hash"):
         raise ValueError(f"gram_key must be text|hash, got {gram_key!r}")
+    if min_span_tokens is None:
+        min_span_tokens = k
+    if min_span_tokens < k:
+        raise ValueError(
+            f"min_span_tokens ({min_span_tokens}) below k ({k}): every covered "
+            "span is at least k tokens, so smaller thresholds are meaningless"
+        )
     toked = documents.select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
     )
@@ -718,10 +741,31 @@ def substring_dedup(
         .filter(F.col("_n") >= min_count)
         .select("_k")
     )
-    covered = (
-        grams.join(dup_keys, "_k", "semi")
-        .select("_id", F.explode(F.sequence(F.col("_i"), F.col("_i") + k - 1)).alias("_p"))
-        .distinct()
+    # maximal-span merge (shape note 4): occurrences sorted by start per
+    # doc; a new span begins when this start exceeds the running max end
+    # BY MORE THAN ONE position (end-adjacent intervals produce one
+    # contiguous covered run and must merge for the span-length
+    # threshold to see the true maximal span)
+    occ = grams.join(dup_keys, "_k", "semi").select("_id", "_i")
+    w = Window.partitionBy("_id").orderBy("_i")
+    prev_end = F.max(F.col("_i") + k - 1).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new_span = F.when(
+        prev_end.isNull() | (F.col("_i") > prev_end + 1), 1
+    ).otherwise(0)
+    spans = (
+        occ.withColumn(
+            "_g", F.sum(is_new_span).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("_id", "_g")
+        .agg(F.min("_i").alias("_s"), F.max(F.col("_i") + k - 1).alias("_e"))
+        .filter(F.col("_e") - F.col("_s") + 1 >= min_span_tokens)
+    )
+    # spans are disjoint and non-adjacent → exploded positions are unique,
+    # no distinct needed
+    covered = spans.select(
+        "_id", F.explode(F.sequence(F.col("_s"), F.col("_e"))).alias("_p")
     )
     toks_stream = toked.select(
         "_id", F.posexplode("_t").alias("_p", "_w")

@@ -314,3 +314,102 @@ def test_substring_dedup_matches_local_model(spark, data):
         for r in substring_dedup(df, k=k).collect()
     }
     assert got == expected
+
+
+def _local_substring_model(docs, k, min_span):
+    """Count k-grams, mark covered positions, merge maximal covered runs,
+    drop runs shorter than min_span, rebuild — the paper's removal-length
+    threshold on top of the k-gram covering."""
+    from collections import Counter
+
+    counts = Counter()
+    for _, text in docs:
+        toks = text.split()
+        for i in range(len(toks) - k + 1):
+            counts[tuple(toks[i : i + k])] += 1
+    expected = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        covered = set()
+        for i in range(len(toks) - k + 1):
+            if counts[tuple(toks[i : i + k])] >= 2:
+                covered.update(range(i, i + k))
+        # maximal consecutive runs, thresholded
+        removed = set()
+        run: list[int] = []
+        for j in range(len(toks) + 1):
+            if j in covered:
+                run.append(j)
+            else:
+                if len(run) >= min_span:
+                    removed.update(run)
+                run = []
+        kept = [t for j, t in enumerate(toks) if j not in removed]
+        expected[doc_id] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    return expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0, max_size=30,
+        ),
+        min_size=2, max_size=10,
+    )
+)
+def test_substring_dedup_span_threshold_matches_local_model(spark, data):
+    """min_span_tokens (the Lee et al. removal-length threshold) against
+    the local model: covered runs are merged into MAXIMAL spans first, and
+    only spans ≥ the threshold are removed — so a span of exactly
+    threshold−1 covered tokens survives whole (the k−1-adjacent boundary
+    the window merge must get right)."""
+    from fhir_etl_spark.operators.dedup import substring_dedup
+
+    k, min_span = 3, 4
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(data)]
+    expected = _local_substring_model(docs, k, min_span)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in substring_dedup(df, k=k, min_span_tokens=min_span).collect()
+    }
+    assert got == expected
+
+
+def test_substring_dedup_span_threshold_boundaries(spark):
+    """Deterministic k−1/boundary pins for the span threshold: a duplicated
+    k-gram covers exactly k tokens (< threshold → kept whole); a duplicated
+    (threshold)-token run is removed; end-ADJACENT occurrences (gap of
+    exactly one position between covered intervals) must NOT merge across
+    the uncovered token."""
+    import pytest as _pytest
+
+    from fhir_etl_spark.operators.dedup import substring_dedup
+
+    k, min_span = 3, 5
+    docs = [
+        # "A B C" duplicated: covered run = 3 < 5 → survives at min_span=5
+        (0, "x1 A B C x2"),
+        (1, "y1 A B C y2"),
+        # "Q R S T U" duplicated: covered run = 5 → removed at min_span=5
+        (2, "p1 Q R S T U p2"),
+        (3, "p3 Q R S T U p4"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in substring_dedup(df, k=k, min_span_tokens=min_span).collect()
+    }
+    assert got[0] == (0, "x1 A B C x2")
+    assert got[1] == (0, "y1 A B C y2")
+    assert got[2] == (5, "p1 p2")
+    assert got[3] == (5, "p3 p4")
+    # default (min_span=k) removes the short duplicated gram too
+    got_default = {
+        r["doc_id"]: r["n_removed"] for r in substring_dedup(df, k=k).collect()
+    }
+    assert got_default[0] == 3 and got_default[2] == 5
+    with _pytest.raises(ValueError):
+        substring_dedup(df, k=3, min_span_tokens=2)
