@@ -150,12 +150,11 @@ def test_cli_stages_url_input(spark, tmp_path):
     assert (meta / "Patient.ndjson").exists()
 
 
-def test_coverage_rotation_aliases_mirror_base_entries():
-    """__spark_entry__ re-exposes driver-unchecked queries under a0_*
-    aliases so they sort into the driver's 50-name correctness window.
-    Aliases are DISTINCT callables (r02 showed identical fn objects get
-    deduped out of the gate) that must delegate to the base fn, and the
-    alias oracle must be the base oracle plus an annotation comment."""
+def test_entry_exposes_each_registered_query_exactly_once():
+    """The coverage-rotation aliases were retired in round 5: ``queries()``
+    must now return the base registry verbatim — one entry per registered
+    query, sorted by name, no a0_* aliases — and ``oracle_sql()`` must
+    cover exactly the subset of names that carry a value oracle."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -167,20 +166,13 @@ def test_coverage_rotation_aliases_mirror_base_entries():
     from fhir_etl_spark.queries import all_queries
 
     registry = all_queries()
-    seen_fns = set()
-    for base in mod.COVERAGE_ROTATION:
-        alias = f"a0_{base}"
-        assert base in registry, base
-        assert alias in qs and qs[alias] is not qs[base], alias
-        assert id(qs[alias]) not in seen_fns, alias
-        seen_fns.add(id(qs[alias]))
-        assert qs[alias].__closure__[0].cell_contents is qs[base], alias
-        if registry[base].oracle is not None:
-            assert osql[alias] != osql[base], alias
-            assert osql[alias].endswith(osql[base]), alias
-            assert osql[alias].startswith("--"), alias
-        else:
-            assert alias not in osql, alias
+    assert list(qs) == sorted(registry), "queries() must be the sorted registry"
+    assert not any(n.startswith("a0_") for n in qs)
+    for name, qd in registry.items():
+        assert qs[name] is qd.fn, name
+        assert (name in osql) == (qd.oracle is not None), name
+        if qd.oracle is not None:
+            assert osql[name] == qd.oracle, name
 
 
 def test_cli_compact_and_zorder(spark, sf_dir, tmp_path):
