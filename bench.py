@@ -58,6 +58,10 @@ HEADLINE = [
     "m2_image_decode",
     "t12_lm_perplexity",
     "d10_substring_dedup",
+    # r05 addition: the from-scratch baseline-JPEG codec tier (encode +
+    # decode round-trip over the documents corpus, two Arrow python
+    # stages, map-only)
+    "m6_jpeg_decode",
 ]
 
 
@@ -75,6 +79,11 @@ R03_FLOOR = {
     "q21_waiting_suppliers": 1.230, "ds4_shard_shuffle": 0.326,
     "t6_clean_corpus": 0.490, "d6_dedup_clusters": 3.970,
     "y1_zorder_curve": 0.650, "d9_chunk_dedup": 1.070,
+    # r04 first-appearance values as the floor for the round-4 additions
+    # (t12's first two executions routinely run 2-3x its converged 3.0 s —
+    # the adaptive sample below buys the needed third run)
+    "m2_image_decode": 2.658, "t12_lm_perplexity": 3.071,
+    "d10_substring_dedup": 2.420,
 }
 
 
@@ -146,6 +155,18 @@ def main() -> None:
             start = time.perf_counter()
             df = registry[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - start)
+        # Adaptive third sample: r04's t6 "regression" (0.633 vs 0.490
+        # floor) turned out to be first-executions-still-JIT-compiling
+        # noise — isolated reruns converge to 0.48. When best-of-2 sits
+        # >1.2x above the floor, buy one more full execution before
+        # declaring a regression; min over full executions stays the
+        # estimator.
+        if name in R03_FLOOR and min(samples) > 1.2 * R03_FLOOR[name]:
+            start = time.perf_counter()
+            registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             samples.append(time.perf_counter() - start)
         timings[name] = round(min(samples), 3)
 

@@ -1,0 +1,694 @@
+"""Pure numpy baseline JPEG codec (ITU-T T.81 sequential DCT, SOF0).
+
+The container has no libjpeg/PIL, so — like the PNG tier
+(functions/png.py) — the codec is implemented from the public spec:
+marker segments, Annex K quantization + Huffman tables, level shift,
+8×8 forward/inverse DCT, zigzag, DC-difference + run-length/EOB entropy
+coding with 0xFF byte stuffing. This closes the one media tier round 4
+left honestly gated ("JPEG pixel decode needs a DCT codec").
+
+Scope (the profile virtually all training-corpus JPEGs use):
+- decoder: baseline sequential (SOF0), 8-bit, grayscale or 3-component
+  YCbCr with ANY sampling factors (generic MCU walk — 4:4:4, 4:2:2 and
+  4:2:0 all fall out of it), restart markers (DRI/RSTn), multi-table
+  DQT/DHT segments. Progressive (SOF2) and arithmetic coding raise.
+- encoder: grayscale or RGB→YCbCr 4:4:4 at a libjpeg-style integer
+  ``quality`` scaling of the Annex K tables.
+
+Correctness anchors (no external codec exists in-container to diff
+against byte-for-byte):
+- the m6 driver query value-oracles the DCT/quantization arithmetic in
+  closed form: constant 8×8 tiles are DC-only, so the decoded value is
+  exactly clip(round(round(8·(v−128)/q00)·q00/8)+128) — replayed in SQL;
+- round-trip property tests (tests/test_multimodal.py) bound the error
+  of random images by the quantization step;
+- the emitted headers are re-parsed by the INDEPENDENT marker walker
+  ``operators/multimodal.jpeg_dimensions`` (written in round 3, before
+  this codec existed).
+
+All rounding is half-away-from-zero (``_round_half_away``), matching
+DuckDB's ``round()`` so the m6 oracle replays bit-exactly.
+
+Reference parity: the reference stores attachments opaquely
+(document_references.py:125-153); pixel decode is the engine's
+multimodal-training extension.
+
+Runs inside Arrow-batched mapInPandas workers: entropy coding is
+per-block Python (inherent — it is a serial bitstream), but the DCT/IDCT
+is batched over all blocks of an image in one numpy tensordot.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Constant tables (ITU-T T.81 Annex K — public spec appendix)
+# --------------------------------------------------------------------------
+
+#: zigzag scan order: position k of the scan reads row-major index ZIGZAG[k]
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Huffman table specs: (BITS[1..16] code-length histogram, HUFFVAL symbols)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# Orthonormal 8-point DCT-II basis: T @ block @ T.T is the 2-D forward
+# transform with DC = 8 * mean-shifted value (T.81 A.3.3 up to the
+# separable factorization).
+_DCT_T = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.5) if _u == 0 else 1.0
+    for _x in range(8):
+        _DCT_T[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+del _u, _x, _c
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero (DuckDB round() semantics — NOT numpy's
+    banker's rounding), so the m6 closed-form oracle replays exactly."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of a base quantization table:
+    scale = 5000/q (q<50) else 200−2q; entry = clip((base·scale+50)/100, 1, 255).
+    Integer arithmetic; public formula (IJG jcparam.c / widely documented)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _build_huffman(bits: list[int], vals: list[int]):
+    """Canonical Huffman codes from a BITS histogram + symbol list
+    (T.81 C.2): returns {symbol: (code, length)}."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: list[int], vals: list[int]):
+    """{(length, code): symbol} for the bit-at-a-time decoder."""
+    return {(ln, code): sym for sym, (code, ln) in _build_huffman(bits, vals).items()}
+
+
+# --------------------------------------------------------------------------
+# Bit I/O
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment; un-stuffs 0xFF00
+    and surfaces RSTn markers to the MCU loop."""
+
+    def __init__(self, data: bytes, start: int) -> None:
+        self.data = data
+        self.pos = start
+        self._acc = 0
+        self._n = 0
+        self.marker: int | None = None  # pending RSTn/EOI-class marker
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        byte = self.data[self.pos]
+        if byte == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0x00:  # stuffed literal 0xFF
+                self.pos += 2
+            else:  # a real marker: stop producing bits
+                self.marker = nxt
+                raise ValueError("hit marker inside entropy decode")
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | byte
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Discard bits to the next marker (used at restart intervals);
+        returns the marker's second byte."""
+        self._acc = 0
+        self._n = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
+                marker = self.data[self.pos + 1]
+                self.pos += 2
+                self.marker = None
+                return marker
+            self.pos += 1
+        raise ValueError("expected restart marker, hit end of data")
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _magnitude_bits(value: int) -> tuple[int, int]:
+    """(category, raw bits) per T.81 F.1.2.1: negatives store value−1's
+    low ``category`` bits."""
+    if value == 0:
+        return 0, 0
+    size = int(abs(value)).bit_length()
+    if value < 0:
+        value += (1 << size) - 1
+    return size, value
+
+
+def _extend(raw: int, size: int) -> int:
+    """Inverse of _magnitude_bits (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    if raw < (1 << (size - 1)):
+        return raw - (1 << size) + 1
+    return raw
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane, H/W multiples of 8 → (n_blocks, 8, 8) in
+    raster block order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _pad_edge(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge")
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF full-range conversion; float planes (rounding happens once,
+    after the DCT quantization, not here)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def _encode_plane_coeffs(plane: np.ndarray, qtable_zz: np.ndarray) -> np.ndarray:
+    """Plane → (n_blocks, 64) quantized zigzag coefficients. The DCT is
+    batched over every block in one tensordot; only entropy coding stays
+    per-block."""
+    blocks = _to_blocks(_pad_edge(plane.astype(np.float64)) - 128.0)
+    coeffs = np.einsum("ux,nxy,vy->nuv", _DCT_T, blocks, _DCT_T)
+    zz = coeffs.reshape(-1, 64)[:, ZIGZAG]
+    return _round_half_away(zz / qtable_zz).astype(np.int64)
+
+
+def _entropy_encode_block(
+    writer: _BitWriter, zz: np.ndarray, pred: int, dc_codes: dict, ac_codes: dict
+) -> int:
+    """One block's DC-diff + AC RLE Huffman bits; returns the new DC
+    predictor."""
+    dc = int(zz[0])
+    size, raw = _magnitude_bits(dc - pred)
+    code, ln = dc_codes[size]
+    writer.write(code, ln)
+    writer.write(raw, size)
+
+    run = 0
+    last_nonzero = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nonzero:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+            writer.write(code, ln)
+            run -= 16
+        size, raw = _magnitude_bits(v)
+        code, ln = ac_codes[(run << 4) | size]
+        writer.write(code, ln)
+        writer.write(raw, size)
+        run = 0
+    if last_nonzero < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        writer.write(code, ln)
+    return dc
+
+
+def _marker(tag: int, payload: bytes) -> bytes:
+    return bytes([0xFF, tag]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg(
+    array: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (H, W), (H, W, 1) grayscale or (H, W, 3) RGB → baseline JPEG
+    bytes (SOF0, Annex K tables scaled by ``quality``).
+
+    ``subsampling``: '444' (one block per component per MCU) or '420'
+    (2×2 luma blocks + 2×2-mean-downsampled chroma per MCU — the layout
+    virtually every camera/web JPEG uses, so the decoder's generic MCU
+    walk gets exercised by our own streams). ``restart_interval`` > 0
+    emits DRI + RSTn markers every N MCUs (tests the decoder's restart
+    resynchronization)."""
+    arr = np.asarray(array)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    if arr.dtype != np.uint8:
+        raise ValueError(f"encode_jpeg wants uint8, got {arr.dtype}")
+    if arr.ndim not in (2, 3) or (arr.ndim == 3 and arr.shape[2] != 3):
+        raise ValueError(f"encode_jpeg wants (H,W)[,1|3], got {arr.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444|420, got {subsampling!r}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"bad dimensions {h}x{w}")
+    gray = arr.ndim == 2
+
+    q_luma = quality_scale(_QUANT_LUMA, quality)[ZIGZAG]
+    q_chroma = quality_scale(_QUANT_CHROMA, quality)[ZIGZAG]
+
+    # (hf, vf) per component + the float planes on their sampling grids
+    if gray:
+        factors = [(1, 1)]
+        planes = [arr.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(arr.astype(np.float64))
+        if subsampling == "444":
+            factors = [(1, 1), (1, 1), (1, 1)]
+            planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        else:  # 420: chroma = mean of each 2x2 (edge-padded to even first)
+            factors = [(2, 2), (1, 1), (1, 1)]
+            ph, pw = h + h % 2, w + w % 2
+            padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+            planes = [ycc[..., 0]]
+            for c in (1, 2):
+                planes.append(
+                    padded[..., c].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                )
+    hmax = max(hf for hf, _ in factors)
+    vmax = max(vf for _, vf in factors)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    plane_coeffs, plane_bw = [], []
+    for ci, ((hf, vf), plane) in enumerate(zip(factors, planes)):
+        # pad every plane to its full MCU grid so the interleaved walk
+        # never runs off the edge
+        th, tw = mcus_y * vf * 8, mcus_x * hf * 8
+        plane = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        plane_coeffs.append(
+            _encode_plane_coeffs(plane, q_luma if ci == 0 else q_chroma)
+        )
+        plane_bw.append(tw // 8)
+
+    dc_l = _build_huffman(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _build_huffman(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _build_huffman(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _build_huffman(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
+            for ci, zzs in enumerate(plane_coeffs):
+                hf, vf = factors[ci]
+                for byy in range(vf):
+                    for bxx in range(hf):
+                        idx = (my * vf + byy) * plane_bw[ci] + (mx * hf + bxx)
+                        preds[ci] = _entropy_encode_block(
+                            writer,
+                            zzs[idx],
+                            preds[ci],
+                            dc_l if ci == 0 else dc_c,
+                            ac_l if ci == 0 else ac_c,
+                        )
+            mcu_count += 1
+    writer.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _marker(0xDB, bytes([0]) + bytes(q_luma.tolist()))
+    if not gray:
+        out += _marker(0xDB, bytes([1]) + bytes(q_chroma.tolist()))
+    if restart_interval:
+        out += _marker(0xDD, struct.pack(">H", restart_interval))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hf, vf = factors[ci]
+        sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
+    out += _marker(0xC0, sof)
+
+    def _dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return _marker(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    out += _dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if not gray:
+        out += _dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += _dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _marker(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 (H, W, C) array (C = 1 or 3; 3-component
+    streams are converted YCbCr→RGB). Raises ValueError on progressive /
+    arithmetic / unsupported profiles and on corrupt streams."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    frame = None  # (h, w, [(cid, hf, vf, tq)])
+    scan_map = None  # [(comp_index, dc_tid, ac_tid)]
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        tag = data[pos + 1]
+        if tag == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
+        if tag == 0xD9:  # EOI before any SOS
+            break
+        if tag == 0x01 or 0xD0 <= tag <= 0xD8:  # standalone markers
+            pos += 2
+            continue
+        if tag in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG profile (SOF marker 0x{tag:02x}) "
+                             "— only baseline sequential (SOF0) is implemented")
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + seglen]
+        if len(payload) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if tag == 0xDB:  # DQT: 1+ tables per segment
+            i = 0
+            while i < len(payload):
+                prec, tid = payload[i] >> 4, payload[i] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                tbl = np.frombuffer(payload[i + 1 : i + 65], np.uint8).astype(np.int64)
+                if tbl.size != 64:
+                    raise ValueError("truncated DQT")
+                qtables[tid] = tbl
+                i += 65
+        elif tag == 0xC4:  # DHT: 1+ tables per segment
+            i = 0
+            while i + 17 <= len(payload):
+                cls, tid = payload[i] >> 4, payload[i] & 0x0F
+                bits = list(payload[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(payload[i + 17 : i + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("truncated DHT")
+                htables[(cls, tid)] = _decode_table(bits, vals)
+                i += 17 + n
+        elif tag == 0xC0:  # SOF0
+            prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG unsupported")
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component JPEG unsupported")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif tag == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif tag == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = payload[0]
+            scan_map = []
+            cids = [c[0] for c in frame[2]]
+            for si in range(ns):
+                cid, tids = payload[1 + 2 * si], payload[2 + 2 * si]
+                scan_map.append((cids.index(cid), tids >> 4, tids & 0x0F))
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if frame is None or scan_map is None:
+        raise ValueError("no SOS/SOF found")
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component quantized-coefficient buffers, (blocks_y*8, blocks_x*8)
+    planes = []
+    for _, hf, vf, _ in comps:
+        planes.append(np.zeros((mcus_y * vf * 8, mcus_x * hf * 8), np.float64))
+
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                marker = reader.align_to_marker()
+                if not 0xD0 <= marker <= 0xD7:
+                    raise ValueError(f"expected RSTn, got 0x{marker:02x}")
+                preds = [0] * len(comps)
+            for si, (ci, dc_tid, ac_tid) in enumerate(scan_map):
+                _, hf, vf, tq = comps[ci]
+                dc_tbl = htables.get((0, dc_tid))
+                ac_tbl = htables.get((1, ac_tid))
+                q = qtables.get(tq)
+                if dc_tbl is None or ac_tbl is None or q is None:
+                    raise ValueError("scan references undefined table")
+                for byy in range(vf):
+                    for bxx in range(hf):
+                        zz = np.zeros(64, np.int64)
+                        t = _huff_decode(reader, dc_tbl)
+                        diff = _extend(reader.receive(t), t)
+                        preds[si] += diff
+                        zz[0] = preds[si]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tbl)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        block = np.zeros(64, np.float64)
+                        block[ZIGZAG] = zz * q  # dequantize + de-zigzag
+                        y0 = (my * vf + byy) * 8
+                        x0 = (mx * hf + bxx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block.reshape(8, 8)
+            mcu_count += 1
+
+    # batched IDCT per component, then crop/upsample to full resolution
+    out_planes = []
+    for ci, (_, hf, vf, _) in enumerate(comps):
+        coeffs = _to_blocks(planes[ci])
+        pix = np.einsum("xu,nuv,yv->nxy", _DCT_T.T, coeffs, _DCT_T.T) + 128.0
+        ph, pw = planes[ci].shape
+        plane = (
+            pix.reshape(ph // 8, pw // 8, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(ph, pw)
+        )
+        # upsample by replication to the full sampling grid, then crop
+        if hf != hmax or vf != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vf, axis=0), hmax // hf, axis=1)
+        out_planes.append(plane[:h, :w])
+
+    if len(out_planes) == 1:
+        pixels = out_planes[0][:, :, None]
+    else:
+        pixels = _ycbcr_to_rgb(np.stack(out_planes, axis=-1))
+    return np.clip(_round_half_away(pixels), 0, 255).astype(np.uint8)
+
+
+def dc_only_pixel(value: int, q00: int) -> int:
+    """The closed-form decoded value of a constant 8×8 block: the DCT is
+    DC-only (DC = 8·(v−128)), so encode→decode reduces to one quantize +
+    dequantize + IDCT of a single coefficient. This is the arithmetic the
+    m6 oracle replays in SQL; exported so tests can pin codec == formula."""
+    shifted = 8 * (value - 128)
+    dq = int(_round_half_away(np.float64(shifted) / q00)) * q00
+    return int(np.clip(int(_round_half_away(np.float64(dq) / 8.0)) + 128, 0, 255))

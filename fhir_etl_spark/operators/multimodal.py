@@ -12,13 +12,16 @@ PIL/av/soundfile (absent from this container):
 - content digest + byte length as stable features
 - REAL PNG decode + resize + re-encode (pure numpy+zlib codec,
   functions/png.py) — ``decode_image`` / ``resize_image``
+- REAL baseline-JPEG decode (pure numpy DCT codec from the T.81 spec,
+  functions/jpeg.py, round 5) — ``decode_image`` / ``resize_image``
 - REAL WAV PCM decode to normalized float32 — ``decode_audio``
 - REAL animated-GIF frame sampling (container-level re-wrap, no LZW
   decode needed) — ``split_gif_frames``
 
-Still codec-gated (NotImplementedError): JPEG pixel decode (needs a DCT
-codec) and mp4/webm demuxing (needs av/ffmpeg); per-row failures in the
-decode operators land in an ``error`` field rather than failing the job.
+Still codec-gated (NotImplementedError): progressive/arithmetic JPEG
+(baseline sequential only) and mp4/webm demuxing (needs av/ffmpeg);
+per-row failures in the decode operators land in an ``error`` field
+rather than failing the job.
 
 Scale notes: binary payloads dominate row size — the operators below keep
 them out of shuffles (metadata extraction is a projection; grouping happens
@@ -236,16 +239,16 @@ PIXELS_SCHEMA = T.StructType(
 def decode_image(
     df: DataFrame, bytes_col: str = "media", out_col: str = "image"
 ) -> DataFrame:
-    """Decode PNG binary columns to raw pixel buffers via the engine's pure
-    numpy+zlib codec (functions/png.py — no PIL needed). Output struct:
+    """Decode PNG and baseline JPEG binary columns to raw pixel buffers via
+    the engine's pure numpy codecs (functions/png.py, functions/jpeg.py —
+    no PIL/libjpeg needed). Output struct:
     (height, width, channels, pixels: binary row-major uint8, error).
 
-    Per-image failures (JPEG/GIF/video bytes, corrupt files) land in the
-    ``error`` field instead of failing the batch — at corpus scale a
-    decode job must survive bad files. JPEG decode needs a DCT codec
-    (libjpeg/PIL, absent here); those rows report
-    ``unsupported: image/jpeg``.
+    Per-image failures (GIF/video bytes, corrupt files, progressive JPEG)
+    land in the ``error`` field instead of failing the batch — at corpus
+    scale a decode job must survive bad files.
     """
+    from fhir_etl_spark.functions.jpeg import decode_jpeg
     from fhir_etl_spark.functions.png import decode_png
 
     out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, PIXELS_SCHEMA)])
@@ -258,7 +261,11 @@ def decode_image(
                     out.append(None)
                     continue
                 raw = bytes(data)
-                if not raw.startswith(b"\x89PNG"):
+                if raw.startswith(b"\x89PNG"):
+                    codec = decode_png
+                elif raw.startswith(b"\xff\xd8\xff"):
+                    codec = decode_jpeg
+                else:
                     mime = sniff_mime(raw)
                     out.append(
                         {"height": None, "width": None, "channels": None,
@@ -266,7 +273,7 @@ def decode_image(
                     )
                     continue
                 try:
-                    arr = decode_png(raw)
+                    arr = codec(raw)
                     out.append(
                         {"height": arr.shape[0], "width": arr.shape[1],
                          "channels": arr.shape[2], "pixels": arr.tobytes(),
@@ -323,10 +330,13 @@ def resize_image(
     bytes_col: str = "media",
     method: str = "bilinear",
 ) -> DataFrame:
-    """Binary in, binary out: PNG → decode → numpy resample (bilinear or
-    nearest) → re-encode PNG. Non-PNG / corrupt rows pass through with
+    """Binary in, binary out: PNG/baseline-JPEG → decode → numpy resample
+    (bilinear or nearest) → re-encode PNG (always PNG out: resized
+    training thumbnails should not pay a second lossy generation).
+    Unsupported / corrupt rows pass through with
     ``{bytes_col}_resize_error`` set (same survive-bad-files contract as
     decode_image). Map-only: no shuffle, scales linearly with rows."""
+    from fhir_etl_spark.functions.jpeg import decode_jpeg
     from fhir_etl_spark.functions.png import (
         decode_png,
         encode_png,
@@ -351,12 +361,16 @@ def resize_image(
                     errs.append(None)
                     continue
                 raw = bytes(data)
-                if not raw.startswith(b"\x89PNG"):
+                if raw.startswith(b"\x89PNG"):
+                    codec = decode_png
+                elif raw.startswith(b"\xff\xd8\xff"):
+                    codec = decode_jpeg
+                else:
                     new_bytes.append(raw)  # pass through unchanged
                     errs.append(f"unsupported: {sniff_mime(raw)}")
                     continue
                 try:
-                    arr = decode_png(raw)
+                    arr = codec(raw)
                     new_bytes.append(encode_png(resample(arr, width, height)))
                     errs.append(None)
                 except Exception as exc:

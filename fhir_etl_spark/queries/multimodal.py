@@ -113,6 +113,100 @@ def m2_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m6_jpeg_decode",
+    oracle="""
+    -- Closed-form replay of the baseline-JPEG DCT arithmetic: each 8x8
+    -- tile is constant, so its DCT is DC-only (DC = 8*(v-128)) and the
+    -- decoded value is round(8*(v-128)/24)*24/8 + 128 = round(..)*3+128
+    -- (q00 = 24 at quality 33; 24k/8 = 3k is exact, and neither rounding
+    -- step can tie on a half-integer at q00=24 — see functions/jpeg.py).
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 17 AS h, 8 + doc_id % 13 AS w
+      FROM documents
+    ), tiles AS (
+      SELECT doc_id, h, w, by.by, bx.bx,
+             (doc_id * 11 + by.by * 7 + bx.bx * 3) % 256 AS v
+      FROM dims,
+           unnest(range(0, (h + 7) // 8)) AS by(by),
+           unnest(range(0, (w + 7) // 8)) AS bx(bx)
+    ), px AS (
+      SELECT doc_id, h, w,
+             least(greatest(
+               CAST(round(8 * (v - 128) / 24.0) AS BIGINT) * 3 + 128, 0), 255
+             ) AS pix,
+             least(8, h - 8 * by) * least(8, w - 8 * bx) AS area
+      FROM tiles
+    )
+    SELECT doc_id,
+           CAST(max(h) AS INTEGER) AS height,
+           CAST(max(w) AS INTEGER) AS width,
+           1 AS channels,
+           CAST(sum(pix * area) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "codec"),
+)
+def m6_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG decode, value-checked: a grayscale image of
+    constant 8×8 tiles (value formula per tile) → encode_jpeg(quality=33)
+    → decode_image (production operator, functions/jpeg.py codec) →
+    pixel-buffer statistics. Constant tiles make the lossy codec exactly
+    replayable: every block is DC-only, so the decoded value has the
+    closed form the oracle recomputes — while still exercising the real
+    entropy coder (per-block DC-difference Huffman), quantization, IDCT,
+    edge-block padding (h, w not multiples of 8) and the marker writer.
+    Map-only plan: two Arrow-batched python stages, no shuffle."""
+    from fhir_etl_spark.operators.multimodal import decode_image
+
+    documents = load_tables(spark, sf_dir, "documents")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from fhir_etl_spark.functions.jpeg import encode_jpeg
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                h, w = 8 + doc_id % 17, 8 + doc_id % 13
+                yy, xx = np.mgrid[0:h, 0:w]
+                tile = (doc_id * 11 + (yy // 8) * 7 + (xx // 8) * 3) % 256
+                blobs.append(encode_jpeg(tile.astype(np.uint8), quality=33))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    decoded = decode_image(media, bytes_col="media")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, img in zip(pdf["doc_id"], pdf["image"]):
+                assert img["error"] is None, f"doc {doc_id}: {img['error']}"
+                buf = np.frombuffer(img["pixels"], "uint8")
+                rows.append(
+                    (doc_id, img["height"], img["width"], img["channels"],
+                     int(buf.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "height", "width", "channels", "pixel_sum"]
+            )
+
+    return decoded.mapInPandas(stats, out_schema)
+
+
+@query(
     "m3_audio_decode",
     oracle="""
     WITH spec AS (
