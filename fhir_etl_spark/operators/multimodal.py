@@ -17,11 +17,15 @@ PIL/av/soundfile (absent from this container):
 - REAL WAV PCM decode to normalized float32 — ``decode_audio``
 - REAL animated-GIF frame sampling (container-level re-wrap, no LZW
   decode needed) — ``split_gif_frames``
+- REAL MP4 container demux (ISO 14496-12 box walk, functions/mp4.py,
+  round 5): metadata (duration/geometry/codec) in ``extract_media_meta``
+  and encoded-sample / keyframe extraction in ``sample_video_frames``
 
-Still codec-gated (NotImplementedError): progressive/arithmetic JPEG
-(baseline sequential only) and mp4/webm demuxing (needs av/ffmpeg);
-per-row failures in the decode operators land in an ``error`` field
-rather than failing the job.
+Still codec-gated: progressive/arithmetic JPEG (baseline sequential
+only), H.264/H.265 PIXEL decode (container sample extraction is real;
+the bitstream codec is not), and webm/Matroska (EBML); per-row failures
+in the decode operators land in an ``error`` field rather than failing
+the job.
 
 Scale notes: binary payloads dominate row size — the operators below keep
 them out of shuffles (metadata extraction is a projection; grouping happens
@@ -195,6 +199,17 @@ def extract_media_meta(
                     continue
                 width, height, depth = image_dimensions(raw)
                 sample_rate, channels, bits, duration_ms = wav_audio_meta(raw)
+                if len(raw) >= 12 and raw[4:8] == b"ftyp":
+                    try:  # MP4 geometry/duration via the box walk (round 5)
+                        from fhir_etl_spark.functions.mp4 import mp4_metadata
+
+                        m = mp4_metadata(raw)
+                        duration_ms = m["duration_ms"]
+                        if m["tracks"]:
+                            width = m["tracks"][0]["width"] or width
+                            height = m["tracks"][0]["height"] or height
+                    except Exception:  # noqa: BLE001 — meta stays NULL
+                        pass
                 metas.append(
                     (
                         sniff_mime(raw),
@@ -559,12 +574,76 @@ def split_gif_frames(
     return df.select(id_col, bytes_col).mapInPandas(batches, out_schema)
 
 
-def sample_video_frames(df: DataFrame, every_n: int = 30, bytes_col: str = "media") -> DataFrame:
-    """STUB: true video (mp4/webm) demuxing requires PyAV/ffmpeg (not in
-    this image). Animated-GIF frame sampling IS implemented —
-    ``split_gif_frames`` above — with the same one-row→N-rows contract
-    this operator will adopt when a demuxer lands."""
-    raise NotImplementedError(
-        "mp4/webm frame sampling requires PyAV/ffmpeg; "
-        "use split_gif_frames for animated GIFs"
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    bytes_col: str = "media",
+    id_col: str = "id",
+    keyframes_only: bool = False,
+) -> DataFrame:
+    """MP4 frame sampling at the CONTAINER level (round 5, functions/mp4.py):
+    resolve the track's sample table (stsz × stsc × stco × stss — the real
+    ISO 14496-12 offset arithmetic) and emit every ``every_n``-th encoded
+    sample's bytes, or only sync samples with ``keyframes_only``. One input
+    row → N output rows (frame_index, frame: binary, keyframe, error).
+
+    Emits ENCODED sample payloads (what stsz/stco address), not pixels:
+    that is the layer a training pipeline feeds to a GPU/hardware decoder.
+    H.264/H.265 PIXEL decode stays out of scope (needs a video codec), as
+    does webm/Matroska (EBML) — those and corrupt files land in a counted
+    error row (frame_index = -1), never a job failure. Same one-row→N-rows
+    contract as split_gif_frames. Map-only: no shuffle, the per-row work
+    is a few KB of box parsing per file."""
+    from fhir_etl_spark.functions.mp4 import mp4_samples
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+            T.StructField("keyframe", T.BooleanType()),
+            T.StructField("error", T.StringType()),
+        ]
     )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, blobs, keys, errs = [], [], [], [], []
+            for rid, data in zip(pdf[id_col], pdf[bytes_col]):
+                if data is None:
+                    continue
+                raw = bytes(data)
+                try:
+                    if len(raw) < 12 or raw[4:8] != b"ftyp":
+                        raise ValueError(f"unsupported: {sniff_mime(raw)}")
+                    for s in mp4_samples(raw):
+                        if keyframes_only:
+                            if not s["keyframe"]:
+                                continue
+                        elif s["index"] % every_n != 0:
+                            continue
+                        ids.append(rid)
+                        idxs.append(s["index"])
+                        blobs.append(raw[s["offset"] : s["offset"] + s["size"]])
+                        keys.append(s["keyframe"])
+                        errs.append(None)
+                # same contract as split_gif_frames: corrupt bytes (which
+                # can raise struct.error/IndexError, not just ValueError)
+                # become one counted error row, never a job failure
+                except Exception as exc:  # noqa: BLE001
+                    ids.append(rid)
+                    idxs.append(-1)
+                    blobs.append(None)
+                    keys.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}"[:200])
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_index": idxs,
+                    "frame": blobs,
+                    "keyframe": keys,
+                    "error": errs,
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(batches, out_schema)

@@ -364,6 +364,98 @@ def m4_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m7_mp4_keyframes",
+    oracle="""
+    -- Replay of the MP4 sample-table arithmetic: sample i of doc has
+    -- size 10 + (doc_id+i) % 7 and bytes (doc_id*13 + i*5 + j) % 256;
+    -- keyframes are the even indices (stss), which is what the operator
+    -- extracts. A wrong stsz/stsc/stco offset resolution or stss filter
+    -- corrupts size/byte_sum/row-set.
+    WITH spec AS (
+      SELECT doc_id, 3 + doc_id % 5 AS n FROM documents
+    ), fr AS (
+      SELECT doc_id, unnest(range(0, n, 2)) AS i FROM spec
+    ), sz AS (
+      SELECT doc_id, i, 10 + (doc_id + i) % 7 AS sz FROM fr
+    ), b AS (
+      SELECT doc_id, i, sz, unnest(range(0, sz)) AS j FROM sz
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_index,
+           CAST(max(sz) AS INTEGER) AS size,
+           TRUE AS keyframe,
+           CAST(sum((doc_id * 13 + i * 5 + j) % 256) AS BIGINT) AS byte_sum
+    FROM b GROUP BY doc_id, i
+    """,
+    tags=("multimodal", "codec"),
+)
+def m7_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MP4 container demux, value-checked: formula samples →
+    mux_mp4 (chunk_size=2, so stsc has a genuine run table with a partial
+    trailing chunk; even indices in stss) → sample_video_frames
+    (keyframes_only — the production operator resolving
+    stsz × stsc × stco × stss) → per-frame size + byte sum, replayed
+    arithmetically by the oracle. Map-only: two Arrow python stages."""
+    from fhir_etl_spark.operators.multimodal import sample_video_frames
+
+    documents = load_tables(spark, sf_dir, "documents")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from fhir_etl_spark.functions.mp4 import mux_mp4
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                n = 3 + doc_id % 5
+                samples = []
+                for i in range(n):
+                    sz = 10 + (doc_id + i) % 7
+                    samples.append(
+                        bytes(((doc_id * 13 + i * 5 + np.arange(sz)) % 256)
+                              .astype("uint8"))
+                    )
+                blobs.append(
+                    mux_mp4(samples, keyframe_indices=list(range(0, n, 2)),
+                            chunk_size=2)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    frames = sample_video_frames(
+        media, keyframes_only=True, bytes_col="media", id_col="doc_id"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("size", T.IntegerType()),
+            T.StructField("keyframe", T.BooleanType()),
+            T.StructField("byte_sum", T.LongType()),
+        ]
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, idx, blob, key, err in zip(
+                pdf["doc_id"], pdf["frame_index"], pdf["frame"],
+                pdf["keyframe"], pdf["error"]
+            ):
+                assert err is None, f"doc {doc_id}: {err}"
+                raw = bytes(blob)
+                rows.append((doc_id, idx, len(raw), key, sum(raw)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_index", "size", "keyframe", "byte_sum"],
+            )
+
+    return frames.mapInPandas(stats, out_schema)
+
+
+@query(
     "m5_image_resize",
     oracle="""
     WITH dims AS (

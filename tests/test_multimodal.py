@@ -70,12 +70,17 @@ def test_fake_features_feed_similarity(spark):
     assert top[0]["vec_id"] == 1 and top[0]["sim"] == 1.0  # self-match first
 
 
-def test_video_stub_gated(spark):
-    """mp4/webm demuxing stays gated on av/ffmpeg (absent here)."""
+def test_video_rows_error_contract(spark):
+    """sample_video_frames (real MP4 demux since round 5) keeps the
+    per-row error contract: moov-less mp4 bytes and non-video rows become
+    counted error rows (frame_index = -1), never a job failure."""
     from fhir_etl_spark.operators.multimodal import sample_video_frames
 
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(_media_df(spark))
+    rows = sample_video_frames(_media_df(spark)).collect()
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[4]["frame_index"] == -1 and by_id[4]["error"]  # moov-less
+    assert by_id[6]["frame_index"] == -1 and "unsupported" in by_id[6]["error"]
+    assert 5 not in by_id  # NULL media rows are skipped, not errored
 
 
 def _real_png(seed: int, h: int = 12, w: int = 9, ch: int = 3) -> tuple:
@@ -478,3 +483,83 @@ def test_resize_image_jpeg_input_emits_png(spark):
     arr = decode_png(bytes(row["media"]))
     assert arr.shape == (6, 4, 1)
     assert set(arr.flatten().tolist()) == {dc_only_pixel(130, 24)}
+
+
+# --------------------------------------------------------------------------
+# MP4 container tier (functions/mp4.py, round 5)
+# --------------------------------------------------------------------------
+
+
+def test_mp4_mux_demux_unit():
+    """Muxer → parser round trip: metadata fields, every sample's bytes
+    resolved through stsz × stsc × stco, stss sync flags, partial trailing
+    chunks, and the all-sync default when stss is absent."""
+    from fhir_etl_spark.functions.mp4 import mp4_metadata, mp4_samples, mux_mp4
+
+    samples = [bytes([i] * (10 + i)) for i in range(7)]
+    for chunk_size in (1, 2, 3, 7, 10):
+        data = mux_mp4(
+            samples, keyframe_indices=[0, 2, 4, 6], width=320, height=240,
+            chunk_size=chunk_size,
+        )
+        rs = mp4_samples(data)
+        assert [r["index"] for r in rs] == list(range(7)), chunk_size
+        for r in rs:
+            assert data[r["offset"] : r["offset"] + r["size"]] == samples[r["index"]]
+            assert r["keyframe"] == (r["index"] % 2 == 0)
+    meta = mp4_metadata(data)
+    assert meta["n_tracks"] == 1 and meta["timescale"] == 30_000
+    assert meta["duration_ms"] == 7 * 1000 * 1000 // 30_000
+    t = meta["tracks"][0]
+    assert (t["width"], t["height"], t["codec"], t["n_samples"]) == (
+        320, 240, "avc1", 7,
+    )
+    # no stss ⇒ every sample is a sync sample
+    assert all(r["keyframe"] for r in mp4_samples(mux_mp4(samples)))
+    # corrupt inputs raise (operator catches per-row)
+    with pytest.raises(ValueError):
+        mp4_metadata(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError):
+        mp4_samples(data[:40])
+
+
+def test_sample_video_frames_real_mp4(spark):
+    """The production operator demuxes real MP4 rows: every_n sampling,
+    keyframes_only filtering, and encoded bytes identical to what was
+    muxed in."""
+    from fhir_etl_spark.functions.mp4 import mux_mp4
+    from fhir_etl_spark.operators.multimodal import sample_video_frames
+
+    samples = [bytes([40 + i] * (5 + i)) for i in range(6)]
+    data = mux_mp4(samples, keyframe_indices=[0, 3], chunk_size=2)
+    df = spark.createDataFrame([(1, data)], "id long, media binary")
+
+    every2 = sample_video_frames(df, every_n=2).collect()
+    assert [(r["frame_index"], bytes(r["frame"])) for r in sorted(
+        every2, key=lambda r: r["frame_index"]
+    )] == [(0, samples[0]), (2, samples[2]), (4, samples[4])]
+    assert [r["keyframe"] for r in sorted(every2, key=lambda r: r["frame_index"])] == [
+        True, False, False,
+    ]
+
+    keys = sample_video_frames(df, keyframes_only=True).collect()
+    assert sorted(r["frame_index"] for r in keys) == [0, 3]
+    assert all(r["keyframe"] for r in keys)
+
+
+def test_extract_media_meta_mp4(spark):
+    """MP4 rows fill width/height/duration via the box walk; the loose
+    ftyp sniff on corrupt bytes leaves meta NULL instead of failing."""
+    from fhir_etl_spark.functions.mp4 import mux_mp4
+    from fhir_etl_spark.operators.multimodal import extract_media_meta
+
+    good = mux_mp4([b"x" * 20] * 30, width=640, height=360)
+    df = spark.createDataFrame(
+        [(1, good), (2, b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)],
+        "id long, media binary",
+    )
+    out = {r["id"]: r["media_meta"] for r in extract_media_meta(df).collect()}
+    assert out[1]["mime"] == "video/mp4"
+    assert (out[1]["width"], out[1]["height"]) == (640, 360)
+    assert out[1]["duration_ms"] == 30 * 1000 * 1000 // 30_000
+    assert out[2]["mime"] == "video/mp4" and out[2]["duration_ms"] is None
