@@ -176,6 +176,11 @@ def test_no_broadcast_hints_on_scaling_tables():
         "winner",
         # kmeans_assign: k centroid rows (k × dim doubles)
         "cent",
+        # lsh_bucketed_neardup degenerate-bucket guard: (band, sig) keys
+        # whose occupancy exceeds max_bucket_size — at most
+        # n_signatures/cap rows of two ints (≤ ~1e6 at 1e9 vectors with
+        # the default cap), broadcast for the map-side anti join
+        "oversized",
         # bounded probe/ID sets (query vectors, benchmark shingles,
         # membership ID lists — KBs-to-MBs by construction, documented at
         # each call site)
