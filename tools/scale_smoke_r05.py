@@ -207,8 +207,95 @@ def smoke_m2(spark):
     )
 
 
+def smoke_m6(spark):
+    """JPEG codec tier at 100k images: formula 16×16 grayscale → encode
+    (quality 33) → persist → decode_image; asserts every row decodes."""
+    import pandas as pd
+
+    from fhir_etl_spark.operators.multimodal import decode_image
+
+    def gen(batches):
+        import numpy as np
+
+        from fhir_etl_spark.functions.jpeg import encode_jpeg
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf["id"]:
+                yy, xx = np.mgrid[0:16, 0:16]
+                img = ((int(i) * 31 + yy * 7 + xx * 13) % 256).astype("uint8")
+                blobs.append(encode_jpeg(img, quality=33))
+            yield pd.DataFrame({"id": pdf["id"], "media": blobs})
+
+    path = "/tmp/scale_smoke_jpegs.parquet"
+    t0 = time.perf_counter()
+    spark.range(N_IMAGES).repartition(64).mapInPandas(
+        gen, "id long, media binary"
+    ).write.mode("overwrite").parquet(path)
+    enc_dt = time.perf_counter() - t0
+
+    imgs = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    out = decode_image(imgs)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("image.error").isNull(), 1).otherwise(0)).alias("ok"),
+    ).first()
+    dt = time.perf_counter() - t0
+    assert stats["ok"] == stats["n"], f"{stats['n'] - stats['ok']} decode errors"
+    print(
+        f"m6_jpeg: {stats['n']:,} JPEGs encoded in {enc_dt:.1f}s "
+        f"({stats['n'] / enc_dt:,.0f}/s), decoded in {dt:.1f}s "
+        f"({stats['n'] / dt:,.0f}/s)",
+        flush=True,
+    )
+
+
+def smoke_m7(spark):
+    """MP4 demux tier at 100k files: 8-sample muxes → sample_video_frames
+    (keyframes_only) → count; asserts zero error rows."""
+    import pandas as pd
+
+    from fhir_etl_spark.operators.multimodal import sample_video_frames
+
+    def gen(batches):
+        from fhir_etl_spark.functions.mp4 import mux_mp4
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf["id"]:
+                samples = [
+                    bytes([(int(i) + k) % 256] * (100 + k)) for k in range(8)
+                ]
+                blobs.append(
+                    mux_mp4(samples, keyframe_indices=[0, 2, 4, 6], chunk_size=3)
+                )
+            yield pd.DataFrame({"id": pdf["id"], "media": blobs})
+
+    path = "/tmp/scale_smoke_mp4s.parquet"
+    spark.range(N_IMAGES).repartition(64).mapInPandas(
+        gen, "id long, media binary"
+    ).write.mode("overwrite").parquet(path)
+
+    vids = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    frames = sample_video_frames(vids, keyframes_only=True)
+    stats = frames.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("ok"),
+    ).first()
+    dt = time.perf_counter() - t0
+    assert stats["ok"] == stats["n"], f"{stats['n'] - stats['ok']} demux errors"
+    assert stats["n"] == N_IMAGES * 4, stats["n"]
+    print(
+        f"m7_mp4: {N_IMAGES:,} MP4s demuxed to {stats['n']:,} keyframes "
+        f"in {dt:.1f}s ({N_IMAGES / dt:,.0f} files/s)",
+        flush=True,
+    )
+
+
 SMOKES = {"d10": smoke_d10, "t12": smoke_t12, "v5": smoke_v5, "v7": smoke_v7,
-          "m2": smoke_m2}
+          "m2": smoke_m2, "m6": smoke_m6, "m7": smoke_m7}
 
 
 def main() -> None:
