@@ -17,15 +17,15 @@ PIL/av/soundfile (absent from this container):
 - REAL WAV PCM decode to normalized float32 — ``decode_audio``
 - REAL animated-GIF frame sampling (container-level re-wrap, no LZW
   decode needed) — ``split_gif_frames``
-- REAL MP4 container demux (ISO 14496-12 box walk, functions/mp4.py,
-  round 5): metadata (duration/geometry/codec) in ``extract_media_meta``
-  and encoded-sample / keyframe extraction in ``sample_video_frames``
+- REAL MP4 + WebM container demux (ISO 14496-12 box walk in
+  functions/mp4.py; EBML/Matroska walk in functions/webm.py, round 5):
+  metadata (duration/geometry/codec) in ``extract_media_meta`` and
+  encoded-sample / keyframe extraction in ``sample_video_frames``
 
 Still codec-gated: progressive/arithmetic JPEG (baseline sequential
-only), H.264/H.265 PIXEL decode (container sample extraction is real;
-the bitstream codec is not), and webm/Matroska (EBML); per-row failures
-in the decode operators land in an ``error`` field rather than failing
-the job.
+only) and H.264/HEVC/VP8/VP9 PIXEL decode (container sample extraction
+is real; the bitstream codecs are not); per-row failures in the decode
+operators land in an ``error`` field rather than failing the job.
 
 Scale notes: binary payloads dominate row size — the operators below keep
 them out of shuffles (metadata extraction is a projection; grouping happens
@@ -76,6 +76,8 @@ def sniff_mime(data: bytes | None) -> str | None:
         return "audio/wav"
     if len(data) > 11 and data[4:8] == b"ftyp":
         return "video/mp4"
+    if data[:4] == b"\x1a\x45\xdf\xa3":  # EBML header → Matroska/WebM
+        return "video/webm"
     for magic, mime in _MAGIC:
         if data.startswith(magic):
             return mime
@@ -204,6 +206,17 @@ def extract_media_meta(
                         from fhir_etl_spark.functions.mp4 import mp4_metadata
 
                         m = mp4_metadata(raw)
+                        duration_ms = m["duration_ms"]
+                        if m["tracks"]:
+                            width = m["tracks"][0]["width"] or width
+                            height = m["tracks"][0]["height"] or height
+                    except Exception:  # noqa: BLE001 — meta stays NULL
+                        pass
+                elif raw[:4] == b"\x1a\x45\xdf\xa3":
+                    try:  # WebM via the EBML walk (round 5)
+                        from fhir_etl_spark.functions.webm import webm_metadata
+
+                        m = webm_metadata(raw)
                         duration_ms = m["duration_ms"]
                         if m["tracks"]:
                             width = m["tracks"][0]["width"] or width
@@ -581,19 +594,21 @@ def sample_video_frames(
     id_col: str = "id",
     keyframes_only: bool = False,
 ) -> DataFrame:
-    """MP4 frame sampling at the CONTAINER level (round 5, functions/mp4.py):
-    resolve the track's sample table (stsz × stsc × stco × stss — the real
-    ISO 14496-12 offset arithmetic) and emit every ``every_n``-th encoded
-    sample's bytes, or only sync samples with ``keyframes_only``. One input
-    row → N output rows (frame_index, frame: binary, keyframe, error).
+    """MP4 + WebM frame sampling at the CONTAINER level (round 5,
+    functions/mp4.py and functions/webm.py): resolve each file's sample
+    table (stsz × stsc × stco × stss box arithmetic for MP4; the EBML
+    Cluster/SimpleBlock walk for WebM) and emit every ``every_n``-th
+    encoded sample's bytes, or only sync samples with ``keyframes_only``.
+    One input row → N output rows (frame_index, frame: binary, keyframe,
+    error).
 
-    Emits ENCODED sample payloads (what stsz/stco address), not pixels:
-    that is the layer a training pipeline feeds to a GPU/hardware decoder.
-    H.264/H.265 PIXEL decode stays out of scope (needs a video codec), as
-    does webm/Matroska (EBML) — those and corrupt files land in a counted
-    error row (frame_index = -1), never a job failure. Same one-row→N-rows
-    contract as split_gif_frames. Map-only: no shuffle, the per-row work
-    is a few KB of box parsing per file."""
+    Emits ENCODED sample payloads, not pixels: that is the layer a
+    training pipeline feeds to a GPU/hardware decoder. H.264/HEVC/VP8/VP9
+    PIXEL decode stays out of scope (needs a video codec) — unsupported
+    and corrupt files land in a counted error row (frame_index = -1),
+    never a job failure. Same one-row→N-rows contract as
+    split_gif_frames. Map-only: no shuffle, the per-row work is a few KB
+    of container parsing per file."""
     from fhir_etl_spark.functions.mp4 import mp4_samples
 
     out_schema = T.StructType(
@@ -602,21 +617,31 @@ def sample_video_frames(
             T.StructField("frame_index", T.IntegerType()),
             T.StructField("frame", T.BinaryType()),
             T.StructField("keyframe", T.BooleanType()),
+            # presentation timestamp from the container (WebM cluster
+            # timestamp + block offset, in ms at the default scale); NULL
+            # for MP4 (stts decode not wired) and error rows
+            T.StructField("timestamp_ms", T.LongType()),
             T.StructField("error", T.StringType()),
         ]
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, blobs, keys, errs = [], [], [], [], []
+            ids, idxs, blobs, keys, tss, errs = [], [], [], [], [], []
             for rid, data in zip(pdf[id_col], pdf[bytes_col]):
                 if data is None:
                     continue
                 raw = bytes(data)
                 try:
-                    if len(raw) < 12 or raw[4:8] != b"ftyp":
+                    if len(raw) >= 12 and raw[4:8] == b"ftyp":
+                        resolved = mp4_samples(raw)
+                    elif raw[:4] == b"\x1a\x45\xdf\xa3":  # EBML → WebM
+                        from fhir_etl_spark.functions.webm import webm_samples
+
+                        resolved = webm_samples(raw)
+                    else:
                         raise ValueError(f"unsupported: {sniff_mime(raw)}")
-                    for s in mp4_samples(raw):
+                    for s in resolved:
                         if keyframes_only:
                             if not s["keyframe"]:
                                 continue
@@ -626,6 +651,7 @@ def sample_video_frames(
                         idxs.append(s["index"])
                         blobs.append(raw[s["offset"] : s["offset"] + s["size"]])
                         keys.append(s["keyframe"])
+                        tss.append(s.get("timestamp"))
                         errs.append(None)
                 # same contract as split_gif_frames: corrupt bytes (which
                 # can raise struct.error/IndexError, not just ValueError)
@@ -635,6 +661,7 @@ def sample_video_frames(
                     idxs.append(-1)
                     blobs.append(None)
                     keys.append(None)
+                    tss.append(None)
                     errs.append(f"{type(exc).__name__}: {exc}"[:200])
             yield pd.DataFrame(
                 {
@@ -642,6 +669,7 @@ def sample_video_frames(
                     "frame_index": idxs,
                     "frame": blobs,
                     "keyframe": keys,
+                    "timestamp_ms": pd.array(tss, dtype="Int64"),
                     "error": errs,
                 }
             )

@@ -456,6 +456,98 @@ def m7_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m8_webm_keyframes",
+    oracle="""
+    -- Replay of the EBML Cluster/SimpleBlock arithmetic: frame i of doc
+    -- has size 9 + (doc_id + 2*i) % 6, timestamp i*33 ms, and bytes
+    -- (doc_id*17 + i*3 + j) % 256; keyframes sit at i % 3 == 0. A wrong
+    -- varint parse, cluster-relative timestamp, or keyframe-flag read
+    -- corrupts the row set or sums.
+    WITH spec AS (
+      SELECT doc_id, 4 + doc_id % 4 AS n FROM documents
+    ), fr AS (
+      SELECT doc_id, unnest(range(0, n, 3)) AS i FROM spec
+    ), sz AS (
+      SELECT doc_id, i, 9 + (doc_id + 2 * i) % 6 AS sz FROM fr
+    ), b AS (
+      SELECT doc_id, i, sz, unnest(range(0, sz)) AS j FROM sz
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_index,
+           CAST(i * 33 AS BIGINT) AS ts_ms,
+           CAST(max(sz) AS INTEGER) AS size,
+           CAST(sum((doc_id * 17 + i * 3 + j) % 256) AS BIGINT) AS byte_sum
+    FROM b GROUP BY doc_id, i
+    """,
+    tags=("multimodal", "codec"),
+)
+def m8_webm_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WebM (EBML/Matroska) container demux, value-checked: formula
+    frames → mux_webm (2 frames per Cluster, so cluster-relative s16
+    timestamps are genuinely resolved; keyframes at every 3rd index) →
+    sample_video_frames(keyframes_only) → per-frame timestamp + size +
+    byte sum, replayed arithmetically by the oracle. Map-only."""
+    from fhir_etl_spark.operators.multimodal import sample_video_frames
+
+    documents = load_tables(spark, sf_dir, "documents")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from fhir_etl_spark.functions.webm import mux_webm, webm_samples
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                n = 4 + doc_id % 4
+                frames = []
+                for i in range(n):
+                    sz = 9 + (doc_id + 2 * i) % 6
+                    frames.append(
+                        bytes(((doc_id * 17 + i * 3 + np.arange(sz)) % 256)
+                              .astype("uint8"))
+                    )
+                blobs.append(
+                    mux_webm(frames, keyframe_indices=list(range(0, n, 3)),
+                             frames_per_cluster=2)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    frames = sample_video_frames(
+        media, keyframes_only=True, bytes_col="media", id_col="doc_id"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("size", T.IntegerType()),
+            T.StructField("byte_sum", T.LongType()),
+        ]
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, idx, blob, ts, err in zip(
+                pdf["doc_id"], pdf["frame_index"], pdf["frame"],
+                pdf["timestamp_ms"], pdf["error"]
+            ):
+                assert err is None, f"doc {doc_id}: {err}"
+                raw = bytes(blob)
+                # ts is the OPERATOR's parsed cluster+relative timestamp —
+                # the oracle's i*33 replay checks the EBML timestamp walk
+                rows.append((doc_id, idx, int(ts), len(raw), sum(raw)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_index", "ts_ms", "size", "byte_sum"]
+            )
+
+    return frames.mapInPandas(stats, out_schema)
+
+
+@query(
     "m5_image_resize",
     oracle="""
     WITH dims AS (

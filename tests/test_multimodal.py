@@ -563,3 +563,77 @@ def test_extract_media_meta_mp4(spark):
     assert (out[1]["width"], out[1]["height"]) == (640, 360)
     assert out[1]["duration_ms"] == 30 * 1000 * 1000 // 30_000
     assert out[2]["mime"] == "video/mp4" and out[2]["duration_ms"] is None
+
+
+# --------------------------------------------------------------------------
+# WebM/Matroska container tier (functions/webm.py, round 5)
+# --------------------------------------------------------------------------
+
+
+def test_webm_mux_demux_unit():
+    """EBML muxer → parser round trip: metadata, per-block bytes, cluster
+    + relative timestamps, keyframe flags, laced-block rejection."""
+    from fhir_etl_spark.functions.webm import mux_webm, webm_metadata, webm_samples
+
+    frames = [bytes([50 + i] * (12 + i)) for i in range(7)]
+    for fpc in (1, 2, 3, 7, 10):
+        data = mux_webm(
+            frames, keyframe_indices=[0, 3, 6], width=320, height=180,
+            frames_per_cluster=fpc,
+        )
+        rs = webm_samples(data, track=1)
+        assert [r["index"] for r in rs] == list(range(7)), fpc
+        for r in rs:
+            assert data[r["offset"] : r["offset"] + r["size"]] == frames[r["index"]]
+            assert r["timestamp"] == r["index"] * 33, fpc  # cluster + s16 rel
+            assert r["keyframe"] == (r["index"] % 3 == 0)
+    meta = webm_metadata(data)
+    assert meta["n_tracks"] == 1 and meta["duration_ms"] == 7 * 33
+    t = meta["tracks"][0]
+    assert (t["codec"], t["width"], t["height"], t["track_type"]) == (
+        "V_VP8", 320, 180, 1,
+    )
+    # laced SimpleBlock (flags bit 0x02/0x06) rejected loudly
+    laced = bytearray(mux_webm(frames[:1]))
+    i = laced.rfind(b"\x81\x00\x00")  # block header: track varint + rel ts
+    laced[i + 3] |= 0x06
+    with pytest.raises(ValueError, match="laced"):
+        webm_samples(bytes(laced))
+    with pytest.raises(ValueError):
+        webm_metadata(b"\x00\x00\x00\x00")
+
+
+def test_sample_video_frames_webm(spark):
+    """One operator, both containers: an MP4 row and a WebM row demux in
+    the same job; WebM rows carry parsed timestamps, MP4 rows NULL."""
+    from fhir_etl_spark.functions.mp4 import mux_mp4
+    from fhir_etl_spark.functions.webm import mux_webm
+    from fhir_etl_spark.operators.multimodal import sample_video_frames
+
+    w_frames = [bytes([9 + i] * (6 + i)) for i in range(5)]
+    rows = [
+        (1, mux_webm(w_frames, keyframe_indices=[0, 2, 4], frames_per_cluster=2)),
+        (2, mux_mp4([b"a" * 8, b"b" * 9], keyframe_indices=[0])),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = sample_video_frames(df, keyframes_only=True).collect()
+    webm_rows = sorted(
+        (r for r in out if r["id"] == 1), key=lambda r: r["frame_index"]
+    )
+    assert [(r["frame_index"], bytes(r["frame"]), r["timestamp_ms"]) for r in webm_rows] == [
+        (0, w_frames[0], 0), (2, w_frames[2], 66), (4, w_frames[4], 132),
+    ]
+    mp4_rows = [r for r in out if r["id"] == 2]
+    assert len(mp4_rows) == 1 and mp4_rows[0]["timestamp_ms"] is None
+
+
+def test_extract_media_meta_webm(spark):
+    from fhir_etl_spark.functions.webm import mux_webm
+    from fhir_etl_spark.operators.multimodal import extract_media_meta, sniff_mime
+
+    data = mux_webm([b"x" * 10] * 6, width=640, height=360)
+    assert sniff_mime(data) == "video/webm"
+    df = spark.createDataFrame([(1, data)], "id long, media binary")
+    meta = extract_media_meta(df).collect()[0]["media_meta"]
+    assert meta["mime"] == "video/webm"
+    assert (meta["width"], meta["height"], meta["duration_ms"]) == (640, 360, 6 * 33)
