@@ -294,8 +294,49 @@ def smoke_m7(spark):
     )
 
 
+def smoke_m8(spark):
+    """WebM demux tier at 100k files: 9-frame muxes (3 per cluster) →
+    sample_video_frames(keyframes_only) → count; asserts zero errors."""
+    import pandas as pd
+
+    from fhir_etl_spark.operators.multimodal import sample_video_frames
+
+    def gen(batches):
+        from fhir_etl_spark.functions.webm import mux_webm
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf["id"]:
+                frames = [bytes([(int(i) + k) % 256] * (80 + k)) for k in range(9)]
+                blobs.append(
+                    mux_webm(frames, keyframe_indices=[0, 3, 6], frames_per_cluster=3)
+                )
+            yield pd.DataFrame({"id": pdf["id"], "media": blobs})
+
+    path = "/tmp/scale_smoke_webms.parquet"
+    spark.range(N_IMAGES).repartition(64).mapInPandas(
+        gen, "id long, media binary"
+    ).write.mode("overwrite").parquet(path)
+
+    vids = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    frames = sample_video_frames(vids, keyframes_only=True)
+    stats = frames.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("ok"),
+    ).first()
+    dt = time.perf_counter() - t0
+    assert stats["ok"] == stats["n"], f"{stats['n'] - stats['ok']} demux errors"
+    assert stats["n"] == N_IMAGES * 3, stats["n"]
+    print(
+        f"m8_webm: {N_IMAGES:,} WebMs demuxed to {stats['n']:,} keyframes "
+        f"in {dt:.1f}s ({N_IMAGES / dt:,.0f} files/s)",
+        flush=True,
+    )
+
+
 SMOKES = {"d10": smoke_d10, "t12": smoke_t12, "v5": smoke_v5, "v7": smoke_v7,
-          "m2": smoke_m2, "m6": smoke_m6, "m7": smoke_m7}
+          "m2": smoke_m2, "m6": smoke_m6, "m7": smoke_m7, "m8": smoke_m8}
 
 
 def main() -> None:
