@@ -83,7 +83,10 @@ R03_FLOOR = {
     # (t12's first two executions routinely run 2-3x its converged 3.0 s —
     # the adaptive sample below buys the needed third run)
     "m2_image_decode": 2.658, "t12_lm_perplexity": 3.071,
-    "d10_substring_dedup": 2.420,
+    # d10's floor moved 2.42 → 2.70 with the round-5 maximal-span merge
+    # (3fb508f): one extra window pass buys near-byte-exact removal
+    # granularity; isolated best-of-5 converges to 2.70 s at sf0.1
+    "d10_substring_dedup": 2.700,
 }
 
 

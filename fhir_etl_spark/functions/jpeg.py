@@ -7,13 +7,19 @@ marker segments, Annex K quantization + Huffman tables, level shift,
 coding with 0xFF byte stuffing. This closes the one media tier round 4
 left honestly gated ("JPEG pixel decode needs a DCT codec").
 
-Scope (the profile virtually all training-corpus JPEGs use):
-- decoder: baseline sequential (SOF0), 8-bit, grayscale or 3-component
-  YCbCr with ANY sampling factors (generic MCU walk — 4:4:4, 4:2:2 and
-  4:2:0 all fall out of it), restart markers (DRI/RSTn), multi-table
-  DQT/DHT segments. Progressive (SOF2) and arithmetic coding raise.
-- encoder: grayscale or RGB→YCbCr 4:4:4 at a libjpeg-style integer
-  ``quality`` scaling of the Annex K tables.
+Scope (covering effectively every real-world training-corpus JPEG):
+- decoder: baseline/extended sequential (SOF0/SOF1) AND progressive
+  (SOF2 — spectral selection, successive approximation, DC/AC first +
+  refinement scans, EOB runs, per T.81 Annex G), 8-bit, grayscale or
+  3-component YCbCr with ANY sampling factors (generic MCU walk — 4:4:4,
+  4:2:2 and 4:2:0 all fall out of it), restart markers (DRI/RSTn),
+  multi-table DQT/DHT segments. Arithmetic coding, 12-bit, lossless and
+  hierarchical profiles raise.
+- encoder: grayscale or RGB→YCbCr (4:4:4 or 4:2:0) at a libjpeg-style
+  integer ``quality`` scaling of the Annex K tables; sequential by
+  default, or a 6-scan progressive script (``progressive=True``) that
+  must decode pixel-identical to its sequential twin — the test anchor
+  for the whole multi-scan path.
 
 Correctness anchors (no external codec exists in-container to diff
 against byte-for-byte):
@@ -385,11 +391,154 @@ def _marker(tag: int, payload: bytes) -> bytes:
     return bytes([0xFF, tag]) + struct.pack(">H", len(payload) + 2) + payload
 
 
+def _emit_ac_first_block(writer, zz, ss, se, al, ac_codes) -> None:
+    """One block of a progressive AC first scan (Ah=0): band-limited RLE
+    of the point-transformed coefficients, EOB0 per block (no cross-block
+    EOB runs — less compact, decoder-identical)."""
+    vals = [int(np.sign(zz[k])) * (abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
+    last = -1
+    for i, v in enumerate(vals):
+        if v:
+            last = i
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            run -= 16
+        size, raw = _magnitude_bits(v)
+        code, ln = ac_codes[(run << 4) | size]
+        writer.write(code, ln)
+        writer.write(raw, size)
+        run = 0
+    if last < len(vals) - 1:
+        code, ln = ac_codes[0x00]  # EOB0
+        writer.write(code, ln)
+
+
+def _emit_ac_refine_block(writer, zz, ss, se, al, ac_codes) -> None:
+    """One block of a progressive AC refinement scan (Ah=Al+1): newly
+    significant coefficients (|c|>>al == 1) terminate zero-history runs;
+    already-significant ones buffer a correction bit that is flushed
+    after the next emitted symbol (mirroring the decoder's consumption
+    order); EOB0 per block flushes the tail."""
+    p_pending: list[int] = []
+    run = 0
+
+    def _flush_pending():
+        for b in p_pending:
+            writer.write(b, 1)
+        p_pending.clear()
+
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        t = abs(c) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:  # drain zero-history runs before buffering this bit
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            run -= 16
+            _flush_pending()
+        if t > 1:  # already significant at the prior precision
+            p_pending.append(t & 1)
+            continue
+        # newly significant: |c|>>al == 1
+        code, ln = ac_codes[(run << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if c > 0 else 0, 1)
+        _flush_pending()
+        run = 0
+    if run > 0 or p_pending:
+        code, ln = ac_codes[0x00]  # EOB0: decoder tail-consumes the rest
+        writer.write(code, ln)
+        _flush_pending()
+
+
+def _progressive_scans(
+    out: bytearray,
+    plane_coeffs: list[np.ndarray],
+    plane_bw: list[int],
+    gray: bool,
+) -> None:
+    """Emit the 6-scan progressive script (DC first Al=1 interleaved; AC
+    first per band per component at Al=1; DC refine; AC refine per band
+    per component) — exercising spectral selection AND successive
+    approximation, including the correction-bit path."""
+    dc_codes = [
+        _build_huffman(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _build_huffman(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+    ac_codes = [
+        _build_huffman(_AC_LUMA_BITS, _AC_LUMA_VALS),
+        _build_huffman(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ]
+    ncomp = 1 if gray else 3
+
+    def _sos(comps_in_scan, ss, se, ah, al, body: bytes) -> None:
+        hdr = bytes([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            tid = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, (tid << 4) | tid])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out.extend(_marker(0xDA, hdr))
+        out.extend(body)
+
+    # scan 1: DC first, all components interleaved, Al=1
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    n_blocks = len(plane_coeffs[0])
+    for b in range(n_blocks):  # 4:4:4/gray: MCU == one block per component
+        for ci in range(ncomp):
+            v = int(plane_coeffs[ci][b][0]) >> 1  # arithmetic shift (T.81 G.1.2.1)
+            size, raw = _magnitude_bits(v - preds[ci])
+            code, ln = dc_codes[0 if ci == 0 else 1][size]
+            writer.write(code, ln)
+            writer.write(raw, size)
+            preds[ci] = v
+    writer.flush()
+    _sos(list(range(ncomp)), 0, 0, 0, 1, bytes(writer.out))
+
+    # scans 2..: AC first per band per component, Al=1
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            writer = _BitWriter()
+            for zz in plane_coeffs[ci]:
+                _emit_ac_first_block(writer, zz, ss, se, 1, ac_codes[0 if ci == 0 else 1])
+            writer.flush()
+            _sos([ci], ss, se, 0, 1, bytes(writer.out))
+
+    # DC refinement: one bit per block, interleaved
+    writer = _BitWriter()
+    for b in range(n_blocks):
+        for ci in range(ncomp):
+            writer.write(int(plane_coeffs[ci][b][0]) & 1, 1)
+    writer.flush()
+    _sos(list(range(ncomp)), 0, 0, 1, 0, bytes(writer.out))
+
+    # AC refinement per band per component
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            writer = _BitWriter()
+            for zz in plane_coeffs[ci]:
+                _emit_ac_refine_block(
+                    writer, zz, ss, se, 0, ac_codes[0 if ci == 0 else 1]
+                )
+            writer.flush()
+            _sos([ci], ss, se, 1, 0, bytes(writer.out))
+
+
 def encode_jpeg(
     array: np.ndarray,
     quality: int = 75,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """uint8 (H, W), (H, W, 1) grayscale or (H, W, 3) RGB → baseline JPEG
     bytes (SOF0, Annex K tables scaled by ``quality``).
@@ -399,7 +548,11 @@ def encode_jpeg(
     virtually every camera/web JPEG uses, so the decoder's generic MCU
     walk gets exercised by our own streams). ``restart_interval`` > 0
     emits DRI + RSTn markers every N MCUs (tests the decoder's restart
-    resynchronization)."""
+    resynchronization). ``progressive`` emits SOF2 with a 6-scan script
+    (interleaved DC first at Al=1; per-component AC bands 1-5/6-63 at
+    Al=1; DC + AC refinement scans) — same quantized coefficients, so a
+    progressive stream must decode pixel-identical to its baseline twin;
+    4:4:4/grayscale only and no restart intervals in this mode."""
     arr = np.asarray(array)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
@@ -409,6 +562,10 @@ def encode_jpeg(
         raise ValueError(f"encode_jpeg wants (H,W)[,1|3], got {arr.shape}")
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling must be 444|420, got {subsampling!r}")
+    if progressive and (subsampling != "444" or restart_interval):
+        raise ValueError(
+            "progressive encoding supports 4:4:4/grayscale without restarts"
+        )
     h, w = arr.shape[:2]
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError(f"bad dimensions {h}x{w}")
@@ -455,36 +612,36 @@ def encode_jpeg(
         )
         plane_bw.append(tw // 8)
 
-    dc_l = _build_huffman(_DC_LUMA_BITS, _DC_LUMA_VALS)
-    ac_l = _build_huffman(_AC_LUMA_BITS, _AC_LUMA_VALS)
-    dc_c = _build_huffman(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    ac_c = _build_huffman(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
-
     writer = _BitWriter()
-    preds = [0] * len(planes)
-    mcu_count = 0
-    rst = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                writer.flush()
-                writer.out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                preds = [0] * len(planes)
-            for ci, zzs in enumerate(plane_coeffs):
-                hf, vf = factors[ci]
-                for byy in range(vf):
-                    for bxx in range(hf):
-                        idx = (my * vf + byy) * plane_bw[ci] + (mx * hf + bxx)
-                        preds[ci] = _entropy_encode_block(
-                            writer,
-                            zzs[idx],
-                            preds[ci],
-                            dc_l if ci == 0 else dc_c,
-                            ac_l if ci == 0 else ac_c,
-                        )
-            mcu_count += 1
-    writer.flush()
+    if not progressive:
+        dc_l = _build_huffman(_DC_LUMA_BITS, _DC_LUMA_VALS)
+        ac_l = _build_huffman(_AC_LUMA_BITS, _AC_LUMA_VALS)
+        dc_c = _build_huffman(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        ac_c = _build_huffman(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+        preds = [0] * len(planes)
+        mcu_count = 0
+        rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    writer.flush()
+                    writer.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    preds = [0] * len(planes)
+                for ci, zzs in enumerate(plane_coeffs):
+                    hf, vf = factors[ci]
+                    for byy in range(vf):
+                        for bxx in range(hf):
+                            idx = (my * vf + byy) * plane_bw[ci] + (mx * hf + bxx)
+                            preds[ci] = _entropy_encode_block(
+                                writer,
+                                zzs[idx],
+                                preds[ci],
+                                dc_l if ci == 0 else dc_c,
+                                ac_l if ci == 0 else ac_c,
+                            )
+                mcu_count += 1
+        writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -498,7 +655,7 @@ def encode_jpeg(
     for ci in range(ncomp):
         hf, vf = factors[ci]
         sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
-    out += _marker(0xC0, sof)
+    out += _marker(0xC2 if progressive else 0xC0, sof)
 
     def _dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
         return _marker(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
@@ -508,12 +665,15 @@ def encode_jpeg(
     if not gray:
         out += _dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
         out += _dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += _marker(0xDA, sos)
-    out += writer.out
+    if progressive:
+        _progressive_scans(out, plane_coeffs, plane_bw, gray)
+    else:
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        out += _marker(0xDA, sos)
+        out += writer.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -523,34 +683,250 @@ def encode_jpeg(
 # --------------------------------------------------------------------------
 
 
+class _ScanState:
+    """Everything a multi-scan (progressive) decode accumulates: parsed
+    tables, frame geometry, and per-component quantized-coefficient arrays
+    in zigzag index space, sized to the full MCU grid."""
+
+    def __init__(self) -> None:
+        self.qtables: dict[int, np.ndarray] = {}
+        self.htables: dict[tuple[int, int], dict] = {}
+        self.restart_interval = 0
+        self.frame = None  # (h, w, [(cid, hf, vf, tq)], progressive)
+        self.coefs: list[np.ndarray] = []  # per comp: (n_by, n_bx, 64) int64
+        self.preds: list[int] = []
+        self.eobrun = 0
+
+    def alloc(self) -> None:
+        h, w, comps, _ = self.frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        self.mcus_x, self.mcus_y, self.hmax, self.vmax = mcus_x, mcus_y, hmax, vmax
+        for _, hf, vf, _ in comps:
+            self.coefs.append(np.zeros((mcus_y * vf, mcus_x * hf, 64), np.int64))
+
+
+def _effective_blocks(st: _ScanState, ci: int) -> tuple[int, int]:
+    """Non-interleaved scans cover the component's true sampling area,
+    NOT the MCU-padded grid (T.81 A.2.2)."""
+    h, w, comps, _ = st.frame
+    _, hf, vf, _ = comps[ci]
+    cw = (w * hf + st.hmax - 1) // st.hmax
+    ch = (h * vf + st.vmax - 1) // st.vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _decode_block_baseline(reader, st, si, ci, zz, dc_tbl, ac_tbl) -> None:
+    t = _huff_decode(reader, dc_tbl)
+    diff = _extend(reader.receive(t), t)
+    st.preds[si] += diff
+    zz[0] = st.preds[si]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(reader.receive(s), s)
+        k += 1
+
+
+def _decode_block_dc(reader, st, si, zz, dc_tbl, ah, al) -> None:
+    if ah == 0:  # first DC scan: diffs at reduced precision, then shift up
+        t = _huff_decode(reader, dc_tbl)
+        st.preds[si] += _extend(reader.receive(t), t)
+        zz[0] = st.preds[si] << al
+    else:  # refinement: one bit per block (two's-complement OR, as in C)
+        if reader.bit():
+            zz[0] |= 1 << al
+
+
+def _decode_block_ac_first(reader, st, zz, ac_tbl, ss, se, al) -> None:
+    if st.eobrun > 0:
+        st.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:  # EOBn: this block is done, r more follow
+                st.eobrun = (1 << r) - 1
+                if r:
+                    st.eobrun += reader.receive(r)
+                return
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            zz[k] = _extend(reader.receive(s), s) * (1 << al)
+            k += 1
+
+
+def _decode_block_ac_refine(reader, st, zz, ac_tbl, ss, se, al) -> None:
+    """T.81 G.2 AC successive-approximation refinement: new ±1<<al
+    coefficients terminate runs of zero-HISTORY positions; every nonzero
+    position passed (and, on EOB, every one remaining) consumes a
+    correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if st.eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: fall through to the correction tail
+                    st.eobrun = 1 << r
+                    if r:
+                        st.eobrun += reader.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions below
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement magnitude must be 1")
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                zz[k] = val
+            k += 1
+    if st.eobrun > 0:  # correction bits for the rest of the block
+        while k <= se:
+            if zz[k] != 0 and reader.bit() and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        st.eobrun -= 1
+
+
+def _decode_scan(data, pos, st, scan_map, ss, se, ah, al) -> int:
+    """Entropy-decode one scan starting at ``pos``; returns the position of
+    the next marker. Handles interleaved (Ns>1) MCU order, non-interleaved
+    single-component block order, and restart markers."""
+    _h, _w, comps, progressive = st.frame
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("invalid progressive scan: DC scan must have Se=0")
+        if ss > 0 and (len(scan_map) != 1 or not ss <= se <= 63):
+            raise ValueError("invalid progressive AC scan header")
+    elif (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("invalid sequential scan header")
+    reader = _BitReader(data, pos)
+    st.preds = [0] * len(scan_map)
+    st.eobrun = 0
+    interleaved = len(scan_map) > 1
+
+    def _tables(dc_tid, ac_tid):
+        dc_tbl = st.htables.get((0, dc_tid))
+        ac_tbl = st.htables.get((1, ac_tid))
+        if (ss == 0 and ah == 0 and dc_tbl is None) or (
+            (not progressive or ss > 0) and ac_tbl is None and not (ss == 0 and se == 0)
+        ):
+            raise ValueError("scan references undefined Huffman table")
+        return dc_tbl, ac_tbl
+
+    def _decode_unit(si, ci, zz, dc_tbl, ac_tbl):
+        if not progressive:
+            _decode_block_baseline(reader, st, si, ci, zz, dc_tbl, ac_tbl)
+        elif ss == 0:
+            _decode_block_dc(reader, st, si, zz, dc_tbl, ah, al)
+        elif ah == 0:
+            _decode_block_ac_first(reader, st, zz, ac_tbl, ss, se, al)
+        else:
+            _decode_block_ac_refine(reader, st, zz, ac_tbl, ss, se, al)
+
+    def _restart(unit_count):
+        if (
+            st.restart_interval
+            and unit_count
+            and unit_count % st.restart_interval == 0
+        ):
+            marker = reader.align_to_marker()
+            if not 0xD0 <= marker <= 0xD7:
+                raise ValueError(f"expected RSTn, got 0x{marker:02x}")
+            st.preds = [0] * len(scan_map)
+            st.eobrun = 0
+
+    if interleaved:
+        unit = 0
+        for my in range(st.mcus_y):
+            for mx in range(st.mcus_x):
+                _restart(unit)
+                for si, (ci, dc_tid, ac_tid) in enumerate(scan_map):
+                    _, hf, vf, _tq = comps[ci]
+                    dc_tbl, ac_tbl = _tables(dc_tid, ac_tid)
+                    for byy in range(vf):
+                        for bxx in range(hf):
+                            zz = st.coefs[ci][my * vf + byy, mx * hf + bxx]
+                            _decode_unit(si, ci, zz, dc_tbl, ac_tbl)
+                unit += 1
+    else:
+        ci, dc_tid, ac_tid = scan_map[0]
+        dc_tbl, ac_tbl = _tables(dc_tid, ac_tid)
+        n_by, n_bx = _effective_blocks(st, ci)
+        unit = 0
+        for by in range(n_by):
+            for bx in range(n_bx):
+                _restart(unit)
+                _decode_unit(0, ci, st.coefs[ci][by, bx], dc_tbl, ac_tbl)
+                unit += 1
+
+    # skip padding bits / stuffed bytes to the next marker
+    pos = reader.pos
+    while pos + 1 < len(data) and not (
+        data[pos] == 0xFF and data[pos + 1] != 0x00
+    ):
+        pos += 1
+    return pos
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 (H, W, C) array (C = 1 or 3; 3-component
-    streams are converted YCbCr→RGB). Raises ValueError on progressive /
-    arithmetic / unsupported profiles and on corrupt streams."""
+    """JPEG bytes → uint8 (H, W, C) array (C = 1 or 3; 3-component streams
+    are converted YCbCr→RGB). Handles baseline sequential (SOF0, plus
+    extended-sequential SOF1 — same entropy coding) and progressive (SOF2:
+    spectral selection + successive approximation, DC/AC first and
+    refinement scans, EOB runs, per T.81 Annex G). Raises ValueError on
+    arithmetic/lossless/hierarchical/12-bit profiles and corrupt streams."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
-    qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict] = {}
-    restart_interval = 0
-    frame = None  # (h, w, [(cid, hf, vf, tq)])
-    scan_map = None  # [(comp_index, dc_tid, ac_tid)]
+    st = _ScanState()
     pos = 2
-    while pos + 4 <= len(data):
+    saw_scan = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         tag = data[pos + 1]
         if tag == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
             pos += 1
             continue
-        if tag == 0xD9:  # EOI before any SOS
+        if tag == 0xD9:  # EOI
             break
         if tag == 0x01 or 0xD0 <= tag <= 0xD8:  # standalone markers
             pos += 2
             continue
-        if tag in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                   0xCD, 0xCE, 0xCF):
-            raise ValueError(f"unsupported JPEG profile (SOF marker 0x{tag:02x}) "
-                             "— only baseline sequential (SOF0) is implemented")
+        if tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG profile (SOF marker 0x{tag:02x}) — "
+                "baseline (SOF0/1) and progressive (SOF2) Huffman only"
+            )
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + seglen]
         if len(payload) != seglen - 2:
@@ -564,7 +940,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tbl = np.frombuffer(payload[i + 1 : i + 65], np.uint8).astype(np.int64)
                 if tbl.size != 64:
                     raise ValueError("truncated DQT")
-                qtables[tid] = tbl
+                st.qtables[tid] = tbl
                 i += 65
         elif tag == 0xC4:  # DHT: 1+ tables per segment
             i = 0
@@ -575,106 +951,74 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(payload[i + 17 : i + 17 + n])
                 if len(vals) != n:
                     raise ValueError("truncated DHT")
-                htables[(cls, tid)] = _decode_table(bits, vals)
+                st.htables[(cls, tid)] = _decode_table(bits, vals)
                 i += 17 + n
-        elif tag == 0xC0:  # SOF0
+        elif tag in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential) or SOF2
+            if st.frame is not None:
+                raise ValueError("multiple SOF markers")
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit JPEG unsupported")
             if ncomp not in (1, 3):
                 raise ValueError(f"{ncomp}-component JPEG unsupported")
+            if len(payload) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF component specs")
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h, w, comps)
+                hf, vf = hv >> 4, hv & 0x0F
+                if not (1 <= hf <= 4 and 1 <= vf <= 4):
+                    raise ValueError(f"invalid SOF sampling factors {hf}x{vf}")
+                comps.append((cid, hf, vf, tq))
+            st.frame = (h, w, comps, tag == 0xC2)
+            st.alloc()
         elif tag == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", payload[:2])
-        elif tag == 0xDA:  # SOS — entropy data follows
-            if frame is None:
+            (st.restart_interval,) = struct.unpack(">H", payload[:2])
+        elif tag == 0xDA:  # SOS
+            if st.frame is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
             scan_map = []
-            cids = [c[0] for c in frame[2]]
+            cids = [c[0] for c in st.frame[2]]
             for si in range(ns):
                 cid, tids = payload[1 + 2 * si], payload[2 + 2 * si]
                 scan_map.append((cids.index(cid), tids >> 4, tids & 0x0F))
-            pos = pos + 2 + seglen
-            break
+            ss_, se_, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            pos = _decode_scan(
+                data, pos + 2 + seglen, st, scan_map,
+                ss_, se_, ahal >> 4, ahal & 0x0F,
+            )
+            saw_scan = True
+            continue
         pos += 2 + seglen
-    if frame is None or scan_map is None:
+    if st.frame is None or not saw_scan:
         raise ValueError("no SOS/SOF found")
 
-    h, w, comps = frame
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-
-    # per-component quantized-coefficient buffers, (blocks_y*8, blocks_x*8)
-    planes = []
-    for _, hf, vf, _ in comps:
-        planes.append(np.zeros((mcus_y * vf * 8, mcus_x * hf * 8), np.float64))
-
-    reader = _BitReader(data, pos)
-    preds = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                marker = reader.align_to_marker()
-                if not 0xD0 <= marker <= 0xD7:
-                    raise ValueError(f"expected RSTn, got 0x{marker:02x}")
-                preds = [0] * len(comps)
-            for si, (ci, dc_tid, ac_tid) in enumerate(scan_map):
-                _, hf, vf, tq = comps[ci]
-                dc_tbl = htables.get((0, dc_tid))
-                ac_tbl = htables.get((1, ac_tid))
-                q = qtables.get(tq)
-                if dc_tbl is None or ac_tbl is None or q is None:
-                    raise ValueError("scan references undefined table")
-                for byy in range(vf):
-                    for bxx in range(hf):
-                        zz = np.zeros(64, np.int64)
-                        t = _huff_decode(reader, dc_tbl)
-                        diff = _extend(reader.receive(t), t)
-                        preds[si] += diff
-                        zz[0] = preds[si]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, ac_tbl)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        block = np.zeros(64, np.float64)
-                        block[ZIGZAG] = zz * q  # dequantize + de-zigzag
-                        y0 = (my * vf + byy) * 8
-                        x0 = (mx * hf + bxx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block.reshape(8, 8)
-            mcu_count += 1
-
-    # batched IDCT per component, then crop/upsample to full resolution
+    # reconstruct: dequantize + de-zigzag + batched IDCT per component
+    h, w, comps, _ = st.frame
     out_planes = []
-    for ci, (_, hf, vf, _) in enumerate(comps):
-        coeffs = _to_blocks(planes[ci])
-        pix = np.einsum("xu,nuv,yv->nxy", _DCT_T.T, coeffs, _DCT_T.T) + 128.0
-        ph, pw = planes[ci].shape
+    for ci, (_, hf, vf, tq) in enumerate(comps):
+        q = st.qtables.get(tq)
+        if q is None:
+            raise ValueError("component references undefined quant table")
+        n_by, n_bx = st.coefs[ci].shape[:2]
+        blocks = np.zeros((n_by * n_bx, 64), np.float64)
+        blocks[:, ZIGZAG] = (st.coefs[ci].reshape(-1, 64) * q).astype(np.float64)
+        pix = (
+            np.einsum(
+                "xu,nuv,yv->nxy", _DCT_T.T, blocks.reshape(-1, 8, 8), _DCT_T.T
+            )
+            + 128.0
+        )
         plane = (
-            pix.reshape(ph // 8, pw // 8, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(ph, pw)
+            pix.reshape(n_by, n_bx, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(n_by * 8, n_bx * 8)
         )
         # upsample by replication to the full sampling grid, then crop
-        if hf != hmax or vf != vmax:
-            plane = np.repeat(np.repeat(plane, vmax // vf, axis=0), hmax // hf, axis=1)
+        if hf != st.hmax or vf != st.vmax:
+            plane = np.repeat(
+                np.repeat(plane, st.vmax // vf, axis=0), st.hmax // hf, axis=1
+            )
         out_planes.append(plane[:h, :w])
 
     if len(out_planes) == 1:

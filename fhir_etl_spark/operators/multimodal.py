@@ -22,10 +22,11 @@ PIL/av/soundfile (absent from this container):
   metadata (duration/geometry/codec) in ``extract_media_meta`` and
   encoded-sample / keyframe extraction in ``sample_video_frames``
 
-Still codec-gated: progressive/arithmetic JPEG (baseline sequential
-only) and H.264/HEVC/VP8/VP9 PIXEL decode (container sample extraction
-is real; the bitstream codecs are not); per-row failures in the decode
-operators land in an ``error`` field rather than failing the job.
+Still codec-gated: arithmetic-coded/12-bit JPEG (Huffman sequential AND
+progressive are real since round 5) and H.264/HEVC/VP8/VP9 PIXEL decode
+(container sample extraction is real; the bitstream codecs are not);
+per-row failures in the decode operators land in an ``error`` field
+rather than failing the job.
 
 Scale notes: binary payloads dominate row size — the operators below keep
 them out of shuffles (metadata extraction is a projection; grouping happens
@@ -272,7 +273,7 @@ def decode_image(
     no PIL/libjpeg needed). Output struct:
     (height, width, channels, pixels: binary row-major uint8, error).
 
-    Per-image failures (GIF/video bytes, corrupt files, progressive JPEG)
+    Per-image failures (GIF/video bytes, corrupt files, arithmetic JPEG)
     land in the ``error`` field instead of failing the batch — at corpus
     scale a decode job must survive bad files.
     """

@@ -114,9 +114,9 @@ def test_decode_image_real_png(spark):
     for ft in (1, 2, 3, 4):  # every unfilter path, end to end
         assert bytes(out[ft]["pixels"]) == arr1.tobytes(), f"filter {ft}"
         assert out[ft]["error"] is None
-    # header-only JPEG (no SOS/scan data) is a row-level decode error now
-    # that the real JPEG codec handles the format (round 5)
-    assert out[10]["pixels"] is None and "no SOS" in out[10]["error"]
+    # the malformed header-only JPEG (missing SOF component count) is a
+    # row-level decode error now that the real codec validates it (round 5)
+    assert out[10]["pixels"] is None and "invalid SOF" in out[10]["error"]
     assert out[11]["pixels"] is None and out[11]["error"]
 
 
@@ -140,7 +140,7 @@ def test_resize_image_real_png(spark):
     assert decode_png(bytes(out[2]["media"])).shape == (6, 4, 3)
     # corrupt (scan-less) JPEG passes through unchanged, error recorded
     assert bytes(out[3]["media"]) == minimal_jpeg(4, 4)
-    assert "no SOS" in out[3]["media_resize_error"]
+    assert "invalid SOF" in out[3]["media_resize_error"]
 
 
 def _pcm16_wav(rate: int, channels: int, samples) -> bytes:
@@ -426,8 +426,13 @@ def test_jpeg_unsupported_profiles_raise():
     g = np.zeros((8, 8), np.uint8)
     data = bytearray(encode_jpeg(g))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
-    with _pytest.raises(ValueError, match="SOF marker 0xc2"):
+    data[i + 1] = 0xC9  # flip SOF0 → SOF9 (arithmetic coding)
+    with _pytest.raises(ValueError, match="SOF marker 0xc9"):
+        decode_jpeg(bytes(data))
+    # a baseline stream mislabeled SOF2 fails scan-header validation,
+    # not silently misdecodes (progressive DC scans must have Se=0)
+    data[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(data))
     with _pytest.raises(ValueError):
         decode_jpeg(encode_jpeg(g)[:40])  # truncated
@@ -438,7 +443,8 @@ def test_jpeg_unsupported_profiles_raise():
 def test_decode_image_real_jpeg(spark):
     """The production decode_image operator handles real JPEG streams:
     constant-tile grayscale decodes to the closed form; color decodes to
-    3 channels; progressive bytes become a row-level error, never a job
+    3 channels; REAL progressive (SOF2) streams decode since round 5;
+    arithmetic-coded bytes become a row-level error, never a job
     failure."""
     import numpy as np
 
@@ -447,13 +453,14 @@ def test_decode_image_real_jpeg(spark):
     tiles = np.full((16, 16), 130, np.uint8)
     color = np.zeros((8, 8, 3), np.uint8)
     color[..., 0] = 200
-    progressive = bytearray(encode_jpeg(tiles, quality=75))
-    progressive[progressive.find(b"\xff\xc0") + 1] = 0xC2
+    arith = bytearray(encode_jpeg(tiles, quality=75))
+    arith[arith.find(b"\xff\xc0") + 1] = 0xC9  # SOF9: arithmetic coding
     df = spark.createDataFrame(
         [
             (1, encode_jpeg(tiles, quality=33)),
             (2, encode_jpeg(color, quality=75)),
-            (3, bytes(progressive)),
+            (3, bytes(arith)),
+            (4, encode_jpeg(tiles, quality=33, progressive=True)),
         ],
         "id long, media binary",
     )
@@ -461,7 +468,10 @@ def test_decode_image_real_jpeg(spark):
     assert (out[1]["height"], out[1]["width"], out[1]["channels"]) == (16, 16, 1)
     assert set(bytes(out[1]["pixels"])) == {dc_only_pixel(130, 24)}
     assert out[2]["channels"] == 3 and out[2]["error"] is None
-    assert out[3]["pixels"] is None and "SOF marker 0xc2" in out[3]["error"]
+    assert out[3]["pixels"] is None and "SOF marker 0xc9" in out[3]["error"]
+    # progressive decodes to the SAME pixels as its baseline twin
+    assert out[4]["error"] is None
+    assert bytes(out[4]["pixels"]) == bytes(out[1]["pixels"])
 
 
 def test_resize_image_jpeg_input_emits_png(spark):
@@ -637,3 +647,33 @@ def test_extract_media_meta_webm(spark):
     meta = extract_media_meta(df).collect()[0]["media_meta"]
     assert meta["mime"] == "video/webm"
     assert (meta["width"], meta["height"], meta["duration_ms"]) == (640, 360, 6 * 33)
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive (SOF2, spectral selection + successive approximation)
+    carries the SAME quantized coefficients as baseline, so its decode
+    must be pixel-IDENTICAL — an exact end-to-end check of the multi-scan
+    machinery: DC first/refine, AC band first scans, AC refinement with
+    interleaved correction bits, and per-block EOB runs. 60 random
+    images across shapes/qualities hunt entropy-coder desyncs."""
+    import numpy as np
+
+    from fhir_etl_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    shapes = [(8, 8), (16, 16), (21, 19), (24, 17), (9, 25), (40, 56, 3),
+              (33, 29, 3), (17, 8, 3)]
+    for trial in range(60):
+        shape = shapes[trial % len(shapes)]
+        q = (10, 33, 50, 75, 90, 95)[trial % 6]
+        img = rng.integers(0, 256, shape, np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        prog = decode_jpeg(encode_jpeg(img, quality=q, progressive=True))
+        assert (base == prog).all(), (trial, shape, q)
+    # smooth gradients exercise long EOB/zero runs
+    yy, xx = np.mgrid[0:48, 0:32]
+    smooth = ((yy * 2 + xx) % 256).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg(smooth, quality=60))
+        == decode_jpeg(encode_jpeg(smooth, quality=60, progressive=True))
+    ).all()
