@@ -491,6 +491,231 @@ def decode_audio(
     return df.mapInPandas(batches, out_schema)
 
 
+def phash64(arr) -> int:
+    """64-bit perceptual hash of an image array (the standard pHash
+    construction, as popularized by the public ImageHash library): gray
+    (BT.601 integer luma) → 32×32 nearest resample → 2-D orthonormal DCT →
+    top-left 8×8 low-frequency block → bit k = coefficient > median of the
+    64. Robust to resizing, re-encoding, brightness shifts and mild noise;
+    Hamming distance ≈ perceptual distance."""
+    import numpy as np
+
+    from fhir_etl_spark.functions.png import resize_nearest
+
+    a = np.asarray(arr)
+    if a.ndim == 3:
+        if a.shape[2] >= 3:  # RGB(A) → integer BT.601 luma
+            a = (
+                299 * a[:, :, 0].astype(np.int64)
+                + 587 * a[:, :, 1].astype(np.int64)
+                + 114 * a[:, :, 2].astype(np.int64)
+            ) // 1000
+        else:  # gray(+alpha)
+            a = a[:, :, 0]
+    g = resize_nearest(a.astype(np.float64), 32, 32)
+    if g.ndim == 3:
+        g = g[:, :, 0]
+    d = _PHASH_DCT32 @ g @ _PHASH_DCT32.T
+    low = d[:8, :8].flatten()
+    bits = low > np.median(low)
+    h = 0
+    for k in range(64):
+        if bits[k]:
+            h |= 1 << k
+    return h - (1 << 64) if h >= 1 << 63 else h  # two's complement → BIGINT
+
+
+def _dct_matrix(n: int):
+    import numpy as np
+
+    t = np.zeros((n, n))
+    for u in range(n):
+        c = np.sqrt(0.5) if u == 0 else 1.0
+        for x in range(n):
+            t[u, x] = np.sqrt(2.0 / n) * c * np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    return t
+
+
+_PHASH_DCT32 = _dct_matrix(32)
+
+
+def phash_image(
+    df: DataFrame, bytes_col: str = "media", out_col: str = "phash"
+) -> DataFrame:
+    """(… , phash BIGINT, phash_error) for PNG/JPEG rows via the engine's
+    own codecs — the image analogue of the text fingerprint: equal hashes
+    ⇒ exact/near-exact duplicates, small Hamming distance ⇒ perceptual
+    near-dups. Unsupported/corrupt rows get NULL + error (per-row
+    contract). Map-only."""
+    from fhir_etl_spark.functions.jpeg import decode_jpeg
+    from fhir_etl_spark.functions.png import decode_png
+
+    err_col = f"{out_col}_error"
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.LongType()), T.StructField(err_col, T.StringType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes, errs = [], []
+            for data in pdf[bytes_col]:
+                if data is None:
+                    hashes.append(None)
+                    errs.append(None)
+                    continue
+                raw = bytes(data)
+                try:
+                    if raw.startswith(b"\x89PNG"):
+                        arr = decode_png(raw)
+                    elif raw.startswith(b"\xff\xd8\xff"):
+                        arr = decode_jpeg(raw)
+                    else:
+                        raise ValueError(f"unsupported: {sniff_mime(raw)}")
+                    hashes.append(phash64(arr))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001
+                    hashes.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}"[:200])
+            pdf = pdf.reset_index(drop=True)
+            pdf[out_col] = pd.array(hashes, dtype="Int64")
+            pdf[err_col] = errs
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def phash_neardup_pairs(
+    hashed: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "phash",
+    max_hamming: int = 8,
+    n_bands: int = 8,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Image near-dup pairs (a < b, hamming ≤ ``max_hamming``) over pHash
+    columns — all Catalyst after the hash: split each 64-bit hash into
+    ``n_bands`` bit-slices (pigeonhole: any pair with hamming <
+    ``n_bands`` agrees on at least one slice, so the default 8 bands
+    guarantee recall for distance ≤ 7 and catch most ≤ 8), bucket-join
+    via the SAME posting-list miner as MinHash-LSH (dedup.lsh_candidate_
+    pairs — one shuffle, max_bucket_size degenerate-bucket guard), then
+    verify candidates exactly with bit_count(xor). No O(n²) stage at any
+    corpus size."""
+    from fhir_etl_spark.operators.dedup import hamming64, lsh_candidate_pairs
+
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sig = F.array(
+        *[
+            F.shiftrightunsigned(F.col(hash_col), b * width).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+    signatures = hashed.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), sig.alias("sig")
+    )
+    pairs = lsh_candidate_pairs(
+        signatures,
+        id_col=id_col,
+        bands=n_bands,
+        rows_per_band=1,
+        max_bucket_size=max_bucket_size,
+    )
+    ha = hashed.select(F.col(id_col).alias("a"), F.col(hash_col).alias("_ha"))
+    hb = hashed.select(F.col(id_col).alias("b"), F.col(hash_col).alias("_hb"))
+    return (
+        pairs.join(ha, "a")
+        .join(hb, "b")
+        .select("a", "b", hamming64(F.col("_ha"), F.col("_hb")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def audio_frame_features(
+    df: DataFrame,
+    frame_samples: int = 512,
+    bytes_col: str = "media",
+    id_col: str = "id",
+) -> DataFrame:
+    """Windowed acoustic statistics over PCM16 WAV rows, in the INTEGER
+    domain: non-overlapping ``frame_samples`` windows (trailing partial
+    window kept), each emitting energy (sum of squared int16 samples,
+    exact in int64), zero-crossing count (sign transitions with 0 counted
+    as non-negative — the classic VAD/speech-music discriminator pair),
+    and peak |amplitude|. One row → ceil(n/frame) rows
+    (frame_index, n_samples, sumsq, zero_crossings, peak).
+
+    Deliberately int16-domain rather than a float frontend: bit-exact
+    across platforms (the m9 oracle replays every value in SQL), which a
+    float32 RMS pipeline cannot promise. Mono PCM16 only — multi-channel
+    or float WAVs land in an error row (frame_index = -1), same contract
+    as the other decode operators. Map-only: no shuffle."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sumsq", T.LongType()),
+            T.StructField("zero_crossings", T.IntegerType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for rid, data in zip(pdf[id_col], pdf[bytes_col]):
+                if data is None:
+                    continue
+                raw = bytes(data)
+                try:
+                    rate, channels, bits, _dur = wav_audio_meta(raw)
+                    if rate is None:
+                        raise ValueError(f"unsupported: {sniff_mime(raw)}")
+                    if channels != 1 or bits != 16:
+                        raise ValueError(
+                            f"audio_frame_features wants mono PCM16, "
+                            f"got {channels}ch/{bits}bit"
+                        )
+                    # locate the data chunk payload (same walk as decode)
+                    i, n = 12, len(raw)
+                    payload = None
+                    while i + 8 <= n:
+                        size = _struct.unpack("<I", raw[i + 4 : i + 8])[0]
+                        if raw[i : i + 4] == b"data":
+                            payload = raw[i + 8 : i + 8 + size]
+                            break
+                        i += 8 + size + (size & 1)
+                    if payload is None:
+                        raise ValueError("missing data chunk")
+                    x = np.frombuffer(payload, "<i2").astype(np.int64)
+                    for fi in range(0, max((len(x) + frame_samples - 1)
+                                           // frame_samples, 0)):
+                        fr = x[fi * frame_samples : (fi + 1) * frame_samples]
+                        nonneg = fr >= 0
+                        rows.append(
+                            (rid, fi, len(fr), int((fr * fr).sum()),
+                             int((nonneg[1:] != nonneg[:-1]).sum()),
+                             int(np.abs(fr).max()), None)
+                        )
+                except Exception as exc:  # noqa: BLE001 — per-row contract
+                    rows.append((rid, -1, None, None, None, None,
+                                 f"{type(exc).__name__}: {exc}"[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_index", "n_samples", "sumsq",
+                         "zero_crossings", "peak", "error"],
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(batches, out_schema)
+
+
 def split_gif_frames(
     df: DataFrame, every_n: int = 1, bytes_col: str = "media", id_col: str = "id"
 ) -> DataFrame:

@@ -288,6 +288,92 @@ def m3_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m9_audio_frame_features",
+    oracle="""
+    -- Replay of the windowed acoustic stats: sample j of doc is
+    -- (doc_id*31 + j*17) % 65536 - 32768 (same formula as m3), framed
+    -- into 32-sample windows. Energy/zero-crossings/peak are all
+    -- integer-exact, so a wrong frame boundary, sign convention, or
+    -- PCM scale breaks the hash.
+    WITH spec AS (
+      SELECT doc_id, 64 + doc_id % 32 AS n FROM documents
+    ), fr AS (
+      SELECT doc_id, n, unnest(range(0, (n + 31) // 32)) AS f FROM spec
+    ), smp AS (
+      SELECT doc_id, f, t.j, (doc_id * 31 + t.j * 17) % 65536 - 32768 AS s
+      FROM fr, unnest(range(f * 32, least(n, f * 32 + 32))) AS t(j)
+    ), zc AS (
+      SELECT doc_id, f, j, s,
+             CASE WHEN j > f * 32 AND ((s >= 0) <>
+                    (lag(s) OVER (PARTITION BY doc_id, f ORDER BY j) >= 0))
+                  THEN 1 ELSE 0 END AS flip
+      FROM smp
+    )
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_index,
+           CAST(count(*) AS INTEGER) AS n_samples,
+           CAST(sum(s * s) AS BIGINT) AS sumsq,
+           CAST(sum(flip) AS INTEGER) AS zero_crossings,
+           CAST(max(abs(s)) AS INTEGER) AS peak
+    FROM zc GROUP BY doc_id, f
+    """,
+    tags=("multimodal", "codec"),
+)
+def m9_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-domain windowed audio features, value-checked end to end:
+    formula PCM16 → RIFF/WAV bytes → audio_frame_features (production
+    operator: frame walk, energy, zero crossings, peak) → every number
+    replayed by the oracle. Map-only."""
+    from fhir_etl_spark.operators.multimodal import audio_frame_features
+
+    documents = load_tables(spark, sf_dir, "documents")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                n = 64 + doc_id % 32
+                rate = int(8000 + doc_id % 100)
+                x = ((doc_id * 31 + np.arange(n) * 17) % 65536 - 32768).astype("<i2")
+                pcm = x.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                body = (
+                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                blobs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    feats = audio_frame_features(
+        media, frame_samples=32, bytes_col="media", id_col="doc_id"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sumsq", T.LongType()),
+            T.StructField("zero_crossings", T.IntegerType()),
+            T.StructField("peak", T.IntegerType()),
+        ]
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            assert pdf["error"].isnull().all(), "unexpected audio error rows"
+            yield pdf[
+                ["doc_id", "frame_index", "n_samples", "sumsq",
+                 "zero_crossings", "peak"]
+            ]
+
+    return feats.mapInPandas(stats, out_schema)
+
+
+@query(
     "m4_gif_frame_sample",
     oracle="""
     WITH spec AS (
@@ -545,6 +631,71 @@ def m8_webm_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return frames.mapInPandas(stats, out_schema)
+
+
+@query(
+    "m10_phash_neardup",
+    oracle="""
+    -- The planted-pair structure IS the oracle: image 2k is a chaotic
+    -- 32x32 grayscale per doc, image 2k+1 the same +2 brightness (no
+    -- clipping) — which perturbs ONLY the DCT DC coefficient, leaving
+    -- every pHash bit unchanged (DC stays the max, the median is an AC
+    -- value), so each pair's Hamming distance is exactly 0 while chaotic
+    -- cross-doc hashes sit near distance 32, far above the threshold 5.
+    -- Any codec/DCT/banding/verify defect adds, drops, or re-scores rows
+    -- and breaks the hash.
+    SELECT CAST(2 * doc_id AS BIGINT) AS a,
+           CAST(2 * doc_id + 1 AS BIGINT) AS b,
+           CAST(0 AS INTEGER) AS hamming
+    FROM documents
+    """,
+    tags=("multimodal", "dedup"),
+)
+def m10_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup, value-checked end to end: formula
+    images → encode_png → phash_image (decode + BT.601 luma + 32×32 DCT +
+    median bits) → phash_neardup_pairs (8-band Hamming LSH over the SAME
+    posting-list miner as MinHash, exact bit_count verify). Emits the
+    planted (2k, 2k+1, 0) pairs and nothing else."""
+    from fhir_etl_spark.operators.multimodal import (
+        phash_image,
+        phash_neardup_pairs,
+    )
+
+    documents = load_tables(spark, sf_dir, "documents")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from fhir_etl_spark.functions.png import encode_png
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                # splitmix64-style avalanche per pixel: a LINEAR mixer is
+                # not enough — doc pairs at specific id distances produce
+                # correlated low-frequency content and spurious near-dup
+                # pairs (observed empirically at distance ~46)
+                x = (np.uint64(doc_id) * np.uint64(0x9E3779B97F4A7C15)
+                     + np.arange(32 * 32, dtype=np.uint64)
+                     * np.uint64(0xBF58476D1CE4E5B9))
+                x ^= x >> np.uint64(30)
+                x *= np.uint64(0xBF58476D1CE4E5B9)
+                x ^= x >> np.uint64(27)
+                x *= np.uint64(0x94D049BB133111EB)
+                x ^= x >> np.uint64(31)
+                base = (20 + (x % np.uint64(206))).astype(np.uint8)
+                a = base.reshape(32, 32)
+                for k, img in ((0, a), (1, a + 2)):  # +2 stays < 228: no clip
+                    ids.append(2 * doc_id + k)
+                    blobs.append(encode_png(img[:, :, None]))
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    hashed = phash_image(media, bytes_col="media")
+    return phash_neardup_pairs(
+        hashed, id_col="doc_id", hash_col="phash", max_hamming=5, n_bands=8
+    )
 
 
 @query(

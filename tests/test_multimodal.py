@@ -677,3 +677,93 @@ def test_jpeg_progressive_equals_baseline():
         decode_jpeg(encode_jpeg(smooth, quality=60))
         == decode_jpeg(encode_jpeg(smooth, quality=60, progressive=True))
     ).all()
+
+
+# --------------------------------------------------------------------------
+# pHash image near-dup + windowed audio features (round 5)
+# --------------------------------------------------------------------------
+
+
+def test_phash_invariances_unit():
+    """The classic pHash robustness properties: identical → 0; rescaled →
+    ~0; JPEG re-encode / mild noise → small; unrelated → ~32; +2
+    brightness (no clipping) → exactly 0 (only the DC coefficient moves —
+    the property the m10 oracle builds on)."""
+    import numpy as np
+
+    from fhir_etl_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from fhir_etl_spark.functions.png import resize_nearest
+    from fhir_etl_spark.operators.multimodal import phash64
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:64, 0:64]
+    base = ((np.sin(yy / 9) * np.cos(xx / 7) + 1) / 2 * 215 + 20).astype(np.uint8)
+    img = np.stack([base, 255 - base, base // 2], -1)
+    h0 = phash64(img)
+    assert phash64(img.copy()) == h0
+    assert ham(h0, phash64(resize_nearest(img, 128, 128))) <= 2
+    assert ham(h0, phash64(decode_jpeg(encode_jpeg(img, quality=75)))) <= 10
+    noisy = np.clip(img.astype(int) + rng.integers(-4, 5, img.shape), 0, 255)
+    assert ham(h0, phash64(noisy.astype(np.uint8))) <= 12
+    assert ham(h0, phash64(rng.integers(0, 256, img.shape, np.uint8))) >= 20
+    # DC-only perturbation: gray in [20, 225] + 2 → identical hash
+    g = rng.integers(20, 226, (40, 40), np.uint8)
+    assert phash64(g + 2) == phash64(g)
+
+
+def test_phash_neardup_pairs_spark(spark):
+    """End to end through Spark: planted near-identical pair found at its
+    exact Hamming distance; unrelated images produce no pair; corrupt
+    rows carry errors without failing the job."""
+    import numpy as np
+
+    from fhir_etl_spark.functions.png import encode_png
+    from fhir_etl_spark.operators.multimodal import phash_image, phash_neardup_pairs
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(20, 226, (32, 32), np.uint8)
+    rows = [
+        (1, encode_png(a[:, :, None])),
+        (2, encode_png((a + 2)[:, :, None])),   # hamming 0 twin
+        (3, encode_png(rng.integers(0, 256, (32, 32, 1), np.uint8))),
+        (4, b"\xff\xd8\xffgarbage"),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    hashed = phash_image(df)
+    errs = {r["id"]: r["phash_error"] for r in hashed.collect()}
+    assert errs[1] is None and errs[4] is not None
+    pairs = phash_neardup_pairs(hashed, max_hamming=5).collect()
+    assert [(r["a"], r["b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+def test_audio_frame_features(spark):
+    """Windowed integer acoustics: frame boundaries, energy, zero
+    crossings and peak computed exactly; stereo/float rows error out
+    per-row."""
+    import numpy as np
+
+    from fhir_etl_spark.operators.multimodal import audio_frame_features
+
+    # 6 samples, frame=4: frames of 4 and 2
+    pcm = [100, -200, 300, 0, -32768, 32767]
+    df = spark.createDataFrame(
+        [(1, _pcm16_wav(8000, 1, pcm)), (2, _pcm16_wav(8000, 2, pcm * 2)),
+         (3, minimal_png(4, 4))],
+        "id long, media binary",
+    )
+    rows = audio_frame_features(df, frame_samples=4).collect()
+    by = {(r["id"], r["frame_index"]): r for r in rows}
+    f0 = by[(1, 0)]
+    # signs: +,-,+,+ (0 counts non-negative) → flips at 1, 2
+    assert (f0["n_samples"], f0["sumsq"], f0["zero_crossings"], f0["peak"]) == (
+        4, 100 * 100 + 200 * 200 + 300 * 300, 2, 300,
+    )
+    f1 = by[(1, 1)]
+    assert (f1["n_samples"], f1["sumsq"], f1["zero_crossings"], f1["peak"]) == (
+        2, 32768 * 32768 + 32767 * 32767, 1, 32768,
+    )
+    assert by[(2, -1)]["error"] and "mono PCM16" in by[(2, -1)]["error"]
+    assert by[(3, -1)]["error"] and "unsupported" in by[(3, -1)]["error"]
