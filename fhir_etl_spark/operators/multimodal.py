@@ -589,45 +589,112 @@ def phash_neardup_pairs(
     hashed: DataFrame,
     id_col: str = "id",
     hash_col: str = "phash",
-    max_hamming: int = 8,
-    n_bands: int = 8,
+    max_hamming: int = 7,
+    n_bands: int = 4,
     max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Image near-dup pairs (a < b, hamming ≤ ``max_hamming``) over pHash
-    columns — all Catalyst after the hash: split each 64-bit hash into
-    ``n_bands`` bit-slices (pigeonhole: any pair with hamming <
-    ``n_bands`` agrees on at least one slice, so the default 8 bands
-    guarantee recall for distance ≤ 7 and catch most ≤ 8), bucket-join
-    via the SAME posting-list miner as MinHash-LSH (dedup.lsh_candidate_
-    pairs — one shuffle, max_bucket_size degenerate-bucket guard), then
-    verify candidates exactly with bit_count(xor). No O(n²) stage at any
-    corpus size."""
-    from fhir_etl_spark.operators.dedup import hamming64, lsh_candidate_pairs
+    columns — multi-index Hamming search (Norouzi/Punjani/Fleet, "Fast
+    Search in Hamming Space with Multi-Index Hashing", CVPR 2012 — public
+    method), all Catalyst after the hash:
+
+    - each 64-bit hash splits into ``n_bands`` disjoint substrings
+      (default 4 × 16 bits) indexed EXACTLY per (band, value);
+    - every image also probes each band at Hamming radius 1 (the value
+      plus its 16 single-bit flips) — pigeonhole: distance ≤
+      ``2·n_bands − 1`` (7 by default) puts some substring pair at
+      distance ≤ 1, so the probe set provably reaches the partner's
+      exact bucket;
+    - candidates verify exactly with bit_count(xor).
+
+    Why not plain LSH banding (8 × 8-bit slices, as MinHash does over
+    wide signatures): an 8-bit substring has only 256 values, so at 100k+
+    images every bucket holds hundreds of ids and the per-bucket pair
+    enumeration re-materializes the quadratic join — the round-5 scale
+    smoke caught exactly that. 16-bit substrings keep buckets at
+    n/(4·65536) expected occupancy; the probe table is a fixed 17 rows
+    per band per image (68n), and ``max_bucket_size`` still guards
+    pathological identical-image clusters (run exact dedup on equal
+    hashes first for those). Shuffles: one groupBy + one sort-merge
+    probe join + the distinct — all on (int, long) keys."""
+    from fhir_etl_spark.operators.dedup import hamming64
 
     if 64 % n_bands:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if max_hamming > 2 * n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the radius-1 multi-index "
+            f"guarantee 2*{n_bands}-1={2 * n_bands - 1}; raise n_bands"
+        )
+    # Materialize the slim (id, hash) table ONCE: the plan uses it four
+    # times (index + probes + both verify sides), and without this the
+    # upstream phash_image python stage — decoding every image — would
+    # execute once per use; worse, a broadcast of an unpruned branch
+    # drags the binary media column to the driver (observed: >1 GB at
+    # 100k images). 16 bytes/row, trivial at any corpus size.
+    slim = (
+        hashed.where(F.col(hash_col).isNotNull())
+        .select(id_col, hash_col)
+        .localCheckpoint()
+    )
     width = 64 // n_bands
     mask = (1 << width) - 1
-    sig = F.array(
-        *[
-            F.shiftrightunsigned(F.col(hash_col), b * width).bitwiseAND(F.lit(mask))
-            for b in range(n_bands)
-        ]
+
+    def band_val(b: int):
+        return F.shiftrightunsigned(F.col(hash_col), b * width).bitwiseAND(
+            F.lit(mask)
+        )
+
+    index_rows = slim.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_val(b).alias("val"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "bv.band", "bv.val")
+    postings = index_rows.groupBy("band", "val").agg(
+        F.array_sort(F.collect_set(id_col)).alias("ids")
     )
-    signatures = hashed.where(F.col(hash_col).isNotNull()).select(
-        F.col(id_col), sig.alias("sig")
+    if max_bucket_size is not None:
+        postings = postings.filter(F.size("ids") <= max_bucket_size)
+
+    probe_rows = slim.select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (band_val(b).bitwiseXOR(F.lit(flip))).alias("val"),
+                    )
+                    for b in range(n_bands)
+                    for flip in [0] + [1 << k for k in range(width)]
+                ]
+            )
+        ).alias("bv"),
+    ).select("probe_id", "bv.band", "bv.val")
+
+    cand = (
+        probe_rows.join(postings, ["band", "val"])
+        .select(
+            "probe_id",
+            F.explode_outer("ids").alias("other"),
+        )
+        .where(F.col("other").isNotNull() & (F.col("probe_id") != F.col("other")))
+        .select(
+            F.least("probe_id", "other").alias("a"),
+            F.greatest("probe_id", "other").alias("b"),
+        )
+        .distinct()
     )
-    pairs = lsh_candidate_pairs(
-        signatures,
-        id_col=id_col,
-        bands=n_bands,
-        rows_per_band=1,
-        max_bucket_size=max_bucket_size,
-    )
-    ha = hashed.select(F.col(id_col).alias("a"), F.col(hash_col).alias("_ha"))
-    hb = hashed.select(F.col(id_col).alias("b"), F.col(hash_col).alias("_hb"))
+    ha = slim.select(F.col(id_col).alias("a"), F.col(hash_col).alias("_ha"))
+    hb = slim.select(F.col(id_col).alias("b"), F.col(hash_col).alias("_hb"))
     return (
-        pairs.join(ha, "a")
+        cand.join(ha, "a")
         .join(hb, "b")
         .select("a", "b", hamming64(F.col("_ha"), F.col("_hb")).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

@@ -654,9 +654,9 @@ def m8_webm_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m10_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup, value-checked end to end: formula
     images → encode_png → phash_image (decode + BT.601 luma + 32×32 DCT +
-    median bits) → phash_neardup_pairs (8-band Hamming LSH over the SAME
-    posting-list miner as MinHash, exact bit_count verify). Emits the
-    planted (2k, 2k+1, 0) pairs and nothing else."""
+    median bits) → phash_neardup_pairs (multi-index Hamming search:
+    4×16-bit substrings, radius-1 probes, exact bit_count verify). Emits
+    the planted (2k, 2k+1, 0) pairs and nothing else."""
     from fhir_etl_spark.operators.multimodal import (
         phash_image,
         phash_neardup_pairs,
@@ -694,7 +694,7 @@ def m10_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
     hashed = phash_image(media, bytes_col="media")
     return phash_neardup_pairs(
-        hashed, id_col="doc_id", hash_col="phash", max_hamming=5, n_bands=8
+        hashed, id_col="doc_id", hash_col="phash", max_hamming=5
     )
 
 

@@ -335,8 +335,62 @@ def smoke_m8(spark):
     )
 
 
+def smoke_m10(spark):
+    """pHash near-dup at 100k images (50k planted pairs): hash via the
+    PNG codec + DCT, 8-band Hamming LSH, exact verify; asserts the
+    planted pairs are recovered exactly."""
+    import pandas as pd
+
+    from fhir_etl_spark.operators.multimodal import phash_image, phash_neardup_pairs
+
+    def gen(batches):
+        import numpy as np
+
+        from fhir_etl_spark.functions.png import encode_png
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                x = (np.uint64(int(i)) * np.uint64(0x9E3779B97F4A7C15)
+                     + np.arange(1024, dtype=np.uint64)
+                     * np.uint64(0xBF58476D1CE4E5B9))
+                x ^= x >> np.uint64(30)
+                x *= np.uint64(0xBF58476D1CE4E5B9)
+                x ^= x >> np.uint64(27)
+                base = (20 + (x % np.uint64(206))).astype("uint8").reshape(32, 32)
+                for k, img in ((0, base), (1, base + 2)):
+                    ids.append(2 * int(i) + k)
+                    blobs.append(encode_png(img[:, :, None]))
+            yield pd.DataFrame({"id": ids, "media": blobs})
+
+    path = "/tmp/scale_smoke_phash.parquet"
+    n_docs = N_IMAGES // 2
+    spark.range(n_docs).repartition(64).mapInPandas(
+        gen, "id long, media binary"
+    ).write.mode("overwrite").parquet(path)
+
+    imgs = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    pairs = phash_neardup_pairs(phash_image(imgs), max_hamming=5)
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("b") == F.col("a") + 1) & (F.col("a") % 2 == 0), 1)
+              .otherwise(0)).alias("planted"),
+    ).first()
+    dt = time.perf_counter() - t0
+    assert stats["planted"] == n_docs, (stats["planted"], n_docs)
+    print(
+        f"m10_phash: {N_IMAGES:,} images hashed+paired in {dt:.1f}s "
+        f"({N_IMAGES / dt:,.0f} imgs/s); {stats['n']:,} pairs "
+        f"({stats['planted']:,} planted recovered, "
+        f"{stats['n'] - stats['planted']:,} chance extras)",
+        flush=True,
+    )
+
+
 SMOKES = {"d10": smoke_d10, "t12": smoke_t12, "v5": smoke_v5, "v7": smoke_v7,
-          "m2": smoke_m2, "m6": smoke_m6, "m7": smoke_m7, "m8": smoke_m8}
+          "m2": smoke_m2, "m6": smoke_m6, "m7": smoke_m7, "m8": smoke_m8,
+          "m10": smoke_m10}
 
 
 def main() -> None:
