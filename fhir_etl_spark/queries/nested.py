@@ -239,3 +239,83 @@ def n9_prune_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resource_json"
         ),
     )
+
+
+@query(
+    "s12_warc_scan",
+    oracle="""
+    SELECT 'http://corpus.local/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           200 AS http_status,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+    tags=("scan", "warc"),
+)
+def s12_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion round trip through the real container grammar:
+    documents → HTTP response records → member-per-record-gzip WARC files
+    (one per task, written distributed via applyInPandas — the shape of a
+    real corpus export) → the warc_archive Python DataSource (one
+    partition per file, streaming multi-member gunzip + record walk +
+    HTTP split) → per-record url/length/status/md5, which the oracle
+    replays straight from the documents table. A wrong Content-Length,
+    gzip member boundary, or HTTP header split breaks the hash."""
+    import os
+
+    from fhir_etl_spark.sources.warc import WarcDataSource
+
+    documents = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    n_files = 8
+    out_dir = f"/tmp/fhir_etl_spark_warc/{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(key, pdf):
+        import pandas as pd
+
+        from fhir_etl_spark.sources.warc import (
+            http_response_record,
+            write_warc,
+        )
+
+        fid = int(key[0])
+        records = [
+            http_response_record(
+                f"http://corpus.local/{int(doc_id)}",
+                str(text).encode("utf-8"),
+                record_id=f"doc-{int(doc_id)}",
+            )
+            for doc_id, text in sorted(
+                zip(pdf["doc_id"], pdf["text"]), key=lambda t: t[0]
+            )
+        ]
+        path = f"{out_dir}/part-{fid:04d}.warc.gz"
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(write_warc(records, gzip_members=True))
+        os.replace(tmp, path)
+        return pd.DataFrame({"file_id": [fid], "n": [len(pdf)]})
+
+    # stage the files eagerly (fixture write, one file per task)
+    (
+        documents.withColumn("file_id", F.col("doc_id") % n_files)
+        .groupBy("file_id")
+        .applyInPandas(write_group, "file_id long, n long")
+        .collect()
+    )
+
+    try:
+        spark.dataSource.register(WarcDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    paths = ",".join(f"{out_dir}/part-{fid:04d}.warc.gz" for fid in range(n_files))
+    scanned = spark.read.format("warc_archive").option("paths", paths).load()
+    return (
+        scanned.where(F.col("warc_type") == "response")
+        .select(
+            F.col("target_uri").alias("url"),
+            F.length("payload").cast("long").alias("content_length"),
+            F.col("http_status").cast("int").alias("http_status"),
+            F.md5("payload").alias("text_md5"),
+        )
+    )

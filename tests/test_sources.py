@@ -370,3 +370,92 @@ def test_parquet_replay_fully_committed_restart_no_duplicates(
         assert dup == 0
     finally:
         q2.stop()
+
+
+# --------------------------------------------------------------------------
+# WARC source (sources/warc.py, round 5)
+# --------------------------------------------------------------------------
+
+
+def test_warc_record_grammar_roundtrip():
+    """write → parse identity across all three storage layouts (plain,
+    whole-file gzip, member-per-record gzip), plus HTTP splitting and
+    grammar-violation errors."""
+    import gzip
+
+    import pytest
+
+    from fhir_etl_spark.sources.warc import (
+        http_response_record,
+        parse_http_response,
+        read_warc_bytes,
+        write_warc,
+    )
+
+    body0 = "hello wörld\r\n\r\nstill body".encode()
+    recs = [
+        http_response_record("http://a/1", body0, "r1"),
+        ({"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:w>"},
+         b"software: test\r\n"),
+        http_response_record("http://a/2", b"x" * 5000, "r2", status=404),
+    ]
+    for layout in ("members", "plain", "whole"):
+        if layout == "members":
+            data = write_warc(recs, gzip_members=True)
+        elif layout == "plain":
+            data = write_warc(recs, gzip_members=False)
+        else:
+            data = gzip.compress(write_warc(recs, gzip_members=False))
+        parsed = list(read_warc_bytes(data))
+        assert [h["warc-type"] for h, _ in parsed] == [
+            "response", "warcinfo", "response",
+        ], layout
+        status, ctype, body = parse_http_response(parsed[0][1])
+        assert (status, body) == (200, body0)
+        assert ctype.startswith("text/plain")
+        s2, _, b2 = parse_http_response(parsed[2][1])
+        assert (s2, b2) == (404, b"x" * 5000)
+        # warcinfo payload is not HTTP → passthrough
+        assert parse_http_response(parsed[1][1])[0] is None
+
+    with pytest.raises(ValueError):
+        list(read_warc_bytes(write_warc(recs, gzip_members=True)[:40]))
+    with pytest.raises(ValueError):
+        list(read_warc_bytes(b"NOTWARC/1.0\r\n\r\n"))
+
+
+def test_warc_datasource_spark(spark, tmp_path):
+    """One partition per file through the Python DataSource; corrupt
+    files become error rows, not job failures."""
+    from fhir_etl_spark.sources.warc import (
+        WarcDataSource,
+        http_response_record,
+        write_warc,
+    )
+
+    f1 = tmp_path / "a.warc.gz"
+    f1.write_bytes(
+        write_warc([http_response_record("http://x/1", b"abc", "r1"),
+                    http_response_record("http://x/2", b"defg", "r2")])
+    )
+    f2 = tmp_path / "b.warc.gz"
+    f2.write_bytes(b"\x1f\x8bgarbage-not-gzip")
+    try:
+        spark.dataSource.register(WarcDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("warc_archive")
+        .option("paths", f"{f1},{f2}")
+        .load()
+    )
+    rows = df.collect()
+    good = sorted(
+        (r for r in rows if r["error"] is None), key=lambda r: r["target_uri"]
+    )
+    assert [(r["target_uri"], bytes(r["payload"]), r["http_status"]) for r in good] == [
+        ("http://x/1", b"abc", 200), ("http://x/2", b"defg", 200),
+    ]
+    bad = [r for r in rows if r["error"] is not None]
+    assert len(bad) == 1 and bad[0]["warc_file"].endswith("b.warc.gz")
+    assert df.rdd.getNumPartitions() == 2  # one partition per WARC file
