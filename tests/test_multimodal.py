@@ -767,3 +767,117 @@ def test_audio_frame_features(spark):
     )
     assert by[(2, -1)]["error"] and "mono PCM16" in by[(2, -1)]["error"]
     assert by[(3, -1)]["error"] and "unsupported" in by[(3, -1)]["error"]
+
+
+# --------------------------------------------------------------------------
+# Codec hardening: fuzz + truncation sweeps (round 5)
+# --------------------------------------------------------------------------
+
+
+def test_codec_fuzz_random_bytes_fail_cleanly():
+    """Random byte blobs through every parser: clean ValueError-class
+    failures (or a parse result), never hangs, segfaults, or unexpected
+    exception types — the per-row error contract depends on it."""
+    import numpy as np
+
+    from fhir_etl_spark.functions.jpeg import decode_jpeg
+    from fhir_etl_spark.functions.mp4 import mp4_metadata, mp4_samples
+    from fhir_etl_spark.functions.png import decode_png
+    from fhir_etl_spark.functions.webm import webm_metadata, webm_samples
+
+    rng = np.random.default_rng(13)
+    magics = [b"", b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n",
+              b"\x00\x00\x00\x18ftypisom", b"\x1a\x45\xdf\xa3", b"RIFF"]
+    parsers = [decode_jpeg, decode_png, mp4_metadata, mp4_samples,
+               webm_metadata, webm_samples]
+    for trial in range(120):
+        blob = (magics[trial % len(magics)]
+                + rng.integers(0, 256, trial % 400, dtype=np.uint8).tobytes())
+        for fn in parsers:
+            try:
+                fn(blob)
+            except (ValueError, KeyError, IndexError, struct.error,
+                    EOFError, OverflowError, MemoryError) as exc:
+                assert not isinstance(exc, MemoryError), fn.__name__
+            # zlib errors surface as ValueError subclasses via zlib.error?
+            except Exception as exc:  # noqa: BLE001
+                import zlib
+                assert isinstance(exc, zlib.error), (fn.__name__, type(exc), exc)
+
+
+def test_codec_truncation_sweep_fails_cleanly():
+    """EVERY prefix of a valid file through its decoder: must either
+    raise cleanly or (for container walks) return a consistent result —
+    catches infinite loops and unguarded reads at record boundaries."""
+    import numpy as np
+
+    from fhir_etl_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from fhir_etl_spark.functions.mp4 import mp4_samples, mux_mp4
+    from fhir_etl_spark.functions.png import decode_png, encode_png
+    from fhir_etl_spark.functions.webm import mux_webm, webm_samples
+    from fhir_etl_spark.sources.warc import (
+        http_response_record,
+        read_warc_bytes,
+        write_warc,
+    )
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (16, 13), np.uint8)
+    cases = [
+        (decode_jpeg, encode_jpeg(img, quality=75)),
+        (decode_jpeg, encode_jpeg(img, quality=75, progressive=True)),
+        (decode_png, encode_png(img[:, :, None])),
+        (mp4_samples, mux_mp4([b"aa" * 9] * 5, keyframe_indices=[0])),
+        (webm_samples, mux_webm([b"bb" * 7] * 5)),
+        (lambda d: list(read_warc_bytes(d)),
+         write_warc([http_response_record("http://x", b"body", "r")])),
+    ]
+    for fn, data in cases:
+        full = fn(data)
+        assert full is not None
+        for k in range(len(data)):
+            try:
+                fn(data[:k])
+            except Exception as exc:  # noqa: BLE001 — clean failure only
+                import zlib
+                assert isinstance(
+                    exc, (ValueError, KeyError, IndexError, struct.error,
+                          EOFError, zlib.error)
+                ), (getattr(fn, "__name__", "warc"), k, type(exc))
+
+
+def test_phash_mih_matches_brute_force(spark):
+    """The multi-index Hamming miner must find EXACTLY the brute-force
+    pair set for distances within its guarantee radius (7 at 4 bands):
+    random 64-bit hashes plus planted near pairs at every distance
+    0..7."""
+    import numpy as np
+
+    from fhir_etl_spark.operators.multimodal import phash_neardup_pairs
+
+    rng = np.random.default_rng(23)
+    hashes = list(rng.integers(-(2 ** 63), 2 ** 63, 40, dtype=np.int64))
+    # planted partners at exact distances 0..7 from the first 8 hashes
+    for d in range(8):
+        h = int(hashes[d])
+        for bit in rng.choice(64, size=d, replace=False):
+            h ^= 1 << int(bit)
+            h = h - (1 << 64) if h >= 1 << 63 else h + (1 << 64) if h < -(1 << 63) else h
+        hashes.append(np.int64(h))
+    rows = [(i, int(h)) for i, h in enumerate(hashes)]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    expect = sorted(
+        (i, j, ham(int(hashes[i]), int(hashes[j])))
+        for i in range(len(hashes))
+        for j in range(i + 1, len(hashes))
+        if ham(int(hashes[i]), int(hashes[j])) <= 7
+    )
+    df = spark.createDataFrame(rows, "id long, phash long")
+    got = sorted(
+        (r["a"], r["b"], r["hamming"])
+        for r in phash_neardup_pairs(df, max_hamming=7).collect()
+    )
+    assert got == expect
