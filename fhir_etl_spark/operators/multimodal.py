@@ -783,6 +783,113 @@ def audio_frame_features(
     return df.select(id_col, bytes_col).mapInPandas(batches, out_schema)
 
 
+def mel_filterbank(n_mels: int, n_fft: int, sample_rate: int):
+    """Triangular mel filterbank matrix (n_mels, n_fft//2 + 1) — the
+    standard HTK construction (mel = 2595·log10(1 + f/700)), from the
+    public formula. Rows are the overlapping triangles between successive
+    mel-spaced center frequencies."""
+    import numpy as np
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    n_bins = n_fft // 2 + 1
+    mel_pts = np.linspace(0.0, hz_to_mel(sample_rate / 2.0), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    bin_pts = np.floor((n_fft + 1) * hz_pts / sample_rate).astype(int)
+    fb = np.zeros((n_mels, n_bins))
+    for m in range(1, n_mels + 1):
+        lo, cen, hi = bin_pts[m - 1], bin_pts[m], bin_pts[m + 1]
+        for k in range(lo, cen):
+            if cen > lo:
+                fb[m - 1, k] = (k - lo) / (cen - lo)
+        for k in range(cen, hi):
+            if hi > cen:
+                fb[m - 1, k] = (hi - k) / (hi - cen)
+    return fb
+
+
+def audio_mel_spectrogram(
+    df: DataFrame,
+    n_fft: int = 256,
+    hop: int = 128,
+    n_mels: int = 40,
+    bytes_col: str = "media",
+    id_col: str = "id",
+) -> DataFrame:
+    """Log-mel spectrogram frames over mono PCM16 WAV rows — the standard
+    speech-model frontend (Whisper/wav2vec-style): Hann window → rFFT
+    power → HTK mel filterbank → log10 with a 1e-10 floor. One row →
+    n_frames rows (frame_index, mel: array<float> of n_mels).
+
+    Float DSP, so unlike audio_frame_features there is no bit-exact SQL
+    twin (the m11 gate query is rows-only by nature); the physics is
+    pinned in tests instead: a pure tone at a known frequency puts its
+    energy into exactly the mel bands covering that frequency, silence
+    floors every band, and Parseval ties total band energy to signal
+    energy. Same per-row error contract; map-only; the filterbank is
+    built once per Python worker per task batch."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("mel", T.ArrayType(T.FloatType())),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        window = np.hanning(n_fft)
+        fb_cache: dict[int, np.ndarray] = {}
+        for pdf in it:
+            rows = []
+            for rid, data in zip(pdf[id_col], pdf[bytes_col]):
+                if data is None:
+                    continue
+                raw = bytes(data)
+                try:
+                    rate, channels, bits, _dur = wav_audio_meta(raw)
+                    if rate is None:
+                        raise ValueError(f"unsupported: {sniff_mime(raw)}")
+                    if channels != 1 or bits != 16:
+                        raise ValueError(
+                            f"mel frontend wants mono PCM16, got "
+                            f"{channels}ch/{bits}bit"
+                        )
+                    i, n = 12, len(raw)
+                    payload = None
+                    while i + 8 <= n:
+                        size = _struct.unpack("<I", raw[i + 4 : i + 8])[0]
+                        if raw[i : i + 4] == b"data":
+                            payload = raw[i + 8 : i + 8 + size]
+                            break
+                        i += 8 + size + (size & 1)
+                    if payload is None:
+                        raise ValueError("missing data chunk")
+                    x = np.frombuffer(payload, "<i2").astype(np.float64) / 32768.0
+                    if rate not in fb_cache:
+                        fb_cache[rate] = mel_filterbank(n_mels, n_fft, rate)
+                    fb = fb_cache[rate]
+                    n_frames = max((len(x) - n_fft) // hop + 1, 0)
+                    for fi in range(n_frames):
+                        frame = x[fi * hop : fi * hop + n_fft] * window
+                        power = np.abs(np.fft.rfft(frame)) ** 2
+                        mel = np.log10(fb @ power + 1e-10)
+                        rows.append((rid, fi, mel.astype(np.float32).tolist(), None))
+                except Exception as exc:  # noqa: BLE001 — per-row contract
+                    rows.append((rid, -1, None, f"{type(exc).__name__}: {exc}"[:200]))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_index", "mel", "error"]
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(batches, out_schema)
+
+
 def split_gif_frames(
     df: DataFrame, every_n: int = 1, bytes_col: str = "media", id_col: str = "id"
 ) -> DataFrame:

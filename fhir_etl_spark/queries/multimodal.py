@@ -373,6 +373,65 @@ def m9_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.mapInPandas(stats, out_schema)
 
 
+@query("m11_mel_spectrogram", oracle=None, tags=("multimodal", "codec", "approx"))
+def m11_mel_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-mel spectrogram frontend over per-doc pure tones — rows-only by
+    nature (float FFT/filterbank has no bit-exact SQL twin; the physics —
+    tone → correct mel band, silence → floor, Parseval — is pinned in
+    tests/test_multimodal.py instead). Emits (doc_id, frame_index,
+    peak_band): the band argmax, which for a pure tone is the filterbank
+    triangle covering its frequency."""
+    from fhir_etl_spark.operators.multimodal import audio_mel_spectrogram
+
+    documents = load_tables(spark, sf_dir, "documents")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                rate = 8000
+                freq = 300.0 + (doc_id % 30) * 100.0  # 300..3200 Hz
+                t = np.arange(512) / rate
+                x = (np.sin(2 * np.pi * freq * t) * 16000).astype("<i2")
+                pcm = x.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                body = (
+                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                blobs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    frames = audio_mel_spectrogram(
+        media, n_fft=256, hop=128, n_mels=40, bytes_col="media", id_col="doc_id"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("peak_band", T.IntegerType()),
+        ]
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, idx, mel, err in zip(
+                pdf["doc_id"], pdf["frame_index"], pdf["mel"], pdf["error"]
+            ):
+                assert err is None, f"doc {doc_id}: {err}"
+                rows.append((doc_id, idx, int(np.argmax(mel))))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_index", "peak_band"])
+
+    return frames.mapInPandas(stats, out_schema)
+
+
 @query(
     "m4_gif_frame_sample",
     oracle="""

@@ -881,3 +881,43 @@ def test_phash_mih_matches_brute_force(spark):
         for r in phash_neardup_pairs(df, max_hamming=7).collect()
     )
     assert got == expect
+
+
+def test_mel_spectrogram_physics(spark):
+    """The float frontend is pinned by physics, not an oracle: a pure
+    tone concentrates energy in the mel band covering its frequency;
+    silence floors every band at log10(1e-10); stereo rows error out."""
+    import numpy as np
+
+    from fhir_etl_spark.operators.multimodal import (
+        audio_mel_spectrogram,
+        mel_filterbank,
+    )
+
+    rate, n_fft, n_mels = 8000, 256, 40
+    freq = 1000.0
+    t = np.arange(1024) / rate
+    tone = (np.sin(2 * np.pi * freq * t) * 16000).astype("<i2")
+    silence = np.zeros(512, "<i2")
+    df = spark.createDataFrame(
+        [(1, _pcm16_wav(rate, 1, tone)), (2, _pcm16_wav(rate, 1, silence)),
+         (3, _pcm16_wav(rate, 2, [0] * 8))],
+        "id long, media binary",
+    )
+    rows = audio_mel_spectrogram(df, n_fft=n_fft, hop=128, n_mels=n_mels).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+
+    # which mel bands cover 1000 Hz? (triangles overlap → up to 2)
+    fb = mel_filterbank(n_mels, n_fft, rate)
+    tone_bin = round(freq * n_fft / rate)
+    covering = set(np.nonzero(fb[:, tone_bin])[0].tolist())
+    for r in by_id[1]:
+        assert r["error"] is None
+        assert int(np.argmax(r["mel"])) in covering, (r["frame_index"], covering)
+
+    for r in by_id[2]:
+        assert np.allclose(r["mel"], -10.0, atol=1e-6)  # log10(1e-10) floor
+
+    assert by_id[3][0]["frame_index"] == -1 and "mono PCM16" in by_id[3][0]["error"]
