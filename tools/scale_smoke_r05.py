@@ -388,9 +388,71 @@ def smoke_m10(spark):
     )
 
 
+def smoke_s12(spark):
+    """WARC ingestion at 1M records: 64 member-gzip WARC files written
+    distributed, then streamed back through the warc_archive DataSource
+    (one partition per file); asserts every record round-trips."""
+    import pandas as pd
+
+    from fhir_etl_spark.sources.warc import WarcDataSource
+
+    n_records, n_files = 1_000_000, 64
+    out_dir = "/tmp/scale_smoke_warc"
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(key, pdf):
+        from fhir_etl_spark.sources.warc import http_response_record, write_warc
+
+        fid = int(key[0])
+        records = [
+            http_response_record(
+                f"http://c.local/{int(i)}",
+                (b"doc-%d " % int(i)) * 20,  # ~140 B body
+                record_id=f"r{int(i)}",
+            )
+            for i in sorted(pdf["id"])
+        ]
+        path = f"{out_dir}/part-{fid:04d}.warc.gz"
+        with open(path, "wb") as f:
+            f.write(write_warc(records))
+        return pd.DataFrame({"fid": [fid], "n": [len(records)]})
+
+    (
+        spark.range(n_records)
+        .withColumn("fid", F.col("id") % n_files)
+        .groupBy("fid")
+        .applyInPandas(write_group, "fid long, n long")
+        .collect()
+    )
+
+    try:
+        spark.dataSource.register(WarcDataSource)
+    except Exception:
+        pass
+    paths = ",".join(f"{out_dir}/part-{fid:04d}.warc.gz" for fid in range(n_files))
+    t0 = time.perf_counter()
+    df = spark.read.format("warc_archive").option("paths", paths).load()
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("error").isNull() & (F.col("http_status") == 200), 1)
+              .otherwise(0)).alias("ok"),
+        F.sum(F.length("payload")).alias("body_bytes"),
+    ).first()
+    dt = time.perf_counter() - t0
+    assert stats["n"] == n_records and stats["ok"] == n_records, stats
+    print(
+        f"s12_warc: {n_records:,} records / {n_files} gzip-member WARC files "
+        f"demuxed in {dt:.1f}s ({n_records / dt:,.0f} rec/s, "
+        f"{stats['body_bytes'] / dt / 1e6:,.0f} MB/s body)",
+        flush=True,
+    )
+
+
 SMOKES = {"d10": smoke_d10, "t12": smoke_t12, "v5": smoke_v5, "v7": smoke_v7,
           "m2": smoke_m2, "m6": smoke_m6, "m7": smoke_m7, "m8": smoke_m8,
-          "m10": smoke_m10}
+          "m10": smoke_m10, "s12": smoke_s12}
 
 
 def main() -> None:
