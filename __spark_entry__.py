@@ -12,9 +12,9 @@ on queries that still lacked a driver row. That achieved its goal —
 and the machinery was retired in round 5 (VERDICT r04 "What's wrong" #4):
 ``queries()`` now returns each registered query exactly once, sorted by
 name, and whatever window the driver takes falls on base names. The only
-registered queries without value oracles remain the 3 rows-only-by-nature
+registered queries without value oracles are the 4 rows-only-by-nature
 ones (x4 approx sketches, t13 iterative BPE, d4x xxhash64 MinHash twin of
-the md5-oracled d4).
+the md5-oracled d4, m11 float-FFT mel spectrogram).
 """
 
 from __future__ import annotations
