@@ -319,3 +319,80 @@ def s12_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("payload").alias("text_md5"),
         )
     )
+
+
+@query(
+    "s13_webdataset_scan",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS key,
+           md5(text) AS text_md5,
+           lang AS cls,
+           CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes
+    FROM documents
+    """,
+    tags=("scan", "webdataset", "multimodal"),
+)
+def s13_webdataset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset (tar-shard) ingestion round trip: documents → per-doc
+    (key.txt, key.cls) member tuples → 8 tar shards written distributed →
+    the webdataset Python DataSource (one partition per shard) →
+    declarative sample assembly (group_webdataset_samples: groupBy +
+    map_from_entries, no Python) → per-sample md5/class/byte-length,
+    replayed from documents by the oracle. A wrong member split, key
+    grouping, or payload framing breaks the hash."""
+    import os
+
+    from fhir_etl_spark.sources.tar import (
+        WebDatasetDataSource,
+        group_webdataset_samples,
+    )
+
+    documents = load_tables(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    n_files = 8
+    out_dir = f"/tmp/fhir_etl_spark_wds/{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(key, pdf):
+        import pandas as pd
+
+        from fhir_etl_spark.sources.tar import write_webdataset_shard
+
+        fid = int(key[0])
+        samples = [
+            (str(int(doc_id)),
+             {"txt": str(text).encode("utf-8"),
+              "cls": str(lang).encode("utf-8")})
+            for doc_id, text, lang in sorted(
+                zip(pdf["doc_id"], pdf["text"], pdf["lang"]),
+                key=lambda t: t[0],
+            )
+        ]
+        path = f"{out_dir}/shard-{fid:04d}.tar"
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(write_webdataset_shard(samples))
+        os.replace(tmp, path)
+        return pd.DataFrame({"file_id": [fid], "n": [len(samples)]})
+
+    (
+        documents.withColumn("file_id", F.col("doc_id") % n_files)
+        .groupBy("file_id")
+        .applyInPandas(write_group, "file_id long, n long")
+        .collect()
+    )
+
+    try:
+        spark.dataSource.register(WebDatasetDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    paths = ",".join(f"{out_dir}/shard-{fid:04d}.tar" for fid in range(n_files))
+    members = spark.read.format("webdataset").option("paths", paths).load()
+    samples = group_webdataset_samples(members)
+    return samples.select(
+        F.col("key"),
+        F.md5(F.col("parts")["txt"]).alias("text_md5"),
+        F.col("parts")["cls"].cast("string").alias("cls"),
+        F.length(F.col("parts")["txt"]).cast("long").alias("txt_bytes"),
+    )
