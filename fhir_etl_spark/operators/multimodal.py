@@ -21,6 +21,12 @@ PIL/av/soundfile (absent from this container):
   functions/mp4.py; EBML/Matroska walk in functions/webm.py, round 5):
   metadata (duration/geometry/codec) in ``extract_media_meta`` and
   encoded-sample / keyframe extraction in ``sample_video_frames``
+- perceptual image near-dup (round 5): ``phash_image`` (64-bit DCT
+  hash) + ``phash_neardup_pairs`` (multi-index Hamming search, all
+  Catalyst after the hash)
+- audio analysis (round 5): ``audio_frame_features`` (integer-exact
+  windowed energy / zero-crossings / peak) and ``audio_mel_spectrogram``
+  (Hann → rFFT → HTK mel filterbank → log, the speech-model frontend)
 
 Still codec-gated: arithmetic-coded/12-bit JPEG (Huffman sequential AND
 progressive are real since round 5) and H.264/HEVC/VP8/VP9 PIXEL decode
