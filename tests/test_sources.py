@@ -527,3 +527,22 @@ def test_webdataset_datasource_spark(spark, tmp_path):
     }
     assert bytes(samples["k1"]["txt"]) == b"alpha"
     assert bytes(samples["k2"]["cls"]) == b"de"
+
+
+def test_warc_wet_conversion_records():
+    """WET files (Common Crawl's extracted-text variant) are WARC with
+    ``conversion`` records whose payload is plain text — they flow
+    through the same parser with HTTP fields untouched."""
+    from fhir_etl_spark.sources.warc import read_warc_bytes, write_warc
+
+    body = "extracted plain text\nwith lines".encode()
+    data = write_warc(
+        [({"WARC-Type": "conversion",
+           "WARC-Record-ID": "<urn:uuid:c1>",
+           "WARC-Target-URI": "http://x/page",
+           "Content-Type": "text/plain"}, body)]
+    )
+    [(headers, payload)] = list(read_warc_bytes(data))
+    assert headers["warc-type"] == "conversion"
+    assert headers["warc-target-uri"] == "http://x/page"
+    assert payload == body
