@@ -58,10 +58,13 @@ HEADLINE = [
     "m2_image_decode",
     "t12_lm_perplexity",
     "d10_substring_dedup",
-    # r05 addition: the from-scratch baseline-JPEG codec tier (encode +
+    # r05 additions: the from-scratch baseline-JPEG codec tier (encode +
     # decode round-trip over the documents corpus, two Arrow python
-    # stages, map-only)
+    # stages, map-only) and the WARC ingestion loop (distributed
+    # member-gzip export -> DataSource read-back, the corpus-ingestion
+    # representative)
     "m6_jpeg_decode",
+    "s12_warc_scan",
 ]
 
 
