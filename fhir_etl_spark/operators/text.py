@@ -361,3 +361,49 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def compression_ratio(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> "DataFrame":
+    """(id, n_bytes, z_bytes, z_ratio): deflate size over raw UTF-8 size —
+    the Gopher/Dolma-style redundancy signal (highly repetitive or
+    templated documents compress far below natural text's ~0.3–0.5;
+    random/encrypted blobs sit near 1.0). Curation gates on a band, not a
+    single threshold.
+
+    zlib at a FIXED level is deterministic for a given library build, so
+    the metric is reproducible run to run; it has no SQL twin (the t15
+    gate query is rows-only by nature) — the semantics are pinned by unit
+    tests on constructed texts instead. Arrow-batched mapInPandas; the
+    per-row cost is one deflate pass, embarrassingly parallel."""
+    import zlib
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("z_bytes", T.LongType()),
+            T.StructField("z_ratio", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                raw = ("" if text is None else str(text)).encode("utf-8")
+                z = len(zlib.compress(raw, level))
+                rows.append(
+                    (rid, len(raw), z, round(z / len(raw), 6) if raw else None)
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "n_bytes", "z_bytes", "z_ratio"])
+
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)

@@ -558,3 +558,15 @@ def t14_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_tables(spark, sf_dir, "documents")
     return chunk_documents(documents, chunk_tokens=64, overlap=16)
+
+
+@query("t15_compression_ratio", oracle=None, tags=("text", "quality", "approx"))
+def t15_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-ratio redundancy signal over the corpus — rows-only by
+    nature (no SQL zlib twin); determinism and the discrimination
+    property (repetitive ≪ natural ≪ random) are pinned in
+    tests/test_training.py."""
+    from fhir_etl_spark.operators.text import compression_ratio
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return compression_ratio(documents)

@@ -191,3 +191,29 @@ def test_chunk_documents_edges(spark):
     assert (c1["chunk_start"], c1["n_chunk_tokens"]) == (48, 22)
     assert c0["chunk_text"].split()[48:] == c1["chunk_text"].split()[:16]  # overlap
     assert 4 not in out
+
+
+def test_compression_ratio_discriminates(spark):
+    """The deflate-ratio signal separates the three regimes curation
+    cares about: templated/repetitive ≪ natural text ≪ random bytes; and
+    it is deterministic run to run."""
+    import random
+
+    from fhir_etl_spark.operators.text import compression_ratio
+
+    random.seed(7)
+    words = ("fox dog corpus lazy model researcher training quick brown "
+             "jumps annotate diligence seventeen unusual while with the a "
+             "of and curious gradient shard token sample").split()
+    natural = " ".join(random.choice(words) for _ in range(400))
+    repetitive = "spam ham " * 320
+    rand = "".join(chr(random.randint(0x21, 0x7E)) for _ in range(2500))
+    df = spark.createDataFrame(
+        [(1, natural), (2, repetitive), (3, rand), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert out[2]["z_ratio"] < 0.05 < out[1]["z_ratio"] < 0.5 < out[3]["z_ratio"]
+    assert out[4]["n_bytes"] == 0 and out[4]["z_ratio"] is None
+    again = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert all(out[k]["z_bytes"] == again[k]["z_bytes"] for k in out)
