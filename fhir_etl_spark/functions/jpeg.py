@@ -11,8 +11,11 @@ Scope (covering effectively every real-world training-corpus JPEG):
 - decoder: baseline/extended sequential (SOF0/SOF1) AND progressive
   (SOF2 — spectral selection, successive approximation, DC/AC first +
   refinement scans, EOB runs, per T.81 Annex G), 8-bit, grayscale or
-  3-component YCbCr with ANY sampling factors (generic MCU walk — 4:4:4,
-  4:2:2 and 4:2:0 all fall out of it), restart markers (DRI/RSTn),
+  3-component YCbCr with any DIVISIBLE sampling factors (generic MCU
+  walk — 4:4:4, 4:2:2 and 4:2:0 all fall out of it; non-divisible
+  combos like 3-vs-2, which no mainstream encoder emits, are rejected
+  at SOF parse since upsampling is integer replication), restart
+  markers (DRI/RSTn),
   multi-table DQT/DHT segments. Arithmetic coding, 12-bit, lossless and
   hierarchical profiles raise.
 - encoder: grayscale or RGB→YCbCr (4:4:4 or 4:2:0) at a libjpeg-style
@@ -690,6 +693,11 @@ class _ScanState:
 
     def __init__(self) -> None:
         self.qtables: dict[int, np.ndarray] = {}
+        # per-component quant-table SNAPSHOT taken at the component's
+        # first SOS (libjpeg semantics): a spec-legal DQT redefinition
+        # between scans must not retroactively re-dequantize earlier
+        # scans' coefficients.
+        self.qsnap: dict[int, np.ndarray] = {}
         self.htables: dict[tuple[int, int], dict] = {}
         self.restart_interval = 0
         self.frame = None  # (h, w, [(cid, hf, vf, tq)], progressive)
@@ -970,6 +978,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if not (1 <= hf <= 4 and 1 <= vf <= 4):
                     raise ValueError(f"invalid SOF sampling factors {hf}x{vf}")
                 comps.append((cid, hf, vf, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _, hf, vf, _ in comps:
+                # reconstruction upsamples by integer replication, so
+                # only divisible ratios (1/2/4 — every real-world file)
+                # are supported; reject 3-vs-2 style combos loudly
+                # instead of dying later in np.stack on a shape error.
+                if hmax % hf or vmax % vf:
+                    raise ValueError(
+                        f"unsupported sampling ratio {hf}x{vf} vs max "
+                        f"{hmax}x{vmax} (non-integer upsampling)"
+                    )
             st.frame = (h, w, comps, tag == 0xC2)
             st.alloc()
         elif tag == 0xDD:  # DRI
@@ -984,6 +1004,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, tids = payload[1 + 2 * si], payload[2 + 2 * si]
                 scan_map.append((cids.index(cid), tids >> 4, tids & 0x0F))
             ss_, se_, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            for ci_, _, _ in scan_map:
+                if ci_ not in st.qsnap:
+                    tbl = st.qtables.get(st.frame[2][ci_][3])
+                    if tbl is not None:
+                        st.qsnap[ci_] = tbl
             pos = _decode_scan(
                 data, pos + 2 + seglen, st, scan_map,
                 ss_, se_, ahal >> 4, ahal & 0x0F,
@@ -998,7 +1023,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h, w, comps, _ = st.frame
     out_planes = []
     for ci, (_, hf, vf, tq) in enumerate(comps):
-        q = st.qtables.get(tq)
+        q = st.qsnap.get(ci, st.qtables.get(tq))
         if q is None:
             raise ValueError("component references undefined quant table")
         n_by, n_bx = st.coefs[ci].shape[:2]

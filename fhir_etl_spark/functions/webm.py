@@ -185,9 +185,11 @@ def _block_fields(data: bytes, ps: int, pe: int) -> tuple[int, int, int, int, in
 
 
 def webm_samples(data: bytes, track: int | None = None) -> list[dict]:
-    """[{index, track, timestamp_ms (at default scale: ticks), keyframe,
-    offset, size}] from the Cluster walk. SimpleBlock keyframe = flag bit
-    0x80; BlockGroup keyframe = no ReferenceBlock present."""
+    """[{index, track, timestamp, keyframe, offset, size}] from the
+    Cluster walk. ``timestamp`` is in TimestampScale ticks (cluster time
+    + s16 relative; ms at the Matroska default scale). SimpleBlock
+    keyframe = flag bit 0x80; BlockGroup keyframe = no ReferenceBlock
+    present."""
     ss, se = _segment(data)
     out = []
     for eid, ps, pe in _walk(data, ss, se):

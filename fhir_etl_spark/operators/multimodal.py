@@ -43,6 +43,7 @@ be sized so one Arrow batch of rows fits executor memory.
 from __future__ import annotations
 
 import hashlib
+import logging
 import struct as _struct
 from collections.abc import Iterator
 
@@ -620,9 +621,21 @@ def phash_neardup_pairs(
     smoke caught exactly that. 16-bit substrings keep buckets at
     n/(4·65536) expected occupancy; the probe table is a fixed 17 rows
     per band per image (68n), and ``max_bucket_size`` still guards
-    pathological identical-image clusters (run exact dedup on equal
-    hashes first for those). Shuffles: one groupBy + one sort-merge
-    probe join + the distinct — all on (int, long) keys."""
+    pathological identical-image clusters. Shuffles: one groupBy + one
+    sort-merge probe join + the distinct — all on (int, long) keys.
+
+    The cap is NOT silent: the number of over-cap buckets dropped from
+    the banded search is counted (one cheap job over the checkpointed
+    slim table) and logged at WARNING, and equal-hash clusters — the
+    one class a drop would lose ENTIRELY, since an identical cluster
+    overflows every band at once — are star-paired (min-id ↔ each
+    other id) before the banded search, so exact duplicates always
+    reach the output (n−1 rows per cluster, never the quadratic
+    n(n−1)/2; the pairs are hamming-0 so the verify step keeps them,
+    and the final distinct collapses them with banded rediscoveries at
+    small scale). Recall for NON-equal pairs whose shared substrings
+    all land in dropped buckets remains conditional on the cap — that
+    residual loss is exactly what the logged count surfaces."""
     from fhir_etl_spark.operators.dedup import hamming64
 
     if 64 % n_bands:
@@ -666,7 +679,28 @@ def phash_neardup_pairs(
         F.array_sort(F.collect_set(id_col)).alias("ids")
     )
     if max_bucket_size is not None:
+        n_dropped = postings.filter(F.size("ids") > max_bucket_size).count()
+        if n_dropped:
+            logging.getLogger(__name__).warning(
+                "phash_neardup_pairs: %d over-cap bucket(s) (> %d ids) "
+                "dropped from the banded search; equal-hash clusters are "
+                "preserved via star pairs, non-equal pairs confined to "
+                "those buckets are lost",
+                n_dropped, max_bucket_size,
+            )
         postings = postings.filter(F.size("ids") <= max_bucket_size)
+
+    # equal-hash star pairs: immune to the bucket cap by construction
+    equal_star = (
+        slim.groupBy(hash_col)
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(
+            F.element_at("ids", 1).alias("probe_id"),
+            F.explode("ids").alias("other"),
+        )
+        .where(F.col("probe_id") != F.col("other"))
+    )
 
     probe_rows = slim.select(
         F.col(id_col).alias("probe_id"),
@@ -691,6 +725,8 @@ def phash_neardup_pairs(
             F.explode_outer("ids").alias("other"),
         )
         .where(F.col("other").isNotNull() & (F.col("probe_id") != F.col("other")))
+        .select("probe_id", "other")
+        .unionByName(equal_star)
         .select(
             F.least("probe_id", "other").alias("a"),
             F.greatest("probe_id", "other").alias("b"),

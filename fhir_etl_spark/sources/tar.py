@@ -32,8 +32,8 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import StructType
 
 TAR_SCHEMA = (
-    "tar_file string, key string, ext string, size long, payload binary, "
-    "error string"
+    "tar_file string, key string, ext string, member_index long, "
+    "size long, payload binary, error string"
 )
 
 
@@ -95,11 +95,11 @@ class TarShardReader(DataSourceReader):
         try:
             with open(path, "rb") as f:
                 data = f.read()
-            for name, payload in iter_tar_members(data):
+            for idx, (name, payload) in enumerate(iter_tar_members(data)):
                 key, ext = split_member_name(name)
-                yield (path, key, ext, len(payload), payload, None)
+                yield (path, key, ext, idx, len(payload), payload, None)
         except Exception as exc:  # noqa: BLE001 — shard-level error row
-            yield (path, None, None, None, None,
+            yield (path, None, None, None, None, None,
                    f"{type(exc).__name__}: {exc}"[:200])
 
 
@@ -120,11 +120,23 @@ class WebDatasetDataSource(DataSource):
 
 def group_webdataset_samples(members: DataFrame) -> DataFrame:
     """Member rows → one row per sample: (tar_file, key, parts:
-    map<ext, binary>). Pure Catalyst (one groupBy + map_from_entries) —
-    the assembly never touches Python."""
-    return (
+    map<ext, binary>). Pure Catalyst (two groupBys + map_from_entries) —
+    the assembly never touches Python.
+
+    Duplicate-key policy: a tar may legally contain two members with the
+    same name (``tar`` extraction lets the later one overwrite the
+    earlier). Mirroring that, the member with the greatest
+    ``member_index`` per (tar_file, key, ext) wins — a deterministic
+    pre-aggregation, so ``map_from_entries`` never sees a duplicated key
+    (Spark's default ``mapKeyDedupPolicy=EXCEPTION`` would otherwise
+    fail the whole job on one odd shard)."""
+    last_wins = (
         members.where(F.col("error").isNull())
-        .groupBy("tar_file", "key")
+        .groupBy("tar_file", "key", "ext")
+        .agg(F.max_by(F.col("payload"), F.col("member_index")).alias("payload"))
+    )
+    return (
+        last_wins.groupBy("tar_file", "key")
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct(F.col("ext"), F.col("payload")))

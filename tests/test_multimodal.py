@@ -921,3 +921,93 @@ def test_mel_spectrogram_physics(spark):
         assert np.allclose(r["mel"], -10.0, atol=1e-6)  # log10(1e-10) floor
 
     assert by_id[3][0]["frame_index"] == -1 and "mono PCM16" in by_id[3][0]["error"]
+
+
+def test_jpeg_nondivisible_sampling_rejected():
+    """Non-divisible sampling-factor combos (e.g. 3-vs-2) are rejected at
+    SOF parse with a clear error, not a downstream numpy shape crash
+    (round-6 advice): reconstruction upsamples by integer replication."""
+    import struct as st
+
+    from fhir_etl_spark.functions.jpeg import decode_jpeg
+
+    sof = st.pack(">BHHB", 8, 16, 16, 3)
+    sof += bytes([1, (3 << 4) | 1, 0])  # comp 1: 3x1
+    sof += bytes([2, (2 << 4) | 1, 1])  # comp 2: 2x1 — 3 % 2 != 0
+    sof += bytes([3, (1 << 4) | 1, 1])
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + st.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="unsupported sampling ratio"):
+        decode_jpeg(data)
+
+
+def test_jpeg_dqt_redefinition_between_scans_ignored():
+    """A DQT that redefines a table id AFTER a scan consumed it must not
+    re-dequantize that scan's coefficients (libjpeg snapshots tables at
+    first SOS — round-6 advice): decode(spliced) == decode(original)."""
+    import numpy as np
+
+    from fhir_etl_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quality=80)
+    assert data.endswith(b"\xff\xd9")
+    # splice a hostile DQT (all-255 table, id 0 AND id 1) before EOI
+    evil = b"\x00" + b"\xff" * 64 + b"\x01" + b"\xff" * 64
+    spliced = (
+        data[:-2]
+        + b"\xff\xdb" + (len(evil) + 2).to_bytes(2, "big") + evil
+        + b"\xff\xd9"
+    )
+    np.testing.assert_array_equal(decode_jpeg(spliced), decode_jpeg(data))
+
+
+def test_phash_neardup_oversized_cluster_star_pairs(spark, caplog):
+    """Equal-hash clusters larger than max_bucket_size are star-paired
+    (n-1 rows, min-id hub) instead of silently vanishing, and the dropped
+    over-cap bucket count is logged (round-6 advice)."""
+    import logging as _logging
+
+    from fhir_etl_spark.operators.multimodal import phash_neardup_pairs
+
+    # 12 identical hashes (over the cap of 5) + one hamming-1 neighbour
+    # + one far id; bands of the 12 all land in one over-cap bucket.
+    base = 0x0123456789ABCDEF
+    rows = [(i, base) for i in range(1, 13)]
+    rows.append((20, base ^ 1))  # hamming 1 from the cluster
+    rows.append((99, 0x7EDCBA9876543210))
+    hashed = spark.createDataFrame(rows, "id long, phash long")
+    with caplog.at_level(_logging.WARNING,
+                         logger="fhir_etl_spark.operators.multimodal"):
+        pairs = phash_neardup_pairs(
+            hashed, max_hamming=7, max_bucket_size=5
+        ).collect()
+    assert any("over-cap bucket" in r.message for r in caplog.records)
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs}
+    # star pairs: hub 1 ↔ every other cluster member, hamming 0
+    for k in range(2, 13):
+        assert got.get((1, k)) == 0
+    # the hamming-1 neighbour is still found via its under-cap probe
+    # buckets (3 of its 4 bands differ from the cluster's)
+    assert any(a == 20 or b == 20 for (a, b) in got)
+    assert all(99 not in (a, b) for (a, b) in got)
+
+
+def test_phash_neardup_small_scale_unchanged_by_star_pairs(spark):
+    """At small scale (no over-cap buckets) the star-pair union is a
+    no-op: the banded search already finds equal pairs and the final
+    distinct collapses them — output row-set identical to the pre-fix
+    semantics (pairs a<b, hamming ≤ max)."""
+    from fhir_etl_spark.operators.multimodal import phash_neardup_pairs
+
+    rows = [(1, 0x1111), (2, 0x1111), (3, 0x1111 ^ 0x3), (4, -1)]
+    hashed = spark.createDataFrame(rows, "id long, phash long")
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in phash_neardup_pairs(hashed, max_hamming=2).collect()
+    }
+    assert pairs == {(1, 2): 0, (1, 3): 2, (2, 3): 2}

@@ -546,3 +546,41 @@ def test_warc_wet_conversion_records():
     assert headers["warc-type"] == "conversion"
     assert headers["warc-target-uri"] == "http://x/page"
     assert payload == body
+
+
+def test_webdataset_duplicate_member_last_wins(spark, tmp_path):
+    """A tar may legally contain two members with the same name; sample
+    assembly must not fail on DUPLICATED_MAP_KEY (round-6 advice). Policy:
+    last member in archive order wins, mirroring tar extraction."""
+    import io
+    import tarfile
+
+    from fhir_etl_spark.sources.tar import (
+        WebDatasetDataSource,
+        group_webdataset_samples,
+    )
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in [
+            ("k1.txt", b"first"),
+            ("k1.cls", b"en"),
+            ("k1.txt", b"second"),  # duplicate name — overwrites on untar
+        ]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(payload))
+    f = tmp_path / "dup.tar"
+    f.write_bytes(buf.getvalue())
+
+    try:
+        spark.dataSource.register(WebDatasetDataSource)
+    except Exception:
+        pass
+    members = spark.read.format("webdataset").option("paths", str(f)).load()
+    rows = members.collect()
+    assert [r["member_index"] for r in sorted(rows, key=lambda r: r["member_index"])] == [0, 1, 2]
+    [sample] = group_webdataset_samples(members).collect()
+    assert bytes(sample["parts"]["txt"]) == b"second"
+    assert bytes(sample["parts"]["cls"]) == b"en"
