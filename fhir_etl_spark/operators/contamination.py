@@ -10,7 +10,7 @@ never shuffled; only the (tiny) surviving hit set aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fhir_etl_spark.operators.dedup import doc_shingles
@@ -55,5 +55,139 @@ def decontaminate(
     (anti join against the flagged id set)."""
     flagged = contamination_hits(
         corpus, benchmark, k=k, id_col=id_col, text_col=text_col
+    ).filter(F.col("n_hits") >= min_hits)
+    return corpus.join(F.broadcast(flagged.select(id_col)), id_col, "left_anti")
+
+
+def bloom_bitset(
+    shingles: DataFrame,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 3,
+    col: str = "shingle",
+) -> DataFrame:
+    """Distinct values of ``col`` → a ONE-ROW DataFrame holding a Bloom
+    filter as ``bits: map<int, long>`` (64-bit words, only occupied words
+    stored) plus its parameters. Built entirely JVM-side: k positions per
+    value via seeded xxhash64, bit-OR folded per word, map-assembled —
+    no Python, no driver-side filter object.
+
+    Sizing: n_bits = 2²² (512 KiB dense; sparser as a map) with k = 3
+    holds a ~1%-FP filter for ~300k members; scale n_bits with the
+    benchmark, not the corpus.
+    """
+    if n_bits & (n_bits - 1):
+        raise ValueError(f"n_bits must be a power of two, got {n_bits}")
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(seed), F.col(col)), F.lit(n_bits))
+            for seed in range(n_hashes)
+        ]
+    )
+    return (
+        shingles.select(F.col(col)).distinct()
+        .select(F.explode(positions).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            # call_function: the Python shiftleft wrapper takes only a
+            # literal int shift; the SQL function accepts an expression
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("word"), F.col("bits")))
+            ).alias("bits")
+        )
+        .select(F.lit(n_bits).alias("n_bits"), F.lit(n_hashes).alias("n_hashes"), "bits")
+    )
+
+
+def _bloom_maybe_contains(bloom_bits: Column, n_bits: int, n_hashes: int, col: Column) -> Column:
+    """Boolean Column: all k bloom bits set for ``col`` (i.e. possibly a
+    member; definitely-not when false)."""
+    cond = F.lit(True)
+    for seed in range(n_hashes):
+        pos = F.pmod(F.xxhash64(F.lit(seed), col), F.lit(n_bits))
+        word = (pos / 64).cast("int")
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        cond = cond & (
+            F.coalesce(F.element_at(bloom_bits, word), F.lit(0).cast("long"))
+            .bitwiseAND(bit)
+            != 0
+        )
+    return cond
+
+
+def bloom_contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``contamination_hits`` semantics via a Bloom prefilter — the shape
+    that survives benchmark sets too large to broadcast as raw shingle
+    strings.
+
+    Plan: (1) build the benchmark Bloom bitset (tiny: ≤ n_bits/8 bytes,
+    here ≤ 512 KiB) and broadcast-cross-join it onto the corpus shingle
+    stream; (2) the map-side codegen membership test discards every
+    shingle the benchmark definitely doesn't contain — at 100 TB this is
+    the step that turns the exact-verify join's corpus side from
+    everything into (true hits + the ~1% false-positive trickle);
+    (3) the survivors verify EXACTLY against the distinct benchmark
+    shingles, so false positives drop out and the result is bit-identical
+    to the exact operator (pinned by the shared oracle). The raw-string
+    broadcast in `contamination_hits` moves |bench shingles| × avg-len
+    bytes to every executor; the bitset moves ≤ 512 KiB regardless.
+    """
+    from fhir_etl_spark.operators.dedup import doc_shingles
+
+    corpus_sh = doc_shingles(corpus, id_col=id_col, text_col=text_col, k=k)
+    bench_sh = (
+        doc_shingles(benchmark, id_col=id_col, text_col=text_col, k=k)
+        .select("shingle")
+        .distinct()
+    )
+    bloom = bloom_bitset(bench_sh, n_bits=n_bits, n_hashes=n_hashes)
+    candidates = (
+        corpus_sh.join(F.broadcast(bloom))
+        .where(
+            _bloom_maybe_contains(
+                F.col("bits"), n_bits, n_hashes, F.col("shingle")
+            )
+        )
+        .select(id_col, "shingle")
+    )
+    return (
+        candidates.join(bench_sh, "shingle")  # exact verify: FPs drop out
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    min_hits: int = 1,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop corpus documents with ≥ ``min_hits`` benchmark shingles,
+    flagged via the Bloom-prefiltered path (exact result — the verify
+    join removes Bloom false positives)."""
+    flagged = bloom_contamination_hits(
+        corpus, benchmark, k=k, n_bits=n_bits, n_hashes=n_hashes,
+        id_col=id_col, text_col=text_col,
     ).filter(F.col("n_hits") >= min_hits)
     return corpus.join(F.broadcast(flagged.select(id_col)), id_col, "left_anti")

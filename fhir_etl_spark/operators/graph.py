@@ -87,3 +87,98 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 or it == n_iterations - 1:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as an edge
+    list (src, dst) in either or both orientations → (node, n_triangles),
+    nodes in ≥1 triangle only.
+
+    The standard scalable formulation (node-iterator with degree
+    orientation, as in every distributed graph library): orient each
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one, enumerate wedges from each apex (two out-edges), and close them
+    against the oriented edge list. The orientation bounds every node's
+    out-degree by O(sqrt(m)) on any graph — the wedge self-join, the one
+    step that can go quadratic, never enumerates a high-degree star from
+    its hub. Each triangle is found exactly once (apex = its minimum
+    (degree, id) corner). Shuffles: degree agg + two joins + the final
+    count, all on node-id keys; no driver-side state.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()  # the edge list is often a mined-pair plan; pin it
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionByName(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = (
+        canon.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    a = oriented.select(F.col("src").alias("apex"), F.col("dst").alias("c1"))
+    b = oriented.select(F.col("src").alias("apex"), F.col("dst").alias("c2"))
+    wedges = a.join(b, "apex").where(F.col("c1") < F.col("c2"))
+    closed = wedges.join(
+        canon,
+        (F.least("c1", "c2") == F.col("u")) & (F.greatest("c1", "c2") == F.col("v")),
+    ).select("apex", "c1", "c2")
+    return (
+        closed.select(
+            F.explode(F.array(F.col("apex"), F.col("c1"), F.col("c2"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def bfs_hops(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 10
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any source →
+    (node, dist), dist ≤ ``max_hops``. ``edges`` is directed (src, dst) —
+    pass both orientations for an undirected graph; ``sources`` is a
+    one-column (node) DataFrame (seeded at dist 0 even if isolated).
+
+    Frontier-based iteration — the textbook distributed BFS shape: each
+    round joins only the NEWLY discovered frontier against the edge list
+    (not the whole label table), so per-round work is proportional to the
+    expanding wave, and the loop stops at the first empty frontier (one
+    cheap isEmpty probe per round over a checkpointed frontier). Labels
+    are append-only — a node's first discovery round IS its min distance,
+    so no min-aggregation fixpoint is needed.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    labels = (
+        sources.selectExpr("node").distinct()
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = labels
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(labels, "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        labels = labels.unionByName(frontier).localCheckpoint()
+    return labels

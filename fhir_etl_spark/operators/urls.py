@@ -1,0 +1,93 @@
+"""URL parsing, canonicalization, and registered-domain extraction — the
+web-corpus curation vocabulary (Common Crawl-style pipelines key nearly
+everything on these: URL-level dedup, per-domain quotas, domain
+block/allow lists).
+
+All pure Catalyst codegen: `parse_url` (the JVM built-in) for component
+extraction, array functions for the parameter and label surgery — no
+Python in the path, so the operators run at scan speed over 100 TB of
+crawl metadata.
+
+Registered-domain ("eTLD+1") extraction here uses a compact multi-label
+public-suffix subset rather than the full Mozilla PSL (thousands of
+entries — swap `MULTI_SUFFIXES` for the real list in production; the
+LOGIC is identical: if the last two labels form a known multi-part
+suffix, the registrable domain is three labels, else two).
+
+Reference parity: the reference has no URL handling (its sources are
+fixed TSV/REST endpoints); this is a north-star extension for web-scale
+corpus ingestion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# last-two-label suffixes that make the registrable domain three labels
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+)
+
+
+def registered_domain(host: Column) -> Column:
+    """Host → registrable domain (eTLD+1) per the MULTI_SUFFIXES subset:
+    'a.b.site.co.uk' → 'site.co.uk', 'www.site.com' → 'site.com',
+    bare hosts pass through."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, -2, 2))
+    last3 = F.concat_ws(".", F.slice(labels, -3, 3))
+    return (
+        F.when(n <= 2, host)
+        .when((n >= 3) & last2.isin(*MULTI_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL for exact URL-level dedup: lowercase scheme + host,
+    drop the fragment, drop tracking parameters (``utm_*``), sort the
+    surviving query parameters, keep the path verbatim (paths are
+    case-sensitive). The standard crawl-frontier canonicalization — two
+    fetches of the same page with shuffled/utm'd params collapse to one
+    key."""
+    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    path = F.parse_url(url, F.lit("PATH"))
+    query = F.parse_url(url, F.lit("QUERY"))
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme, F.lit("://"), host, F.coalesce(path, F.lit("")),
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def url_components(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append parsed URL columns: host (lowercased), reg_domain
+    (registrable domain), path, path_depth, norm_url (canonical form).
+    One codegen projection — composes with per-domain quotas
+    (datasets.quota_cap on reg_domain) and URL-level exact dedup
+    (dedup.exact_dedup on norm_url)."""
+    url = F.col(url_col)
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    path = F.parse_url(url, F.lit("PATH"))
+    return df.select(
+        "*",
+        host.alias("host"),
+        registered_domain(host).alias("reg_domain"),
+        path.alias("path"),
+        F.size(F.filter(F.split(F.coalesce(path, F.lit("")), "/"), lambda x: x != ""))
+        .cast("int")
+        .alias("path_depth"),
+        normalize_url(url).alias("norm_url"),
+    )

@@ -302,3 +302,109 @@ def x10_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_tables(spark, sf_dir, "orders")
     return profile_table(orders)
+
+
+@query(
+    "dq1_quality_checks",
+    oracle="""
+    WITH m AS (
+      SELECT
+        round(CAST(count(*) AS DOUBLE), 6) AS row_count,
+        round(avg(CASE WHEN o_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+          AS orderkey_completeness,
+        round(CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS orderkey_uniqueness,
+        round(CAST(count(DISTINCT o_custkey) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS custkey_uniqueness,
+        round(CAST(min(o_totalprice) AS DOUBLE), 6) AS totalprice_min,
+        round(avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 6)
+          AS status_in_domain,
+        round(avg(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                  THEN 1.0 ELSE 0.0 END), 6) AS priority_pattern
+      FROM orders
+    ), rows_out AS (
+      SELECT 'row_count' AS check_name, row_count AS observed,
+             CAST(1 AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi FROM m
+      UNION ALL SELECT 'orderkey_completeness', orderkey_completeness, 1.0, 1.0 FROM m
+      UNION ALL SELECT 'orderkey_uniqueness', orderkey_uniqueness, 1.0, 1.0 FROM m
+      UNION ALL SELECT 'custkey_uniqueness', custkey_uniqueness, 1.0, 1.0 FROM m
+      UNION ALL SELECT 'totalprice_min', totalprice_min, 0.0, NULL FROM m
+      UNION ALL SELECT 'status_in_domain', status_in_domain, 1.0, 1.0 FROM m
+      UNION ALL SELECT 'priority_pattern', priority_pattern, 1.0, 1.0 FROM m
+    )
+    SELECT check_name, observed, lo, hi,
+           CASE WHEN observed IS NOT NULL
+                 AND (lo IS NULL OR observed >= lo)
+                 AND (hi IS NULL OR observed <= hi)
+                THEN 'pass' ELSE 'fail' END AS status
+    FROM rows_out
+    """,
+    tags=("quality", "agg"),
+)
+def dq1_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality suite over `orders`, evaluated
+    in ONE whole-stage-codegen aggregation pass (operators/quality.py):
+    completeness, key uniqueness, numeric bounds, domain and pattern
+    conformance. custkey_uniqueness is a deliberately failing constraint
+    (customers repeat) so the status logic is pinned end-to-end."""
+    from fhir_etl_spark.operators import quality as Q
+
+    orders = load_tables(spark, sf_dir, "orders")
+    return Q.check_constraints(
+        orders,
+        [
+            ("row_count", Q.row_count(), 1.0, None),
+            ("orderkey_completeness", Q.completeness("o_orderkey"), 1.0, 1.0),
+            ("orderkey_uniqueness", Q.uniqueness("o_orderkey"), 1.0, 1.0),
+            ("custkey_uniqueness", Q.uniqueness("o_custkey"), 1.0, 1.0),
+            ("totalprice_min", Q.col_min("o_totalprice"), 0.0, None),
+            (
+                "status_in_domain",
+                Q.in_set_fraction("o_orderstatus", ["O", "F", "P"]),
+                1.0,
+                1.0,
+            ),
+            (
+                "priority_pattern",
+                Q.matches_fraction("o_orderpriority", "^[1-5]-[A-Z ]+$"),
+                1.0,
+                1.0,
+            ),
+        ],
+    )
+
+
+@query(
+    "x12_histogram",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 5000.0) + 1 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(l_extendedprice), 2) AS lo_seen,
+           round(max(l_extendedprice), 2) AS hi_seen
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("agg", "profiling"),
+)
+def x12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice via the native
+    ``width_bucket`` (22 buckets over [0, 110000) — 5000-wide, so the
+    oracle replays the binning as floor arithmetic): per-bucket count and
+    seen min/max. One codegen scan + one groupBy on a 22-value key — the
+    numeric-distribution profiling primitive (x10's profile_table covers
+    per-column stats; this covers shape)."""
+    lineitem = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select(
+            F.width_bucket(
+                F.col("l_extendedprice"), F.lit(0.0), F.lit(110000.0), F.lit(22)
+            ).alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo_seen"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi_seen"),
+        )
+    )

@@ -441,3 +441,77 @@ def d10_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_tables(spark, sf_dir, "documents")
     return substring_dedup(documents, k=8, gram_key="text")
+
+
+_G3_ORACLE = f"""
+    WITH pairs AS ({_G2_PAIRS}
+    ), tri AS (
+      -- pairs carry a < b, so x < y < z names each triangle exactly once
+      SELECT p1.a AS x, p1.b AS y, p2.b AS z
+      FROM pairs p1
+      JOIN pairs p2 ON p2.a = p1.b
+      JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY node
+    """
+
+
+@query("g3_triangle_count", oracle=_G3_ORACLE, tags=("graph",))
+def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the near-dup pair graph — the
+    clustering-coefficient numerator, and the standard probe for whether
+    near-dup components are cliques (boilerplate families) or chains
+    (drifting revisions). Degree-oriented wedge enumeration
+    (operators/graph.triangle_counts) keeps the self-join sub-quadratic
+    on any degree distribution; the oracle enumerates ordered triples
+    x<y<z directly."""
+    from fhir_etl_spark.operators.graph import triangle_counts
+
+    documents = load_tables(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(documents, threshold=0.5)
+    edges = pairs.selectExpr("a AS src", "b AS dst")
+    return triangle_counts(edges)
+
+
+_G4_ORACLE = f"""
+    WITH pairs AS ({_G2_PAIRS}
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+    ), srcs AS (
+      SELECT doc_id AS node FROM documents WHERE doc_id % 50 = 0
+    ), reach AS (
+      WITH RECURSIVE rr(node, dist) AS (
+        SELECT node, 0 FROM srcs
+        UNION
+        SELECT e.dst, rr.dist + 1
+        FROM rr JOIN edges e ON e.src = rr.node
+        WHERE rr.dist < 5
+      ) SELECT * FROM rr
+    )
+    SELECT node, CAST(min(dist) AS INT) AS dist FROM reach GROUP BY node
+    """
+
+
+@query("g4_bfs_hops", oracle=_G4_ORACLE, tags=("graph", "iterative"))
+def g4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-dup graph: hop distance from a
+    seed set (every 50th doc) — the 'how far does contamination spread
+    through duplicate chains' query. Frontier-based iteration
+    (operators/graph.bfs_hops) joins only the new wave per round; the
+    oracle is the bounded recursive-CTE transitive closure with min-dist
+    per node."""
+    from fhir_etl_spark.operators.graph import bfs_hops
+
+    documents = load_tables(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(documents, threshold=0.5)
+    edges = pairs.selectExpr("a AS src", "b AS dst").unionByName(
+        pairs.selectExpr("b AS src", "a AS dst")
+    )
+    sources = documents.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_hops(edges, sources, max_hops=5)

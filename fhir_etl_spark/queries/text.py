@@ -570,3 +570,77 @@ def t15_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_tables(spark, sf_dir, "documents")
     return compression_ratio(documents)
+
+
+@query(
+    "t16_url_canonicalize",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || (['www','CDN','blog'])[(doc_id % 3) + 1] ||
+             '.Site' || (doc_id % 7) || '.' ||
+             (['com','org','co.uk','net','io'])[(doc_id % 5) + 1] ||
+             '/' || lang || '/Doc/' || doc_id ||
+             '?utm_source=feed&b=2&a=1#sec' || (doc_id % 4) AS url
+      FROM documents
+    ), p AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^https://([^/?#]+)', 1)) AS host,
+             regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM u
+    ), d AS (
+      SELECT *, string_split(host, '.') AS labels FROM p
+    )
+    SELECT doc_id, host,
+           CASE WHEN len(labels) <= 2 THEN host
+                WHEN (labels[-2] || '.' || labels[-1]) IN
+                     ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                      'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+                      'com.mx','co.in','co.kr','co.za')
+                  THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                ELSE labels[-2] || '.' || labels[-1]
+           END AS reg_domain,
+           path,
+           CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
+                AS INT) AS path_depth,
+           'https://' || host || path || '?' ||
+           array_to_string(
+             list_sort(list_filter(string_split(query, '&'),
+                                   x -> x <> '' AND substr(x, 1, 4) <> 'utm_')),
+             '&') AS norm_url
+    FROM d
+    """,
+    tags=("text", "url", "curation"),
+)
+def t16_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + canonicalization (operators/urls.py) over per-doc
+    URLs synthesized deterministically from the documents table (mixed
+    case, tracking params, fragments, multi-label public suffixes all
+    exercised): host lowercasing, eTLD+1 registered-domain extraction,
+    path depth, and the crawl-frontier canonical form (utm-stripped,
+    param-sorted, fragment-dropped). The oracle replays every rule with
+    DuckDB string/list functions. Downstream: exact_dedup on norm_url =
+    URL-level dedup; quota_cap on reg_domain = per-domain caps."""
+    from fhir_etl_spark.operators.urls import url_components
+
+    documents = load_tables(spark, sf_dir, "documents")
+    subs = F.array(F.lit("www"), F.lit("CDN"), F.lit("blog"))
+    tlds = F.array(
+        F.lit("com"), F.lit("org"), F.lit("co.uk"), F.lit("net"), F.lit("io")
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.element_at(subs, (F.col("doc_id") % 3 + 1).cast("int")),
+        F.lit(".Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("."),
+        F.element_at(tlds, (F.col("doc_id") % 5 + 1).cast("int")),
+        F.lit("/"), F.col("lang"),
+        F.lit("/Doc/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&b=2&a=1#sec"),
+        (F.col("doc_id") % 4).cast("string"),
+    )
+    with_url = documents.select("doc_id", url.alias("url"))
+    return url_components(with_url).select(
+        "doc_id", "host", "reg_domain", "path", "path_depth", "norm_url"
+    )

@@ -136,3 +136,44 @@ def ds5_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_tables(spark, sf_dir, "documents")
     with_counts = documents.withColumn("n_tokens", token_count(F.col("text")))
     return pack_sequences(with_counts, "n_tokens", budget=2048, n_shards=8)
+
+
+@query(
+    "d11_bloom_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    ), cont AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) c
+      JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0) b
+        ON c.shingle = b.shingle
+    )
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+    """,
+    tags=("training", "dedup", "sketch"),
+)
+def d11_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d8's decontamination via a Bloom-bitset prefilter
+    (operators/contamination.bloom_decontaminate): the benchmark shingle
+    set compresses to a ≤512 KiB broadcast bitmap, the corpus shingle
+    stream is pre-pruned by map-side codegen bit tests, and only the
+    survivors reach the exact verify join — bit-identical to the exact
+    path (the oracle is the plain exact anti join), but the broadcast no
+    longer scales with benchmark text size. Returns the SURVIVING corpus
+    docs, the complement of d8's hit set."""
+    from fhir_etl_spark.operators.contamination import bloom_decontaminate
+
+    documents = load_tables(spark, sf_dir, "documents")
+    benchmark = documents.filter(F.col("doc_id") % 97 == 0)
+    corpus = documents.filter(F.col("doc_id") % 97 != 0)
+    return bloom_decontaminate(corpus, benchmark, k=3).select(
+        "doc_id", "source", "n_chars"
+    )

@@ -207,3 +207,50 @@ def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY o_custkey ORDER BY o_totalprice
              RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS nearby_n""",
     )
+
+
+@query(
+    "w8_rolling_zscore",
+    oracle="""
+    SELECT event_id, user_id, round(z, 4) AS z_r,
+           coalesce(abs(z) > 3.0, FALSE) AS is_anomaly
+    FROM (
+      SELECT event_id, user_id,
+             CASE WHEN n >= 5 AND sd > 0 THEN (value - mu) / sd END AS z
+      FROM (
+        SELECT event_id, user_id, value,
+               avg(value) OVER w AS mu,
+               stddev_samp(value) OVER w AS sd,
+               count(value) OVER w AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+      )
+    )
+    """,
+    tags=("window", "timeseries"),
+)
+def w8_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's value scored
+    against the SAME USER'S trailing 20 events (frame ends at 1 PRECEDING
+    — the current value never contaminates its own baseline), flagged at
+    |z| > 3 once ≥5 baseline points exist. The per-key trailing-frame
+    shape is the streaming-feature / drift-detection workhorse: one
+    shuffle on user_id, in-partition sort, sliding-frame aggregation —
+    no self-join, no collect."""
+    events = load_tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    n = F.count("value").over(w)
+    z = F.when((n >= 5) & (sd > 0), (F.col("value") - mu) / sd)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(z, 4).alias("z_r"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+    )

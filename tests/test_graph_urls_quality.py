@@ -1,0 +1,165 @@
+"""Round-6 operator units: triangle counting, multi-source BFS, the
+declarative quality checker, Bloom-prefiltered decontamination, and URL
+canonicalization — analytic fixtures pinning the math the oracles replay
+at corpus scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_triangle_counts_analytic(spark):
+    """K4 + a pendant edge + a triangle-free square: K4 has C(3,2)=3
+    triangles per node; the square and pendant contribute none."""
+    from fhir_etl_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    pendant = [(0, 20)]
+    # mixed orientations + a duplicate edge: canonicalization must absorb
+    edges = spark.createDataFrame(
+        k4 + square + pendant + [(1, 0)], "src long, dst long"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_star_is_triangle_free(spark):
+    """A high-degree star (the skew case degree orientation exists for)
+    has zero triangles — and the hub must not explode the wedge join."""
+    from fhir_etl_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 200)], "src long, dst long"
+    )
+    assert triangle_counts(edges).count() == 0
+
+
+def test_bfs_hops_path_graph(spark):
+    """Path 0-1-2-3-4-5 from source {0}: dist = node index, truncated at
+    max_hops; an isolated source still appears at dist 0."""
+    from fhir_etl_spark.operators.graph import bfs_hops
+
+    path = [(i, i + 1) for i in range(5)]
+    edges = spark.createDataFrame(
+        path + [(b, a) for a, b in path], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(0,), (99,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_hops(edges, sources, max_hops=3).collect()}
+    assert got == {0: 0, 99: 0, 1: 1, 2: 2, 3: 3}  # 4,5 beyond horizon
+
+    full = {r["node"]: r["dist"] for r in bfs_hops(edges, sources, max_hops=10).collect()}
+    assert full == {0: 0, 99: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
+def test_bfs_hops_min_distance_on_diamond(spark):
+    """Two routes of different lengths to the same node → min wins (the
+    frontier finds it on the shorter route first and the anti join blocks
+    relabeling)."""
+    from fhir_etl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 9), (0, 2), (2, 3), (3, 9)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_hops(edges, sources).collect()}
+    assert got[9] == 2
+
+
+def test_check_constraints_statuses(spark):
+    """pass/fail per bound kind; NULL observation (min of all-null col)
+    fails; duplicate names rejected."""
+    from fhir_etl_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (2, None, None)],
+        "k long, s string, dead double",
+    )
+    out = {
+        r["check_name"]: (r["observed"], r["status"])
+        for r in Q.check_constraints(
+            df,
+            [
+                ("rows", Q.row_count(), 3.0, 3.0),
+                ("k_unique", Q.uniqueness("k"), 1.0, 1.0),  # 2/3 → fail
+                ("s_complete", Q.completeness("s"), 1.0, None),  # 2/3 → fail
+                ("k_min", Q.col_min("k"), None, None),  # unbounded → pass
+                ("dead_min", Q.col_min("dead"), 0.0, None),  # NULL → fail
+                ("s_domain", Q.in_set_fraction("s", ["a", "b"]), None, 1.0),
+            ],
+        ).collect()
+    }
+    assert out["rows"] == (3.0, "pass")
+    assert out["k_unique"] == (round(2 / 3, 6), "fail")
+    assert out["s_complete"] == (round(2 / 3, 6), "fail")
+    assert out["k_min"] == (1.0, "pass")
+    assert out["dead_min"] == (None, "fail")
+    assert out["s_domain"][1] == "pass"
+
+    with pytest.raises(ValueError, match="duplicate"):
+        Q.check_constraints(df, [("x", Q.row_count(), None, None)] * 2)
+
+
+def test_bloom_matches_exact_even_with_tiny_filter(spark):
+    """With a deliberately tiny Bloom (64 bits → heavy false positives)
+    the exact-verify join must still make the result identical to the
+    exact operator — the filter only ever over-admits."""
+    from fhir_etl_spark.operators.contamination import (
+        bloom_contamination_hits,
+        contamination_hits,
+    )
+
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(10)))
+        for i in range(30)
+    ]
+    # doc 0/1 share text with bench docs 100/101 verbatim
+    bench = [(100, docs[0][1]), (101, docs[1][1]), (102, "unique bench words here")]
+    corpus_df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench_df = spark.createDataFrame(bench, "doc_id long, text string")
+
+    exact = {
+        (r["doc_id"], r["n_hits"])
+        for r in contamination_hits(corpus_df, bench_df, k=3).collect()
+    }
+    bloomed = {
+        (r["doc_id"], r["n_hits"])
+        for r in bloom_contamination_hits(
+            corpus_df, bench_df, k=3, n_bits=64, n_hashes=2
+        ).collect()
+    }
+    assert bloomed == exact and {d for d, _ in exact} == {0, 1}
+
+
+def test_bloom_bitset_rejects_non_power_of_two(spark):
+    from fhir_etl_spark.operators.contamination import bloom_bitset
+
+    df = spark.createDataFrame([("x",)], "shingle string")
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_bitset(df, n_bits=1000)
+
+
+def test_url_components_edges(spark):
+    """Bare host, multi-label suffix, no query, utm-only query, fragment
+    handling."""
+    from fhir_etl_spark.operators.urls import url_components
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://Example.COM/a/b?utm_campaign=x"),
+            (2, "http://sub.x.gov.uk/p?z=1&a=2#frag"),
+            (3, "https://localhost/"),
+            (4, "https://a.b.c.co.jp"),
+        ],
+        "id long, url string",
+    )
+    got = {r["id"]: r for r in url_components(df).collect()}
+    assert got[1]["host"] == "example.com"
+    assert got[1]["reg_domain"] == "example.com"
+    assert got[1]["norm_url"] == "https://example.com/a/b"  # utm-only → no '?'
+    assert got[2]["reg_domain"] == "x.gov.uk"
+    assert got[2]["norm_url"] == "http://sub.x.gov.uk/p?a=2&z=1"  # sorted, no frag
+    assert got[3]["reg_domain"] == "localhost"
+    assert got[3]["path_depth"] == 0
+    assert got[4]["reg_domain"] == "c.co.jp"
