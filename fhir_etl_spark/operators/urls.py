@@ -48,17 +48,8 @@ def registered_domain(host: Column) -> Column:
     )
 
 
-def normalize_url(url: Column) -> Column:
-    """Canonical URL for exact URL-level dedup: lowercase scheme + host,
-    drop the fragment, drop tracking parameters (``utm_*``), sort the
-    surviving query parameters, keep the path verbatim (paths are
-    case-sensitive). The standard crawl-frontier canonicalization — two
-    fetches of the same page with shuffled/utm'd params collapse to one
-    key."""
-    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
-    path = F.parse_url(url, F.lit("PATH"))
-    query = F.parse_url(url, F.lit("QUERY"))
+def _canonical(scheme: Column, host: Column, path: Column, query: Column) -> Column:
+    """Canonical form from pre-parsed components (see normalize_url)."""
     params = F.array_sort(
         F.filter(
             F.split(F.coalesce(query, F.lit("")), "&"),
@@ -67,8 +58,24 @@ def normalize_url(url: Column) -> Column:
     )
     qs = F.array_join(params, "&")
     return F.concat(
-        scheme, F.lit("://"), host, F.coalesce(path, F.lit("")),
+        F.lower(scheme), F.lit("://"), F.lower(host),
+        F.coalesce(path, F.lit("")),
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL for exact URL-level dedup: lowercase scheme + host,
+    drop the fragment, drop tracking parameters (``utm_*``), sort the
+    surviving query parameters, keep the path verbatim (paths are
+    case-sensitive). The standard crawl-frontier canonicalization — two
+    fetches of the same page with shuffled/utm'd params collapse to one
+    key."""
+    return _canonical(
+        F.parse_url(url, F.lit("PROTOCOL")),
+        F.parse_url(url, F.lit("HOST")),
+        F.parse_url(url, F.lit("PATH")),
+        F.parse_url(url, F.lit("QUERY")),
     )
 
 
@@ -77,17 +84,32 @@ def url_components(df: DataFrame, url_col: str = "url") -> DataFrame:
     (registrable domain), path, path_depth, norm_url (canonical form).
     One codegen projection — composes with per-domain quotas
     (datasets.quota_cap on reg_domain) and URL-level exact dedup
-    (dedup.exact_dedup on norm_url)."""
+    (dedup.exact_dedup on norm_url). Each URL component is parsed ONCE
+    and shared between the output columns via a two-stage select (the
+    canonical form reuses the host/path/query columns instead of
+    re-running parse_url per use)."""
     url = F.col(url_col)
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
-    path = F.parse_url(url, F.lit("PATH"))
-    return df.select(
+    parsed = df.select(
         "*",
-        host.alias("host"),
-        registered_domain(host).alias("reg_domain"),
-        path.alias("path"),
-        F.size(F.filter(F.split(F.coalesce(path, F.lit("")), "/"), lambda x: x != ""))
+        F.lower(F.parse_url(url, F.lit("HOST"))).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("_scheme"),
+        F.parse_url(url, F.lit("QUERY")).alias("_query"),
+    )
+    return parsed.select(
+        *df.columns,
+        "host",
+        registered_domain(F.col("host")).alias("reg_domain"),
+        "path",
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col("path"), F.lit("")), "/"),
+                lambda x: x != "",
+            )
+        )
         .cast("int")
         .alias("path_depth"),
-        normalize_url(url).alias("norm_url"),
+        _canonical(
+            F.col("_scheme"), F.col("host"), F.col("path"), F.col("_query")
+        ).alias("norm_url"),
     )

@@ -376,3 +376,44 @@ def test_round4_operator_plan_shapes(spark, sf_dir):
     p = m2._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p, p
     assert p.count("MapInPandas") == 3  # build → decode → stats
+
+
+def test_round6_operator_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-6 operators:
+
+    - d11 bloom decontamination: the bitset attaches via ONE
+      BroadcastNestedLoopJoin of a 1-row table (the intended shape —
+      a broadcast scalar, not a cartesian of two big sides), and the
+      verify join is a hash/merge equi join;
+    - dq1 constraint suite: one aggregation pass — a single pair of
+      partial/final HashAggregates around one Exchange (plus the
+      count-distinct expand), never one scan per check;
+    - t16 URL canonicalization: map-only codegen — ZERO exchanges, no
+      Python, no joins;
+    - w8 rolling z-score: exactly one shuffle (the user_id window
+      partition), no joins.
+    """
+    from fhir_etl_spark.queries import all_queries
+
+    qs = all_queries()
+
+    d11 = qs["d11_bloom_decontaminate"].fn(spark, sf_dir)
+    p = d11._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    dq1 = qs["dq1_quality_checks"].fn(spark, sf_dir)
+    p = dq1._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan parquet") == 1, p  # 7 checks, ONE scan
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    t16 = qs["t16_url_canonicalize"].fn(spark, sf_dir)
+    p = t16._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert "Join" not in p and "BatchEvalPython" not in p
+
+    w8 = qs["w8_rolling_zscore"].fn(spark, sf_dir)
+    p = w8._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p

@@ -1,0 +1,210 @@
+"""Round-6 scale smoke: the new graph / quality / Bloom / URL operators
+at 1M–10M row scale on local[32], one timing line per operator. Inputs
+are synthesized with pure Spark expressions (no driver-side data).
+
+Usage: python tools/scale_smoke_r06.py [smoke ...]
+  smokes: g3 g4 d11 t16 dq1   (default: all)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def make_spark() -> SparkSession:
+    return (
+        SparkSession.builder.master("local[32]")
+        .appName("scale_smoke_r06")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def smoke_g3(spark):
+    """2M-edge graph over 100k nodes with a 50k-degree hub: the exact
+    shape naive wedge enumeration dies on (the hub alone would emit
+    ~1.25e9 wedges); degree orientation must keep it flat."""
+    from fhir_etl_spark.operators.graph import triangle_counts
+
+    n_nodes, n_rand, n_hub = 100_000, 2_000_000, 50_000
+    rand = spark.range(n_rand).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_nodes)).alias("dst"),
+    )
+    hub = spark.range(1, n_hub + 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    edges = rand.unionByName(hub)
+    t0 = time.perf_counter()
+    stats = triangle_counts(edges).agg(
+        F.count("*").alias("nodes"), F.sum("n_triangles").alias("corner_sum")
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    print(
+        f"g3_triangle_counts: {n_rand + n_hub:,} edges ({n_hub:,}-degree hub) "
+        f"in {dt:.1f}s — {stats['nodes']:,} nodes in triangles, "
+        f"{stats['corner_sum'] // 3:,} triangles",
+        flush=True,
+    )
+
+
+def smoke_g4(spark):
+    """BFS over a 1M-node graph: a 40-deep chain of 25k-node layers
+    (each node → 2 nodes of the next layer) from a 100-seed frontier —
+    pins per-round frontier discipline and the empty-frontier stop."""
+    from fhir_etl_spark.operators.graph import bfs_hops
+
+    layer, depth = 25_000, 40
+    ids = spark.range(layer * depth)
+    e1 = ids.where(F.col("id") < layer * (depth - 1)).select(
+        F.col("id").alias("src"), (F.col("id") + layer).alias("dst")
+    )
+    e2 = ids.where(F.col("id") < layer * (depth - 1)).select(
+        F.col("id").alias("src"),
+        (F.pmod(F.xxhash64("id"), F.lit(layer))
+         + (F.col("id") / layer + 1).cast("long") * layer).alias("dst"),
+    )
+    sources = spark.range(100).select(F.col("id").alias("node"))
+    t0 = time.perf_counter()
+    out = bfs_hops(e1.unionByName(e2), sources, max_hops=12)
+    stats = out.agg(
+        F.count("*").alias("n"), F.max("dist").alias("maxd")
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    print(
+        f"g4_bfs_hops: {layer * depth:,} nodes / {2 * layer * (depth - 1):,} "
+        f"edges, 12 hops in {dt:.1f}s — {stats['n']:,} reached, "
+        f"max dist {stats['maxd']}",
+        flush=True,
+    )
+
+
+def smoke_d11(spark):
+    """1M-doc corpus vs a 10k-doc benchmark: Bloom-prefiltered
+    decontamination must match the exact path row-for-row while the
+    broadcast payload is the fixed 512 KiB bitset."""
+    from fhir_etl_spark.operators.contamination import (
+        bloom_contamination_hits,
+        contamination_hits,
+    )
+
+    n_docs = 1_000_000
+    vocab = F.array(*[F.lit(f"w{i}") for i in range(5000)])
+    # every 200th corpus doc reuses a benchmark doc's word stream
+    base = F.when(F.col("id") % 200 == 0, F.col("id") % 10_000).otherwise(
+        F.col("id") + 1_000_000
+    )
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda i: F.element_at(
+                vocab, (F.pmod(F.xxhash64(base, i), 5000) + 1).cast("int")
+            ),
+        ),
+    )
+    corpus = spark.range(n_docs).select(F.col("id").alias("doc_id"), text.alias("text"))
+    bench_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda i: F.element_at(
+                vocab, (F.pmod(F.xxhash64(F.col("id"), i), 5000) + 1).cast("int")
+            ),
+        ),
+    )
+    bench = spark.range(10_000).select(F.col("id").alias("doc_id"), bench_text.alias("text"))
+
+    t0 = time.perf_counter()
+    n_bloom = bloom_contamination_hits(corpus, bench, k=5).count()
+    dt_bloom = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_exact = contamination_hits(corpus, bench, k=5).count()
+    dt_exact = time.perf_counter() - t0
+    assert n_bloom == n_exact, (n_bloom, n_exact)
+    print(
+        f"d11_bloom_decontaminate: {n_docs:,} docs vs 10k bench — bloom "
+        f"{dt_bloom:.1f}s, exact {dt_exact:.1f}s, {n_bloom:,} contaminated "
+        f"(paths agree)",
+        flush=True,
+    )
+
+
+def smoke_t16(spark):
+    """10M synthesized URLs through the full parse/canonicalize
+    projection — pure codegen, should run at scan speed."""
+    from fhir_etl_spark.operators.urls import url_components
+
+    n = 10_000_000
+    url = F.concat(
+        F.lit("https://sub"), (F.col("id") % 1000).cast("string"),
+        F.lit(".Site"), (F.col("id") % 5000).cast("string"),
+        F.lit(".co.uk/p"), (F.col("id") % 97).cast("string"),
+        F.lit("/x?utm_source=a&b="), (F.col("id") % 7).cast("string"),
+        F.lit("&a=1#f"),
+    )
+    df = spark.range(n).select(F.col("id").alias("doc_id"), url.alias("url"))
+    t0 = time.perf_counter()
+    stats = url_components(df).agg(
+        F.count("*").alias("n"),
+        F.count_distinct("reg_domain").alias("domains"),
+        F.count_distinct("norm_url").alias("urls"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    print(
+        f"t16_url_components: {n:,} URLs in {dt:.1f}s "
+        f"({n / dt / 1e6:.1f}M rows/s) — {stats['domains']:,} reg domains, "
+        f"{stats['urls']:,} canonical urls",
+        flush=True,
+    )
+
+
+def smoke_dq1(spark):
+    """10M-row constraint suite: 7 checks, one aggregation pass."""
+    from fhir_etl_spark.operators import quality as Q
+
+    n = 10_000_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.xxhash64("id"), 100) / 10.0).alias("v"),
+        F.concat(F.lit("u"), (F.col("id") % 3).cast("string")).alias("s"),
+    )
+    t0 = time.perf_counter()
+    out = Q.check_constraints(
+        df,
+        [
+            ("rows", Q.row_count(), float(n), float(n)),
+            ("k_complete", Q.completeness("k"), 1.0, 1.0),
+            ("k_unique", Q.uniqueness("k"), 0.99, 1.0),
+            ("v_min", Q.col_min("v"), 0.0, None),
+            ("v_max", Q.col_max("v"), None, 10.0),
+            ("s_domain", Q.in_set_fraction("s", ["u0", "u1", "u2"]), 1.0, 1.0),
+            ("s_pattern", Q.matches_fraction("s", "^u[0-9]$"), 1.0, 1.0),
+        ],
+    ).collect()
+    dt = time.perf_counter() - t0
+    n_pass = sum(1 for r in out if r["status"] == "pass")
+    print(
+        f"dq1_check_constraints: {n:,} rows × 7 checks in {dt:.1f}s — "
+        f"{n_pass}/7 pass",
+        flush=True,
+    )
+
+
+SMOKES = {"g3": smoke_g3, "g4": smoke_g4, "d11": smoke_d11,
+          "t16": smoke_t16, "dq1": smoke_dq1}
+
+if __name__ == "__main__":
+    picks = sys.argv[1:] or list(SMOKES)
+    spark = make_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    for p in picks:
+        SMOKES[p](spark)
