@@ -65,6 +65,15 @@ HEADLINE = [
     # representative)
     "m6_jpeg_decode",
     "s12_warc_scan",
+    # r06 additions: one-pass declarative quality constraints (7 checks,
+    # single aggregation scan), URL canonicalization (pure-codegen
+    # parse/eTLD+1/utm-strip projection), per-key trailing-window anomaly
+    # scoring, and degree-oriented triangle counting over the mined
+    # near-dup graph
+    "dq1_quality_checks",
+    "t16_url_canonicalize",
+    "w8_rolling_zscore",
+    "g3_triangle_count",
 ]
 
 

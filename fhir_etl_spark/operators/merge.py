@@ -105,3 +105,68 @@ def merge_into(
         )
         .select("_r.*")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    on: str | list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC changeset between two snapshots of the same keyed table →
+    key column(s) + ``op`` ('insert' | 'update' | 'delete') + the old/new
+    value of every compared column (``old_<c>`` / ``new_<c>``).
+    Unchanged rows are dropped — the changeset is the (usually tiny)
+    delta, not the table.
+
+    The inverse of merge_into: merge applies a changeset, snapshot_diff
+    recovers one — feed its output to a downstream MERGE / SCD2 build to
+    replicate a table you can only observe by full snapshot (the classic
+    ELT situation: a vendor dump lands daily, you want an incremental
+    feed). One full-outer join on the key, null-safe (<=>) per-column
+    comparison, no window, no collect; AQE broadcasts a small side.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in keys]
+    missing = [c for c in compare_cols + keys if c not in new.columns]
+    if missing:
+        raise ValueError(f"columns absent from new snapshot: {missing}")
+
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+                for k in keys
+            ],
+            "op",
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )

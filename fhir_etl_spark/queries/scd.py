@@ -136,3 +136,55 @@ def u2_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="c_custkey",
         delete_condition=F.col("c_mktsegment") == "MACHINERY",
     )
+
+
+@query(
+    "u3_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 11 <> 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           o.o_totalprice AS old_o_totalprice,
+           o.o_orderstatus AS old_o_orderstatus,
+           n.o_totalprice AS new_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """,
+    tags=("merge", "cdc"),
+)
+def u3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changeset recovery (operators/merge.snapshot_diff — the
+    inverse of u2's MERGE): two orders snapshots differing by planted
+    inserts (keys %11==0 absent from old), deletes (%7==0 absent from
+    new) and updates (%3==0 price +100 — exact in binary, no
+    cross-engine rounding ambiguity) → (key, op, old_*/new_* values),
+    unchanged rows dropped. One full-outer join, null-safe per-column
+    comparison; the oracle is the same join spelled in ANSI SQL."""
+    from fhir_etl_spark.operators.merge import snapshot_diff
+
+    orders = load_tables(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = orders.filter(F.col("o_orderkey") % 11 != 0)
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 100.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, on="o_orderkey")

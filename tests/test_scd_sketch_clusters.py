@@ -184,3 +184,44 @@ def test_pagerank_analytic_small_graph(spark):
     for k in got:
         assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_snapshot_diff_row_fates(spark):
+    """insert/update/delete/unchanged classification, null-safe value
+    comparison (NULL→value and value→NULL are updates; NULL→NULL is
+    unchanged), composite keys, and the missing-column guard."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),      # unchanged → dropped
+         (2, "b", 20.0),      # NULL→20 = update
+         (4, None, None),     # 40→NULL = update (s stays NULL=NULL)
+         (5, "e", 50.0)],     # insert; k=3 deleted
+        "k long, s string, v double",
+    )
+    got = {r["k"]: r for r in snapshot_diff(old, new, on="k").collect()}
+    assert set(got) == {2, 3, 4, 5}
+    assert got[2]["op"] == "update" and got[2]["new_v"] == 20.0
+    assert got[3]["op"] == "delete" and got[3]["new_s"] is None
+    assert got[4]["op"] == "update" and got[4]["old_v"] == 40.0
+    assert got[5]["op"] == "insert" and got[5]["old_s"] is None
+
+    # composite key + restricted compare set: v ignored → k(1,'a') drops
+    old2 = spark.createDataFrame(
+        [(1, "a", 1.0, "x"), (1, "b", 2.0, "y")], "k long, kk string, v double, t string"
+    )
+    new2 = spark.createDataFrame(
+        [(1, "a", 99.0, "x"), (1, "b", 2.0, "z")], "k long, kk string, v double, t string"
+    )
+    rows = snapshot_diff(old2, new2, on=["k", "kk"], compare_cols=["t"]).collect()
+    assert [(r["k"], r["kk"], r["op"]) for r in rows] == [(1, "b", "update")]
+
+    with pytest.raises(ValueError, match="absent"):
+        snapshot_diff(old, new.drop("v"), on="k")
