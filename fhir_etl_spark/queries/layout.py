@@ -9,6 +9,7 @@ asserted separately in tests/test_layout.py via parquet footer stats.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fhir_etl_spark.operators.layout import zorder_key
 from fhir_etl_spark.queries.registry import query
@@ -58,3 +59,68 @@ def y1_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_key(lineitem, ["l_partkey", "l_suppkey"], bits=_BITS).selectExpr(
         "l_orderkey", "l_linenumber", "_zvalue AS zval"
     )
+
+
+@query(
+    "y2_time_travel_diff",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0
+    ), v1 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 50.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 9 <> 0
+    )
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           a.o_totalprice AS old_o_totalprice,
+           b.o_totalprice AS new_o_totalprice
+    FROM v0 a FULL OUTER JOIN v1 b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+    """,
+    tags=("layout", "versioned", "cdc"),
+)
+def y2_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot-versioned table format exercised END-TO-END through
+    the driver gate (previously test-pinned only): two deterministic
+    orders snapshots committed as versions 0 and 1 of a versioned table
+    (sinks/versioned.py — immutable data dirs, atomic hard-link
+    manifests), both read back BY VERSION (time travel), and diffed with
+    the CDC operator (operators/merge.snapshot_diff). A broken manifest
+    walk, non-isolated overwrite, or wrong pinned file list changes the
+    changeset and breaks the oracle, which replays the two snapshot
+    definitions directly from the source table."""
+    import os
+    import shutil
+
+    from fhir_etl_spark.operators.merge import snapshot_diff
+    from fhir_etl_spark.sinks.versioned import read_snapshot, write_snapshot
+
+    orders = load_tables(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table = (
+        "/tmp/fhir_etl_spark_versioned/"
+        f"{os.path.basename(sf_dir.rstrip('/'))}/orders_y2"
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic rebuild
+    v0 = write_snapshot(
+        orders.filter(F.col("o_orderkey") % 5 != 0), table, mode="overwrite"
+    )
+    v1 = write_snapshot(
+        orders.filter(F.col("o_orderkey") % 9 != 0).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 2 == 0, F.col("o_totalprice") + 50.0
+            ).otherwise(F.col("o_totalprice")),
+        ),
+        table,
+        mode="overwrite",
+    )
+    old = read_snapshot(spark, table, version=v0)
+    new = read_snapshot(spark, table, version=v1)
+    return snapshot_diff(old, new, on="o_orderkey")

@@ -396,3 +396,55 @@ def s13_webdataset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("parts")["cls"].cast("string").alias("cls"),
         F.length(F.col("parts")["txt"]).cast("long").alias("txt_bytes"),
     )
+
+
+@query(
+    "s14_corrupt_records",
+    oracle="""
+    SELECT CASE WHEN doc_id % 13 = 0 THEN NULL ELSE doc_id END AS doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE CAST(n_chars AS BIGINT) END AS n_chars,
+           doc_id % 13 = 0 AS is_corrupt
+    FROM documents
+    """,
+    tags=("scan", "json", "robustness"),
+)
+def s14_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance in the NDJSON scan path: every 13th
+    document is written as a TRUNCATED JSON line (planted corruption),
+    the read-back uses PERMISSIVE mode with columnNameOfCorruptRecord —
+    bad lines become (NULL fields + the raw line in the corrupt column),
+    never a job failure. The production contract for 100 TB crawl-dump
+    ingestion, where some malformed records are a certainty; the oracle
+    replays exactly which rows must surface corrupt."""
+    import os
+
+    documents = load_tables(spark, sf_dir, "documents")
+    out_dir = (
+        "/tmp/fhir_etl_spark_corrupt/"
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    lines = documents.select(
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            # truncated mid-object: undecodable, lands in _corrupt
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+                     F.lit(', "n_chars": ')),
+        )
+        .otherwise(
+            F.to_json(
+                F.struct(F.col("doc_id"), F.col("n_chars").cast("long").alias("n_chars"))
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out_dir)
+    parsed = (
+        spark.read.schema("doc_id long, n_chars long, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out_dir)
+    )
+    return parsed.select(
+        "doc_id", "n_chars", F.col("_corrupt").isNotNull().alias("is_corrupt")
+    )

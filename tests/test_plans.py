@@ -174,6 +174,9 @@ def test_no_broadcast_hints_on_scaling_tables():
         "max_rev", "max_price", "avg_bal", "threshold", "stats", "v",
         # v6_knn_classify: one winner row per probe vector (≤ n_queries)
         "winner",
+        # bloom_contamination_hits: ONE row holding the dense bitset —
+        # ≤ n_bits/8 bytes (512 KiB default) regardless of SF
+        "bloom",
         # kmeans_assign: k centroid rows (k × dim doubles)
         "cent",
         # lsh_bucketed_neardup degenerate-bucket guard: (band, sig) keys

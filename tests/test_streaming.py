@@ -282,3 +282,38 @@ def test_stream_static_enrichment_join(spark, sf_dir, events_stream):
         for r in events.join(static_dim, "user_id").groupBy("tier").count().collect()
     }
     assert got == expected and len(expected) == 3
+
+
+def test_rolling_zscore_stream_matches_batch(spark, sf_dir, events_stream):
+    """The applyInPandasWithState anomaly scorer replayed over the events
+    table equals the batch w8 window query row-for-row (same trailing-20
+    frame, same min-periods/threshold); z compared at 2e-4 (the engines
+    round independently)."""
+    from fhir_etl_spark.queries import all_queries
+    from fhir_etl_spark.streaming.anomaly import rolling_zscore_stream
+
+    q = run_to_memory(
+        rolling_zscore_stream(events_stream), "zscore_out", output_mode="update"
+    )
+    try:
+        stream_rows = {
+            r["event_id"]: r for r in spark.sql("SELECT * FROM zscore_out").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_rows = {
+        r["event_id"]: r
+        for r in all_queries()["w8_rolling_zscore"].fn(spark, sf_dir).collect()
+    }
+    assert set(stream_rows) == set(batch_rows)
+    n_anomalies = 0
+    for eid, b in batch_rows.items():
+        s = stream_rows[eid]
+        assert s["is_anomaly"] == b["is_anomaly"], eid
+        if b["z_r"] is None:
+            assert s["z_r"] is None, eid
+        else:
+            assert abs(s["z_r"] - b["z_r"]) <= 2e-4, (eid, s["z_r"], b["z_r"])
+        n_anomalies += int(b["is_anomaly"])
+    assert n_anomalies > 0  # the fixture contains genuine outliers
