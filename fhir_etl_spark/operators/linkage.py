@@ -1,0 +1,134 @@
+"""Fuzzy string matching / record linkage: all cross-table pairs within
+a small edit distance, WITHOUT the quadratic compare.
+
+Candidate generation is FastSS deletion-variant blocking (Bocek et al.
+2007, public method — the spell-checker/entity-resolution standard):
+every string emits itself plus its ≤k single-character-deletion
+variants; two strings within Levenshtein distance k share at least one
+variant (substitution ⇒ same string after deleting the differing
+position; insertion/deletion ⇒ one side IS a deletion variant of the
+other), so an equi-join on the variant finds every true pair and the
+exact ``levenshtein() ≤ k`` verify discards the false candidates. All
+Catalyst: variant generation is a codegen `transform` over character
+positions, the join is a hash/merge equi join on short strings, the
+verify is the built-in levenshtein.
+
+Scale shape: |variants| = n·(len+1) per deletion level — linear blowup,
+one shuffle on the variant key; the verify join touches candidates only.
+A ``max_bucket_size`` cap guards degenerate variant buckets (thousands
+of rows sharing a variant — e.g. a constant column), with the dropped
+count logged like the pHash/LSH siblings; note an over-cap bucket can
+drop EQUAL-string pairs too, so run exact dedup first if exact
+duplicates matter.
+
+Reference parity: the reference has no fuzzy matching; north-star
+extension for entity resolution over 100 TB-scale name/address columns.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants(col: Column, k: int = 1) -> Column:
+    """Array of ``col`` plus all variants with up to ``k`` single
+    characters deleted (k ≤ 2; variant count is O(len^k))."""
+    if k not in (1, 2):
+        raise ValueError(f"k must be 1 or 2, got {k}")
+    s = col
+    n = F.length(s)
+    del1 = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(F.substring(s, F.lit(1), i - 1), F.substring(s, i + 1, n)),
+    )
+    out = F.array_union(F.array(s), del1)
+    if k == 2:
+        del2 = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda j: F.concat(
+                        F.substring(
+                            F.concat(
+                                F.substring(s, F.lit(1), i - 1),
+                                F.substring(s, i + 1, n),
+                            ),
+                            F.lit(1),
+                            j - 1,
+                        ),
+                        F.substring(
+                            F.concat(
+                                F.substring(s, F.lit(1), i - 1),
+                                F.substring(s, i + 1, n),
+                            ),
+                            j + 1,
+                            n,
+                        ),
+                    ),
+                ),
+            )
+        )
+        out = F.array_union(out, del2)
+    return out
+
+
+def fuzzy_match_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    max_distance: int = 1,
+    left_id: str = "a_id",
+    left_text: str = "a_text",
+    right_id: str = "b_id",
+    right_text: str = "b_text",
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """All (left, right) pairs with ``levenshtein ≤ max_distance`` →
+    (left_id, right_id, distance). ``left``/``right`` are two-column
+    DataFrames named by the *_id/*_text params; exact result (verify
+    join), candidate generation via deletion-variant blocking."""
+    lv = left.select(
+        left_id, left_text,
+        F.explode(deletion_variants(F.col(left_text), max_distance)).alias("_v"),
+    ).select(left_id, "_v").distinct()
+    rv = right.select(
+        right_id, right_text,
+        F.explode(deletion_variants(F.col(right_text), max_distance)).alias("_v"),
+    ).select(right_id, "_v").distinct()
+
+    if max_bucket_size is not None:
+        occupancy = (
+            lv.groupBy("_v").agg(F.count("*").alias("_ln"))
+            .join(rv.groupBy("_v").agg(F.count("*").alias("_rn")), "_v")
+            .filter(F.col("_ln") * F.col("_rn") > max_bucket_size)
+            .select("_v")
+            .localCheckpoint()
+        )
+        n_dropped = occupancy.count()
+        if n_dropped:
+            logging.getLogger(__name__).warning(
+                "fuzzy_match_pairs: %d variant bucket(s) over the %d "
+                "pair cap dropped from candidate generation — pairs "
+                "confined to those buckets are lost",
+                n_dropped, max_bucket_size,
+            )
+            lv = lv.join(occupancy, "_v", "left_anti")
+
+    cand = lv.join(rv, "_v").select(left_id, right_id).distinct()
+    lt = left.select(left_id, left_text)
+    rt = right.select(right_id, right_text)
+    return (
+        cand.join(lt, left_id)
+        .join(rt, right_id)
+        .select(
+            left_id,
+            right_id,
+            F.levenshtein(F.col(left_text), F.col(right_text)).cast("int").alias(
+                "distance"
+            ),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

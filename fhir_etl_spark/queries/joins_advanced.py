@@ -181,3 +181,50 @@ def j10_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(right, left["k"].eqNullSafe(right["k"])).select(
         "o_orderkey", "tag"
     )
+
+
+@query(
+    "j11_fuzzy_match",
+    oracle="""
+    WITH corrupted AS (
+      SELECT c_custkey AS b_id,
+             substr(c_name, 1, pos - 1) || 'X' || substr(c_name, pos + 1)
+               AS b_text
+      FROM (SELECT c_custkey, c_name,
+                   CAST((c_custkey % 10) + 9 AS INT) AS pos
+            FROM customer WHERE c_custkey % 3 = 0)
+    )
+    SELECT c.c_custkey AS a_id, b.b_id,
+           CAST(levenshtein(c.c_name, b.b_text) AS INT) AS distance
+    FROM customer c JOIN corrupted b
+      ON levenshtein(c.c_name, b.b_text) <= 1
+    """,
+    tags=("join", "fuzzy", "linkage"),
+)
+def j11_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage under typos: customer names with one planted
+    character substitution fuzzy-joined back to the clean roster at
+    Levenshtein ≤ 1 via FastSS deletion-variant blocking
+    (operators/linkage.py) — candidates from an equi join on
+    ≤1-deletion variants (provably complete for distance 1), then the
+    exact levenshtein verify. The oracle IS the quadratic compare the
+    blocking avoids, so any missed candidate breaks the hash. The
+    near-uniform TPC-H names make this adversarial: each corrupted name
+    legitimately matches ~10 roster entries differing only in the
+    corrupted digit."""
+    from fhir_etl_spark.operators.linkage import fuzzy_match_pairs
+
+    customer = load_tables(spark, sf_dir, "customer")
+    roster = customer.select(
+        F.col("c_custkey").alias("a_id"), F.col("c_name").alias("a_text")
+    )
+    pos = (F.col("c_custkey") % 10 + 9).cast("int")
+    corrupted = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("b_id"),
+        F.concat(
+            F.substring(F.col("c_name"), F.lit(1), pos - 1),
+            F.lit("X"),
+            F.substring(F.col("c_name"), pos + 1, F.length("c_name")),
+        ).alias("b_text"),
+    )
+    return fuzzy_match_pairs(roster, corrupted, max_distance=1)

@@ -163,3 +163,60 @@ def test_url_components_edges(spark):
     assert got[3]["reg_domain"] == "localhost"
     assert got[3]["path_depth"] == 0
     assert got[4]["reg_domain"] == "c.co.jp"
+
+
+def test_fuzzy_match_edit_kinds(spark):
+    """Substitution, insertion, deletion, and exact matches at k=1 are
+    all found (FastSS completeness); distance-2 strings are not; k=2
+    finds them."""
+    from fhir_etl_spark.operators.linkage import fuzzy_match_pairs
+
+    left = spark.createDataFrame(
+        [(1, "martha"), (2, "jonathan"), (3, "zz")], "a_id long, a_text string"
+    )
+    right = spark.createDataFrame(
+        [(10, "marhta"),    # 2 substitutions from martha (transposition)
+         (11, "martha"),    # exact
+         (12, "marta"),     # 1 deletion
+         (13, "marthas"),   # 1 insertion
+         (14, "msrtha"),    # 1 substitution
+         (15, "jonathan")], "b_id long, b_text string",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["distance"]
+        for r in fuzzy_match_pairs(left, right, max_distance=1).collect()
+    }
+    assert got == {(1, 11): 0, (1, 12): 1, (1, 13): 1, (1, 14): 1, (2, 15): 0}
+
+    got2 = {
+        (r["a_id"], r["b_id"]): r["distance"]
+        for r in fuzzy_match_pairs(left, right, max_distance=2).collect()
+    }
+    assert got2[(1, 10)] == 2  # the transposition appears at k=2
+    assert all(d <= 2 for d in got2.values())
+
+
+def test_fuzzy_match_bucket_cap_logged(spark, caplog):
+    """A degenerate variant bucket (constant column) is dropped under the
+    cap with a warning, not a quadratic join."""
+    import logging as _logging
+
+    from fhir_etl_spark.operators.linkage import fuzzy_match_pairs
+
+    left = spark.createDataFrame(
+        [(i, "same") for i in range(40)] + [(99, "other")],
+        "a_id long, a_text string",
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, "same") for i in range(40)] + [(1099, "othex")],
+        "b_id long, b_text string",
+    )
+    with caplog.at_level(_logging.WARNING,
+                         logger="fhir_etl_spark.operators.linkage"):
+        pairs = fuzzy_match_pairs(
+            left, right, max_distance=1, max_bucket_size=100
+        ).collect()
+    assert any("variant bucket" in r.message for r in caplog.records)
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert (99, 1099) in got          # under-cap pair survives
+    assert not any(a < 99 for a, _ in got)  # 40x40 'same' block dropped
