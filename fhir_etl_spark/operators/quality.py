@@ -108,3 +108,72 @@ def check_constraints(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
             F.when(ok, F.lit("pass")).otherwise(F.lit("fail")).alias("status"),
         )
     )
+
+
+def drift_psi(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two samples of a numeric
+    column — THE production dataset-shift monitor (credit-scoring
+    heritage, now standard ML-ops): equi-width-bucket both samples over
+    a FIXED [lo, hi) range (fixed, so two runs are comparable and the
+    plan needs no quantile pass), laplace-smooth the shares with
+    ``epsilon``, and report per-bucket contributions plus the total.
+
+    Output: one row per bucket (bucket, p_base, p_cur, psi_term; -1 =
+    underflow, n_buckets = overflow) plus a TOTAL row (bucket = NULL)
+    with the summed PSI. Rule of thumb: < 0.1
+    stable, 0.1–0.25 moderate shift, > 0.25 investigate.
+
+    Scale shape: one codegen scan + one tiny groupBy per side (bucket
+    keys ≤ n_buckets + 2 for the under/overflow buckets), a broadcast-
+    sized join of the two histograms, arithmetic. Values are rounded to
+    6 decimals so the report is partitioning-stable and replayable.
+    """
+    if hi <= lo:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    width = (hi - lo) / n_buckets
+
+    def bucketed(df: DataFrame, share_name: str) -> DataFrame:
+        b = F.floor((F.col(col) - lo) / width).cast("int")
+        b = (
+            F.when(F.col(col) < lo, F.lit(-1))
+            .when(F.col(col) >= hi, F.lit(n_buckets))
+            .otherwise(b)
+        )
+        counts = df.where(F.col(col).isNotNull()).groupBy(b.alias("bucket")).agg(
+            F.count("*").alias("_n")
+        )
+        stats = counts.agg(F.sum("_n").alias("_total"))  # 1-row scalar
+        return counts.join(F.broadcast(stats)).select(
+            "bucket", (F.col("_n") / F.col("_total")).alias(share_name)
+        )
+
+    p = bucketed(baseline, "_p")
+    q = bucketed(current, "_q")
+    joined = p.join(q, "bucket", "full_outer").select(
+        "bucket",
+        (F.coalesce("_p", F.lit(0.0)) + epsilon).alias("_p"),
+        (F.coalesce("_q", F.lit(0.0)) + epsilon).alias("_q"),
+    )
+    terms = joined.select(
+        "bucket",
+        F.round("_p", 6).alias("p_base"),
+        F.round("_q", 6).alias("p_cur"),
+        F.round(
+            (F.col("_q") - F.col("_p")) * F.log(F.col("_q") / F.col("_p")), 6
+        ).alias("psi_term"),
+    )
+    total_row = terms.agg(
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit(None).cast("double").alias("p_base"),
+        F.lit(None).cast("double").alias("p_cur"),
+        F.round(F.sum("psi_term"), 6).alias("psi_term"),
+    )
+    return terms.unionByName(total_row)

@@ -408,3 +408,62 @@ def x12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("hi_seen"),
         )
     )
+
+
+@query(
+    "dq2_drift_psi",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN o_totalprice < 0 THEN -1
+                  WHEN o_totalprice >= 500000 THEN 10
+                  ELSE CAST(floor(o_totalprice / 50000.0) AS INT) END AS bucket
+      FROM orders
+    ), cur AS (
+      SELECT CASE WHEN v < 0 THEN -1
+                  WHEN v >= 500000 THEN 10
+                  ELSE CAST(floor(v / 50000.0) AS INT) END AS bucket
+      FROM (SELECT o_totalprice + 150000.0 AS v FROM orders
+            WHERE o_orderkey % 4 = 0)
+    ), pb AS (
+      SELECT bucket,
+             CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM base) AS p FROM base GROUP BY bucket
+    ), pc AS (
+      SELECT bucket,
+             CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM cur) AS q FROM cur GROUP BY bucket
+    ), terms AS (
+      SELECT coalesce(pb.bucket, pc.bucket) AS bucket,
+             coalesce(p, 0.0) + 1e-6 AS p,
+             coalesce(q, 0.0) + 1e-6 AS q
+      FROM pb FULL OUTER JOIN pc ON pb.bucket = pc.bucket
+    ), rows_out AS (
+      SELECT bucket, round(p, 6) AS p_base, round(q, 6) AS p_cur,
+             round((q - p) * ln(q / p), 6) AS psi_term
+      FROM terms
+    )
+    SELECT * FROM rows_out
+    UNION ALL
+    SELECT CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           round(sum(round((q - p) * ln(q / p), 6)), 6) FROM terms
+    """,
+    tags=("quality", "drift"),
+)
+def dq2_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-shift monitoring via Population Stability Index
+    (operators/quality.drift_psi): the order-price distribution vs a
+    planted-drift slice (every 4th order shifted +150k), equi-width
+    bucketed over a fixed [0, 500k) range, laplace-smoothed shares,
+    per-bucket contributions plus the NULL-bucket total. The shift is
+    large enough that the total PSI lands far above the 0.25 'investigate'
+    bar — and the oracle replays every bucket share and log term."""
+    from fhir_etl_spark.operators.quality import drift_psi
+
+    orders = load_tables(spark, sf_dir, "orders")
+    current = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        (F.col("o_totalprice") + 150000.0).alias("o_totalprice")
+    )
+    return drift_psi(
+        orders.select("o_totalprice"), current, "o_totalprice",
+        lo=0.0, hi=500000.0, n_buckets=10,
+    )

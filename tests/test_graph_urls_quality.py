@@ -220,3 +220,27 @@ def test_fuzzy_match_bucket_cap_logged(spark, caplog):
     got = {(r["a_id"], r["b_id"]) for r in pairs}
     assert (99, 1099) in got          # under-cap pair survives
     assert not any(a < 99 for a, _ in got)  # 40x40 'same' block dropped
+
+
+def test_drift_psi_identical_and_shifted(spark):
+    """PSI of a distribution against itself is ~0 (only epsilon noise);
+    a hard shift lands far above the 0.25 'investigate' bar; underflow/
+    overflow values route to the -1 / n_buckets buckets; lo>=hi raises."""
+    from fhir_etl_spark.operators.quality import drift_psi
+
+    df = spark.range(1000).select((F.col("id") % 100 * 1.0).alias("v"))
+    same = {r["bucket"]: r for r in drift_psi(df, df, "v", 0.0, 100.0).collect()}
+    assert abs(same[None]["psi_term"]) < 1e-4  # total row
+
+    shifted = spark.range(1000).select((F.col("id") % 100 + 200.0).alias("v"))
+    rows = {r["bucket"]: r for r in drift_psi(df, shifted, "v", 0.0, 100.0).collect()}
+    assert rows[None]["psi_term"] > 0.25
+    assert rows[10]["p_cur"] > 0.99  # everything overflowed
+
+    under = spark.range(10).select((F.col("id") - 100.0).alias("v"))
+    u = {r["bucket"]: r for r in drift_psi(under, df, "v", 0.0, 100.0).collect()}
+    assert u[-1]["p_base"] > 0.99  # underflow bucket
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lo < hi"):
+        drift_psi(df, df, "v", 5.0, 5.0)

@@ -3,7 +3,7 @@ at 1M–10M row scale on local[32], one timing line per operator. Inputs
 are synthesized with pure Spark expressions (no driver-side data).
 
 Usage: python tools/scale_smoke_r06.py [smoke ...]
-  smokes: g3 g4 d11 t16 dq1   (default: all)
+  smokes: g3 g4 d11 t16 dq1 j11   (default: all)
 """
 
 from __future__ import annotations
@@ -199,8 +199,37 @@ def smoke_dq1(spark):
     )
 
 
+def smoke_j11(spark):
+    """1M-name roster vs 100k corrupted names at Levenshtein <= 1:
+    deletion-variant blocking must keep candidate generation linear
+    (~20 variants/name) where the quadratic compare is 1e11 pairs."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.linkage import fuzzy_match_pairs
+
+    n = 1_000_000
+    name = F.concat(F.lit("person_"), F.lpad((F.col("id")).cast("string"), 9, "0"))
+    roster = spark.range(n).select(F.col("id").alias("a_id"), name.alias("a_text"))
+    pos = (F.col("id") % 8 + 9).cast("int")
+    corrupted = spark.range(0, n, 10).select(
+        F.col("id").alias("b_id"),
+        F.concat(
+            F.substring(name, F.lit(1), pos - 1), F.lit("X"),
+            F.substring(name, pos + 1, F.length(name)),
+        ).alias("b_text"),
+    )
+    t0 = time.perf_counter()
+    cnt = fuzzy_match_pairs(roster, corrupted, max_distance=1).count()
+    dt = time.perf_counter() - t0
+    print(
+        f"j11_fuzzy_match: {n:,} roster x {n // 10:,} corrupted in {dt:.1f}s "
+        f"- {cnt:,} pairs at distance <= 1",
+        flush=True,
+    )
+
+
 SMOKES = {"g3": smoke_g3, "g4": smoke_g4, "d11": smoke_d11,
-          "t16": smoke_t16, "dq1": smoke_dq1}
+          "t16": smoke_t16, "dq1": smoke_dq1, "j11": smoke_j11}
 
 if __name__ == "__main__":
     picks = sys.argv[1:] or list(SMOKES)
