@@ -153,8 +153,6 @@ def bloom_contamination_hits(
     broadcast in `contamination_hits` moves |bench shingles| × avg-len
     bytes to every executor; the bitset moves ≤ 512 KiB regardless.
     """
-    from fhir_etl_spark.operators.dedup import doc_shingles
-
     corpus_sh = doc_shingles(corpus, id_col=id_col, text_col=text_col, k=k)
     # checkpoint: the bench shingle set feeds BOTH the bloom build (an
     # eager job) and the verify join — without pinning it the bench

@@ -46,28 +46,19 @@ def deletion_variants(col: Column, k: int = 1) -> Column:
     )
     out = F.array_union(F.array(s), del1)
     if k == 2:
+        # second deletion applied to the ALREADY-MATERIALIZED del1 array
+        # elements (lambda var d) — inlining the 1-deletion concat into
+        # the inner lambda would evaluate it twice per (i, j): Catalyst
+        # does no common-subexpression elimination inside higher-order
+        # lambdas (the measured ~50× class of slowdown dedup.py documents)
         del2 = F.flatten(
             F.transform(
-                F.sequence(F.lit(1), n),
-                lambda i: F.transform(
-                    F.sequence(F.lit(1), n - 1),
+                del1,
+                lambda d: F.transform(
+                    F.sequence(F.lit(1), F.length(d)),
                     lambda j: F.concat(
-                        F.substring(
-                            F.concat(
-                                F.substring(s, F.lit(1), i - 1),
-                                F.substring(s, i + 1, n),
-                            ),
-                            F.lit(1),
-                            j - 1,
-                        ),
-                        F.substring(
-                            F.concat(
-                                F.substring(s, F.lit(1), i - 1),
-                                F.substring(s, i + 1, n),
-                            ),
-                            j + 1,
-                            n,
-                        ),
+                        F.substring(d, F.lit(1), j - 1),
+                        F.substring(d, j + 1, F.length(d)),
                     ),
                 ),
             )
@@ -89,7 +80,17 @@ def fuzzy_match_pairs(
     """All (left, right) pairs with ``levenshtein ≤ max_distance`` →
     (left_id, right_id, distance). ``left``/``right`` are two-column
     DataFrames named by the *_id/*_text params; exact result (verify
-    join), candidate generation via deletion-variant blocking."""
+    join), candidate generation via deletion-variant blocking.
+
+    The (id, text) inputs are pinned with one bounded checkpoint each —
+    the plan uses them THREE times (variant explosion, occupancy guard's
+    eager job, verify join), and without pinning an expensive upstream
+    (a scan + normalization pipeline) would re-execute per use. The
+    n·(len+1)-row variant EXPLOSION itself is deliberately left
+    recomputable: materializing it costs more than the codegen transform
+    that rebuilds it (measured at the 1M-name smoke)."""
+    left = left.select(left_id, left_text).localCheckpoint()
+    right = right.select(right_id, right_text).localCheckpoint()
     lv = left.select(
         left_id, left_text,
         F.explode(deletion_variants(F.col(left_text), max_distance)).alias("_v"),

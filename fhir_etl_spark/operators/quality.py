@@ -55,11 +55,19 @@ def col_max(col: str) -> Column:
 
 
 def in_set_fraction(col: str, values: Sequence[str]) -> Column:
-    return F.avg(F.col(col).isin(list(values)).cast("double"))
+    # NULL counts as NON-conforming (coalesce to false) — without it,
+    # `isin` returns NULL for NULL input, F.avg skips the row, and a
+    # 99%-NULL column would score 1.0 domain conformance
+    return F.avg(
+        F.coalesce(F.col(col).isin(list(values)), F.lit(False)).cast("double")
+    )
 
 
 def matches_fraction(col: str, pattern: str) -> Column:
-    return F.avg(F.col(col).rlike(pattern).cast("double"))
+    # NULL counts as NON-conforming, as in in_set_fraction
+    return F.avg(
+        F.coalesce(F.col(col).rlike(pattern), F.lit(False)).cast("double")
+    )
 
 
 def row_count() -> Column:
@@ -72,9 +80,11 @@ def check_constraints(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     status = 'pass' iff lo ≤ observed ≤ hi (None bound = unbounded;
     a NULL observation — e.g. min of an all-null column — fails).
 
-    Observed values are rounded to 6 decimals so the report is stable
-    across partitioning (float ratios) and replayable by an external
-    oracle.
+    The pass/fail comparison uses the RAW (unrounded) observation — a
+    single duplicated key in 10M rows makes uniqueness 0.9999999, which
+    must fail a strict ==1.0 constraint even though it ROUNDS to 1.0.
+    The reported ``observed`` column is rounded to 6 decimals only for
+    display/replay stability.
     """
     if not checks:
         raise ValueError("check_constraints needs at least one check")
@@ -82,27 +92,27 @@ def check_constraints(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate check names: {names}")
     row = df.agg(
-        *[F.round(obs.cast("double"), 6).alias(name) for name, obs, _, _ in checks]
+        *[obs.cast("double").alias(name) for name, obs, _, _ in checks]
     )
     entries = F.array(
         *[
             F.struct(
                 F.lit(name).alias("check_name"),
-                F.col(name).alias("observed"),
+                F.col(name).alias("raw"),
                 F.lit(lo).cast("double").alias("lo"),
                 F.lit(hi).cast("double").alias("hi"),
             )
             for name, _, lo, hi in checks
         ]
     )
-    ok = F.col("c.observed").isNotNull()
-    ok = ok & ((F.col("c.lo").isNull()) | (F.col("c.observed") >= F.col("c.lo")))
-    ok = ok & ((F.col("c.hi").isNull()) | (F.col("c.observed") <= F.col("c.hi")))
+    ok = F.col("c.raw").isNotNull()
+    ok = ok & ((F.col("c.lo").isNull()) | (F.col("c.raw") >= F.col("c.lo")))
+    ok = ok & ((F.col("c.hi").isNull()) | (F.col("c.raw") <= F.col("c.hi")))
     return (
         row.select(F.explode(entries).alias("c"))
         .select(
             "c.check_name",
-            "c.observed",
+            F.round(F.col("c.raw"), 6).alias("observed"),
             "c.lo",
             "c.hi",
             F.when(ok, F.lit("pass")).otherwise(F.lit("fail")).alias("status"),

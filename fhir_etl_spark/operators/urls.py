@@ -87,29 +87,41 @@ def url_components(df: DataFrame, url_col: str = "url") -> DataFrame:
     (dedup.exact_dedup on norm_url). Each URL component is parsed ONCE
     and shared between the output columns via a two-stage select (the
     canonical form reuses the host/path/query columns instead of
-    re-running parse_url per use)."""
+    re-running parse_url per use). The appended output names must not
+    already exist on ``df`` (crawl tables often carry their own `host`)
+    — collisions raise a clear error instead of an ambiguous-reference
+    failure deep in the plan."""
+    appended = ["host", "reg_domain", "path", "path_depth", "norm_url",
+                "_sg_host", "_sg_path", "_sg_scheme", "_sg_query"]
+    clash = [c for c in appended if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"url_components appends columns {clash} that already exist on "
+            "the input — rename or drop them first"
+        )
     url = F.col(url_col)
     parsed = df.select(
         "*",
-        F.lower(F.parse_url(url, F.lit("HOST"))).alias("host"),
-        F.parse_url(url, F.lit("PATH")).alias("path"),
-        F.parse_url(url, F.lit("PROTOCOL")).alias("_scheme"),
-        F.parse_url(url, F.lit("QUERY")).alias("_query"),
+        F.lower(F.parse_url(url, F.lit("HOST"))).alias("_sg_host"),
+        F.parse_url(url, F.lit("PATH")).alias("_sg_path"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("_sg_scheme"),
+        F.parse_url(url, F.lit("QUERY")).alias("_sg_query"),
     )
     return parsed.select(
         *df.columns,
-        "host",
-        registered_domain(F.col("host")).alias("reg_domain"),
-        "path",
+        F.col("_sg_host").alias("host"),
+        registered_domain(F.col("_sg_host")).alias("reg_domain"),
+        F.col("_sg_path").alias("path"),
         F.size(
             F.filter(
-                F.split(F.coalesce(F.col("path"), F.lit("")), "/"),
+                F.split(F.coalesce(F.col("_sg_path"), F.lit("")), "/"),
                 lambda x: x != "",
             )
         )
         .cast("int")
         .alias("path_depth"),
         _canonical(
-            F.col("_scheme"), F.col("host"), F.col("path"), F.col("_query")
+            F.col("_sg_scheme"), F.col("_sg_host"), F.col("_sg_path"),
+            F.col("_sg_query"),
         ).alias("norm_url"),
     )

@@ -309,21 +309,21 @@ def x10_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT
-        round(CAST(count(*) AS DOUBLE), 6) AS row_count,
-        round(avg(CASE WHEN o_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+        CAST(count(*) AS DOUBLE) AS row_count,
+        avg(CASE WHEN o_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END)
           AS orderkey_completeness,
-        round(CAST(count(DISTINCT o_orderkey) AS DOUBLE)
-              / CAST(count(*) AS DOUBLE), 6) AS orderkey_uniqueness,
-        round(CAST(count(DISTINCT o_custkey) AS DOUBLE)
-              / CAST(count(*) AS DOUBLE), 6) AS custkey_uniqueness,
-        round(CAST(min(o_totalprice) AS DOUBLE), 6) AS totalprice_min,
-        round(avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 6)
+        CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS orderkey_uniqueness,
+        CAST(count(DISTINCT o_custkey) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS custkey_uniqueness,
+        CAST(min(o_totalprice) AS DOUBLE) AS totalprice_min,
+        avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END)
           AS status_in_domain,
-        round(avg(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
-                  THEN 1.0 ELSE 0.0 END), 6) AS priority_pattern
+        avg(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                  THEN 1.0 ELSE 0.0 END) AS priority_pattern
       FROM orders
     ), rows_out AS (
-      SELECT 'row_count' AS check_name, row_count AS observed,
+      SELECT 'row_count' AS check_name, row_count AS raw,
              CAST(1 AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi FROM m
       UNION ALL SELECT 'orderkey_completeness', orderkey_completeness, 1.0, 1.0 FROM m
       UNION ALL SELECT 'orderkey_uniqueness', orderkey_uniqueness, 1.0, 1.0 FROM m
@@ -332,10 +332,12 @@ def x10_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT 'status_in_domain', status_in_domain, 1.0, 1.0 FROM m
       UNION ALL SELECT 'priority_pattern', priority_pattern, 1.0, 1.0 FROM m
     )
-    SELECT check_name, observed, lo, hi,
-           CASE WHEN observed IS NOT NULL
-                 AND (lo IS NULL OR observed >= lo)
-                 AND (hi IS NULL OR observed <= hi)
+    -- status from the RAW value (a 1-in-10M violation must fail a strict
+    -- bound even though it rounds to 1.0); observed rounded for display
+    SELECT check_name, round(raw, 6) AS observed, lo, hi,
+           CASE WHEN raw IS NOT NULL
+                 AND (lo IS NULL OR raw >= lo)
+                 AND (hi IS NULL OR raw <= hi)
                 THEN 'pass' ELSE 'fail' END AS status
     FROM rows_out
     """,
@@ -466,4 +468,36 @@ def dq2_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_psi(
         orders.select("o_totalprice"), current, "o_totalprice",
         lo=0.0, hi=500000.0, n_buckets=10,
+    )
+
+
+@query(
+    "x13_lateral_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """,
+    tags=("join", "lateral", "sql"),
+)
+def x13_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (each customer joined to its own top-2
+    orders) — the SQL surface w1 expresses with window functions. The
+    point is what Catalyst does with it: the correlated per-row subquery
+    is DECORRELATED into a WindowGroupLimit top-k + one equi join
+    (verified in the plan), never a per-customer nested-loop re-execution
+    — the difference between O(n) and O(n²) subquery evaluations at
+    100 TB. DuckDB runs the identical LATERAL text as the oracle."""
+    load_tables(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_tables(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
     )

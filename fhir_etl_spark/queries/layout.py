@@ -103,9 +103,11 @@ def y2_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
+    # pid-scoped path: two processes running y2 concurrently (pytest +
+    # bench, CI shards) must not rmtree each other's live table
     table = (
         "/tmp/fhir_etl_spark_versioned/"
-        f"{os.path.basename(sf_dir.rstrip('/'))}/orders_y2"
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}/orders_y2"
     )
     shutil.rmtree(table, ignore_errors=True)  # deterministic rebuild
     v0 = write_snapshot(

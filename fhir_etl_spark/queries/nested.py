@@ -420,9 +420,11 @@ def s14_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     documents = load_tables(spark, sf_dir, "documents")
+    # pid-scoped: a concurrent process's overwrite must not race this
+    # process's read-back
     out_dir = (
         "/tmp/fhir_etl_spark_corrupt/"
-        f"{os.path.basename(sf_dir.rstrip('/'))}"
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}"
     )
     lines = documents.select(
         F.when(

@@ -43,6 +43,12 @@ def _make_score(window: int, min_periods: int, threshold: float):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
+        # the ring mirrors the batch ROWS frame exactly: NULL-valued
+        # events OCCUPY a slot (they push older rows out of the frame)
+        # but contribute nothing to the statistics — Spark's windowed
+        # avg/stddev/count skip NULLs the same way. NULLs are stored as
+        # NaN (the state array type is non-nullable-unfriendly across
+        # Arrow round trips; NaN round-trips fine).
         vals: list[float] = list(state.get[0]) if state.exists else []
         batch = pd.concat(list(pdfs))
         if batch.empty:
@@ -50,14 +56,15 @@ def _make_score(window: int, min_periods: int, threshold: float):
         batch = batch.sort_values(["ts", "event_id"])
         out = []
         for event_id, v in zip(batch["event_id"], batch["value"]):
-            v = float(v)
+            v = float("nan") if pd.isna(v) else float(v)
+            present = [x for x in vals if not math.isnan(x)]
             z = None
-            n = len(vals)
-            if n >= min_periods:
-                mu = sum(vals) / n
-                var = sum((x - mu) ** 2 for x in vals) / (n - 1)
+            n = len(present)
+            if n >= max(min_periods, 2):  # stddev_samp needs ≥2 points
+                mu = sum(present) / n
+                var = sum((x - mu) ** 2 for x in present) / (n - 1)
                 sd = math.sqrt(var)
-                if sd > 0:
+                if sd > 0 and not math.isnan(v):
                     z = (v - mu) / sd
             out.append(
                 {
@@ -84,7 +91,12 @@ def rolling_zscore_stream(
 ) -> DataFrame:
     """Per-user streaming z-score vs the trailing ``window`` values
     (current event excluded from its own baseline). Input needs
-    (user_id, event_id, ts, value); output one row per event."""
+    (user_id, event_id, ts, value); output one row per event.
+    NULL-valued events occupy a frame slot but are never scored and
+    never enter the baseline — identical to the batch twin's windowed
+    avg/stddev NULL semantics."""
+    if min_periods < 1:
+        raise ValueError(f"min_periods must be >= 1, got {min_periods}")
     return events.groupBy("user_id").applyInPandasWithState(
         _make_score(window, min_periods, threshold),
         outputStructType=OUTPUT_SCHEMA,

@@ -244,3 +244,50 @@ def test_drift_psi_identical_and_shifted(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="lo < hi"):
         drift_psi(df, df, "v", 5.0, 5.0)
+
+
+def test_url_components_rejects_column_collision(spark):
+    from fhir_etl_spark.operators.urls import url_components
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", "pre-existing")], "id long, url string, host string"
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        url_components(df)
+
+
+def test_in_set_and_pattern_count_nulls_as_nonconforming(spark):
+    """A 99%-NULL column must NOT score 1.0 domain/pattern conformance
+    (round-6 review finding: avg skips NULL booleans)."""
+    from fhir_etl_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [("a",)] + [(None,)] * 3, "s string"
+    )
+    out = {
+        r["check_name"]: (r["observed"], r["status"])
+        for r in Q.check_constraints(
+            df,
+            [
+                ("domain", Q.in_set_fraction("s", ["a"]), 1.0, 1.0),
+                ("pattern", Q.matches_fraction("s", "^a$"), 1.0, 1.0),
+            ],
+        ).collect()
+    }
+    assert out["domain"] == (0.25, "fail")
+    assert out["pattern"] == (0.25, "fail")
+
+
+def test_check_constraints_strict_bound_uses_raw_value(spark):
+    """One violation in 10M rows rounds to 1.0 but must still FAIL a
+    strict ==1.0 uniqueness constraint (status from the raw value)."""
+    from fhir_etl_spark.operators import quality as Q
+
+    df = spark.range(10_000_000).select(
+        F.when(F.col("id") == 0, F.lit(1)).otherwise(F.col("id")).alias("k")
+    )
+    [r] = Q.check_constraints(
+        df, [("k_unique", Q.uniqueness("k"), 1.0, 1.0)]
+    ).collect()
+    assert r["observed"] == 1.0  # display rounds up...
+    assert r["status"] == "fail"  # ...but the verdict sees the raw ratio

@@ -420,3 +420,15 @@ def test_round6_operator_plan_shapes(spark, sf_dir):
     p = w8._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_lateral_join_decorrelated(spark, sf_dir):
+    """x13's correlated LATERAL subquery must decorrelate into a
+    WindowGroupLimit top-k + one join — never a per-row nested-loop
+    subquery re-execution."""
+    from fhir_etl_spark.queries import all_queries
+
+    df = all_queries()["x13_lateral_join"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

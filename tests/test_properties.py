@@ -413,3 +413,39 @@ def test_substring_dedup_span_threshold_boundaries(spark):
     assert got_default[0] == 3 and got_default[2] == 5
     with _pytest.raises(ValueError):
         substring_dedup(df, k=3, min_span_tokens=2)
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        ndp = [i]
+        for j, cb in enumerate(b, 1):
+            ndp.append(min(dp[j] + 1, ndp[-1] + 1, dp[j - 1] + (ca != cb)))
+        dp = ndp
+    return dp[-1]
+
+
+def _del_variants(s: str, k: int) -> set[str]:
+    out = {s}
+    d1 = {s[:i] + s[i + 1:] for i in range(len(s))}
+    out |= d1
+    if k == 2:
+        for d in d1:
+            out |= {d[:j] + d[j + 1:] for j in range(len(d))}
+    return out
+
+
+@given(
+    st.lists(st.text(alphabet="ab", min_size=1, max_size=7), min_size=2, max_size=2),
+    st.integers(min_value=1, max_value=2),
+)
+@settings(max_examples=300, deadline=None)
+def test_fastss_deletion_variant_completeness(pair, k):
+    """The candidate-generation claim fuzzy_match_pairs rests on
+    (operators/linkage.py): levenshtein(a, b) <= k implies a and b share
+    a <= k-deletion variant. Checked against a local reference
+    levenshtein on a dense 2-letter alphabet, where near-miss pairs are
+    common — any counterexample would mean silently missed matches."""
+    a, b = pair
+    if _lev(a, b) <= k:
+        assert _del_variants(a, k) & _del_variants(b, k), (a, b, k)

@@ -317,3 +317,43 @@ def test_rolling_zscore_stream_matches_batch(spark, sf_dir, events_stream):
             assert abs(s["z_r"] - b["z_r"]) <= 2e-4, (eid, s["z_r"], b["z_r"])
         n_anomalies += int(b["is_anomaly"])
     assert n_anomalies > 0  # the fixture contains genuine outliers
+
+
+def test_rolling_zscore_stream_null_values_and_min_periods(spark, tmp_path):
+    """NULL-valued events occupy a frame slot, are never scored, and
+    never poison the baseline (round-6 review finding: NaN crept into
+    state forever); min_periods < 1 rejected."""
+    import pytest as _pytest
+
+    from fhir_etl_spark.streaming.anomaly import rolling_zscore_stream
+
+    with _pytest.raises(ValueError, match="min_periods"):
+        rolling_zscore_stream(spark.readStream.format("rate").load(), min_periods=0)
+
+    rows = [(i, 1_000_000 * i, 7, float(v) if v is not None else None)
+            for i, v in enumerate([1.0, 2.0, None, 3.0, 100.0])]
+    src_dir = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, value double"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id", "value"
+    ).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .parquet(src_dir)
+    )
+    q = run_to_memory(
+        rolling_zscore_stream(stream, window=20, min_periods=2),
+        "zscore_null_out", output_mode="update",
+    )
+    try:
+        got = {
+            r["event_id"]: r
+            for r in spark.sql("SELECT * FROM zscore_null_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got[2]["z_r"] is None and not got[2]["is_anomaly"]  # NULL event
+    # event 3 scores against {1,2} (the NULL occupied a slot, no poison)
+    assert got[3]["z_r"] is not None and abs(got[3]["z_r"] - 2.1213) < 1e-3
+    assert got[4]["is_anomaly"]  # 100 vs baseline {1,2,3}
