@@ -188,3 +188,69 @@ def u3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     return snapshot_diff(old, new, on="o_orderkey")
+
+
+@query(
+    "u4_incremental_view",
+    oracle="""
+    WITH v1 AS (
+      SELECT CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1
+                  ELSE o_custkey END AS o_custkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS v
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(v), 2) AS DOUBLE) AS sum_value
+    FROM v1 GROUP BY o_custkey
+    """,
+    tags=("merge", "cdc", "ivm"),
+)
+def u4_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance end-to-end (operators/ivm.py over
+    operators/merge.snapshot_diff): a per-customer (count, sum) view
+    built on the OLD snapshot is brought current by folding in the CDC
+    changeset — inserts, deletes, value updates, AND group migrations
+    (every 13th order moves to the next customer) — while the oracle
+    RECOMPUTES the view from the new snapshot. Equality of the two is
+    the IVM correctness statement; DECIMAL arithmetic makes the
+    incremental sum bit-identical to the recomputed one (float addition
+    order would differ). The new snapshot is never aggregated on the
+    Spark side — only the changeset is."""
+    from fhir_etl_spark.operators.ivm import build_agg_view, incremental_agg_update
+    from fhir_etl_spark.operators.merge import snapshot_diff
+
+    orders = load_tables(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    v0 = orders.filter(F.col("o_orderkey") % 11 != 0)
+    v1 = (
+        orders.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 100
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_custkey") + 1
+            ).otherwise(F.col("o_custkey")),
+        )
+    )
+    view0 = build_agg_view(v0, ["o_custkey"], "o_totalprice")
+    changeset = snapshot_diff(
+        v0, v1, on="o_orderkey", compare_cols=["o_custkey", "o_totalprice"]
+    )
+    updated = incremental_agg_update(
+        view0, changeset, ["o_custkey"], "o_totalprice"
+    )
+    return updated.select(
+        "o_custkey",
+        "n_rows",
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
+    )

@@ -225,3 +225,42 @@ def test_snapshot_diff_row_fates(spark):
 
     with pytest.raises(ValueError, match="absent"):
         snapshot_diff(old, new.drop("v"), on="k")
+
+
+def test_incremental_agg_update_row_fates(spark):
+    """IVM fold vs full recompute on a hand-built changeset: inserts,
+    deletes, value updates, a group MIGRATION, and a group vanishing
+    entirely; missing changeset columns rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.ivm import build_agg_view, incremental_agg_update
+    from fhir_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "id long, g string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),   # unchanged
+         (2, "b", 20.0),   # migrates a → b
+         (4, "c", 45.0),   # value update; id=3 deleted → group b loses it
+         (5, "d", 50.0)],  # insert into fresh group
+        "id long, g string, v double",
+    )
+    view0 = build_agg_view(old, ["g"], "v")
+    cs = snapshot_diff(old, new, on="id", compare_cols=["g", "v"])
+    got = {
+        r["g"]: (r["n_rows"], r["sum_value"])
+        for r in incremental_agg_update(view0, cs, ["g"], "v").collect()
+    }
+    expect = {
+        r["g"]: (r["n_rows"], r["sum_value"])
+        for r in build_agg_view(new, ["g"], "v").collect()
+    }
+    assert got == expect == {
+        "a": (1, 10.0), "b": (1, 20.0), "c": (1, 45.0), "d": (1, 50.0)
+    }
+
+    with pytest.raises(ValueError, match="missing columns"):
+        incremental_agg_update(view0, cs.drop("old_g"), ["g"], "v")
