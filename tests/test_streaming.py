@@ -357,3 +357,65 @@ def test_rolling_zscore_stream_null_values_and_min_periods(spark, tmp_path):
     # event 3 scores against {1,2} (the NULL occupied a slot, no poison)
     assert got[3]["z_r"] is not None and abs(got[3]["z_r"] - 2.1213) < 1e-3
     assert got[4]["is_anomaly"]  # 100 vs baseline {1,2,3}
+
+
+def test_cusum_stream_matches_reference(spark, tmp_path):
+    """transformWithStateInPandas CUSUM replayed over a table equals the
+    local sequential reference per user — incl. drift detection, the
+    post-alarm reset, and NULL passthrough."""
+    from fhir_etl_spark.streaming.cusum import cusum_reference, cusum_stream
+
+    # user 7: level 0 then a +2 drift; user 8: constant (never alarms);
+    # a NULL mid-stream must not disturb the accumulators
+    vals7 = [0.1, -0.2, 0.0, None, 2.1, 2.2, 1.9, 2.3, 2.0, 0.0]
+    vals8 = [0.0] * 6
+    rows = [(100 + i, 1_000_000 * i, 7, v) for i, v in enumerate(vals7)]
+    rows += [(200 + i, 1_000_000 * i, 8, v) for i, v in enumerate(vals8)]
+    src_dir = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, value double"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id", "value"
+    ).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(src_dir)
+    )
+    q = run_to_memory(
+        cusum_stream(stream, mu0=0.0, k=0.5, h=3.0),
+        "cusum_out", output_mode="update",
+    )
+    try:
+        got = {
+            r["event_id"]: r for r in spark.sql("SELECT * FROM cusum_out").collect()
+        }
+    finally:
+        q.stop()
+
+    for base, vals in ((100, vals7), (200, vals8)):
+        ref = cusum_reference(vals, mu0=0.0, k=0.5, h=3.0)
+        for i, (sp, sn, alarm) in enumerate(ref):
+            r = got[base + i]
+            assert (r["s_pos"], r["s_neg"], r["alarm"]) == (sp, sn, alarm), (
+                base + i, r, (sp, sn, alarm)
+            )
+    assert any(got[100 + i]["alarm"] for i in range(len(vals7)))
+    assert not any(got[200 + i]["alarm"] for i in range(len(vals8)))
+
+
+def test_cusum_tws_tier_gated_cleanly(spark):
+    """The transformWithState tier must raise a clear gate error when
+    the protobuf runtime is absent (this container), never a deep
+    worker crash."""
+    import pytest as _pytest
+
+    from fhir_etl_spark.streaming.cusum import cusum_stream, tws_runtime_available
+
+    stream = spark.readStream.format("rate").load()
+    if tws_runtime_available():
+        _pytest.skip("protobuf present — tws tier usable here")
+    with _pytest.raises(NotImplementedError, match="protobuf"):
+        cusum_stream(stream, mu0=0.0, api="tws")
+    with _pytest.raises(ValueError, match="api must be"):
+        cusum_stream(stream, mu0=0.0, api="bogus")
