@@ -101,6 +101,36 @@ def write_snapshot(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(os.path.join(table_path, _MANIFEST_DIR), exist_ok=True)
 
+    def _check_additive(parent_schema_json: dict) -> None:
+        # additive evolution only (the Delta/Iceberg default): every
+        # parent column must survive with the same type; new columns
+        # must be nullable (pre-evolution files surface them as NULL)
+        new_fields = {f.name: f for f in df.schema.fields}
+        for pf in parent_schema_json["fields"]:
+            nf = new_fields.pop(pf["name"], None)
+            if nf is None:
+                raise ValueError(
+                    f"append drops column {pf['name']!r} — versioned "
+                    "tables allow only ADDITIVE schema evolution"
+                )
+            if nf.dataType.jsonValue() != pf["type"]:
+                raise ValueError(
+                    f"append retypes column {pf['name']!r} "
+                    f"({pf['type']} → {nf.dataType.jsonValue()}) — "
+                    "versioned tables allow only ADDITIVE schema evolution"
+                )
+        for name, nf in new_fields.items():
+            if not nf.nullable:
+                raise ValueError(
+                    f"appended new column {name!r} must be nullable — "
+                    "pre-evolution files surface it as NULL"
+                )
+
+    if mode == "append":
+        head = _versions(table_path)
+        if head:
+            _check_additive(_load_manifest(table_path, head[-1])["schema"])
+
     token = secrets.token_hex(4)
     rel_dir = os.path.join(_DATA_DIR, f"c-{token}")
     out_dir = os.path.join(table_path, rel_dir)
@@ -114,7 +144,11 @@ def write_snapshot(
         version = (existing[-1] + 1) if existing else 0
         parent_dirs: list[str] = []
         if mode == "append" and existing:
-            parent_dirs = _load_manifest(table_path, existing[-1])["data_dirs"]
+            parent = _load_manifest(table_path, existing[-1])
+            parent_dirs = parent["data_dirs"]
+            # re-validate against the CURRENT head: a racer may have
+            # committed a schema change since the pre-write check
+            _check_additive(parent["schema"])
         manifest = {
             "version": version,
             "parent": existing[-1] if existing else None,
@@ -152,7 +186,15 @@ def read_snapshot(
 ) -> DataFrame:
     """Read a snapshot (latest when ``version`` is None). The file list is
     pinned from one manifest, so the read is consistent under concurrent
-    commits."""
+    commits.
+
+    Schema evolution: the manifest records the COMMITTING write's schema,
+    which after additive appends (write_snapshot mode='append' with new
+    nullable columns) is the widest one — the read applies it via the
+    parquet reader's schema argument, so files from pre-evolution commits
+    surface the added columns as NULL. Columns can be ADDED, never
+    removed or retyped (write_snapshot enforces this), exactly the
+    additive-evolution contract Delta/Iceberg default to."""
     versions = _versions(table_path)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table_path}")
@@ -162,7 +204,10 @@ def read_snapshot(
         raise ValueError(f"version {version} not in {versions}")
     manifest = _load_manifest(table_path, version)
     paths = [os.path.join(table_path, d) for d in manifest["data_dirs"]]
-    return spark.read.parquet(*paths)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(manifest["schema"])
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def snapshot_history(table_path: str) -> list[dict]:

@@ -216,3 +216,46 @@ def test_streaming_foreachbatch_snapshots(spark, sf_dir, tmp_path):
     # time travel: version v holds the first v+1 batches — strictly growing
     counts = [read_snapshot(spark, table, h["version"]).count() for h in hist]
     assert counts == sorted(counts) and counts[-1] == expected
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """Append with a NEW nullable column: old files surface it as NULL
+    under the evolved manifest schema; time travel to the pre-evolution
+    version still shows the old schema; drops/retypes rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.sinks.versioned import read_snapshot, write_snapshot
+
+    table = str(tmp_path / "tbl")
+    v0 = write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, s string"), table
+    )
+    v1 = write_snapshot(
+        spark.createDataFrame([(2, "b", 9.5)], "id long, s string, score double"),
+        table,
+        mode="append",
+    )
+    evolved = read_snapshot(spark, table, version=v1)
+    assert evolved.columns == ["id", "s", "score"]
+    got = {r["id"]: r["score"] for r in evolved.collect()}
+    assert got == {1: None, 2: 9.5}  # pre-evolution rows NULL-filled
+    assert read_snapshot(spark, table, version=v0).columns == ["id", "s"]
+
+    with pytest.raises(ValueError, match="drops column"):
+        write_snapshot(
+            spark.createDataFrame([(3,)], "id long"), table, mode="append"
+        )
+    with pytest.raises(ValueError, match="retypes column"):
+        write_snapshot(
+            spark.createDataFrame(
+                [(3, "c", "oops")], "id long, s string, score string"
+            ),
+            table,
+            mode="append",
+        )
+    # overwrite may change schema freely (a fresh file set)
+    v3 = write_snapshot(
+        spark.createDataFrame([(9,)], "other long"), table, mode="overwrite"
+    )
+    assert read_snapshot(spark, table, version=v3).columns == ["other"]
