@@ -35,11 +35,16 @@ from pyspark.sql import functions as F
 
 
 def build_agg_view(base: DataFrame, keys: list[str], value_col: str) -> DataFrame:
-    """The full-recompute twin: (keys..., n_rows, sum_value) — used to
-    initialize the view and as the equivalence oracle for the
-    incremental path."""
+    """The full-recompute twin: (keys..., n_rows, n_vals, sum_value) —
+    used to initialize the view and as the equivalence oracle for the
+    incremental path. ``n_vals`` (non-NULL value count) is maintained
+    state, not just a convenience: it is what lets the fold reproduce
+    SQL's NULL-sum semantics — a group whose values are all NULL has
+    sum_value NULL, and only n_vals can tell that apart from a
+    sums-to-zero group."""
     return base.groupBy(*keys).agg(
         F.count("*").alias("n_rows"),
+        F.count(value_col).alias("n_vals"),
         F.sum(value_col).alias("sum_value"),
     )
 
@@ -50,29 +55,42 @@ def incremental_agg_update(
     keys: list[str],
     value_col: str,
 ) -> DataFrame:
-    """Updated (keys..., n_rows, sum_value) view from the old view and a
-    snapshot_diff-shaped changeset carrying ``op`` plus ``old_<c>`` /
-    ``new_<c>`` for every group key and for ``value_col``. Groups whose
-    row count reaches zero disappear — exactly what a recompute over the
-    new snapshot would produce.
+    """Updated (keys..., n_rows, n_vals, sum_value) view from the old
+    view and a snapshot_diff-shaped changeset carrying ``op`` plus
+    ``old_<c>`` / ``new_<c>`` for every group key and for ``value_col``.
+    Groups whose row count reaches zero disappear — exactly what a
+    recompute over the new snapshot would produce.
+
+    NULL semantics match SQL aggregation exactly (pinned by the unit
+    test's recompute comparison): NULL values contribute 0 to the folded
+    sum but are tracked via ``n_vals``, so a group whose remaining
+    values are all NULL reports ``sum_value`` NULL, not 0; NULL GROUP
+    KEYS form a real group — the view/delta merge is a null-safe
+    (eqNullSafe) full-outer join, a plain column-equality join would
+    duplicate the NULL-key group instead of folding it.
 
     Each changeset row explodes into at most two signed (group, d_rows,
-    d_sum) contributions (two only when an update moved the row between
-    groups); one aggregation over the exploded deltas + one full-outer
-    merge on the group keys. AQE broadcasts the folded delta when small
-    (the usual case — a day's changes touch few groups).
+    d_vals, d_sum) contributions (two only when an update moved the row
+    between groups); one aggregation over the exploded deltas + one
+    null-safe full-outer merge on the group keys. AQE broadcasts the
+    folded delta when small (the usual case — a day's changes touch few
+    groups).
     """
     old_v, new_v = f"old_{value_col}", f"new_{value_col}"
     need = ["op", old_v, new_v] + [f"{p}_{k}" for k in keys for p in ("old", "new")]
     missing = [c for c in need if c not in changeset.columns]
     if missing:
         raise ValueError(f"changeset is missing columns {missing}")
+    sum_type = dict(view.dtypes)["sum_value"]
+    zero = F.lit(0).cast(sum_type)
 
     def contrib(prefix: str, d_rows: int, sign: int):
+        v = F.col(f"{prefix}_{value_col}")
         return F.struct(
             *[F.col(f"{prefix}_{k}").alias(k) for k in keys],
             F.lit(d_rows).alias("d_rows"),
-            (F.lit(sign) * F.col(f"{prefix}_{value_col}")).alias("d_sum"),
+            (F.lit(sign) * v.isNotNull().cast("int")).alias("d_vals"),
+            (F.lit(sign) * F.coalesce(v, zero)).alias("d_sum"),
         )
 
     key_moved = F.lit(False)
@@ -87,7 +105,12 @@ def incremental_agg_update(
                 F.struct(
                     *[F.col(f"new_{k}").alias(k) for k in keys],
                     F.lit(0).alias("d_rows"),
-                    (F.col(new_v) - F.col(old_v)).alias("d_sum"),
+                    (
+                        F.col(new_v).isNotNull().cast("int")
+                        - F.col(old_v).isNotNull().cast("int")
+                    ).alias("d_vals"),
+                    (F.coalesce(F.col(new_v), zero) - F.coalesce(F.col(old_v), zero))
+                    .alias("d_sum"),
                 )
             )
         )
@@ -96,15 +119,30 @@ def incremental_agg_update(
         changeset.select(F.explode(contribs).alias("c"))
         .select("c.*")
         .groupBy(*keys)
-        .agg(F.sum("d_rows").alias("_d_rows"), F.sum("d_sum").alias("_d_sum"))
+        .agg(
+            F.sum("d_rows").alias("_d_rows"),
+            F.sum("d_vals").alias("_d_vals"),
+            F.sum("d_sum").alias("_d_sum"),
+        )
     )
-    zero_sum = F.lit(0).cast(dict(view.dtypes)["sum_value"])
-    merged = view.join(delta, keys, "full_outer").select(
-        *keys,
-        (F.coalesce("n_rows", F.lit(0)) + F.coalesce("_d_rows", F.lit(0))).alias(
-            "n_rows"
-        ),
-        (F.coalesce("sum_value", zero_sum) + F.coalesce("_d_sum", zero_sum)).alias(
+    v_side = view.alias("_v")
+    d_side = delta.alias("_d")
+    cond = None
+    for k in keys:
+        eq = F.col(f"_v.{k}").eqNullSafe(F.col(f"_d.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    n_rows = F.coalesce("_v.n_rows", F.lit(0)) + F.coalesce("_d._d_rows", F.lit(0))
+    n_vals = F.coalesce("_v.n_vals", F.lit(0)) + F.coalesce("_d._d_vals", F.lit(0))
+    folded = F.coalesce("_v.sum_value", zero) + F.coalesce("_d._d_sum", zero)
+    merged = v_side.join(d_side, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"_v.{k}"), F.col(f"_d.{k}")).alias(k)
+            for k in keys
+        ],
+        n_rows.alias("n_rows"),
+        n_vals.alias("n_vals"),
+        # an all-NULL-valued group has sum NULL under SQL semantics
+        F.when(n_vals > 0, folded).otherwise(F.lit(None).cast(sum_type)).alias(
             "sum_value"
         ),
     )

@@ -94,6 +94,7 @@ def y2_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk, non-isolated overwrite, or wrong pinned file list changes the
     changeset and breaks the oracle, which replays the two snapshot
     definitions directly from the source table."""
+    import atexit
     import os
     import shutil
 
@@ -110,6 +111,9 @@ def y2_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}/orders_y2"
     )
     shutil.rmtree(table, ignore_errors=True)  # deterministic rebuild
+    # pid-scoped dirs almost never recur — without this the table leaks
+    # per process run (round-6 review finding)
+    atexit.register(shutil.rmtree, os.path.dirname(table), ignore_errors=True)
     v0 = write_snapshot(
         orders.filter(F.col("o_orderkey") % 5 != 0), table, mode="overwrite"
     )

@@ -420,12 +420,17 @@ def s14_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     documents = load_tables(spark, sf_dir, "documents")
+    import atexit
+    import shutil
+
     # pid-scoped: a concurrent process's overwrite must not race this
-    # process's read-back
+    # process's read-back; cleaned at exit (pids rarely recur, the dir
+    # would otherwise leak per run)
     out_dir = (
         "/tmp/fhir_etl_spark_corrupt/"
         f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}"
     )
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     lines = documents.select(
         F.when(
             F.col("doc_id") % 13 == 0,

@@ -87,16 +87,23 @@ def _score_batch(
     return out, s_pos, s_neg
 
 
-def tws_runtime_available() -> bool:
-    """transformWithState needs the protobuf package for its Python
-    state-server protocol; absent here (environment ships no protobuf
-    and installs are not possible)."""
+def tws_runtime_available(spark=None) -> bool:
+    """transformWithState needs BOTH the protobuf package (its Python
+    state-server protocol; absent here and uninstallable) AND the
+    RocksDB state store provider (the HDFS-backed default does not
+    support it). Checking only protobuf would mis-route 'auto' to a
+    crashing tier on stock installs where protobuf happens to be
+    present but the provider conf is the default."""
     try:
         from google.protobuf import descriptor  # noqa: F401
-
-        return True
     except ImportError:
         return False
+    if spark is None:
+        return True
+    provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    return "RocksDB" in (provider or "")
 
 
 def _make_apply_fn(mu0: float, k: float, h: float):
@@ -159,14 +166,16 @@ def cusum_stream(
     applyInPandasWithState), 'tws', or 'applyInPandas'."""
     if api not in ("auto", "tws", "applyInPandas"):
         raise ValueError(f"api must be auto|tws|applyInPandas, got {api!r}")
-    if api == "tws" and not tws_runtime_available():
+    spark = events.sparkSession
+    if api == "tws" and not tws_runtime_available(spark):
         raise NotImplementedError(
             "transformWithStateInPandas needs the google.protobuf package "
-            "(its Python state-server protocol), which this environment "
-            "does not ship — use api='applyInPandas' (identical semantics) "
-            "or install protobuf"
+            "(its Python state-server protocol) AND "
+            "spark.sql.streaming.stateStore.providerClass="
+            "...RocksDBStateStoreProvider — use api='applyInPandas' "
+            "(identical semantics) or provide both"
         )
-    if api == "tws" or (api == "auto" and tws_runtime_available()):
+    if api == "tws" or (api == "auto" and tws_runtime_available(spark)):
         return _cusum_tws(events, mu0, k, h)
     return events.groupBy("user_id").applyInPandasWithState(
         _make_apply_fn(mu0, k, h),

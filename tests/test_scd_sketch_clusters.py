@@ -264,3 +264,42 @@ def test_incremental_agg_update_row_fates(spark):
 
     with pytest.raises(ValueError, match="missing columns"):
         incremental_agg_update(view0, cs.drop("old_g"), ["g"], "v")
+
+
+def test_incremental_agg_update_null_keys_and_values(spark):
+    """Round-6 second-review findings: NULL group keys must FOLD (not
+    duplicate) through a null-safe merge, NULL->value and value->NULL
+    updates must move the sum, and an all-NULL-valued group reports
+    sum_value NULL (not 0) — all pinned against the full recompute."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.ivm import build_agg_view, incremental_agg_update
+    from fhir_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, None), (3, "a", None), (4, "a", None),
+         (5, "b", 5.0)],
+        "id long, g string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, None, 10.0),   # unchanged (NULL-key group gets a delta from id 2)
+         (2, None, 25.0),   # NULL->25 in the NULL-key group
+         (3, "a", 7.0),     # NULL->7: group 'a' leaves the all-NULL state
+         (4, "a", None),    # still NULL
+         (6, "b", None)],   # insert NULL value; id 5 deleted -> b all-NULL
+        "id long, g string, v double",
+    )
+    view0 = build_agg_view(old, ["g"], "v")
+    cs = snapshot_diff(old, new, on="id", compare_cols=["g", "v"])
+    inc = incremental_agg_update(view0, cs, ["g"], "v")
+    got = {r["g"]: (r["n_rows"], r["n_vals"], r["sum_value"]) for r in inc.collect()}
+    expect = {
+        r["g"]: (r["n_rows"], r["n_vals"], r["sum_value"])
+        for r in build_agg_view(new, ["g"], "v").collect()
+    }
+    assert got == expect == {
+        None: (2, 2, 35.0),   # one row per NULL-key group, folded
+        "a": (2, 1, 7.0),     # NULL->7 moved the sum
+        "b": (1, 0, None),    # all values NULL -> SQL sum is NULL, not 0
+    }
+    assert inc.count() == 3  # the NULL-key group did not duplicate
