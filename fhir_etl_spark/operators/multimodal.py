@@ -275,15 +275,19 @@ PIXELS_SCHEMA = T.StructType(
 def decode_image(
     df: DataFrame, bytes_col: str = "media", out_col: str = "image"
 ) -> DataFrame:
-    """Decode PNG and baseline JPEG binary columns to raw pixel buffers via
-    the engine's pure numpy codecs (functions/png.py, functions/jpeg.py —
-    no PIL/libjpeg needed). Output struct:
+    """Decode PNG, baseline/progressive JPEG, and GIF binary columns to
+    raw pixel buffers via the engine's pure numpy codecs
+    (functions/png.py, functions/jpeg.py, functions/gif.py — no
+    PIL/libjpeg needed). Output struct:
     (height, width, channels, pixels: binary row-major uint8, error).
+    GIF decodes the FIRST image block (LZW + interlace + palette → RGB);
+    compose with split_gif_frames for per-frame pixels of animations.
 
-    Per-image failures (GIF/video bytes, corrupt files, arithmetic JPEG)
+    Per-image failures (video bytes, corrupt files, arithmetic JPEG)
     land in the ``error`` field instead of failing the batch — at corpus
     scale a decode job must survive bad files.
     """
+    from fhir_etl_spark.functions.gif import decode_gif
     from fhir_etl_spark.functions.jpeg import decode_jpeg
     from fhir_etl_spark.functions.png import decode_png
 
@@ -301,6 +305,8 @@ def decode_image(
                     codec = decode_png
                 elif raw.startswith(b"\xff\xd8\xff"):
                     codec = decode_jpeg
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    codec = decode_gif
                 else:
                     mime = sniff_mime(raw)
                     out.append(
@@ -401,6 +407,10 @@ def resize_image(
                     codec = decode_png
                 elif raw.startswith(b"\xff\xd8\xff"):
                     codec = decode_jpeg
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    from fhir_etl_spark.functions.gif import decode_gif
+
+                    codec = decode_gif
                 else:
                     new_bytes.append(raw)  # pass through unchanged
                     errs.append(f"unsupported: {sniff_mime(raw)}")
@@ -577,6 +587,10 @@ def phash_image(
                         arr = decode_png(raw)
                     elif raw.startswith(b"\xff\xd8\xff"):
                         arr = decode_jpeg(raw)
+                    elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                        from fhir_etl_spark.functions.gif import decode_gif
+
+                        arr = decode_gif(raw)
                     else:
                         raise ValueError(f"unsupported: {sniff_mime(raw)}")
                     hashes.append(phash64(arr))

@@ -827,3 +827,92 @@ def m5_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return decoded.mapInPandas(stats, out_schema)
+
+
+@query(
+    "m12_gif_decode",
+    oracle="""
+    -- LZW is LOSSLESS, so encode→decode reproduces the formula image
+    -- exactly: the oracle recomputes each pixel's palette color directly.
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 15 AS h, 8 + doc_id % 11 AS w
+      FROM documents
+    ), px AS (
+      SELECT doc_id, h, w,
+             (doc_id + y.y * 5 + x.x * 3) % 16 AS i
+      FROM dims, unnest(range(0, h)) AS y(y), unnest(range(0, w)) AS x(x)
+    )
+    SELECT doc_id,
+           CAST(max(h) AS INTEGER) AS height,
+           CAST(max(w) AS INTEGER) AS width,
+           3 AS channels,
+           CAST(sum((i * 37) % 256 + (i * 59) % 256 + (i * 83) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "codec", "gif"),
+)
+def m12_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF pixel decode, value-checked: a 16-color palette image
+    (formula index per pixel, formula RGB per palette entry) →
+    encode_gif — INTERLACED for odd doc_ids, so the 4-pass row shuffle
+    is exercised and must be undone — → decode_image (production
+    operator, functions/gif.py LZW codec) → pixel statistics. LZW is
+    lossless, so unlike m6's closed-form-lossy JPEG oracle this one is
+    a plain exact replay of the formula. Map-only plan."""
+    from fhir_etl_spark.operators.multimodal import decode_image
+
+    documents = load_tables(spark, sf_dir, "documents")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from fhir_etl_spark.functions.gif import encode_gif
+
+        pal = np.stack(
+            [
+                np.array([(i * 37) % 256, (i * 59) % 256, (i * 83) % 256])
+                for i in range(16)
+            ]
+        ).astype(np.uint8)
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                h, w = 8 + doc_id % 15, 8 + doc_id % 11
+                yy, xx = np.mgrid[0:h, 0:w]
+                idx = ((doc_id + yy * 5 + xx * 3) % 16).astype(np.uint8)
+                blobs.append(
+                    encode_gif([idx], pal, interlace=bool(doc_id % 2))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    decoded = decode_image(media, bytes_col="media")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, img in zip(pdf["doc_id"], pdf["image"]):
+                assert img["error"] is None, f"doc {doc_id}: {img['error']}"
+                buf = np.frombuffer(img["pixels"], "uint8")
+                rows.append(
+                    (doc_id, img["height"], img["width"], img["channels"],
+                     int(buf.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "height", "width", "channels", "pixel_sum"]
+            )
+
+    return decoded.mapInPandas(stats, out_schema)

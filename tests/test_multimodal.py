@@ -1011,3 +1011,58 @@ def test_phash_neardup_small_scale_unchanged_by_star_pairs(spark):
         for r in phash_neardup_pairs(hashed, max_hamming=2).collect()
     }
     assert pairs == {(1, 2): 0, (1, 3): 2, (2, 3): 2}
+
+
+def test_gif_codec_roundtrip_edges():
+    """LZW losslessness across sizes, interlace, 2-color palettes,
+    12-bit code growth + table reset (big image); corrupt streams and
+    truncations raise ValueError (never a wrong image)."""
+    import numpy as np
+
+    from fhir_etl_spark.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for h, w in [(1, 1), (7, 5), (23, 31)]:
+        img = rng.integers(0, 16, (h, w)).astype(np.uint8)
+        for inter in (False, True):
+            got = decode_gif(encode_gif([img], pal, interlace=inter))
+            np.testing.assert_array_equal(got, pal[img])
+    big = rng.integers(0, 16, (150, 200)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_gif(encode_gif([big], pal)), pal[big])
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    img2 = rng.integers(0, 2, (33, 17)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_gif(encode_gif([img2], pal2)), pal2[img2])
+
+    data = encode_gif([big], pal)
+    # (cutting only the trailer/terminator tail can still leave a
+    # complete image block — that decodes, by design; every cut through
+    # the header/descriptor/LZW body must raise)
+    for cut in list(range(1, 40)) + [len(data) // 2]:
+        with pytest.raises((ValueError, IndexError, struct.error)):
+            decode_gif(data[:cut])
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + bytes(40))
+
+
+def test_gif_animated_split_then_decode(spark):
+    """The full animation pipeline: 3-frame GIF → split_gif_frames
+    (container re-wrap) → decode_image → every frame's pixels exact."""
+    import numpy as np
+
+    from fhir_etl_spark.functions.gif import encode_gif
+    from fhir_etl_spark.operators.multimodal import decode_image, split_gif_frames
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 8, (12, 9)).astype(np.uint8) for _ in range(3)]
+    gif = encode_gif(frames, pal)
+    df = spark.createDataFrame([(1, gif)], "id long, media binary")
+    split = split_gif_frames(df)
+    decoded = decode_image(split, bytes_col="frame").collect()
+    assert len(decoded) == 3
+    for r in decoded:
+        img = r["image"]
+        assert img["error"] is None
+        got = np.frombuffer(img["pixels"], np.uint8).reshape(12, 9, 3)
+        np.testing.assert_array_equal(got, pal[frames[r["frame_index"]]])
