@@ -6,8 +6,9 @@ Implemented from the public specification (GIF89a spec / CompuServe
 GIF87a; LZW per the spec's variable-code-size variant):
 
 - decoder: header + logical screen descriptor, global/local color
-  tables, extension skip (GCE transparency index surfaced to the
-  caller), image descriptor, INTERLACED row reordering (the 4-pass
+  tables, extension skip (a GCE transparency index decodes as its
+  palette color — cross-frame compositing is the caller's concern),
+  image descriptor, INTERLACED row reordering (the 4-pass
   8/8-4/8-2/4-1/2 scheme), and the LZW decompressor — LSB-first bit
   packing, clear/end codes, code width growth to 12 bits, the KwKwK
   (code == next_free) case, early table reset. Output: palette indices
@@ -36,8 +37,17 @@ import numpy as np
 # --------------------------------------------------------------------------
 
 
-def lzw_decompress(data: bytes, min_code_size: int) -> list[int]:
-    """GIF LZW byte stream (already de-sub-blocked) → palette index list."""
+def lzw_decompress(
+    data: bytes, min_code_size: int, max_symbols: int | None = None
+) -> list[int]:
+    """GIF LZW byte stream (already de-sub-blocked) → palette index list.
+
+    ``max_symbols`` caps the output (callers pass the image's pixel
+    count): LZW expands up to ~1000× (measured), so without the cap a
+    few-MB crafted stream with a tiny image descriptor is a
+    decompression bomb that OOMs the worker BEFORE decode_gif's
+    pixel-count check — an OOM-killed python worker fails the whole
+    batch, violating the per-row error contract."""
     if not 2 <= min_code_size <= 8:
         raise ValueError(f"bad LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
@@ -79,6 +89,14 @@ def lzw_decompress(data: bytes, min_code_size: int) -> list[int]:
         else:
             raise ValueError(f"corrupt LZW stream: code {code} of {len(table)}")
         out.extend(entry)
+        # slack of two max-length entries: sloppy real-world encoders
+        # emit a few trailing pixels past the raster (tolerated and
+        # truncated by the caller); a bomb overshoots by orders of
+        # magnitude and stops here
+        if max_symbols is not None and len(out) > max_symbols + 8192:
+            raise ValueError(
+                f"LZW stream exceeds {max_symbols} pixels (decompression bomb)"
+            )
         if prev is not None and len(table) < 4096:
             table.append(prev + (entry[0],))
             if len(table) == (1 << width) and width < 12:
@@ -164,8 +182,10 @@ def encode_gif(
     if not frames:
         raise ValueError("need at least one frame")
     n_colors = palette.shape[0]
-    if n_colors & (n_colors - 1) or n_colors < 2:
-        raise ValueError(f"palette size must be a power of two ≥ 2, got {n_colors}")
+    if n_colors & (n_colors - 1) or not 2 <= n_colors <= 256:
+        raise ValueError(
+            f"palette size must be a power of two in [2, 256], got {n_colors}"
+        )
     h, w = frames[0].shape
     depth = max(n_colors.bit_length() - 1, 1)
     out = bytearray(b"GIF89a")
@@ -213,9 +233,10 @@ def decode_gif(data: bytes) -> np.ndarray:
     i = 13
     if packed & 0x80:
         n = 2 << (packed & 0x07)
-        gct = np.frombuffer(data[13 : 13 + 3 * n], np.uint8).reshape(n, 3)
-        if gct.shape[0] != n:
+        raw_ct = data[13 : 13 + 3 * n]
+        if len(raw_ct) != 3 * n:
             raise ValueError("truncated global color table")
+        gct = np.frombuffer(raw_ct, np.uint8).reshape(n, 3)
         i = 13 + 3 * n
     while i < len(data):
         b0 = data[i]
@@ -235,7 +256,10 @@ def decode_gif(data: bytes) -> np.ndarray:
             ct = gct
             if flags & 0x80:
                 n = 2 << (flags & 0x07)
-                ct = np.frombuffer(data[j : j + 3 * n], np.uint8).reshape(n, 3)
+                raw_ct = data[j : j + 3 * n]
+                if len(raw_ct) != 3 * n:
+                    raise ValueError("truncated local color table")
+                ct = np.frombuffer(raw_ct, np.uint8).reshape(n, 3)
                 j += 3 * n
             if ct is None:
                 raise ValueError("no color table for image block")
@@ -248,7 +272,7 @@ def decode_gif(data: bytes) -> np.ndarray:
                 ln = data[j]
                 lzw += data[j + 1 : j + 1 + ln]
                 j += 1 + ln
-            indices = lzw_decompress(bytes(lzw), mcs)
+            indices = lzw_decompress(bytes(lzw), mcs, max_symbols=fw * fh)
             if len(indices) < fw * fh:
                 raise ValueError(
                     f"LZW stream yields {len(indices)} pixels, need {fw * fh}"

@@ -179,6 +179,14 @@ def _build_huffman(bits: list[int], vals: list[int]):
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                # over-subscribed BITS histogram (corrupt DHT) — reject
+                # here with a clear error; the 16-bit fast-table build
+                # would otherwise die on an out-of-range index
+                raise ValueError(
+                    f"invalid DHT: {bits[length - 1]} codes overflow "
+                    f"length {length}"
+                )
             codes[vals[k]] = (code, length)
             code += 1
             k += 1

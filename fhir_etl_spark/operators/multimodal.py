@@ -372,12 +372,13 @@ def resize_image(
     bytes_col: str = "media",
     method: str = "bilinear",
 ) -> DataFrame:
-    """Binary in, binary out: PNG/baseline-JPEG → decode → numpy resample
-    (bilinear or nearest) → re-encode PNG (always PNG out: resized
-    training thumbnails should not pay a second lossy generation).
-    Unsupported / corrupt rows pass through with
+    """Binary in, binary out: PNG/JPEG (baseline + progressive)/GIF →
+    decode → numpy resample (bilinear or nearest) → re-encode PNG
+    (always PNG out: resized training thumbnails should not pay a second
+    lossy generation). Unsupported / corrupt rows pass through with
     ``{bytes_col}_resize_error`` set (same survive-bad-files contract as
     decode_image). Map-only: no shuffle, scales linearly with rows."""
+    from fhir_etl_spark.functions.gif import decode_gif
     from fhir_etl_spark.functions.jpeg import decode_jpeg
     from fhir_etl_spark.functions.png import (
         decode_png,
@@ -408,8 +409,6 @@ def resize_image(
                 elif raw.startswith(b"\xff\xd8\xff"):
                     codec = decode_jpeg
                 elif raw[:6] in (b"GIF87a", b"GIF89a"):
-                    from fhir_etl_spark.functions.gif import decode_gif
-
                     codec = decode_gif
                 else:
                     new_bytes.append(raw)  # pass through unchanged
@@ -559,11 +558,12 @@ _PHASH_DCT32 = _dct_matrix(32)
 def phash_image(
     df: DataFrame, bytes_col: str = "media", out_col: str = "phash"
 ) -> DataFrame:
-    """(… , phash BIGINT, phash_error) for PNG/JPEG rows via the engine's
-    own codecs — the image analogue of the text fingerprint: equal hashes
-    ⇒ exact/near-exact duplicates, small Hamming distance ⇒ perceptual
-    near-dups. Unsupported/corrupt rows get NULL + error (per-row
-    contract). Map-only."""
+    """(… , phash BIGINT, phash_error) for PNG/JPEG/GIF rows via the
+    engine's own codecs — the image analogue of the text fingerprint:
+    equal hashes ⇒ exact/near-exact duplicates, small Hamming distance ⇒
+    perceptual near-dups. Unsupported/corrupt rows get NULL + error
+    (per-row contract). Map-only."""
+    from fhir_etl_spark.functions.gif import decode_gif
     from fhir_etl_spark.functions.jpeg import decode_jpeg
     from fhir_etl_spark.functions.png import decode_png
 
@@ -588,8 +588,6 @@ def phash_image(
                     elif raw.startswith(b"\xff\xd8\xff"):
                         arr = decode_jpeg(raw)
                     elif raw[:6] in (b"GIF87a", b"GIF89a"):
-                        from fhir_etl_spark.functions.gif import decode_gif
-
                         arr = decode_gif(raw)
                     else:
                         raise ValueError(f"unsupported: {sniff_mime(raw)}")

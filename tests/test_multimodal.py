@@ -780,6 +780,7 @@ def test_codec_fuzz_random_bytes_fail_cleanly():
     exception types — the per-row error contract depends on it."""
     import numpy as np
 
+    from fhir_etl_spark.functions.gif import decode_gif
     from fhir_etl_spark.functions.jpeg import decode_jpeg
     from fhir_etl_spark.functions.mp4 import mp4_metadata, mp4_samples
     from fhir_etl_spark.functions.png import decode_png
@@ -787,8 +788,9 @@ def test_codec_fuzz_random_bytes_fail_cleanly():
 
     rng = np.random.default_rng(13)
     magics = [b"", b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n",
-              b"\x00\x00\x00\x18ftypisom", b"\x1a\x45\xdf\xa3", b"RIFF"]
-    parsers = [decode_jpeg, decode_png, mp4_metadata, mp4_samples,
+              b"\x00\x00\x00\x18ftypisom", b"\x1a\x45\xdf\xa3", b"RIFF",
+              b"GIF89a"]
+    parsers = [decode_jpeg, decode_png, decode_gif, mp4_metadata, mp4_samples,
                webm_metadata, webm_samples]
     for trial in range(120):
         blob = (magics[trial % len(magics)]
@@ -811,6 +813,7 @@ def test_codec_truncation_sweep_fails_cleanly():
     catches infinite loops and unguarded reads at record boundaries."""
     import numpy as np
 
+    from fhir_etl_spark.functions.gif import decode_gif, encode_gif
     from fhir_etl_spark.functions.jpeg import decode_jpeg, encode_jpeg
     from fhir_etl_spark.functions.mp4 import mp4_samples, mux_mp4
     from fhir_etl_spark.functions.png import decode_png, encode_png
@@ -827,6 +830,12 @@ def test_codec_truncation_sweep_fails_cleanly():
         (decode_jpeg, encode_jpeg(img, quality=75)),
         (decode_jpeg, encode_jpeg(img, quality=75, progressive=True)),
         (decode_png, encode_png(img[:, :, None])),
+        (decode_gif, encode_gif(
+            [(img % 16).astype(np.uint8)],
+            rng.integers(0, 256, (16, 3), dtype=np.uint8))),
+        (decode_gif, encode_gif(
+            [(img % 4).astype(np.uint8)],
+            rng.integers(0, 256, (4, 3), dtype=np.uint8), interlace=True)),
         (mp4_samples, mux_mp4([b"aa" * 9] * 5, keyframe_indices=[0])),
         (webm_samples, mux_webm([b"bb" * 7] * 5)),
         (lambda d: list(read_warc_bytes(d)),
