@@ -916,3 +916,70 @@ def m12_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return decoded.mapInPandas(stats, out_schema)
+
+
+@query(
+    "m13_audio_fingerprint",
+    oracle="""
+    -- m9's exact frame energies folded to Haitsma-Kalker-style
+    -- energy-delta sign bits, packed LSB-first: a wrong frame boundary,
+    -- comparison direction, or bit position breaks the integer exactly.
+    WITH spec AS (
+      SELECT doc_id, 64 + doc_id % 32 AS n FROM documents
+    ), fr AS (
+      SELECT doc_id, n, unnest(range(0, (n + 7) // 8)) AS f FROM spec
+    ), smp AS (
+      SELECT doc_id, f, (doc_id * 31 + t.j * 17) % 65536 - 32768 AS s
+      FROM fr, unnest(range(f * 8, least(n, f * 8 + 8))) AS t(j)
+    ), frames AS (
+      SELECT doc_id, f, sum(s * s) AS sumsq FROM smp GROUP BY doc_id, f
+    ), bits AS (
+      SELECT doc_id, f,
+             CASE WHEN sumsq > lag(sumsq)
+                    OVER (PARTITION BY doc_id ORDER BY f)
+                  THEN 1 ELSE 0 END AS b
+      FROM frames
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_frames,
+           CAST(coalesce(sum(CASE WHEN f BETWEEN 1 AND 64
+                                  THEN b * (CAST(1 AS BIGINT) << (f - 1))
+                             END), 0) AS BIGINT) AS fingerprint
+    FROM bits GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "dedup"),
+)
+def m13_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprinting, value-checked end to end: formula PCM16 →
+    WAV bytes → audio_fingerprint (production operator: exact 8-sample
+    frame energies → energy-delta sign bits → LSB-first packed long).
+    The integer-domain formulation makes an audio perceptual hash fully
+    SQL-replayable; compose with hamming64 / the multi-index Hamming
+    miner for audio near-dup search. Python only in the existing Arrow
+    decode stage; the fold is one window lag + one groupBy."""
+    from fhir_etl_spark.operators.multimodal import audio_fingerprint
+
+    documents = load_tables(spark, sf_dir, "documents")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                n = 64 + doc_id % 32
+                rate = int(8000 + doc_id % 100)
+                x = ((doc_id * 31 + np.arange(n) * 17) % 65536 - 32768).astype("<i2")
+                pcm = x.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                body = (
+                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                blobs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    return audio_fingerprint(
+        media, frame_samples=8, bytes_col="media", id_col="doc_id"
+    )

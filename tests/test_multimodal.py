@@ -1075,3 +1075,40 @@ def test_gif_animated_split_then_decode(spark):
         assert img["error"] is None
         got = np.frombuffer(img["pixels"], np.uint8).reshape(12, 9, 3)
         np.testing.assert_array_equal(got, pal[frames[r["frame_index"]]])
+
+
+def test_audio_fingerprint_volume_and_structure(spark):
+    """The energy-delta-sign fingerprint is invariant to volume scaling
+    (halving every sample flips no bits) and sensitive to structural
+    change (reordering the loud/quiet pattern flips bits); single-frame
+    clips get fingerprint 0."""
+    import numpy as np
+
+    from fhir_etl_spark.operators.multimodal import audio_fingerprint
+
+    def clip(pattern):  # pattern of per-frame amplitudes, 8 samples each
+        x = np.concatenate(
+            [np.full(8, a, dtype="<i2") for a in pattern]
+        )
+        pcm = x.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(pcm)) + pcm)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    quiet_loud = [100, 2000, 3000, 100, 200]  # delta signs 1,1,0,1 — not
+    # symmetric under reversal (0,1,0,0), unlike an alternating pattern
+    df = spark.createDataFrame(
+        [
+            (1, clip(quiet_loud)),
+            (2, clip([a // 2 for a in quiet_loud])),   # half volume
+            (3, clip(list(reversed(quiet_loud)))),     # structure changed
+            (4, clip([500])),                          # single frame
+        ],
+        "id long, media binary",
+    )
+    got = {r["id"]: r for r in audio_fingerprint(df, frame_samples=8).collect()}
+    assert got[1]["n_frames"] == 5
+    assert got[1]["fingerprint"] == got[2]["fingerprint"] != 0
+    assert got[3]["fingerprint"] != got[1]["fingerprint"]
+    assert got[4] and got[4]["fingerprint"] == 0 and got[4]["n_frames"] == 1
