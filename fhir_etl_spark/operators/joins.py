@@ -142,3 +142,48 @@ def range_join_bucketed(
     return joined.filter(
         (F.col(left_point) >= F.col(right_start)) & (F.col(left_point) < F.col(right_end))
     ).drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    extra_on: str | None = None,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (the bedtools-intersect /
+    genomic-region workhorse; range_join_bucketed above is its
+    point-in-interval sibling): all pairs with
+    ``left.start < right.end AND right.start < left.end`` (half-open
+    intervals — touching endpoints do NOT overlap).
+
+    Scale shape: both sides explode into width-``bucket_width`` buckets
+    (ceil(len/width)+1 each), equi-join on the bucket (+ an optional
+    equality key such as a chromosome/user id), then the exact overlap
+    predicate. An overlapping pair shares ≥1 bucket, so recall is exact;
+    to avoid emitting it once per shared bucket WITHOUT a distinct
+    (dedup would shuffle the full candidate set again), a pair is kept
+    only in its CANONICAL bucket — the bucket containing
+    max(left.start, right.start), which every overlapping pair has
+    exactly one of. One shuffle per side, no distinct, no theta join.
+    """
+    lb = F.floor(F.col(left_start) / bucket_width).cast("long")
+    le = F.floor(F.col(left_end) / bucket_width).cast("long")
+    l_bucketed = left.withColumn("_bucket", F.explode(F.sequence(lb, le)))
+    rb = F.floor(F.col(right_start) / bucket_width).cast("long")
+    re = F.floor(F.col(right_end) / bucket_width).cast("long")
+    r_bucketed = right.withColumn("_bucket", F.explode(F.sequence(rb, re)))
+
+    on = ["_bucket"] + ([extra_on] if extra_on else [])
+    joined = l_bucketed.join(r_bucketed, on)
+    canonical = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / bucket_width
+    ).cast("long")
+    return joined.filter(
+        (F.col(left_start) < F.col(right_end))
+        & (F.col(right_start) < F.col(left_end))
+        & (F.col("_bucket") == canonical)
+    ).drop("_bucket")

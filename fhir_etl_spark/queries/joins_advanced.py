@@ -228,3 +228,56 @@ def j11_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b_text"),
     )
     return fuzzy_match_pairs(roster, corrupted, max_distance=1)
+
+
+@query(
+    "r4_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT event_id AS a_id, user_id,
+             round(value, 2) AS s1, round(value, 2) + 7 AS e1
+      FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT event_id AS b_id, user_id,
+             round(value * 2, 2) AS s2, round(value * 2, 2) + 4 AS e2
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a_id, b_id,
+           round(least(e1, e2) - greatest(s1, s2), 2) AS overlap_len
+    FROM a JOIN b ON a.user_id = b.user_id
+                 AND s1 < e2 AND s2 < e1
+    """,
+    tags=("join", "interval", "genomics"),
+)
+def r4_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/joins.interval_overlap_join —
+    the genomic-region/bedtools-intersect shape): click activity windows
+    × purchase windows per user, bucketized so every pair meets in its
+    canonical bucket exactly once (no distinct, no theta join). The
+    oracle is the plain quadratic theta join the bucketing avoids — a
+    missed bucket or double-counted pair breaks the hash."""
+    from fhir_etl_spark.operators.joins import interval_overlap_join
+
+    events = load_tables(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.round("value", 2).alias("s1"),
+        (F.round("value", 2) + 7).alias("e1"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"),
+        "user_id",
+        F.round(F.col("value") * 2, 2).alias("s2"),
+        (F.round(F.col("value") * 2, 2) + 4).alias("e2"),
+    )
+    out = interval_overlap_join(
+        clicks, purchases, "s1", "e1", "s2", "e2",
+        bucket_width=8.0, extra_on="user_id",
+    )
+    return out.select(
+        "a_id", "b_id",
+        F.round(F.least("e1", "e2") - F.greatest("s1", "s2"), 2).alias(
+            "overlap_len"
+        ),
+    )

@@ -43,3 +43,38 @@ def test_range_join_bucketed_boundaries(spark):
     got = sorted((r["id"], r["name"]) for r in out.collect())
     # [lo, hi): 10.0 not in 'a'; 25.0 only in 'b'; 100.0 nowhere
     assert got == [(1, "a"), (2, "a"), (2, "b"), (3, "b"), (4, "b")]
+
+def test_interval_overlap_join_semantics(spark):
+    """Strict half-open overlap: touching endpoints don't match;
+    containment/identity do; pairs spanning many shared buckets emit
+    exactly once (canonical-bucket dedup); negative coordinates work."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 20.0, 21.0), (3, -15.0, -5.0), (4, 0.0, 100.0)],
+        "a_id long, s1 double, e1 double",
+    )
+    right = spark.createDataFrame(
+        [(10, 5.0, 6.0),     # contained in 1 and 4
+         (11, 10.0, 12.0),   # touches 1's end -> NO match with 1; overlaps 4
+         (12, -100.0, 200.0),  # spans everything (many shared buckets)
+         (13, -10.0, -9.0)],   # negative range, inside 3
+        "b_id long, s2 double, e2 double",
+    )
+    pairs = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            left, right, "s1", "e1", "s2", "e2", bucket_width=3.0
+        ).collect()
+    )
+    assert pairs == sorted([
+        (1, 10), (1, 12),
+        (2, 12),
+        (3, 12), (3, 13),
+        (4, 10), (4, 11), (4, 12),
+    ])
+    # each pair exactly once despite bucket_width 3 (pair (4,12) shares
+    # ~34 buckets)
+    assert len(pairs) == len(set(pairs))
