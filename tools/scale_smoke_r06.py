@@ -3,7 +3,7 @@ at 1M–10M row scale on local[32], one timing line per operator. Inputs
 are synthesized with pure Spark expressions (no driver-side data).
 
 Usage: python tools/scale_smoke_r06.py [smoke ...]
-  smokes: g3 g4 d11 t16 dq1 j11   (default: all)
+  smokes: g3 g4 d11 t16 dq1 j11 r4 m12   (default: all)
 """
 
 from __future__ import annotations
@@ -228,8 +228,72 @@ def smoke_j11(spark):
     )
 
 
+def smoke_r4(spark):
+    """5M x 500k interval-overlap join keyed by 10k groups: the
+    canonical-bucket formulation must stay linear in candidates (the
+    theta join would be 2.5e12 comparisons)."""
+    from fhir_etl_spark.operators.joins import interval_overlap_join
+
+    nl, nr, groups = 5_000_000, 500_000, 10_000
+    left = spark.range(nl).select(
+        F.col("id").alias("a_id"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(groups)).alias("g"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), 100_000) * 1.0).alias("s1"),
+    ).withColumn("e1", F.col("s1") + 50.0)
+    right = spark.range(nr).select(
+        F.col("id").alias("b_id"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(groups)).alias("g"),
+        (F.pmod(F.xxhash64("id", F.lit(4)), 100_000) * 1.0).alias("s2"),
+    ).withColumn("e2", F.col("s2") + 30.0)
+    t0 = time.perf_counter()
+    n = interval_overlap_join(
+        left, right, "s1", "e1", "s2", "e2", bucket_width=64.0, extra_on="g"
+    ).count()
+    dt = time.perf_counter() - t0
+    print(
+        f"r4_interval_overlap: {nl:,} x {nr:,} intervals / {groups:,} groups "
+        f"in {dt:.1f}s - {n:,} overlapping pairs",
+        flush=True,
+    )
+
+
+def smoke_m12(spark):
+    """50k GIFs (32x24, 16 colors) through the pure-python LZW decoder."""
+    from fhir_etl_spark.operators.multimodal import decode_image
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from fhir_etl_spark.functions.gif import encode_gif
+
+        pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+        for pdf in batches:
+            blobs = []
+            for i in pdf["id"]:
+                yy, xx = np.mgrid[0:24, 0:32]
+                idx = ((int(i) + yy * 3 + xx) % 16).astype(np.uint8)
+                blobs.append(encode_gif([idx], pal))
+            yield pd.DataFrame({"id": pdf["id"], "media": blobs})
+
+    n = 50_000
+    imgs = spark.range(n).repartition(64).mapInPandas(gen, "id long, media binary")
+    t0 = time.perf_counter()
+    stats = decode_image(imgs).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("image.error").isNull(), 1).otherwise(0)).alias("ok"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    print(
+        f"m12_gif_decode: {n:,} GIFs decoded in {dt:.1f}s "
+        f"({n / dt:.0f} imgs/s incl. generation), {stats['ok']:,} ok",
+        flush=True,
+    )
+
+
 SMOKES = {"g3": smoke_g3, "g4": smoke_g4, "d11": smoke_d11,
-          "t16": smoke_t16, "dq1": smoke_dq1, "j11": smoke_j11}
+          "t16": smoke_t16, "dq1": smoke_dq1, "j11": smoke_j11,
+          "r4": smoke_r4, "m12": smoke_m12}
 
 if __name__ == "__main__":
     picks = sys.argv[1:] or list(SMOKES)
