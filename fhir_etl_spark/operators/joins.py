@@ -134,7 +134,12 @@ def range_join_bucketed(
     l_bucketed = left.withColumn("_bucket", lb)
 
     start_b = F.floor(F.col(right_start) / bucket_width).cast("long")
-    end_b = F.floor(F.col(right_end) / bucket_width).cast("long")
+    # half-open [start, end): an exclusive end on a bucket boundary does
+    # NOT occupy that bucket — ceil(end/w)-1 is the last occupied bucket
+    # (greatest() guards degenerate zero-length intervals)
+    end_b = F.greatest(
+        start_b, F.ceil(F.col(right_end) / bucket_width).cast("long") - 1
+    )
     r_bucketed = right.withColumn("_bucket", F.explode(F.sequence(start_b, end_b)))
 
     on = ["_bucket"] + ([extra_on] if extra_on else [])
@@ -170,11 +175,16 @@ def interval_overlap_join(
     max(left.start, right.start), which every overlapping pair has
     exactly one of. One shuffle per side, no distinct, no theta join.
     """
+    # half-open ends: an exclusive end on a bucket boundary does not
+    # occupy that bucket — ceil(end/w)-1, not floor(end/w), is the last
+    # occupied bucket (one dead candidate row per boundary-aligned
+    # interval otherwise; correctness was unaffected, the exact
+    # predicate filtered them)
     lb = F.floor(F.col(left_start) / bucket_width).cast("long")
-    le = F.floor(F.col(left_end) / bucket_width).cast("long")
+    le = F.greatest(lb, F.ceil(F.col(left_end) / bucket_width).cast("long") - 1)
     l_bucketed = left.withColumn("_bucket", F.explode(F.sequence(lb, le)))
     rb = F.floor(F.col(right_start) / bucket_width).cast("long")
-    re = F.floor(F.col(right_end) / bucket_width).cast("long")
+    re = F.greatest(rb, F.ceil(F.col(right_end) / bucket_width).cast("long") - 1)
     r_bucketed = right.withColumn("_bucket", F.explode(F.sequence(rb, re)))
 
     on = ["_bucket"] + ([extra_on] if extra_on else [])

@@ -1148,12 +1148,18 @@ def audio_fingerprint(
     float mel tier). Compose with `dedup.hamming64` or the pHash
     multi-index miner for audio near-dup search.
 
+    Per-row error contract (same as the sibling decode operators):
+    undecodable clips surface as (id, n_frames=0, fingerprint=NULL,
+    error) rows — never silently dropped.
+
     Plan: the per-frame Python stage is audio_frame_features' existing
-    Arrow decode; the fold to bits is pure Catalyst (one window lag +
-    one groupBy on the clip id)."""
+    Arrow decode, executed ONCE; the fold is one window lag + ONE
+    groupBy computing n_frames and the packed bits together (a separate
+    count branch would re-run the decode stage — the double-execution
+    anti-pattern the linkage operator was fixed for)."""
     feats = audio_frame_features(
         df, frame_samples=frame_samples, bytes_col=bytes_col, id_col=id_col
-    ).where(F.col("frame_index") >= 0)
+    )
     w = Window.partitionBy(id_col).orderBy("frame_index")
     bit = (
         F.when(F.col("sumsq") > F.lag("sumsq").over(w), F.lit(1))
@@ -1161,26 +1167,27 @@ def audio_fingerprint(
         .cast("long")
     )
     with_bits = feats.select(
-        id_col,
-        F.col("frame_index"),
-        bit.alias("_b"),
-    ).where(F.col("frame_index") >= 1)
-    packed = (
-        with_bits.where(F.col("frame_index") <= 64)
-        .groupBy(id_col)
-        .agg(
-            F.sum(
+        id_col, "frame_index", "error", bit.alias("_b")
+    )
+    packed = F.coalesce(
+        F.sum(
+            F.when(
+                F.col("frame_index").between(1, 64),
                 F.call_function(
                     "shiftleft", F.col("_b"), (F.col("frame_index") - 1).cast("int")
-                )
-            ).alias("fingerprint")
+                ),
+            )
+        ),
+        F.lit(0).cast("long"),
+    )
+    err = F.max("error")
+    return (
+        with_bits.groupBy(id_col)
+        .agg(
+            F.sum((F.col("frame_index") >= 0).cast("int")).cast("int").alias(
+                "n_frames"
+            ),
+            F.when(err.isNull(), packed).alias("fingerprint"),
+            err.alias("error"),
         )
-    )
-    n_frames = feats.groupBy(id_col).agg(
-        F.count("*").cast("int").alias("n_frames")
-    )
-    return n_frames.join(packed, id_col, "left").select(
-        id_col,
-        "n_frames",
-        F.coalesce("fingerprint", F.lit(0).cast("long")).alias("fingerprint"),
     )

@@ -32,6 +32,36 @@ _MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _wav_media(documents):
+    """Formula PCM16 → WAV media per doc — the SHARED builder for every
+    audio query (m3/m9/m13): sample j of doc is
+    (doc_id*31 + j*17) % 65536 - 32768 over n = 64 + doc_id%32 samples
+    at rate 8000 + doc_id%100. The m3/m9/m13 oracles replay exactly this
+    formula — one builder keeps query and oracle in lockstep (they
+    drifted as 3 copies before round 6's review)."""
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                n = 64 + doc_id % 32
+                rate = int(8000 + doc_id % 100)
+                x = ((doc_id * 31 + np.arange(n) * 17) % 65536 - 32768).astype("<i2")
+                pcm = x.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                body = (
+                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                blobs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    return documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+
+
+
 def _png_media(df: DataFrame) -> DataFrame:
     """doc_id → PNG of a (4+id%5) × (4+id%7) × 3 ramp image,
     pixel[i] = (doc_id*7 + i) % 256, filter type id%5 (all five scanline
@@ -235,25 +265,7 @@ def m3_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_tables(spark, sf_dir, "documents")
 
-    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in it:
-            blobs = []
-            for doc_id in pdf["doc_id"]:
-                n = 64 + doc_id % 32
-                rate = int(8000 + doc_id % 100)
-                x = ((doc_id * 31 + np.arange(n) * 17) % 65536 - 32768).astype("<i2")
-                pcm = x.tobytes()
-                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
-                body = (
-                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-                    + b"data" + struct.pack("<I", len(pcm)) + pcm
-                )
-                blobs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
-
-    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    media = _wav_media(documents)  # shared formula-WAV builder
     decoded = decode_audio(media, bytes_col="media")
 
     out_schema = T.StructType(
@@ -328,25 +340,7 @@ def m9_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_tables(spark, sf_dir, "documents")
 
-    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in it:
-            blobs = []
-            for doc_id in pdf["doc_id"]:
-                n = 64 + doc_id % 32
-                rate = int(8000 + doc_id % 100)
-                x = ((doc_id * 31 + np.arange(n) * 17) % 65536 - 32768).astype("<i2")
-                pcm = x.tobytes()
-                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
-                body = (
-                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-                    + b"data" + struct.pack("<I", len(pcm)) + pcm
-                )
-                blobs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
-
-    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    media = _wav_media(documents)  # shared formula-WAV builder
     feats = audio_frame_features(
         media, frame_samples=32, bytes_col="media", id_col="doc_id"
     )
@@ -961,25 +955,7 @@ def m13_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_tables(spark, sf_dir, "documents")
 
-    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in it:
-            blobs = []
-            for doc_id in pdf["doc_id"]:
-                n = 64 + doc_id % 32
-                rate = int(8000 + doc_id % 100)
-                x = ((doc_id * 31 + np.arange(n) * 17) % 65536 - 32768).astype("<i2")
-                pcm = x.tobytes()
-                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
-                body = (
-                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-                    + b"data" + struct.pack("<I", len(pcm)) + pcm
-                )
-                blobs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
-
-    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    media = _wav_media(documents)  # shared formula-WAV builder
     return audio_fingerprint(
         media, frame_samples=8, bytes_col="media", id_col="doc_id"
-    )
+    ).select("doc_id", "n_frames", "fingerprint")

@@ -1104,6 +1104,7 @@ def test_audio_fingerprint_volume_and_structure(spark):
             (2, clip([a // 2 for a in quiet_loud])),   # half volume
             (3, clip(list(reversed(quiet_loud)))),     # structure changed
             (4, clip([500])),                          # single frame
+            (5, b"not audio at all"),                  # undecodable
         ],
         "id long, media binary",
     )
@@ -1111,4 +1112,7 @@ def test_audio_fingerprint_volume_and_structure(spark):
     assert got[1]["n_frames"] == 5
     assert got[1]["fingerprint"] == got[2]["fingerprint"] != 0
     assert got[3]["fingerprint"] != got[1]["fingerprint"]
-    assert got[4] and got[4]["fingerprint"] == 0 and got[4]["n_frames"] == 1
+    assert got[4]["fingerprint"] == 0 and got[4]["n_frames"] == 1
+    # error contract: undecodable clips surface, never vanish
+    assert got[5]["n_frames"] == 0 and got[5]["fingerprint"] is None
+    assert got[5]["error"]
