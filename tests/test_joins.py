@@ -78,3 +78,38 @@ def test_interval_overlap_join_semantics(spark):
     # each pair exactly once despite bucket_width 3 (pair (4,12) shares
     # ~34 buckets)
     assert len(pairs) == len(set(pairs))
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Randomized cross-check: the bucketed canonical-pair formulation
+    equals the brute-force O(n²) pair set across several bucket widths,
+    including widths much larger and much smaller than the intervals."""
+    import random
+
+    random.seed(42)
+    left_rows = [
+        (i, s := round(random.uniform(-50, 50), 1), s + round(random.uniform(0.1, 30), 1))
+        for i in range(80)
+    ]
+    right_rows = [
+        (1000 + i, s := round(random.uniform(-50, 50), 1), s + round(random.uniform(0.1, 30), 1))
+        for i in range(80)
+    ]
+    expect = sorted(
+        (a, b)
+        for a, s1, e1 in left_rows
+        for b, s2, e2 in right_rows
+        if s1 < e2 and s2 < e1
+    )
+    from fhir_etl_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(left_rows, "a_id long, s1 double, e1 double")
+    right = spark.createDataFrame(right_rows, "b_id long, s2 double, e2 double")
+    for width in (0.5, 3.0, 25.0, 500.0):
+        got = sorted(
+            (r["a_id"], r["b_id"])
+            for r in interval_overlap_join(
+                left, right, "s1", "e1", "s2", "e2", bucket_width=width
+            ).collect()
+        )
+        assert got == expect, f"width {width}: {len(got)} vs {len(expect)}"

@@ -303,3 +303,34 @@ def test_incremental_agg_update_null_keys_and_values(spark):
         "b": (1, 0, None),    # all values NULL -> SQL sum is NULL, not 0
     }
     assert inc.count() == 3  # the NULL-key group did not duplicate
+
+
+def test_hll_sketch_table_merge_and_accuracy(spark):
+    """The mergeable-sketch contract: per-shard sketches unioned =
+    whole-corpus estimate (within HLL error), overlapping shards do NOT
+    double count (distinct semantics survive the merge), and per-group
+    re-aggregation from finer sketches works."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.sketch import hll_merge_estimate, hll_sketch_table
+
+    n = 50_000
+    df = spark.range(n).select(
+        (F.col("id") / 12_500).cast("int").alias("shard"),  # 4 blocks
+        (F.col("id") % 10).alias("label"),
+        # 10k distinct values, each appearing 5x across shards (overlap)
+        (F.col("id") % 10_000).alias("v"),
+    )
+    sk = hll_sketch_table(df, ["shard", "label"], "v")
+    assert sk.count() == 40  # 4 shards x 10 labels, ~1.6KB each
+
+    [row] = hll_merge_estimate(sk).collect()
+    assert abs(row["estimate"] - 10_000) / 10_000 < 0.05  # no double count
+
+    per_label = {
+        r["label"]: r["estimate"]
+        for r in hll_merge_estimate(sk, ["label"]).collect()
+    }
+    # each label holds every v with v%10==label: 1000 distinct
+    for label, est in per_label.items():
+        assert abs(est - 1000) / 1000 < 0.08, (label, est)
