@@ -99,6 +99,11 @@ R03_FLOOR = {
     # (3fb508f): one extra window pass buys near-byte-exact removal
     # granularity; isolated best-of-5 converges to 2.70 s at sf0.1
     "d10_substring_dedup": 2.700,
+    # r05/r06 additions: best observed under light host load (the VM has
+    # noisy neighbors — see BASELINE.md; the 1.5× bar absorbs that)
+    "m6_jpeg_decode": 2.67, "s12_warc_scan": 0.89,
+    "dq1_quality_checks": 0.61, "t16_url_canonicalize": 0.32,
+    "w8_rolling_zscore": 0.58, "g3_triangle_count": 2.26,
 }
 
 
