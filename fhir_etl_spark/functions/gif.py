@@ -219,15 +219,20 @@ def _interlace_order(h: int) -> list[int]:
 
 
 def decode_gif(data: bytes) -> np.ndarray:
-    """First image block of a GIF → (H, W, 3) uint8 RGB via the active
-    color table (local overrides global). Handles interlacing; a GCE
-    transparency index is decoded as its palette color (compositing
-    across frames is the caller's concern — split_gif_frames emits
-    frames as stored). Raises ValueError on corrupt/truncated streams."""
+    """First image block of a GIF → (H, W, 3) uint8 RGB at the LOGICAL
+    SCREEN size, via the active color table (local overrides global). A
+    frame positioned inside a larger screen (non-zero left/top or smaller
+    dims — GIF89a §20) is composited onto a background-color canvas
+    rather than silently returned as the bare sub-rectangle (ADVICE r06).
+    Handles interlacing; a GCE transparency index is decoded as its
+    palette color (compositing ACROSS frames is the caller's concern —
+    split_gif_frames emits frames as stored). Raises ValueError on
+    corrupt/truncated streams or a frame exceeding the screen."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     if len(data) < 13:
         raise ValueError("truncated GIF header")
+    sw, sh = struct.unpack("<HH", data[6:10])
     packed = data[10]
     gct = None
     i = 13
@@ -250,7 +255,7 @@ def decode_gif(data: bytes) -> np.ndarray:
         elif b0 == 0x2C:
             if i + 10 > len(data):
                 raise ValueError("truncated image descriptor")
-            fw, fh = struct.unpack("<HH", data[i + 5 : i + 9])
+            left, top, fw, fh = struct.unpack("<HHHH", data[i + 1 : i + 9])
             flags = data[i + 9]
             j = i + 10
             ct = gct
@@ -284,7 +289,20 @@ def decode_gif(data: bytes) -> np.ndarray:
                 idx = out
             if int(idx.max(initial=0)) >= ct.shape[0]:
                 raise ValueError("palette index out of range")
-            return ct[idx]
+            rgb = ct[idx]
+            if (left, top, fw, fh) == (0, 0, sw, sh):
+                return rgb
+            if left + fw > sw or top + fh > sh:
+                raise ValueError("image block exceeds logical screen")
+            bg_idx = data[11]
+            bg = (
+                gct[bg_idx]
+                if gct is not None and bg_idx < gct.shape[0]
+                else np.zeros(3, np.uint8)
+            )
+            canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+            canvas[top : top + fh, left : left + fw] = rgb
+            return canvas
         else:
             raise ValueError(f"corrupt GIF block 0x{b0:02x} at {i}")
     raise ValueError("no image block in GIF")

@@ -96,8 +96,23 @@ def incremental_agg_update(
     key_moved = F.lit(False)
     for k in keys:
         key_moved = key_moved | ~F.col(f"old_{k}").eqNullSafe(F.col(f"new_{k}"))
+    # A malformed op in a hand-built changeset must fail loudly, not fall
+    # through to the update branch and silently corrupt the view (ADVICE
+    # r06). raise_error fires at execution time inside the scan — no extra
+    # validation action/shuffle; NullType coerces into the branch type.
+    bad_op = F.col("op").isNull() | ~F.col("op").isin("insert", "delete", "update")
     contribs = (
-        F.when(F.col("op") == "insert", F.array(contrib("new", 1, 1)))
+        F.when(
+            bad_op,
+            F.raise_error(
+                F.concat(
+                    F.lit("incremental_agg_update: unknown op '"),
+                    F.coalesce(F.col("op"), F.lit("NULL")),
+                    F.lit("' (expected insert/delete/update)"),
+                )
+            ),
+        )
+        .when(F.col("op") == "insert", F.array(contrib("new", 1, 1)))
         .when(F.col("op") == "delete", F.array(contrib("old", -1, -1)))
         .when(key_moved, F.array(contrib("old", -1, -1), contrib("new", 1, 1)))
         .otherwise(

@@ -132,6 +132,12 @@ def snapshot_diff(
     missing = [c for c in compare_cols + keys if c not in new.columns]
     if missing:
         raise ValueError(f"columns absent from new snapshot: {missing}")
+    # Symmetric guard (ADVICE r06): explicit compare_cols/keys absent from
+    # OLD would otherwise surface as an opaque unresolved-column
+    # AnalysisException deep in the plan instead of this clear error.
+    missing_old = [c for c in compare_cols + keys if c not in old.columns]
+    if missing_old:
+        raise ValueError(f"columns absent from old snapshot: {missing_old}")
 
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],

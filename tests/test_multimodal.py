@@ -1116,3 +1116,39 @@ def test_audio_fingerprint_volume_and_structure(spark):
     # error contract: undecodable clips surface, never vanish
     assert got[5]["n_frames"] == 0 and got[5]["fingerprint"] is None
     assert got[5]["error"]
+
+
+def test_gif_offset_frame_composites_onto_logical_screen():
+    """ADVICE r06: a first frame positioned inside a larger logical screen
+    must composite onto a background-color canvas at the screen dims —
+    not silently decode to the bare sub-rectangle. Frames exceeding the
+    screen raise."""
+    import struct
+
+    import numpy as np
+
+    from fhir_etl_spark.functions.gif import decode_gif, encode_gif
+
+    pal = np.array(
+        [[9, 8, 7], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )
+    frame = np.arange(20, dtype=np.uint8).reshape(4, 5) % 4
+    data = bytearray(encode_gif([frame], pal))
+    # patch logical screen 5x4 -> 9x7 and descriptor (left, top) -> (2, 1)
+    data[6:10] = struct.pack("<HH", 9, 7)
+    desc = 13 + 3 * pal.shape[0]
+    assert data[desc] == 0x2C
+    data[desc + 1 : desc + 5] = struct.pack("<HH", 2, 1)
+    got = decode_gif(bytes(data))
+    assert got.shape == (7, 9, 3)
+    expect = np.broadcast_to(pal[0], (7, 9, 3)).copy()  # bg index 0
+    expect[1:5, 2:7] = pal[frame]
+    np.testing.assert_array_equal(got, expect)
+    # full-screen frame at (0, 0) is unchanged by the composite path
+    np.testing.assert_array_equal(
+        decode_gif(encode_gif([frame], pal)), pal[frame]
+    )
+    # frame extending past the screen is corrupt, not cropped
+    data[desc + 1 : desc + 5] = struct.pack("<HH", 6, 4)  # 6+5>9, 4+4>7
+    with pytest.raises(ValueError, match="exceeds logical screen"):
+        decode_gif(bytes(data))

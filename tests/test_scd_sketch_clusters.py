@@ -334,3 +334,39 @@ def test_hll_sketch_table_merge_and_accuracy(spark):
     # each label holds every v with v%10==label: 1000 distinct
     for label, est in per_label.items():
         assert abs(est - 1000) / 1000 < 0.08, (label, est)
+
+
+def test_incremental_agg_update_rejects_unknown_op(spark):
+    """ADVICE r06: a malformed op in a hand-built changeset must error at
+    execution, not fall through to the update branch and corrupt the
+    view."""
+    import pytest
+
+    from fhir_etl_spark.operators.ivm import build_agg_view, incremental_agg_update
+
+    view0 = build_agg_view(
+        spark.createDataFrame([(1, "a", 10.0)], "id long, g string, v double"),
+        ["g"],
+        "v",
+    )
+    for bad in ("upsert", None):
+        cs = spark.createDataFrame(
+            [(bad, "a", "a", 10.0, 11.0)],
+            "op string, old_g string, new_g string, old_v double, new_v double",
+        )
+        with pytest.raises(Exception, match="unknown op"):
+            incremental_agg_update(view0, cs, ["g"], "v").collect()
+
+
+def test_snapshot_diff_rejects_columns_absent_from_old(spark):
+    """ADVICE r06: explicit compare_cols/keys missing from the OLD
+    snapshot get the clear ValueError, not an unresolved-column
+    AnalysisException deep in the plan."""
+    import pytest
+
+    from fhir_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    new = spark.createDataFrame([(1, 2.0, "x")], "k long, v double, extra string")
+    with pytest.raises(ValueError, match="absent from old"):
+        snapshot_diff(old, new, on="k", compare_cols=["v", "extra"])
