@@ -455,3 +455,71 @@ def s14_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "doc_id", "n_chars", F.col("_corrupt").isNotNull().alias("is_corrupt")
     )
+
+
+@query(
+    "s15_xlsx_scan",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+    FROM supplier
+    """,
+    tags=("scan", "xlsx"),
+)
+def s15_xlsx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: Excel ingestion round trip — supplier → 4 .xlsx workbooks
+    (header row + typed cells) written distributed → the xlsx Python
+    DataSource (one partition per file, pure-stdlib ECMA-376 parse) →
+    declarative record assembly (xlsx_records: broadcast header join +
+    map_from_entries, no Python) → typed re-projection, replayed from
+    supplier by the oracle. The reference declares this format
+    (setup.py:28-29 openpyxl) but never reads it; this closes the row."""
+    import os
+
+    documents = load_tables(spark, sf_dir, "supplier")
+    n_files = 4
+    out_dir = f"/tmp/fhir_etl_spark_xlsx/{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(key, pdf):
+        import pandas as pd
+
+        from fhir_etl_spark.sources.xlsx import write_xlsx
+
+        fid = int(key[0])
+        rows = [["SUPPKEY", "NAME", "NATIONKEY", "ACCTBAL"]]
+        for r in sorted(pdf.itertuples(index=False), key=lambda t: t.s_suppkey):
+            rows.append([
+                int(r.s_suppkey),
+                None if pd.isna(r.s_name) else str(r.s_name),
+                None if pd.isna(r.s_nationkey) else int(r.s_nationkey),
+                None if pd.isna(r.s_acctbal) else float(r.s_acctbal),
+            ])
+        path = f"{out_dir}/dict-{fid:02d}.xlsx"
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(write_xlsx({"suppliers": rows}))
+        os.replace(tmp, path)
+        return pd.DataFrame({"file_id": [fid], "n": [len(rows) - 1]})
+
+    from fhir_etl_spark.sources.xlsx import XlsxDataSource, xlsx_records
+
+    (
+        documents.withColumn("file_id", F.col("s_suppkey") % n_files)
+        .groupBy("file_id")
+        .applyInPandas(write_group, "file_id long, n long")
+        .collect()
+    )
+    try:
+        spark.dataSource.register(XlsxDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    paths = ",".join(f"{out_dir}/dict-{fid:02d}.xlsx" for fid in range(n_files))
+    cells = spark.read.format("xlsx").option("paths", paths).load()
+    records = xlsx_records(cells, header_row=1)
+    return records.select(
+        F.col("fields")["SUPPKEY"].cast("bigint").alias("s_suppkey"),
+        F.col("fields")["NAME"].alias("s_name"),
+        F.col("fields")["NATIONKEY"].cast("bigint").alias("s_nationkey"),
+        F.col("fields")["ACCTBAL"].cast("double").alias("s_acctbal"),
+    )

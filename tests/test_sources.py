@@ -584,3 +584,109 @@ def test_webdataset_duplicate_member_last_wins(spark, tmp_path):
     [sample] = group_webdataset_samples(members).collect()
     assert bytes(sample["parts"]["txt"]) == b"second"
     assert bytes(sample["parts"]["cls"]) == b"en"
+
+
+def test_xlsx_parser_shared_strings_and_implicit_refs():
+    """From-spec parse paths the deterministic writer can't produce:
+    sharedStrings indirection (plain + rich-text runs), cells/rows
+    without r= references (sequential fallback), formula-result strings,
+    out-of-range shared index raising."""
+    import io
+    import zipfile
+
+    import pytest
+
+    from fhir_etl_spark.sources.xlsx import iter_xlsx_cells
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    shared = (
+        f'<sst {ns} count="3" uniqueCount="3">'
+        "<si><t>alpha</t></si>"
+        "<si><r><rPr/><t>be</t></r><r><t>ta</t></r></si>"  # rich-text runs
+        "<si><t xml:space=\"preserve\"> c </t></si></sst>"
+    )
+    sheet = (
+        f'<worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c t="s"><v>1</v></c></row>'
+        "<row><c><v>42</v></c><c t=\"s\"><v>2</v></c>"
+        '<c t="str"><v>=SUM()</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+
+    def book(sheet_xml, shared_xml):
+        wb = (
+            f'<workbook {ns} xmlns:r="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships"><sheets>'
+            '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        )
+        rels = (
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships"><Relationship Id="rId1" Type="t" '
+            'Target="worksheets/sheet1.xml"/></Relationships>'
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("xl/workbook.xml", wb)
+            zf.writestr("xl/_rels/workbook.xml.rels", rels)
+            zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+            if shared_xml:
+                zf.writestr("xl/sharedStrings.xml", shared_xml)
+        return buf.getvalue()
+
+    got = list(iter_xlsx_cells(book(sheet, shared)))
+    assert got == [
+        ("S", 1, 1, "A1", "s", "alpha"),
+        ("S", 1, 2, "B1", "s", "beta"),       # implicit col after A1
+        ("S", 2, 1, "A2", "n", "42"),         # implicit row + col
+        ("S", 2, 2, "B2", "s", " c "),        # space-preserved
+        ("S", 2, 3, "C2", "str", "=SUM()"),   # formula string result
+    ]
+    bad = sheet.replace("<v>2</v>", "<v>9</v>")
+    with pytest.raises(ValueError, match="shared string"):
+        list(iter_xlsx_cells(book(bad, shared)))
+
+
+def test_xlsx_datasource_spark_and_records(spark, tmp_path):
+    """DataSource partitions per file; corrupt file lands in an error row;
+    xlsx_records pivots to map<header, value> with first-header-wins
+    duplicate dedupe — all declarative."""
+    from fhir_etl_spark.sources.xlsx import (
+        XlsxDataSource,
+        write_xlsx,
+        xlsx_records,
+    )
+
+    good = tmp_path / "a.xlsx"
+    good.write_bytes(
+        write_xlsx(
+            {
+                "dict": [
+                    ["VAR", "DESC", "VAR"],  # duplicate header name
+                    ["SMTS", "tissue", "shadowed"],
+                    [None, "no-name", None],
+                ]
+            }
+        )
+    )
+    bad = tmp_path / "b.xlsx"
+    bad.write_bytes(b"PK\x03\x04 not a real zip")
+    try:
+        spark.dataSource.register(XlsxDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    cells = (
+        spark.read.format("xlsx")
+        .option("paths", f"{good},{bad}")
+        .load()
+        .cache()
+    )
+    assert cells.rdd.getNumPartitions() == 2
+    errs = cells.where("error IS NOT NULL").collect()
+    assert len(errs) == 1 and errs[0]["xlsx_file"].endswith("b.xlsx")
+
+    recs = {
+        r["row_num"]: r["fields"]
+        for r in xlsx_records(cells, header_row=1).collect()
+    }
+    assert recs[2] == {"VAR": "SMTS", "DESC": "tissue"}  # first VAR wins
+    assert recs[3] == {"DESC": "no-name"}
