@@ -164,10 +164,17 @@ def stream_upsert_ndjson(
     folder_path: str,
     resource_type: str,
     update_existing: bool = True,
+    checkpoint: str | None = None,
 ):
     """S9 as a streaming sink: foreachBatch + the same merge-by-id used in
     batch (utils.py:101-135 semantics, exactly-once per epoch). At scale the
-    body becomes Delta MERGE INTO (sinks/upsert.delta_merge)."""
+    body becomes Delta MERGE INTO (sinks/upsert.delta_merge).
+
+    ``checkpoint`` enables restart-from-failure: the offset/commit logs
+    record which epochs merged, so a query killed mid-stream resumes at
+    the first uncommitted epoch — and because the merge body is
+    idempotent per id, even a re-run of a half-applied epoch converges
+    (exactly-once EFFECT; pinned by the restart test)."""
     from fhir_etl_spark.sinks.upsert import create_or_extend
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
@@ -176,9 +183,11 @@ def stream_upsert_ndjson(
                 spark, batch_df, folder_path, resource_type, update_existing
             )
 
-    return (
+    writer = (
         resources_stream.writeStream.outputMode("update")
         .foreachBatch(_merge)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

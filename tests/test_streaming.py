@@ -419,3 +419,72 @@ def test_cusum_tws_tier_gated_cleanly(spark):
         cusum_stream(stream, mu0=0.0, api="tws")
     with _pytest.raises(ValueError, match="api must be"):
         cusum_stream(stream, mu0=0.0, api="bogus")
+
+
+def test_stream_upsert_restart_from_checkpoint(spark, tmp_path, monkeypatch):
+    """Failure injection for the S9 streaming path (VERDICT r06 #8): kill
+    the query mid-stream AFTER an epoch's merge applied but BEFORE its
+    commit was recorded, restart from the checkpoint, and require the
+    final NDJSON to hold every id exactly once — the offset log must
+    resume at the first uncommitted epoch, and the idempotent merge-by-id
+    must converge the half-applied epoch instead of duplicating it."""
+    import json
+
+    import fhir_etl_spark.sinks.upsert as upsert_mod
+    from fhir_etl_spark.streaming.windows import stream_upsert_ndjson
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir(), out.mkdir()
+    for fid in range(3):
+        with open(src / f"batch-{fid}.json", "w") as f:
+            for i in range(4):
+                f.write(json.dumps(
+                    {"resource": {"id": f"p{fid}-{i}", "v": f"f{fid}"}}
+                ) + "\n")
+    all_ids = {f"p{fid}-{i}" for fid in range(3) for i in range(4)}
+
+    def stream():
+        return (
+            spark.readStream.schema("resource struct<id string, v string>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    real = upsert_mod.create_or_extend
+    calls = []
+
+    def crash_after_second_apply(*args, **kwargs):
+        calls.append(1)
+        path = real(*args, **kwargs)  # merge APPLIES...
+        if len(calls) == 2:
+            raise RuntimeError("injected crash after apply, before commit")
+        return path
+
+    monkeypatch.setattr(upsert_mod, "create_or_extend", crash_after_second_apply)
+    q = stream_upsert_ndjson(spark, stream(), str(out), "Patient",
+                             checkpoint=str(ckpt))
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    assert len(calls) == 2  # two epochs ran; only the first committed
+
+    # restart: same checkpoint, healthy sink
+    monkeypatch.setattr(upsert_mod, "create_or_extend", real)
+    run2 = []
+    monkeypatch.setattr(
+        upsert_mod, "create_or_extend",
+        lambda *a, **k: (run2.append(1), real(*a, **k))[1],
+    )
+    q2 = stream_upsert_ndjson(spark, stream(), str(out), "Patient",
+                              checkpoint=str(ckpt))
+    q2.awaitTermination()
+
+    with open(out / "Patient.ndjson") as f:
+        rows = [json.loads(line) for line in f if line.strip()]
+    ids = [r["id"] for r in rows]
+    assert sorted(ids) == sorted(all_ids)      # nothing lost
+    assert len(ids) == len(set(ids))           # nothing duplicated
+    # the committed epoch 0 was NOT re-merged: restart re-ran only the
+    # uncommitted epochs (the crashed one + the never-started one)
+    assert len(run2) == 2
