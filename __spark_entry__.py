@@ -115,7 +115,18 @@ def oracle_sql() -> dict[str, str]:
     """name → DuckDB SQL. Entries absent here (approx/hash-dependent ops:
     xxhash64 MinHash-LSH, iterative BPE, approx sketches, raw-deflate
     ratio, float-FFT mel) get the driver's rows-only check; their
-    semantics are asserted in tests/ instead."""
+    semantics are asserted in tests/ instead.
+
+    d4x contract note (VERDICT r06 #7): a d4x value oracle would need
+    Spark's SEEDED XxHash64 — both the XXH64-over-UTF-8-bytes string form
+    (per-seed shingle minima) and Spark's long-fold form over array band
+    slices — replayed inside one DuckDB SQL statement. DuckDB's hash()
+    is unseeded and a different function; registering a Python UDF in the
+    driver's DuckDB connection is outside this contract (the driver
+    executes these strings in its own connection). d4x therefore stays
+    rows-only BY STRUCTURE, mitigated by (a) the value-oracled md5 twin
+    d4 running the identical pipeline with a replayable hash and (b)
+    hash/text agreement tests in tests/test_dedup_semantics.py."""
     registry = all_queries()
     out: dict[str, str] = {}
     for name in sorted(COVERAGE_ROTATION):
