@@ -54,8 +54,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # r01–r06 (computed by diffing sorted(all_queries()) against every
 # CORRECTNESS_r0*.json). All 24 were verified green by the round-6 judge's
 # independent strict-oracle sweep; this round converts that into driver
-# rows, then the list empties and the aliases disappear.
+# rows, then the list empties and the aliases disappear. The two round-7
+# NEW queries (s15 xlsx scan, v8 SemDeDup) also sort after the window's
+# reach, so they join the rotation rather than starting round 8 with the
+# same gap.
 COVERAGE_ROTATION = [
+    "s15_xlsx_scan",
+    "v8_semdedup",
     "g4_bfs_hops",
     "j11_fuzzy_match",
     "m6_jpeg_decode",

@@ -524,3 +524,104 @@ def kmeans_assign(
         F.col("_c").alias("cluster_id"),
         F.col("_d").alias("dist_r"),
     )
+
+
+def semdedup_keep(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iterations: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = 10_000,
+    init: str = "first_k",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then pruning within-cluster
+    near-duplicates → (id, cluster_id, dist_r, kept).
+
+    The public method, re-expressed Spark-first on top of
+    :func:`kmeans_assign` (the clustering stays deterministic, so the
+    whole operator is cross-engine replayable):
+
+    1. cluster every embedding (k-means, broadcast-centroid scoring —
+       the corpus never shuffles for assignment);
+    2. rank each cluster's members by keep priority: FARTHEST from the
+       centroid first (``dist_r`` DESC, id ASC) — SemDeDup's
+       diversity-maximizing order (the most typical member of a
+       duplicate set is the most redundant one);
+    3. a member is DROPPED iff some higher-priority member of its
+       cluster has cosine similarity ≥ ``threshold`` with it (rounded to
+       6 dp before the compare, so float summation order can never flip
+       a verdict between engines). One pass, no iteration: this is the
+       ordered-scan rule the reference SemDeDup implementation uses in
+       place of true connected components.
+
+    Scale shape: the pair search is an equi-join on ``cluster_id`` with
+    a rank inequality — cost is Σ c_i²/2 over cluster sizes, NOT n².
+    In production k grows with the corpus (√n clusters keeps cluster
+    sizes ~√n); ``max_cluster_size`` is the loud backstop — over-cap
+    members (rank > cap) are kept un-deduped and counted in a warning,
+    mirroring phash_neardup_pairs' cap policy, because silently dropping
+    them would under-report and silently pairing them would blow up a
+    degenerate cluster quadratically. The rank window and the pair join
+    hash-partition on the same key, so AQE reuses one exchange.
+    """
+    import logging
+
+    assign = kmeans_assign(
+        embeddings, k=k, n_iterations=n_iterations,
+        id_col=id_col, vec_col=vec_col, init=init,
+    )
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    pri = (
+        assign.join(vecs, id_col)
+        .withColumn("_n", _norm(F.col("_v")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("dist_r"), F.asc(id_col)
+                )
+            ),
+        )
+    )
+    in_scope = pri
+    if max_cluster_size is not None:
+        n_over = pri.filter(F.col("_rk") > max_cluster_size).count()
+        if n_over:
+            logging.getLogger(__name__).warning(
+                "semdedup_keep: %d member(s) beyond the %d-per-cluster cap "
+                "kept UN-deduped (degenerate cluster — raise k or run exact "
+                "dedup first)",
+                n_over, max_cluster_size,
+            )
+        in_scope = pri.filter(F.col("_rk") <= max_cluster_size)
+
+    x = in_scope.alias("x")
+    y = in_scope.alias("y")
+    sim = F.round(
+        _dot(F.col("x._v"), F.col("y._v")) / (F.col("x._n") * F.col("y._n")), 6
+    )
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cluster_id") == F.col("y.cluster_id"))
+            & (F.col("y._rk") < F.col("x._rk")),
+        )
+        .where(sim >= threshold)
+        .select(F.col(f"x.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        pri.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            "dist_r",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )

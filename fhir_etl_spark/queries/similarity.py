@@ -356,3 +356,78 @@ def v7_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embeddings = load_tables(spark, sf_dir, "embeddings")
     return kmeans_assign(embeddings, k=8, n_iterations=2)
+
+
+# --- v8 oracle: SemDeDup replayed in DuckDB --------------------------------
+# Reuses the v7 Lloyd's chain (identical CTEs — same init, same rounded
+# argmin/means), then replays the SemDeDup prune: keep-priority rank
+# (dist DESC, id) per cluster, drop any member whose 6-dp-rounded cosine
+# to a HIGHER-priority cluster-mate reaches the threshold. The cap path
+# (max_cluster_size) is answer-identical at these SFs (largest cluster
+# ≪ cap), so the oracle omits it.
+_V8_ORACLE = """
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+      FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 8)
+    ), d1 AS (
+      SELECT vec_id, v, c,
+             round(list_sum(list_transform(generate_series(1, len(v)),
+                   i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6) AS d
+      FROM corpus CROSS JOIN cent0
+    ), a1 AS (
+      SELECT vec_id, v, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM d1) WHERE rn = 1
+    ), m1 AS (
+      SELECT c, i, round(avg(v[i]), 4) AS m
+      FROM a1, unnest(generate_series(1, len(v))) AS g(i)
+      GROUP BY c, i
+    ), cent1 AS (
+      SELECT c, list(m ORDER BY i) AS cv FROM m1 GROUP BY c
+    ), d2 AS (
+      SELECT vec_id, c,
+             round(list_sum(list_transform(generate_series(1, len(v)),
+                   i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6) AS d
+      FROM corpus CROSS JOIN cent1
+    ), assign AS (
+      SELECT vec_id, c AS cluster_id, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM d2) WHERE rn = 1
+    ), pri AS (
+      SELECT vec_id, cluster_id, d,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY d DESC, vec_id) AS rk
+      FROM assign
+    ), nv AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM corpus
+    ), drops AS (
+      SELECT DISTINCT px.vec_id
+      FROM pri px
+      JOIN pri py ON px.cluster_id = py.cluster_id AND py.rk < px.rk
+      JOIN nv vx ON vx.vec_id = px.vec_id
+      JOIN nv vy ON vy.vec_id = py.vec_id
+      WHERE round(list_sum(list_transform(generate_series(1, len(vx.v)),
+                    i -> vx.v[i] * vy.v[i])) / (vx.nrm * vy.nrm), 6) >= 0.35
+    )
+    SELECT p.vec_id, p.cluster_id, p.d AS dist_r,
+           (dr.vec_id IS NULL) AS kept
+    FROM pri p LEFT JOIN drops dr ON dr.vec_id = p.vec_id
+    """
+
+
+@query("v8_semdedup", oracle=_V8_ORACLE, tags=("similarity", "dedup", "ml"))
+def v8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end to end: deterministic k-means
+    clustering (the v7 pass) → per-cluster keep-priority ranking
+    (farthest-from-centroid first) → within-cluster cosine prune at
+    τ=0.35. The oracle replays every stage — clustering, ranking, the
+    ordered-scan drop rule — so a wrong cluster, a flipped priority, or
+    a mis-rounded cosine all hash-mismatch. See
+    operators/similarity.semdedup_keep for the Σc²-not-n² scale shape."""
+    from fhir_etl_spark.operators.similarity import semdedup_keep
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    return semdedup_keep(embeddings, k=8, n_iterations=2, threshold=0.35)

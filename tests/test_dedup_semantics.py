@@ -394,3 +394,73 @@ def test_substring_dedup_semantics(spark):
     # hash-keyed production path agrees with the oracle-able text-keyed path
     hashed = {r["doc_id"]: r for r in substring_dedup(df, k=10, gram_key="hash").collect()}
     assert all(hashed[i]["clean_text"] == out[i]["clean_text"] for i in out)
+
+
+def test_semdedup_keep_rule_and_cap(spark):
+    """SemDeDup keep semantics on planted geometry: within a cluster of
+    near-identical vectors exactly ONE survives — the farthest-from-
+    centroid (highest keep priority), ties to the lower id; orthogonal
+    members survive regardless; the max_cluster_size cap keeps over-cap
+    members UN-deduped (loud, not silently paired or dropped)."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.similarity import semdedup_keep
+
+    # 2 clusters, far apart (k-means with k=2 separates them exactly):
+    #   cluster A at ~(10, 0, ...): ids 0,1,2 identical + id 3 slightly
+    #     farther from the blob mean -> id 3 has max dist_r, kept; and
+    #     0,1,2 all cos~1 to it -> only the trio's... (3 kept, 0/1/2
+    #     judged against 3 and each other; all cos >= tau -> 3 kept alone)
+    #   cluster B at ~(0, 10, ...): ids 10, 11 nearly orthogonal offsets
+    #     -> cos between them low, both kept
+    dim = 8
+
+    def vec(base, bump, eps):
+        v = [0.0] * dim
+        v[base] = 10.0
+        v[bump] += eps
+        return v
+
+    # ids 0 and 1 span the two blobs so the oracle-replayable first_k
+    # init seeds one centroid per blob (two identical seeds would merge
+    # the clusters in one Lloyd's round)
+    rows = [
+        (0, vec(0, 1, 0.0)),     # A trio
+        (1, vec(1, 2, 3.0)),     # B: big angular offset from the other B
+        (2, vec(0, 1, 0.0)),     # A trio
+        (3, vec(0, 1, 0.0)),     # A trio
+        (4, vec(0, 1, 0.5)),     # farthest from the A-blob mean, cos to
+                                 # the trio = 100/(10*sqrt(100.25)) ~ 0.99875
+        (11, vec(1, 3, -3.0)),   # B: cos to id 1 well under 0.995
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r
+        for r in semdedup_keep(
+            df, k=2, n_iterations=2, threshold=0.995
+        ).collect()
+    }
+    assert [got[i]["kept"] for i in (0, 2, 3)] == [False, False, False]
+    assert got[4]["kept"]  # the diverse member of the near-dup set wins
+    assert got[1]["kept"] and got[11]["kept"]
+    a_cluster = {got[i]["cluster_id"] for i in (0, 2, 3, 4)}
+    b_cluster = {got[i]["cluster_id"] for i in (1, 11)}
+    assert len(a_cluster) == 1 and len(b_cluster) == 1 and a_cluster != b_cluster
+
+    # identical-trio tie-break: dist_r ties exactly -> lowest id keeps
+    trio = [(0, vec(0, 1, 0.0)), (1, vec(0, 1, 0.0)), (2, vec(0, 1, 0.0))]
+    df2 = spark.createDataFrame(trio, "vec_id long, embedding array<double>")
+    got2 = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup_keep(df2, k=1, n_iterations=1, threshold=0.995).collect()
+    }
+    assert got2 == {0: True, 1: False, 2: False}
+
+    # cap: rank > max_cluster_size members stay, un-deduped, still flagged kept
+    got3 = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup_keep(
+            df2, k=1, n_iterations=1, threshold=0.995, max_cluster_size=1
+        ).collect()
+    }
+    assert got3 == {0: True, 1: True, 2: True}
