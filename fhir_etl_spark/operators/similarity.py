@@ -590,6 +590,11 @@ def semdedup_keep(
     )
     in_scope = pri
     if max_cluster_size is not None:
+        # the pri subtree (Lloyd's + join + window) fans out three ways
+        # below (cap count, pair join x2 sides, final flag join) —
+        # checkpoint it once instead of re-executing per consumer (the
+        # m10/d4 pattern); the cap count then reads the checkpoint
+        pri = pri.localCheckpoint()
         n_over = pri.filter(F.col("_rk") > max_cluster_size).count()
         if n_over:
             logging.getLogger(__name__).warning(

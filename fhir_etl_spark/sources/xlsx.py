@@ -344,8 +344,10 @@ def xlsx_records(cells: DataFrame, header_row: int = 1) -> DataFrame:
             ).alias("_hdr")
         )
     )
+    # strictly BELOW the header: rows above it (title/banner rows when
+    # header_row > 1) are pre-header chrome, not records
     data = cells.where(
-        F.col("error").isNull() & (F.col("row_num") != header_row)
+        F.col("error").isNull() & (F.col("row_num") > header_row)
     )
     entries = F.array_sort(
         F.collect_list(F.struct(F.col("col").alias("c"), "_name", "value"))

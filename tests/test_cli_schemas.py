@@ -151,10 +151,14 @@ def test_cli_stages_url_input(spark, tmp_path):
 
 
 def test_entry_exposes_each_registered_query_exactly_once():
-    """The coverage-rotation aliases were retired in round 5: ``queries()``
-    must now return the base registry verbatim — one entry per registered
-    query, sorted by name, no a0_* aliases — and ``oracle_sql()`` must
-    cover exactly the subset of names that carry a value oracle."""
+    """Round-7 contract: ``queries()`` = the scoped coverage-rotation
+    aliases (one ``a0_<name>`` per COVERAGE_ROTATION entry, leading the
+    sort) followed by the base registry verbatim — one entry per
+    registered query, sorted by name. ``oracle_sql()`` covers exactly the
+    names carrying a value oracle, with each alias mapped to its base
+    oracle (behind the alias comment line). When the rotation retires
+    again, COVERAGE_ROTATION empties and this degenerates back to the
+    round-5 'registry verbatim, no aliases' contract."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -166,8 +170,18 @@ def test_entry_exposes_each_registered_query_exactly_once():
     from fhir_etl_spark.queries import all_queries
 
     registry = all_queries()
-    assert list(qs) == sorted(registry), "queries() must be the sorted registry"
-    assert not any(n.startswith("a0_") for n in qs)
+    rotation = sorted(mod.COVERAGE_ROTATION)
+    assert len(rotation) == len(set(rotation))
+    assert all(name in registry for name in rotation)
+    expected = [f"a0_{n}" for n in rotation] + sorted(registry)
+    assert list(qs) == expected, "queries() must be aliases + sorted registry"
+    for name in rotation:
+        alias = qs[f"a0_{name}"]
+        assert alias is not registry[name].fn  # distinct wrapper, same plan
+        if registry[name].oracle is not None:
+            assert osql[f"a0_{name}"].endswith(registry[name].oracle)
+        else:
+            assert f"a0_{name}" not in osql
     for name, qd in registry.items():
         assert qs[name] is qd.fn, name
         assert (name in osql) == (qd.oracle is not None), name

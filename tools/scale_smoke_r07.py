@@ -11,10 +11,11 @@ Usage: python tools/scale_smoke_r07.py [smoke ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
