@@ -130,3 +130,65 @@ def y2_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = read_snapshot(spark, table, version=v0)
     new = read_snapshot(spark, table, version=v1)
     return snapshot_diff(old, new, on="o_orderkey")
+
+
+def _hilbert_sql(bits: int) -> str:
+    """CTE chain replaying hilbert_key's unrolled xy2d walk level by
+    level (same rotate/reflect rule, same per-level quadrant term), from
+    a ``lvl{bits}`` CTE providing (l_orderkey, l_linenumber, hx, hy, hd)."""
+    parts = []
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        src = f"lvl{level + 1}"
+        parts.append(f"""
+    lvl{level} AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN hry = 1 THEN hx
+                  WHEN hrx = 0 THEN hy
+                  ELSE {s - 1} - hy END AS hx,
+             CASE WHEN hry = 1 THEN hy
+                  WHEN hrx = 0 THEN hx
+                  ELSE {s - 1} - hx END AS hy,
+             hd + {s * s} * xor(3 * hrx, hry) AS hd
+      FROM (SELECT *,
+                   CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS hrx,
+                   CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS hry
+            FROM {src})
+    )""")
+    return ",".join(parts)
+
+
+@query(
+    "y3_hilbert_curve",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(min(l_partkey) AS BIGINT) AS pmin,
+             CAST(max(l_partkey) AS BIGINT) AS pmax,
+             CAST(min(l_suppkey) AS BIGINT) AS smin,
+             CAST(max(l_suppkey) AS BIGINT) AS smax
+      FROM lineitem
+    ), lvl{_BITS} AS (
+      SELECT l_orderkey, l_linenumber,
+             ((CAST(l_partkey AS BIGINT) - pmin) * {_BUCKETS}) // (pmax - pmin + 1) AS hx,
+             ((CAST(l_suppkey AS BIGINT) - smin) * {_BUCKETS}) // (smax - smin + 1) AS hy,
+             CAST(0 AS BIGINT) AS hd
+      FROM lineitem, stats
+    ),{_hilbert_sql(_BITS)}
+    SELECT l_orderkey, l_linenumber, CAST(hd AS BIGINT) AS hval
+    FROM lvl0
+    """,
+    tags=("layout", "hilbert"),
+)
+def y3_hilbert_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve values over (l_partkey, l_suppkey): the
+    locality-upgraded clustering key behind hilbert_layout (unit-step
+    curve — no Z-order diagonal jumps), its unrolled rotate/reflect walk
+    replayed level-for-level by the oracle."""
+    from fhir_etl_spark.operators.layout import hilbert_key
+
+    lineitem = load_tables(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return hilbert_key(lineitem, ["l_partkey", "l_suppkey"], bits=_BITS).selectExpr(
+        "l_orderkey", "l_linenumber", "_hvalue AS hval"
+    )

@@ -324,10 +324,15 @@ class XlsxDataSource(DataSource):
 def xlsx_records(cells: DataFrame, header_row: int = 1) -> DataFrame:
     """Cell rows → one row per sheet data row: (xlsx_file, sheet, row_num,
     fields: map<header, value>) with column headers taken from
-    ``header_row``. Pure Catalyst (an aggregated header map broadcast-
-    joined back onto the cells, then map_from_entries per row) — the pivot
-    never touches Python, and the header side is one row per (file, sheet)
-    so the join broadcasts at any corpus size. Duplicate header names are
+    ``header_row``. Pure Catalyst (an aggregated header map joined back
+    onto the cells, then map_from_entries per row) — the pivot never
+    touches Python. The header side is one row per (file, sheet) — tiny
+    per workbook but linear in corpus size, so no hardcoded broadcast
+    hint: AQE converts the join at runtime whenever the header table
+    actually fits (it does for any dictionary corpus short of millions of
+    workbooks; past that the shuffle join is the correct plan anyway,
+    co-partitioned with the groupBys on the same key). Duplicate header
+    names are
     deduped deterministically (the LOWEST-column occurrence wins for the
     name→value binding, mirroring "first header wins"), so
     ``map_from_entries`` never sees a duplicated key (Spark's default
@@ -353,7 +358,7 @@ def xlsx_records(cells: DataFrame, header_row: int = 1) -> DataFrame:
         F.collect_list(F.struct(F.col("col").alias("c"), "_name", "value"))
     )
     return (
-        data.join(F.broadcast(headers), ["xlsx_file", "sheet"])
+        data.join(headers, ["xlsx_file", "sheet"])
         .withColumn("_name", F.col("_hdr")[F.col("col")])
         .where(F.col("_name").isNotNull())
         # first-column-wins dedupe of repeated header names within a row
