@@ -85,3 +85,105 @@ def hll_merge_estimate(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(est)
     return sketches.agg(est)
+
+
+def kmv_sample_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    row_key_cols: list[str],
+    k: int = 64,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-group MERGEABLE bottom-k uniform sample → (group_cols...,
+    sample: array<struct<h: string, v: double>>), the KMV/bottom-k
+    construction (Bar-Yossef et al. 2002): keep the k rows whose hashed
+    row key is smallest. Because min-k(A ∪ B) = min-k(min-k(A) ∪
+    min-k(B)), sketches from different partitions/days/tables merge
+    EXACTLY (:func:`kmv_merge` reproduces what a from-scratch build over
+    the union would emit — bit-for-bit, pinned in tests), which is what
+    lets a 100 TB table keep per-partition quantile state and answer
+    "p95 over any subset of partitions" without rescanning.
+
+    The hash makes the sample deterministic (no RNG state), uniform
+    (hash of a unique row key ~ uniform), and CROSS-ENGINE REPLAYABLE:
+    ``md5`` has a DuckDB twin, so the whole sketch — and every quantile
+    read off it — value-oracles (same reason d4 keeps an md5 twin of the
+    xxhash64 MinHash path). Plan shape: one window rank per group over
+    the hash (single hash-partition shuffle) then a bounded collect_list
+    of ≤ k rows per group — no unbounded per-group state.
+    """
+    if hash_fn != "md5":
+        raise ValueError("kmv_sample_sketch: md5 is the replayable hash")
+    h = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in row_key_cols]))
+    from pyspark.sql import Window
+
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("_v"),
+        h.alias("_h"),
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(*group_cols).orderBy("_h", "_v")
+        ),
+    )
+    return (
+        ranked.filter(F.col("_rk") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_h").alias("h"), F.col("_v").alias("v")))
+            ).alias("sample")
+        )
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Union bottom-k sketch rows per group back into one sketch row:
+    explode, re-rank by hash, keep k — min-k of the union. Output is
+    IDENTICAL to building the sketch from the concatenated raw data
+    (exact mergeability, not approximate), at O(rows × k) cost that
+    never touches the base table."""
+    from pyspark.sql import Window
+
+    exploded = sketches.select(*group_cols, F.explode("sample").alias("e")).select(
+        *group_cols, F.col("e.h").alias("_h"), F.col("e.v").alias("_v")
+    )
+    ranked = exploded.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(*group_cols).orderBy("_h", "_v")
+        ),
+    )
+    return (
+        ranked.filter(F.col("_rk") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_h").alias("h"), F.col("_v").alias("v")))
+            ).alias("sample")
+        )
+    )
+
+
+def kmv_quantiles(
+    sketches: DataFrame, group_cols: list[str], probs: list[float]
+) -> DataFrame:
+    """Read approximate quantiles off a bottom-k sketch: sort the
+    sample's VALUES, take the floor(p·(n−1))-th — the classic
+    nearest-rank-on-a-uniform-sample estimator. Emits one column per
+    requested prob (``q25``-style names). Error ~ O(1/sqrt(k)) in rank
+    space; k=64 → ~±6% rank error, enough for partition pruning and
+    skew triage (the use cases that cannot afford an exact global
+    sort). Pure array expressions — no explode, no shuffle."""
+    vals = F.array_sort(F.transform("sample", lambda s: s["v"]))
+    n = F.size(vals)
+    out = sketches.select(*group_cols, vals.alias("_vals"), n.alias("_n"))
+    for p in probs:
+        name = f"q{int(round(p * 100)):02d}"
+        idx = F.floor(F.lit(p) * (F.col("_n") - 1)).cast("int")
+        out = out.withColumn(name, F.col("_vals")[idx])
+    return out.drop("_vals", "_n")

@@ -501,3 +501,49 @@ def x13_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         """
     )
+
+
+@query(
+    "x14_kmv_quantiles",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+             md5(concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                                CAST(l_linenumber AS VARCHAR))) AS hh
+      FROM lineitem
+    ), rk AS (
+      SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY hh, v) AS rk
+      FROM h
+    ), s AS (
+      SELECT l_returnflag, list(v ORDER BY v) AS vals
+      FROM rk WHERE rk <= 64 GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           vals[CAST(floor(0.25 * (len(vals) - 1)) AS INT) + 1] AS q25,
+           vals[CAST(floor(0.50 * (len(vals) - 1)) AS INT) + 1] AS q50,
+           vals[CAST(floor(0.75 * (len(vals) - 1)) AS INT) + 1] AS q75,
+           vals[CAST(floor(0.95 * (len(vals) - 1)) AS INT) + 1] AS q95
+    FROM s
+    """,
+    tags=("sketch", "quantiles", "agg"),
+)
+def x14_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k (KMV) sample sketch → per-returnflag quantile
+    reads. The md5-ranked sample is fully deterministic, so the oracle
+    replays sketch construction AND the nearest-rank reads value-exactly
+    (selected values are raw parquet doubles — no float recompute). The
+    exact-mergeability law (sketch(A ∪ B) == merge(sketch(A),
+    sketch(B)), bit-for-bit) is pinned in tests/test_scd_sketch_clusters;
+    see operators/sketch.kmv_sample_sketch for the scale shape."""
+    from fhir_etl_spark.operators.sketch import kmv_quantiles, kmv_sample_sketch
+
+    lineitem = load_tables(spark, sf_dir, "lineitem")
+    sk = kmv_sample_sketch(
+        lineitem,
+        group_cols=["l_returnflag"],
+        value_col="l_extendedprice",
+        row_key_cols=["l_orderkey", "l_linenumber"],
+        k=64,
+    )
+    return kmv_quantiles(sk, ["l_returnflag"], [0.25, 0.50, 0.75, 0.95])

@@ -370,3 +370,72 @@ def test_snapshot_diff_rejects_columns_absent_from_old(spark):
     new = spark.createDataFrame([(1, 2.0, "x")], "k long, v double, extra string")
     with pytest.raises(ValueError, match="absent from old"):
         snapshot_diff(old, new, on="k", compare_cols=["v", "extra"])
+
+
+def test_kmv_sketch_exact_mergeability_and_accuracy(spark):
+    """The law that makes bottom-k sketches a scale tool:
+    sketch(A ∪ B) == kmv_merge(sketch(A), sketch(B)) BIT-FOR-BIT (min-k
+    of a union is min-k of the per-part min-ks) — plus rank-space
+    accuracy of the quantile reads on a known distribution."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.sketch import (
+        kmv_merge,
+        kmv_quantiles,
+        kmv_sample_sketch,
+    )
+
+    full = spark.range(20_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("rid"),
+        # value: a deterministic permutation-ish spread over [0, 20000)
+        F.pmod(F.col("id") * 7919, F.lit(20_000)).cast("double").alias("v"),
+    )
+    a = full.filter(F.col("rid") < 12_000)
+    b = full.filter(F.col("rid") >= 12_000)
+
+    def rows(df):
+        return {
+            r["g"]: [(e["h"], e["v"]) for e in r["sample"]]
+            for r in df.collect()
+        }
+
+    whole = rows(kmv_sample_sketch(full, ["g"], "v", ["rid"], k=64))
+    merged = rows(
+        kmv_merge(
+            kmv_sample_sketch(a, ["g"], "v", ["rid"], k=64).unionByName(
+                kmv_sample_sketch(b, ["g"], "v", ["rid"], k=64)
+            ),
+            ["g"],
+            k=64,
+        )
+    )
+    assert whole == merged  # exact, not approximate
+    assert all(len(s) == 64 for s in whole.values())
+
+    # quantile reads: uniform values -> qXX should land near XX% of the
+    # range; k=64 gives ~1/sqrt(64) rank error, assert a loose 15%
+    q = kmv_quantiles(
+        kmv_sample_sketch(full, ["g"], "v", ["rid"], k=64), ["g"],
+        [0.25, 0.50, 0.75],
+    )
+    for r in q.collect():
+        for p, col in [(0.25, "q25"), (0.50, "q50"), (0.75, "q75")]:
+            assert abs(r[col] / 20_000 - p) < 0.15, (r["g"], col, r[col])
+
+
+def test_kmv_sketch_small_group_underflow(spark):
+    """Groups smaller than k keep every row (sample == group) and the
+    quantile reads degrade to exact nearest-rank."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.sketch import kmv_quantiles, kmv_sample_sketch
+
+    tiny = spark.createDataFrame(
+        [("x", i, float(i)) for i in range(5)], "g string, rid long, v double"
+    )
+    sk = kmv_sample_sketch(tiny, ["g"], "v", ["rid"], k=64)
+    [row] = sk.collect()
+    assert sorted(e["v"] for e in row["sample"]) == [0.0, 1.0, 2.0, 3.0, 4.0]
+    [qr] = kmv_quantiles(sk, ["g"], [0.5]).collect()
+    assert qr["q50"] == 2.0  # exact median of 0..4
