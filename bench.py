@@ -74,6 +74,15 @@ HEADLINE = [
     "t16_url_canonicalize",
     "w8_rolling_zscore",
     "g3_triangle_count",
+    # r07 additions: SemDeDup semantic dedup (k-means + within-cluster
+    # ordered-scan cosine prune), xlsx source round trip (distributed
+    # workbook export -> partition-per-file DataSource -> Catalyst
+    # header pivot), Hilbert-curve clustering key (unrolled integer
+    # rotate/reflect walk), and mergeable KMV quantile sketches
+    "v8_semdedup",
+    "s15_xlsx_scan",
+    "y3_hilbert_curve",
+    "x14_kmv_quantiles",
 ]
 
 
@@ -104,6 +113,10 @@ R03_FLOOR = {
     "m6_jpeg_decode": 2.67, "s12_warc_scan": 0.89,
     "dq1_quality_checks": 0.61, "t16_url_canonicalize": 0.32,
     "w8_rolling_zscore": 0.58, "g3_triangle_count": 2.26,
+    # r07 first-appearance values as the floors for the round-7 additions
+    # (best-of-2 at sf0.1 on this VM)
+    "v8_semdedup": 3.83, "s15_xlsx_scan": 0.96,
+    "y3_hilbert_curve": 1.49, "x14_kmv_quantiles": 1.61,
 }
 
 
