@@ -484,3 +484,47 @@ def test_aqe_splits_planted_skew_join_without_salting(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join_injection(spark, tmp_path):
+    """The third runtime re-plan lever for 100x joins (alongside AQE
+    broadcast conversion and skew-split): a selective filter on the small
+    side of a shuffle join must inject a runtime bloom filter into the
+    fact scan (might_contain(...) over a bloom_filter_agg subquery), so
+    the big side drops non-matching rows BEFORE the shuffle. Thresholds
+    scaled down (prod default only fires past a 10 GB application side)."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        spark.range(500_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        ).write.mode("overwrite").parquet(f"{tmp_path}/fact")
+        spark.range(50_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+        ).write.mode("overwrite").parquet(f"{tmp_path}/dim")
+        fact = spark.read.parquet(f"{tmp_path}/fact")
+        dim = spark.read.parquet(f"{tmp_path}/dim").filter("w = 3")
+        joined = fact.join(dim, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # correctness: bloom pre-filtering has no false negatives — the
+        # join result is exactly the dim keys with w == 3
+        n = joined.count()
+        expected = sum(1 for k in range(50_000) if k % 7 == 3)
+        assert n == expected, (n, expected)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
