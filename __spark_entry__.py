@@ -11,16 +11,18 @@ on queries that still lacked a driver row (145/145 cumulative driver-green
 by round 4). The machinery was retired in round 5; rounds 5–6 then added
 24 new queries that sort AFTER the window's reach (``m6``…``y2``), so the
 round-6 judge asked for a ONE-round scoped revival (VERDICT r06 "Next
-round" #1): the rotation below exposes exactly those 24 never-driver-
-checked names — ``g4 j11 m6–m13 r4 s12–s14 t13 t15 t16 u3 u4 w8 x12 x13
-x4 y2`` — under ``a0_`` aliases so they land inside the window and earn
-driver CORRECTNESS rows, after which the machinery retires again. Aliases
-are thin documented wrappers (same plan, same oracle), NOT new inventory;
-COVERAGE.md counts exclude them. Of the 24, four are rows-only by nature
-(x4 approx sketches, t13 iterative BPE, t15 raw-deflate ratio, m11
-float-FFT mel spectrogram) — they get the driver's weaker rows-only row,
-same as d4x (xxhash64 twin of the md5-oracled d4) did in round 6; their
-semantics are pinned in tests/ instead.
+round" #1): the rotation below exposes those 24 never-driver-checked
+names — ``g4 j11 m6–m13 r4 s12–s14 t13 t15 t16 u3 u4 w8 x12 x13 x4 y2``
+— PLUS the four queries round 7 itself added after the window's reach
+(``s15 v8 x14 y3``), 28 ``a0_`` aliases total, so all of them land
+inside the window and earn driver CORRECTNESS rows, after which the
+machinery retires again. Aliases are thin documented wrappers (same
+plan, same oracle), NOT new inventory; COVERAGE.md counts exclude them.
+Of the 28, four are rows-only by nature (x4 approx sketches, t13
+iterative BPE, t15 raw-deflate ratio, m11 float-FFT mel spectrogram) —
+they get the driver's weaker rows-only row, same as d4x (xxhash64 twin
+of the md5-oracled d4) did in round 6; their semantics are pinned in
+tests/ instead.
 """
 
 from __future__ import annotations

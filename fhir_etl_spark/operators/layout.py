@@ -86,6 +86,20 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
     return out.withColumn("_zvalue", z.cast("long")).drop(*drop, *scaled_names)
 
 
+def _curve_layout(
+    keyed: DataFrame, key_col: str, num_partitions: int | None
+) -> DataFrame:
+    """Shared clustering tail for every space-filling-curve layout:
+    range-partition on the curve key, sort within partitions, drop the
+    key. One implementation so the zorder/hilbert layouts cannot drift
+    apart (the curve is the only difference between them)."""
+    if num_partitions is not None:
+        keyed = keyed.repartitionByRange(num_partitions, key_col)
+    else:
+        keyed = keyed.repartitionByRange(key_col)
+    return keyed.sortWithinPartitions(key_col).drop(key_col)
+
+
 def zorder_layout(
     df: DataFrame,
     cols: Sequence[str],
@@ -99,12 +113,7 @@ def zorder_layout(
     every clustered dimension — so parquet min/max stats prune scans on
     ANY of the clustered columns, not just a leading sort key.
     """
-    keyed = zorder_key(df, cols, bits=bits)
-    if num_partitions is not None:
-        keyed = keyed.repartitionByRange(num_partitions, "_zvalue")
-    else:
-        keyed = keyed.repartitionByRange("_zvalue")
-    return keyed.sortWithinPartitions("_zvalue").drop("_zvalue")
+    return _curve_layout(zorder_key(df, cols, bits=bits), "_zvalue", num_partitions)
 
 
 def hilbert_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
@@ -167,7 +176,10 @@ def hilbert_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
     # runtime) was tried and REJECTED: interpreted higher-order eval
     # costs ~5 µs/row, which turns a compile-once constant into a
     # per-row cost — exactly the wrong trade at 100 TB.
-    passthrough = [c for c in out.columns if not c.startswith("_h")]
+    # passthrough = the CALLER's columns by exact name (a prefix filter
+    # here would silently drop user columns that happen to start with
+    # "_h" — data loss, not a naming nit)
+    passthrough = list(df.columns)
     out = out.select(
         *passthrough,
         F.col("_hs_0").alias("_hx"),
@@ -204,10 +216,6 @@ def hilbert_layout(
 ) -> DataFrame:
     """Cluster ``df`` along the Hilbert curve of two columns — the
     drop-in locality upgrade over :func:`zorder_layout` (same range
-    exchange + in-partition sort; the curve itself is the only change)."""
-    keyed = hilbert_key(df, cols, bits=bits)
-    if num_partitions is not None:
-        keyed = keyed.repartitionByRange(num_partitions, "_hvalue")
-    else:
-        keyed = keyed.repartitionByRange("_hvalue")
-    return keyed.sortWithinPartitions("_hvalue").drop("_hvalue")
+    exchange + in-partition sort via the shared :func:`_curve_layout`;
+    the curve itself is the only change)."""
+    return _curve_layout(hilbert_key(df, cols, bits=bits), "_hvalue", num_partitions)

@@ -109,34 +109,45 @@ def kmv_sample_sketch(
     (hash of a unique row key ~ uniform), and CROSS-ENGINE REPLAYABLE:
     ``md5`` has a DuckDB twin, so the whole sketch — and every quantile
     read off it — value-oracles (same reason d4 keeps an md5 twin of the
-    xxhash64 MinHash path). Plan shape: one window rank per group over
-    the hash (single hash-partition shuffle) then a bounded collect_list
-    of ≤ k rows per group — no unbounded per-group state.
+    xxhash64 MinHash path).
+
+    Plan shape — TWO-PHASE, exactly because the sketch is mergeable: a
+    map-side partial bottom-k per (group, input partition) — the
+    collect_list partial aggregation completes before any shuffle since
+    the partition id is part of the key — then :func:`kmv_merge` folds
+    the ≤ k-row partials. Only k rows per (group, partition) ever cross
+    the wire, and no task sorts more than one input partition. (A single
+    whole-group window rank was the first cut and is the trap this shape
+    exists to avoid: it funnels the ENTIRE table into one sort task per
+    group — 3 reducers total for a 3-group 100 TB table.)
     """
     if hash_fn != "md5":
         raise ValueError("kmv_sample_sketch: md5 is the replayable hash")
     h = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in row_key_cols]))
-    from pyspark.sql import Window
-
-    ranked = df.select(
-        *group_cols,
-        F.col(value_col).cast("double").alias("_v"),
-        h.alias("_h"),
-    ).withColumn(
-        "_rk",
-        F.row_number().over(
-            Window.partitionBy(*group_cols).orderBy("_h", "_v")
-        ),
-    )
-    return (
-        ranked.filter(F.col("_rk") <= k)
-        .groupBy(*group_cols)
+    partials = (
+        df.select(
+            *group_cols,
+            F.col(value_col).cast("double").alias("_v"),
+            h.alias("_h"),
+            F.spark_partition_id().alias("_p"),
+        )
+        .groupBy(*group_cols, "_p")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_h").alias("h"), F.col("_v").alias("v")))
+            # array_sort on struct compares field-by-field (h, then v) —
+            # identical ordering to the merge's rank; slice keeps min-k
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_h").alias("h"), F.col("_v").alias("v"))
+                    )
+                ),
+                1,
+                k,
             ).alias("sample")
         )
+        .drop("_p")
     )
+    return kmv_merge(partials, group_cols, k)
 
 
 def kmv_merge(
@@ -146,7 +157,9 @@ def kmv_merge(
     explode, re-rank by hash, keep k — min-k of the union. Output is
     IDENTICAL to building the sketch from the concatenated raw data
     (exact mergeability, not approximate), at O(rows × k) cost that
-    never touches the base table."""
+    never touches the base table. This is also the canonical bottom-k
+    fold: kmv_sample_sketch delegates its final phase here, so the
+    tie-break order (h, then v) lives in exactly one place."""
     from pyspark.sql import Window
 
     exploded = sketches.select(*group_cols, F.explode("sample").alias("e")).select(
@@ -179,11 +192,16 @@ def kmv_quantiles(
     space; k=64 → ~±6% rank error, enough for partition pruning and
     skew triage (the use cases that cannot afford an exact global
     sort). Pure array expressions — no explode, no shuffle."""
+    names = [f"q{int(round(p * 100)):02d}" for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"probs {probs} collide after percent rounding ({names}); "
+            "quantile columns are named to whole percents"
+        )
     vals = F.array_sort(F.transform("sample", lambda s: s["v"]))
     n = F.size(vals)
     out = sketches.select(*group_cols, vals.alias("_vals"), n.alias("_n"))
-    for p in probs:
-        name = f"q{int(round(p * 100)):02d}"
+    for p, name in zip(probs, names):
         idx = F.floor(F.lit(p) * (F.col("_n") - 1)).cast("int")
         out = out.withColumn(name, F.col("_vals")[idx])
     return out.drop("_vals", "_n")

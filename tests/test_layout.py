@@ -212,3 +212,16 @@ def test_hilbert_layout_files_prune_on_both_dimensions(spark, sf_dir, tmp_path):
     # BOTH dimensions (input-order files cover ~the whole range in each)
     assert all(r["pspan"] <= full["p"] * 0.7 for r in per_file), per_file
     assert all(r["sspan"] <= full["s"] * 0.7 for r in per_file), per_file
+
+
+def test_hilbert_key_preserves_underscore_h_user_columns(spark):
+    """Round-7 review: passthrough is by exact caller-column name — a
+    user column that happens to start with `_h` must survive the walk."""
+    from fhir_etl_spark.operators.layout import hilbert_key
+
+    df = spark.createDataFrame(
+        [(1, 2, "keep-me")], "x long, y long, _height string"
+    )
+    out = hilbert_key(df, ["x", "y"], bits=2)
+    assert set(out.columns) == {"x", "y", "_height", "_hvalue"}
+    assert out.first()["_height"] == "keep-me"

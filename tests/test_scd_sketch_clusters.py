@@ -439,3 +439,18 @@ def test_kmv_sketch_small_group_underflow(spark):
     assert sorted(e["v"] for e in row["sample"]) == [0.0, 1.0, 2.0, 3.0, 4.0]
     [qr] = kmv_quantiles(sk, ["g"], [0.5]).collect()
     assert qr["q50"] == 2.0  # exact median of 0..4
+
+
+def test_kmv_quantiles_rejects_colliding_prob_names(spark):
+    """Round-7 review: probs that round to the same whole percent would
+    silently overwrite each other's column — must raise instead."""
+    import pytest
+
+    from fhir_etl_spark.operators.sketch import kmv_quantiles, kmv_sample_sketch
+
+    tiny = spark.createDataFrame(
+        [("x", i, float(i)) for i in range(5)], "g string, rid long, v double"
+    )
+    sk = kmv_sample_sketch(tiny, ["g"], "v", ["rid"], k=8)
+    with pytest.raises(ValueError, match="collide"):
+        kmv_quantiles(sk, ["g"], [0.25, 0.254])
