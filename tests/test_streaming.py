@@ -488,3 +488,64 @@ def test_stream_upsert_restart_from_checkpoint(spark, tmp_path, monkeypatch):
     # the committed epoch 0 was NOT re-merged: restart re-ran only the
     # uncommitted epochs (the crashed one + the never-started one)
     assert len(run2) == 2
+
+
+def test_stream_kmv_sketch_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Mergeable sketches meet streaming: folding per-micro-batch KMV
+    sketches must reproduce the batch-built sketch BIT-FOR-BIT (the
+    min-k union law — no approximation stacking across epochs). The
+    source is split into 4 files streamed one per trigger, so the fold
+    genuinely runs across MULTIPLE epochs; quantile reads off the
+    streamed state work directly."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.sketch import (
+        kmv_quantiles,
+        kmv_sample_sketch,
+    )
+    from fhir_etl_spark.session import load_tables
+    from fhir_etl_spark.streaming.sketch import stream_kmv_sketch
+
+    events = load_tables(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    events.withColumn("part", F.col("event_id") % 4).repartition(
+        4, "part"
+    ).drop("part").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "kmv_state")
+    q = stream_kmv_sketch(
+        spark, stream, ["event_type"], "value", ["event_id"],
+        state_path=state, k=32, checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2  # multiple epochs actually folded
+
+    def rows(df):
+        return {
+            r["event_type"]: [(e["h"], e["v"]) for e in r["sample"]]
+            for r in df.collect()
+        }
+
+    streamed = rows(spark.read.parquet(state))
+    batch = rows(
+        kmv_sample_sketch(
+            load_tables(spark, sf_dir, "events"),
+            ["event_type"], "value", ["event_id"], k=32,
+        )
+    )
+    assert streamed == batch  # exact, across however many epochs ran
+
+    sq = {
+        r["event_type"]: r["q50"]
+        for r in kmv_quantiles(
+            spark.read.parquet(state), ["event_type"], [0.5]
+        ).collect()
+    }
+    assert sq and all(v is not None for v in sq.values())
