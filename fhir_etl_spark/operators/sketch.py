@@ -159,11 +159,21 @@ def kmv_merge(
     (exact mergeability, not approximate), at O(rows × k) cost that
     never touches the base table. This is also the canonical bottom-k
     fold: kmv_sample_sketch delegates its final phase here, so the
-    tie-break order (h, then v) lives in exactly one place."""
+    tie-break order (h, then v) lives in exactly one place.
+
+    Entries dedup on (group, h, v) — the hashed ROW IDENTITY — before
+    ranking. This is what makes min-k idempotent under re-union
+    (min-k(S ∪ S) = min-k(S)) and therefore what makes overlapping-shard
+    merges and streaming epoch REPLAY safe: folding the same sketch in
+    twice is a no-op instead of double-counting its rows (a multiset
+    rank would keep both copies — round-7 review finding). The dedup is
+    over ≤ k·n_sketch_rows entries, never base data."""
     from pyspark.sql import Window
 
-    exploded = sketches.select(*group_cols, F.explode("sample").alias("e")).select(
-        *group_cols, F.col("e.h").alias("_h"), F.col("e.v").alias("_v")
+    exploded = (
+        sketches.select(*group_cols, F.explode("sample").alias("e"))
+        .select(*group_cols, F.col("e.h").alias("_h"), F.col("e.v").alias("_v"))
+        .dropDuplicates([*group_cols, "_h", "_v"])
     )
     ranked = exploded.withColumn(
         "_rk",

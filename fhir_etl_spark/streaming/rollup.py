@@ -12,8 +12,6 @@ state topic would run at deployment scale.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,15 +53,21 @@ def continuous_rollup(
         if batch.isEmpty():
             return
         partials = _partials(batch, window_size)
-        if os.path.isdir(table_dir) and os.listdir(table_dir):
-            existing = spark.read.schema(ROLLUP_SCHEMA).parquet(table_dir)
-            merged = merge_rollup(existing, partials)
-        else:
-            merged = partials
-        # stage-then-swap: never read and overwrite the same files in one job
-        staging = table_dir.rstrip("/") + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(table_dir)
+
+        def merge_state(existing: DataFrame | None) -> DataFrame:
+            if existing is None:
+                return partials
+            return merge_rollup(existing, partials)
+
+        # crash-safe swap shared with streaming/sketch.py (the previous
+        # double-write here could leave a PARTIAL table if the second
+        # write crashed midway — the rename protocol cannot)
+        from fhir_etl_spark.streaming.state import fold_parquet_state
+
+        fold_parquet_state(
+            spark, table_dir.rstrip("/"), epoch_id, merge_state,
+            schema=ROLLUP_SCHEMA,
+        )
 
     return (
         events_stream.writeStream.outputMode("update")

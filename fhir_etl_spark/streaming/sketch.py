@@ -8,24 +8,22 @@ then :func:`fhir_etl_spark.operators.sketch.kmv_merge` folds it into the
 state table — so a quantile dashboard over an unbounded stream reads a
 k-row-per-group parquet table, never the stream's history.
 
-Replay safety comes from the sketch algebra, not from the sink: min-k is
-IDEMPOTENT under re-union (min-k(S ∪ S) = min-k(S)), so re-processing an
-uncommitted epoch after a crash converges to the same state — the same
-exactly-once-by-idempotence argument as the S9 streaming upsert
-(streaming/windows.stream_upsert_ndjson), pinned by the restart test.
-
-State writes go through a temp dir + rename swap; a reader that races
-the swap sees the previous complete state, never a partial write.
+Replay safety is real, not asserted: Structured Streaming re-runs an
+epoch whose commit was lost, and ``kmv_merge`` dedups on the hashed row
+identity (h, v) before the min-k rank — so re-folding the same batch is
+a no-op (min-k over a SET is idempotent under re-union; the round-7
+review caught that the earlier multiset rank was not). The state swap
+itself (tmp/old rename protocol, crash recovery, its documented
+reader-race limit) lives in :mod:`fhir_etl_spark.streaming.state`,
+shared with the continuous rollup.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 
 from fhir_etl_spark.operators.sketch import kmv_merge, kmv_sample_sketch
+from fhir_etl_spark.streaming.state import fold_parquet_state
 
 
 def stream_kmv_sketch(
@@ -49,16 +47,13 @@ def stream_kmv_sketch(
         part = kmv_sample_sketch(
             batch_df, group_cols, value_col, row_key_cols, k=k
         )
-        if os.path.exists(state_path):
-            prev = spark.read.parquet(state_path)
-            part = kmv_merge(prev.unionByName(part), group_cols, k=k)
-        tmp = f"{state_path}.tmp.{epoch_id}"
-        part.write.mode("overwrite").parquet(tmp)
-        old = f"{state_path}.old.{epoch_id}"
-        if os.path.exists(state_path):
-            os.rename(state_path, old)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old, ignore_errors=True)
+
+        def merge_state(prev: DataFrame | None) -> DataFrame:
+            if prev is None:
+                return part
+            return kmv_merge(prev.unionByName(part), group_cols, k=k)
+
+        fold_parquet_state(spark, state_path, epoch_id, merge_state)
 
     writer = (
         stream_df.writeStream.outputMode("update")

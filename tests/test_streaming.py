@@ -549,3 +549,56 @@ def test_stream_kmv_sketch_equals_batch_sketch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert sq and all(v is not None for v in sq.values())
+
+
+def test_kmv_merge_replay_idempotent(spark):
+    """The replay-safety law the streaming fold rests on: folding the
+    SAME sketch in twice must be a no-op (dedup on hashed row identity
+    before the min-k rank — a multiset rank would double-count)."""
+    from fhir_etl_spark.operators.sketch import kmv_merge, kmv_sample_sketch
+
+    df = spark.range(500).selectExpr(
+        "'g' AS g", "id AS rid", "cast(id * 13 % 500 as double) AS v"
+    )
+    sk = kmv_sample_sketch(df, ["g"], "v", ["rid"], k=32)
+
+    def rows(s):
+        return {r["g"]: [(e["h"], e["v"]) for e in r["sample"]] for r in s.collect()}
+
+    replayed = kmv_merge(sk.unionByName(sk), ["g"], k=32)
+    assert rows(replayed) == rows(sk)
+
+
+def test_fold_parquet_state_crash_recovery(spark, tmp_path):
+    """The swap protocol's two crash windows: (a) state stranded in
+    .old.{epoch} (crash between the renames) is recovered before the
+    next fold reads; (b) a stale .old dir from a crashed replay of the
+    SAME epoch is cleared instead of wedging the rename with ENOTEMPTY."""
+    import os
+
+    from fhir_etl_spark.streaming.state import fold_parquet_state
+
+    state = str(tmp_path / "state")
+
+    def fold_const(n):
+        return lambda prev: (
+            spark.range(n) if prev is None
+            else prev.unionByName(spark.range(n)).distinct()
+        )
+
+    fold_parquet_state(spark, state, 0, fold_const(5))
+    assert spark.read.parquet(state).count() == 5
+
+    # (a) crash between retire and rename-in: state dir is gone
+    os.rename(state, f"{state}.old.1")
+    fold_parquet_state(spark, state, 2, fold_const(7))
+    # recovery saw the 5 committed rows, fold added ids 5..6
+    assert spark.read.parquet(state).count() == 7
+
+    # (b) stale .old.3 from a crashed replay of epoch 3 + state present
+    os.makedirs(f"{state}.old.3")
+    with open(f"{state}.old.3/garbage", "w") as f:
+        f.write("stale")
+    fold_parquet_state(spark, state, 3, fold_const(9))
+    assert spark.read.parquet(state).count() == 9
+    assert not os.path.exists(f"{state}.old.3")
