@@ -13,12 +13,12 @@ by round 4). The machinery was retired in round 5; rounds 5–6 then added
 round-6 judge asked for a ONE-round scoped revival (VERDICT r06 "Next
 round" #1): the rotation below exposes those 24 never-driver-checked
 names — ``g4 j11 m6–m13 r4 s12–s14 t13 t15 t16 u3 u4 w8 x12 x13 x4 y2``
-— PLUS the four queries round 7 itself added after the window's reach
-(``s15 v8 x14 y3``), 28 ``a0_`` aliases total, so all of them land
+— PLUS the five queries round 7 itself added after the window's reach
+(``s15 v8 x14 x15 y3``), 29 ``a0_`` aliases total, so all of them land
 inside the window and earn driver CORRECTNESS rows, after which the
 machinery retires again. Aliases are thin documented wrappers (same
 plan, same oracle), NOT new inventory; COVERAGE.md counts exclude them.
-Of the 28, four are rows-only by nature (x4 approx sketches, t13
+Of the 29, four are rows-only by nature (x4 approx sketches, t13
 iterative BPE, t15 raw-deflate ratio, m11 float-FFT mel spectrogram) —
 they get the driver's weaker rows-only row, same as d4x (xxhash64 twin
 of the md5-oracled d4) did in round 6; their semantics are pinned in
@@ -56,15 +56,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # r01–r06 (computed by diffing sorted(all_queries()) against every
 # CORRECTNESS_r0*.json). All 24 were verified green by the round-6 judge's
 # independent strict-oracle sweep; this round converts that into driver
-# rows, then the list empties and the aliases disappear. The four round-7
-# NEW queries (s15 xlsx scan, v8 SemDeDup, y3 Hilbert curve, x14 KMV
-# quantile sketch) also sort
+# rows, then the list empties and the aliases disappear. The five round-7
+# NEW queries (s15 xlsx scan, v8 SemDeDup, y3 Hilbert curve, x14/x15
+# KMV quantile/distinct sketches) also sort
 # after the window's reach, so they join the rotation rather than
 # starting round 8 with the same gap.
 COVERAGE_ROTATION = [
     "s15_xlsx_scan",
     "v8_semdedup",
     "x14_kmv_quantiles",
+    "x15_kmv_distinct",
     "y3_hilbert_curve",
     "g4_bfs_hops",
     "j11_fuzzy_match",
@@ -107,7 +108,7 @@ def _rotation_alias(name: str, fn: Callable) -> Callable:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → fn(spark, sf_dir) for every implemented inventory operator,
-    plus the 28 round-7 coverage-rotation aliases (see COVERAGE_ROTATION).
+    plus the 29 round-7 coverage-rotation aliases (see COVERAGE_ROTATION).
 
     The rotation aliases are inserted FIRST: they lead under both a
     sorted-name window (a0_ < every base name) and a dict-insertion-order

@@ -547,3 +547,53 @@ def x14_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=64,
     )
     return kmv_quantiles(sk, ["l_returnflag"], [0.25, 0.50, 0.75, 0.95])
+
+
+@query(
+    "x15_kmv_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             md5(concat_ws('|', CAST(l_partkey AS VARCHAR))) AS hh,
+             CAST(l_partkey AS DOUBLE) AS v
+      FROM lineitem
+    ), rk AS (
+      SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY hh, v) AS rk
+      FROM h
+    ), s AS (
+      SELECT l_returnflag, count(*) AS n, max(hh) AS hk
+      FROM rk WHERE rk <= 64 GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                ELSE 63.0 / (CAST(concat('0x', substr(hk, 1, 13)) AS UBIGINT)
+                             / 4503599627370496.0)
+           END AS distinct_est
+    FROM s
+    """,
+    tags=("sketch", "agg"),
+)
+def x15_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-value estimation, value-oracled END TO END including
+    the float estimator: the sketch is built over the VALUE itself (hash
+    identity = value, merge-dedup makes the sample a distinct-value
+    set), then (k−1)/U_(k) with the hash fraction truncated to 52 bits
+    so the double arithmetic is bit-exact across engines. The per-flag
+    distinct-partkey estimate lands within the ~1/sqrt(k) band of the
+    exact count (accuracy pinned in tests; value agreement pinned
+    here)."""
+    from fhir_etl_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_sample_sketch,
+    )
+
+    lineitem = load_tables(spark, sf_dir, "lineitem")
+    sk = kmv_sample_sketch(
+        lineitem,
+        group_cols=["l_returnflag"],
+        value_col="l_partkey",
+        row_key_cols=["l_partkey"],
+        k=64,
+    )
+    return kmv_distinct_estimate(sk, ["l_returnflag"], k=64)

@@ -454,3 +454,34 @@ def test_kmv_quantiles_rejects_colliding_prob_names(spark):
     sk = kmv_sample_sketch(tiny, ["g"], "v", ["rid"], k=8)
     with pytest.raises(ValueError, match="collide"):
         kmv_quantiles(sk, ["g"], [0.25, 0.254])
+
+
+def test_kmv_distinct_estimate_accuracy_and_exact_tier(spark):
+    """KMV distinct-value estimation: groups under k are EXACT; groups
+    over k estimate within the ~1/sqrt(k) band. Duplicate rows per value
+    must not perturb anything (the value-set construction dedups before
+    the bottom-k slice — the bug this test pins had duplicates flooding
+    the k slots down to 6 survivors out of 200 values)."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_sample_sketch,
+    )
+
+    df = spark.range(30_000).select(
+        F.when(F.col("id") % 2 == 0, "big").otherwise("small").alias("g"),
+        # even ids cycle even residues mod 1500 (750 distinct), odd ids
+        # odd residues mod 20 (10 distinct) — every value repeated ~20x
+        # (the duplication that broke the multiset slice)
+        F.when(F.col("id") % 2 == 0, F.col("id") % 1500)
+        .otherwise(F.col("id") % 20)
+        .alias("val"),
+    )
+    sk = kmv_sample_sketch(df, ["g"], "val", ["val"], k=64)
+    est = {
+        r["g"]: r["distinct_est"]
+        for r in kmv_distinct_estimate(sk, ["g"], k=64).collect()
+    }
+    assert est["small"] == 10.0  # below k: exact, not estimated
+    assert abs(est["big"] / 750 - 1) < 0.40  # one draw of a ~13%-sd estimator
