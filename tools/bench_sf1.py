@@ -62,6 +62,10 @@ QUERIES = [
 # Wall-time floors (seconds) at the sf1 shape, set from the round-7
 # measurement run (best-of-2 on this VM; sf0.1 wall for comparison shows
 # the 10x data costing only 1-5x wall — sub-linear as the plans intend).
+# NOISE CAVEAT, measured: the same binary re-run under a load-13 neighbor
+# spike gave d6 12.4-13.1 s (1.6x) with BYTE-IDENTICAL shuffle metrics —
+# when a wall regression appears here, read the shuffle columns first;
+# identical bytes = same plan, the host moved, not the code.
 # Same contract as bench.py's floors: >1.5x flags a regression; shuffle
 # bytes (r07 reference: q1 ~0, q9 0.2 MB, q21 180 MB, d6 530 MB,
 # d10 105 MB) are the finer instrument — near-deterministic, so a lost
