@@ -186,6 +186,10 @@ def main() -> None:
     from fhir_etl_spark.queries import all_queries
     from fhir_etl_spark.session import get_spark
 
+    # snapshot host load BEFORE our own executors start — this is the
+    # pre-existing contention a reader needs; sampling at print time
+    # would mostly measure our own 32 threads
+    load_before = [round(x, 1) for x in os.getloadavg()]
     # the status REST API needs the UI server (engine sessions disable it)
     os.environ.setdefault("SPARK_GRAFT_UI", "true")
     spark = get_spark("bench_sf1")
@@ -227,6 +231,11 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "sf1_shape_wall_and_shuffle",
+        # 1/5/15-min host load BEFORE the run started: the noise context
+        # a reader needs before trusting wall numbers on this shared VM
+        # (r07 measured 1.6-5.7x wall inflation under neighbor spikes
+        # with byte-identical shuffle metrics)
+        "loadavg_before": load_before,
         "sf_equiv": 1.0,
         "replicas": REPLICAS,
         "src": SRC_SF,
