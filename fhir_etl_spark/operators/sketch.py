@@ -111,36 +111,52 @@ def kmv_sample_sketch(
     read off it — value-oracles (same reason d4 keeps an md5 twin of the
     xxhash64 MinHash path).
 
-    Plan shape — TWO-PHASE, exactly because the sketch is mergeable: a
-    map-side partial bottom-k per (group, input partition) — the
-    collect_list partial aggregation completes before any shuffle since
-    the partition id is part of the key — then :func:`kmv_merge` folds
-    the ≤ k-row partials. Only k rows per (group, partition) ever cross
-    the wire, and no task sorts more than one input partition. (A single
-    whole-group window rank was the first cut and is the trap this shape
-    exists to avoid: it funnels the ENTIRE table into one sort task per
-    group — 3 reducers total for a 3-group 100 TB table.)
+    Plan shape — TWO-PHASE, exactly because the sketch is mergeable:
+
+    1. a ``dense_rank ≤ k`` filter per (group, INPUT PARTITION) over the
+       hash order. Because the rank filter is rank-like, Spark inserts a
+       PARTIAL ``WindowGroupLimit`` BEFORE the exchange (each map task
+       holds exactly one partition id, so the trim completes map-side) —
+       what crosses the wire is the k smallest hashed identities per
+       (group, partition), not the partition's rows. dense_rank (not
+       row_number) so duplicate copies of one identity can't consume
+       the k slots — the set semantics the estimator needs.
+    2. a per-(group, partition) collect_set/slice builds the ≤ k-entry
+       partial samples (the groupBy reuses the window's partitioning —
+       no extra exchange), and :func:`kmv_merge` folds them.
+
+    No task ever sorts more than one input partition. (Two earlier cuts
+    are the traps this shape avoids, both caught in round-7 review: a
+    single whole-group window rank funnels the ENTIRE table into one
+    sort task per group — 3 reducers for a 3-group 100 TB table — and a
+    bare groupBy(…, partition_id) + post-agg slice ships each
+    partition's FULL distinct set through the exchange because the
+    slice evaluates after the final aggregate.)
     """
     if hash_fn != "md5":
         raise ValueError("kmv_sample_sketch: md5 is the replayable hash")
     h = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in row_key_cols]))
+    from pyspark.sql import Window
+
+    base = df.select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("_v"),
+        h.alias("_h"),
+        F.spark_partition_id().alias("_p"),
+    )
+    w = Window.partitionBy(*group_cols, "_p").orderBy("_h", "_v")
+    trimmed = (
+        base.withColumn("_dr", F.dense_rank().over(w))
+        .filter(F.col("_dr") <= k)
+        .drop("_dr")
+    )
     partials = (
-        df.select(
-            *group_cols,
-            F.col(value_col).cast("double").alias("_v"),
-            h.alias("_h"),
-            F.spark_partition_id().alias("_p"),
-        )
-        .groupBy(*group_cols, "_p")
+        trimmed.groupBy(*group_cols, "_p")
         .agg(
-            # collect_SET, not list: the sketch is a set keyed by hashed
-            # row identity, and the dedup must happen BEFORE the slice —
-            # slicing the sorted multiset would fill the k slots with
-            # duplicate copies of the few smallest-hash identities
-            # (observed: a 200-distinct-value column sliced down to 6
-            # survivors because each value repeated ~30x). array_sort on
+            # collect_SET dedups the ≤ k surviving identities' duplicate
+            # copies; slice guards the exact-k bound. array_sort on
             # struct compares field-by-field (h, then v) — identical
-            # ordering to the merge's rank; slice keeps min-k.
+            # ordering to the merge's rank.
             F.slice(
                 F.array_sort(
                     F.collect_set(
@@ -152,12 +168,13 @@ def kmv_sample_sketch(
             ).alias("sample")
         )
         .drop("_p")
+        .withColumn("k", F.lit(k))
     )
     return kmv_merge(partials, group_cols, k)
 
 
 def kmv_merge(
-    sketches: DataFrame, group_cols: list[str], k: int = 64
+    sketches: DataFrame, group_cols: list[str], k: int | None = None
 ) -> DataFrame:
     """Union bottom-k sketch rows per group back into one sketch row:
     explode, re-rank by hash, keep k — min-k of the union. Output is
@@ -173,29 +190,75 @@ def kmv_merge(
     merges and streaming epoch REPLAY safe: folding the same sketch in
     twice is a no-op instead of double-counting its rows (a multiset
     rank would keep both copies — round-7 review finding). The dedup is
-    over ≤ k·n_sketch_rows entries, never base data."""
+    over ≤ k·n_sketch_rows entries, never base data.
+
+    ``k`` travels WITH the sketch (a ``k`` column) so readers cannot
+    misinterpret a table built at a different k (round-7 review: an
+    estimate read at k=64 from a k=32 sketch would report a saturated
+    group as "exactly 32 distinct"). ``k=None`` (the default) takes k
+    from the column; passing both validates them against each other at
+    execution time. Merging sketches built with DIFFERENT ks is invalid
+    (min-k of min-k' is not min-k) and raises when detected per group."""
     from pyspark.sql import Window
 
-    exploded = (
-        sketches.select(*group_cols, F.explode("sample").alias("e"))
-        .select(*group_cols, F.col("e.h").alias("_h"), F.col("e.v").alias("_v"))
-        .dropDuplicates([*group_cols, "_h", "_v"])
+    has_k = "k" in sketches.columns
+    if k is None and not has_k:
+        raise ValueError(
+            "kmv_merge: sketches carry no 'k' column — pass k explicitly"
+        )
+    k_cols = ["k"] if has_k else []
+    exploded = sketches.select(
+        *group_cols, *k_cols, F.explode("sample").alias("e")
+    ).select(
+        *group_cols, *k_cols, F.col("e.h").alias("_h"), F.col("e.v").alias("_v")
     )
-    ranked = exploded.withColumn(
+    if has_k and k is not None:
+        exploded = exploded.withColumn(
+            "k",
+            F.when(
+                F.col("k") != k,
+                F.raise_error(
+                    F.concat(
+                        F.lit("kmv_merge: sketch built with k="),
+                        F.col("k").cast("string"),
+                        F.lit(f" but k={k} requested"),
+                    )
+                ),
+            ).otherwise(F.col("k")),
+        )
+    k_expr = F.lit(k) if k is not None else F.col("k")
+    ranked = exploded.dropDuplicates([*group_cols, "_h", "_v"]).withColumn(
         "_rk",
         F.row_number().over(
             Window.partitionBy(*group_cols).orderBy("_h", "_v")
         ),
     )
-    return (
-        ranked.filter(F.col("_rk") <= k)
+    out = (
+        ranked.filter(F.col("_rk") <= k_expr)
         .groupBy(*group_cols)
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("_h").alias("h"), F.col("_v").alias("v")))
-            ).alias("sample")
+            ).alias("sample"),
+            *(
+                [F.min("k").alias("_kmin"), F.max("k").alias("_kmax")]
+                if has_k
+                else []
+            ),
         )
     )
+    if has_k:
+        return out.select(
+            *group_cols,
+            "sample",
+            F.when(
+                F.col("_kmin") != F.col("_kmax"),
+                F.raise_error(F.lit("kmv_merge: mixed k values in one group")),
+            )
+            .otherwise(F.col("_kmin"))
+            .alias("k"),
+        )
+    return out.withColumn("k", F.lit(k))
 
 
 def kmv_quantiles(
@@ -224,7 +287,7 @@ def kmv_quantiles(
 
 
 def kmv_distinct_estimate(
-    sketches: DataFrame, group_cols: list[str], k: int = 64
+    sketches: DataFrame, group_cols: list[str], k: int | None = None
 ) -> DataFrame:
     """Distinct-VALUE estimate off a bottom-k sketch built over the value
     itself (``row_key_cols=[value_col]`` — then the hashed row identity
@@ -242,12 +305,39 @@ def kmv_distinct_estimate(
     past the 53-bit mantissa). Relative error ~ 1/sqrt(k−2): k=64 →
     ~13%. Pure column expressions over the k-row sketch table — reading
     an estimate never touches base data, and sketches for any partition
-    subset union first (kmv_merge) then estimate."""
+    subset union first (kmv_merge) then estimate.
+
+    ``k`` defaults to the sketch table's own ``k`` column (the safe
+    path); an explicit mismatching k is validated at execution rather
+    than silently reclassifying a saturated group as exact (round-7
+    review)."""
+    has_k = "k" in sketches.columns
+    if k is None and not has_k:
+        raise ValueError(
+            "kmv_distinct_estimate: sketches carry no 'k' column — pass k"
+        )
+    if has_k and k is not None:
+        sketches = sketches.withColumn(
+            "k",
+            F.when(
+                F.col("k") != k,
+                F.raise_error(
+                    F.concat(
+                        F.lit("kmv_distinct_estimate: sketch built with k="),
+                        F.col("k").cast("string"),
+                        F.lit(f" but k={k} requested"),
+                    )
+                ),
+            ).otherwise(F.col("k")),
+        )
+    k_expr = F.col("k") if has_k else F.lit(k)
     u = (
         F.conv(F.substring(F.element_at("sample", -1)["h"], 1, 13), 16, 10)
         .cast("double")
         / F.lit(float(1 << 52))
     )
     n = F.size("sample")
-    est = F.when(n < k, n.cast("double")).otherwise(F.lit(float(k - 1)) / u)
+    est = F.when(n < k_expr, n.cast("double")).otherwise(
+        (k_expr - 1).cast("double") / u
+    )
     return sketches.select(*group_cols, est.alias("distinct_est"))

@@ -528,3 +528,24 @@ def test_runtime_bloom_filter_join_injection(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_kmv_sketch_trims_before_first_exchange(spark):
+    """The wire-volume contract of the two-phase KMV build (round-7
+    review): a PARTIAL WindowGroupLimit must sit BELOW the first
+    exchange, so each map task ships only its k smallest hashed
+    identities per (group, partition) — not the partition's full
+    distinct set (a post-agg slice evaluates after the exchange and
+    bounds nothing)."""
+    from fhir_etl_spark.operators.sketch import kmv_sample_sketch
+    from fhir_etl_spark.session import load_tables
+
+    li = load_tables(spark, SF, "lineitem")
+    sk = kmv_sample_sketch(li, ["l_returnflag"], "l_extendedprice",
+                           ["l_orderkey", "l_linenumber"], k=64)
+    tree = sk._jdf.queryExecution().executedPlan().toString()
+    first_exchange = tree.find("Exchange hashpartitioning")
+    assert first_exchange != -1
+    below = tree[first_exchange:]
+    assert "WindowGroupLimit" in below, tree
+    assert "Partial" in below[below.find("WindowGroupLimit"):], tree
