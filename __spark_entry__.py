@@ -5,24 +5,17 @@
 fhir_etl_spark.queries (one (Spark plan, DuckDB oracle) pair per operator
 from SURVEY.md §2 plus the north-star dedup/similarity/text operators).
 
-History note: rounds 2–4 prepended ``a0_``-prefixed coverage-rotation
-aliases here so the driver's 50-query-per-round correctness window landed
-on queries that still lacked a driver row (145/145 cumulative driver-green
-by round 4). The machinery was retired in round 5; rounds 5–6 then added
-24 new queries that sort AFTER the window's reach (``m6``…``y2``), so the
-round-6 judge asked for a ONE-round scoped revival (VERDICT r06 "Next
-round" #1): the rotation below exposes those 24 never-driver-checked
-names — ``g4 j11 m6–m13 r4 s12–s14 t13 t15 t16 u3 u4 w8 x12 x13 x4 y2``
-— PLUS the five queries round 7 itself added after the window's reach
-(``s15 v8 x14 x15 y3``), 29 ``a0_`` aliases total, so all of them land
-inside the window and earn driver CORRECTNESS rows, after which the
-machinery retires again. Aliases are thin documented wrappers (same
-plan, same oracle), NOT new inventory; COVERAGE.md counts exclude them.
-Of the 29, four are rows-only by nature (x4 approx sketches, t13
-iterative BPE, t15 raw-deflate ratio, m11 float-FFT mel spectrogram) —
-they get the driver's weaker rows-only row, same as d4x (xxhash64 twin
-of the md5-oracled d4) did in round 6; their semantics are pinned in
-tests/ instead.
+History note: rounds 2–4 and round 7 used ``a0_``-prefixed
+coverage-rotation aliases so the driver's 50-query-per-round correctness
+window landed on queries that still lacked a driver row. As of round 7
+every one of the 179 registered queries has earned a cumulative driver
+CORRECTNESS row (174 value-exact, 4 rows-only by documented structure,
+1 canonicalizer error fixed this round), so the rotation is RETIRED
+PERMANENTLY (VERDICT r07 "Next round" #2): ``COVERAGE_ROTATION`` is
+empty, ``queries()`` returns exactly the sorted base-name registry, and
+the window re-checks ``a1…`` as steady-state regression coverage. A
+contract test (tests/test_entry.py) pins that no ``a0_`` key can
+reappear.
 """
 
 from __future__ import annotations
@@ -51,75 +44,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return q3_shipping_priority(spark, SF0001)
 
 
-# --- round-7 coverage rotation (scoped; see module docstring) --------------
-# Exactly the 24 registered queries with no driver CORRECTNESS row in
-# r01–r06 (computed by diffing sorted(all_queries()) against every
-# CORRECTNESS_r0*.json). All 24 were verified green by the round-6 judge's
-# independent strict-oracle sweep; this round converts that into driver
-# rows, then the list empties and the aliases disappear. The five round-7
-# NEW queries (s15 xlsx scan, v8 SemDeDup, y3 Hilbert curve, x14/x15
-# KMV quantile/distinct sketches) also sort
-# after the window's reach, so they join the rotation rather than
-# starting round 8 with the same gap.
-COVERAGE_ROTATION = [
-    "s15_xlsx_scan",
-    "v8_semdedup",
-    "x14_kmv_quantiles",
-    "x15_kmv_distinct",
-    "y3_hilbert_curve",
-    "g4_bfs_hops",
-    "j11_fuzzy_match",
-    "m6_jpeg_decode",
-    "m7_mp4_keyframes",
-    "m8_webm_keyframes",
-    "m9_audio_frame_features",
-    "m10_phash_neardup",
-    "m11_mel_spectrogram",
-    "m12_gif_decode",
-    "m13_audio_fingerprint",
-    "r4_interval_overlap",
-    "s12_warc_scan",
-    "s13_webdataset_scan",
-    "s14_corrupt_records",
-    "t13_bpe_tokenize",
-    "t15_compression_ratio",
-    "t16_url_canonicalize",
-    "u3_snapshot_diff",
-    "u4_incremental_view",
-    "w8_rolling_zscore",
-    "x4_approx_stats",
-    "x12_histogram",
-    "x13_lateral_join",
-    "y2_time_travel_diff",
-]
-
-
-def _rotation_alias(name: str, fn: Callable) -> Callable:
-    """Distinct wrapper callable for a rotation alias (identity-dedupe-proof)."""
-
-    def alias(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return fn(spark, sf_dir)
-
-    alias.__name__ = f"a0_{name}"
-    alias.__qualname__ = f"a0_{name}"
-    alias.__doc__ = f"Coverage-rotation alias of {name} (same plan, same oracle)."
-    return alias
+# --- coverage rotation: RETIRED (round 8; see module docstring) ------------
+# Kept as an empty constant (not deleted) so the retirement is explicit
+# and contract-testable: tests/test_entry.py asserts this list is empty
+# and that queries() exposes no a0_-prefixed key.
+COVERAGE_ROTATION: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → fn(spark, sf_dir) for every implemented inventory operator,
-    plus the 29 round-7 coverage-rotation aliases (see COVERAGE_ROTATION).
-
-    The rotation aliases are inserted FIRST: they lead under both a
-    sorted-name window (a0_ < every base name) and a dict-insertion-order
-    window, whichever the gate uses."""
-    registry = all_queries()
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in sorted(COVERAGE_ROTATION):
-        out[f"a0_{name}"] = _rotation_alias(name, registry[name].fn)
-    for name, qd in sorted(registry.items()):
-        out[name] = qd.fn
-    return out
+    in sorted-name order (no rotation aliases — retired round 8)."""
+    return {name: qd.fn for name, qd in sorted(all_queries().items())}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -138,14 +73,8 @@ def oracle_sql() -> dict[str, str]:
     rows-only BY STRUCTURE, mitigated by (a) the value-oracled md5 twin
     d4 running the identical pipeline with a replayable hash and (b)
     hash/text agreement tests in tests/test_dedup_semantics.py."""
-    registry = all_queries()
-    out: dict[str, str] = {}
-    for name in sorted(COVERAGE_ROTATION):
-        if registry[name].oracle is not None:
-            out[f"a0_{name}"] = (
-                f"-- coverage-rotation alias of {name}\n" + registry[name].oracle
-            )
-    for name, qd in sorted(registry.items()):
-        if qd.oracle is not None:
-            out[name] = qd.oracle
-    return out
+    return {
+        name: qd.oracle
+        for name, qd in sorted(all_queries().items())
+        if qd.oracle is not None
+    }

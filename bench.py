@@ -170,9 +170,32 @@ def fhirize_throughput(spark, n_rows: int = 1_000_000, warm: bool = True) -> flo
     return round(n_rows / (time.perf_counter() - start), 0)
 
 
+def wait_for_quiet_host(
+    threshold: float = 2.0, max_wait_sec: float = 180.0, poll_sec: float = 15.0
+) -> tuple[list[float], list[float]]:
+    """Bounded wait for pre-existing host contention to drain (VERDICT
+    r07 #4: the r07 headline run was taken under ambient neighbor load,
+    inflating UNTOUCHED queries 1.1-1.4× and making floors ambiguous).
+
+    Samples the 1-min loadavg BEFORE our own executors start — at print
+    time we'd mostly measure our own 32 threads — and, while it exceeds
+    ``threshold``, sleeps up to ``max_wait_sec`` total. Returns
+    (loadavg_at_entry, loadavg_at_start) so the JSON records both the
+    contention found and the contention the timings actually ran under.
+    Bounded: a permanently-busy host proceeds after max_wait_sec rather
+    than wedging the driver's per-round bench."""
+    entry = [round(x, 2) for x in os.getloadavg()]
+    waited = 0.0
+    while os.getloadavg()[0] > threshold and waited < max_wait_sec:
+        time.sleep(poll_sec)
+        waited += poll_sec
+    return entry, [round(x, 2) for x in os.getloadavg()]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    loadavg_entry, loadavg_start = wait_for_quiet_host()
     spark = get_spark("fhir_etl_spark_bench")
     registry = all_queries()
 
@@ -230,6 +253,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # 1/5/15-min host load at bench entry and after the
+                # bounded quiet-wait (i.e. what the timings ran under):
+                # this VM has noisy neighbors, and wall numbers without
+                # load context mislead (VERDICT r07 perf section)
+                "loadavg_entry": loadavg_entry,
+                "loadavg_start": loadavg_start,
                 "fhirize_rows_per_sec": max(
                     fhirize_throughput(spark) for _ in range(2)
                 ),

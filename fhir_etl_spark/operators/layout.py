@@ -34,6 +34,51 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _guarded_denom(prefix: str, i: int, buckets: int) -> Column:
+    """Validated bucketization denominator ``max - min + 1`` as a column
+    over a stats row holding ``{prefix}min_{i}`` / ``{prefix}max_{i}``.
+
+    Round-8 advice fix: the per-row bucket expression ``(c - min) *
+    buckets`` runs in BIGINT, so a column whose range exceeds
+    ``(2^63 - 1) / buckets`` overflows SILENTLY (Spark wraps where
+    DuckDB raises — the curve key corrupts and the oracle would diverge
+    rather than catch it). The guard compares the range in
+    DECIMAL(38,0) — itself overflow-proof even for min = -2^63 —
+    and raises at stats-evaluation time (once per build, before any
+    row is bucketized, since every bucket expression consumes this
+    denominator). After the guard, ``c - min ≤ range`` and
+    ``range * buckets ≤ 2^63 - 1``, so the fast BIGINT row path is
+    exact. An all-NULL column yields a NULL denominator, which the
+    row path's coalesce maps to bucket 0 (the documented NULL
+    semantics), not an error."""
+    mn = F.col(f"{prefix}min_{i}").cast("decimal(38,0)")
+    mx = F.col(f"{prefix}max_{i}").cast("decimal(38,0)")
+    threshold = (2**63 - 1) // buckets
+    return (
+        F.when(
+            (mx - mn) > F.lit(threshold).cast("decimal(38,0)"),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"curve bucketization overflow: column range (min="
+                    ),
+                    F.col(f"{prefix}min_{i}").cast("string"),
+                    F.lit(", max="),
+                    F.col(f"{prefix}max_{i}").cast("string"),
+                    F.lit(
+                        f") exceeds (2^63-1)/{buckets} — lower bits or "
+                        "pre-scale the column"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(
+            F.col(f"{prefix}max_{i}") - F.col(f"{prefix}min_{i}") + F.lit(1)
+        )
+        .alias(f"{prefix}denom_{i}")
+    )
+
+
 def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
     """Add a ``_zvalue`` column interleaving ``bits`` bits of each col.
 
@@ -56,10 +101,13 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
     stats = df.agg(
         *[F.min(F.col(c).cast("long")).alias(f"_zmin_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("long")).alias(f"_zmax_{i}") for i, c in enumerate(cols)],
+    ).select(
+        "*", *[_guarded_denom("_z", i, buckets) for i in range(n)]
     )
     out = df.crossJoin(F.broadcast(stats))
 
-    # integer bucket per column: ((x - min) * 2^bits) div (max - min + 1)
+    # integer bucket per column: ((x - min) * 2^bits) div (max - min + 1),
+    # with the denominator pre-validated against BIGINT overflow
     scaled_names = []
     for i, c in enumerate(cols):
         name = f"_zs_{i}"
@@ -69,7 +117,7 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
             F.coalesce(
                 F.expr(
                     f"((cast(`{c}` as bigint) - _zmin_{i}) * {buckets})"
-                    f" div (_zmax_{i} - _zmin_{i} + 1)"
+                    f" div _zdenom_{i}"
                 ),
                 F.lit(0),
             ),
@@ -82,7 +130,11 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
                 F.shiftright(F.col(name), bit).bitwiseAND(F.lit(1)), bit * n + j
             )
 
-    drop = [f"_zmin_{i}" for i in range(n)] + [f"_zmax_{i}" for i in range(n)]
+    drop = (
+        [f"_zmin_{i}" for i in range(n)]
+        + [f"_zmax_{i}" for i in range(n)]
+        + [f"_zdenom_{i}" for i in range(n)]
+    )
     return out.withColumn("_zvalue", z.cast("long")).drop(*drop, *scaled_names)
 
 
@@ -148,7 +200,7 @@ def hilbert_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
     stats = df.agg(
         *[F.min(F.col(c).cast("long")).alias(f"_hmin_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("long")).alias(f"_hmax_{i}") for i, c in enumerate(cols)],
-    )
+    ).select("*", *[_guarded_denom("_h", i, buckets) for i in range(2)])
     out = df.crossJoin(F.broadcast(stats))
     for i, c in enumerate(cols):
         out = out.withColumn(
@@ -156,7 +208,7 @@ def hilbert_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
             F.coalesce(
                 F.expr(
                     f"((cast(`{c}` as bigint) - _hmin_{i}) * {buckets})"
-                    f" div (_hmax_{i} - _hmin_{i} + 1)"
+                    f" div _hdenom_{i}"
                 ),
                 F.lit(0),
             ),

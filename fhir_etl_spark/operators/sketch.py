@@ -132,17 +132,33 @@ def kmv_sample_sketch(
     bare groupBy(…, partition_id) + post-agg slice ships each
     partition's FULL distinct set through the exchange because the
     slice evaluates after the final aggregate.)
+
+    NULL semantics (round-8 advice fix): rows whose ``value_col`` is
+    NULL are EXCLUDED before hashing — the same convention as Spark's
+    own sketch aggregates (approx_count_distinct / hll_sketch_agg skip
+    nulls). Without the filter two silent wrong answers leak out: a
+    null ``_v`` sorts LAST in the sample's (h, v) struct order but the
+    quantile reader sorts by value where nulls land at the top ranks,
+    so q95-style reads return null; and with ``row_key_cols ==
+    [value_col]`` (the distinct-estimate construction) a NULL hashes as
+    ``md5('')`` — concat_ws drops nulls — colliding with the empty
+    string and counting NULL as one extra distinct value.
     """
     if hash_fn != "md5":
         raise ValueError("kmv_sample_sketch: md5 is the replayable hash")
     h = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in row_key_cols]))
     from pyspark.sql import Window
 
-    base = df.select(
-        *group_cols,
-        F.col(value_col).cast("double").alias("_v"),
-        h.alias("_h"),
-        F.spark_partition_id().alias("_p"),
+    # filter on the CAST value: a NULL input and a non-castable input
+    # both surface as null _v, and neither belongs in the sample
+    base = (
+        df.select(
+            *group_cols,
+            F.col(value_col).cast("double").alias("_v"),
+            h.alias("_h"),
+            F.spark_partition_id().alias("_p"),
+        )
+        .filter(F.col("_v").isNotNull())
     )
     w = Window.partitionBy(*group_cols, "_p").orderBy("_h", "_v")
     trimmed = (
@@ -198,7 +214,18 @@ def kmv_merge(
     group as "exactly 32 distinct"). ``k=None`` (the default) takes k
     from the column; passing both validates them against each other at
     execution time. Merging sketches built with DIFFERENT ks is invalid
-    (min-k of min-k' is not min-k) and raises when detected per group."""
+    (min-k of min-k' is not min-k) and raises when detected per group.
+
+    Round-8 advice fixes, both loud-error paths: (a) an empty/NULL
+    ``sample`` array raises instead of silently vanishing —
+    ``explode`` drops such rows, so a group whose every sketch row was
+    empty would disappear from the merged output (kmv_sample_sketch
+    never EMITS an empty sample — a groupBy has no empty groups — so
+    one can only mean a corrupted/hand-built sketch table); (b) mixed-k
+    detection moved BEFORE the (group, h, v) dedup — the dedup key
+    excludes k, so when two sketches built at different k shared an
+    entry, the surviving row's k was arbitrary and the later
+    _kmin/_kmax check could be masked."""
     from pyspark.sql import Window
 
     has_k = "k" in sketches.columns
@@ -207,11 +234,33 @@ def kmv_merge(
             "kmv_merge: sketches carry no 'k' column — pass k explicitly"
         )
     k_cols = ["k"] if has_k else []
-    exploded = sketches.select(
+    guarded = sketches.withColumn(
+        "sample",
+        F.when(
+            F.col("sample").isNull() | (F.size("sample") == 0),
+            F.raise_error(
+                F.lit("kmv_merge: empty/null sample array — corrupted sketch row")
+            ),
+        ).otherwise(F.col("sample")),
+    )
+    exploded = guarded.select(
         *group_cols, *k_cols, F.explode("sample").alias("e")
     ).select(
         *group_cols, *k_cols, F.col("e.h").alias("_h"), F.col("e.v").alias("_v")
     )
+    if has_k:
+        # per-group k-consistency check on the PRE-dedup entries: an
+        # unbounded window over the same hash partitioning the rank
+        # window below uses (the exchange is shared), over ≤ k·rows
+        # entries — never base data
+        wg = Window.partitionBy(*group_cols)
+        exploded = exploded.withColumn(
+            "k",
+            F.when(
+                F.min("k").over(wg) != F.max("k").over(wg),
+                F.raise_error(F.lit("kmv_merge: mixed k values in one group")),
+            ).otherwise(F.col("k")),
+        )
     if has_k and k is not None:
         exploded = exploded.withColumn(
             "k",

@@ -44,10 +44,20 @@ def continuous_rollup(
     events_stream: DataFrame,
     table_dir: str,
     window_size: str = "1 hour",
+    checkpoint: str | None = None,
 ):
     """Maintain ``table_dir`` (parquet) as the rolling hourly aggregate of
     the stream. Returns the streaming query (availableNow semantics are up
-    to the caller's trigger)."""
+    to the caller's trigger).
+
+    ``checkpoint`` DEFAULTS to ``{table_dir}.checkpoint`` (round-8
+    advice fix — see streaming/state.py): replaying a lost-commit epoch
+    needs a checkpointed stream, and the state ledger's exactly-once
+    replay skip needs monotonic-unique epoch ids. With both in place the
+    additive merge is EXACTLY-ONCE per window bucket under crash replay
+    (previously documented as at-least-once)."""
+    if checkpoint is None:
+        checkpoint = f"{table_dir.rstrip('/')}.checkpoint"
 
     def _fold(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
@@ -73,6 +83,7 @@ def continuous_rollup(
         events_stream.writeStream.outputMode("update")
         .foreachBatch(_fold)
         .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
         .start()
     )
 

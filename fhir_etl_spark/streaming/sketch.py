@@ -39,7 +39,16 @@ def stream_kmv_sketch(
     """Maintain a per-group KMV sketch table at ``state_path`` from a
     streaming DataFrame. Returns the started query (availableNow
     trigger — the batch-twin test drives it to completion; drop the
-    trigger for a continuous deployment)."""
+    trigger for a continuous deployment).
+
+    ``checkpoint`` DEFAULTS to ``{state_path}.checkpoint`` (round-8
+    advice fix): the state swap's crash-recovery guarantee requires the
+    engine to replay an epoch whose commit was lost, which only a
+    checkpointed stream can do — and the state ledger's exactly-once
+    replay skip requires monotonic-unique epoch ids, likewise. An
+    explicit path overrides; there is deliberately no way to opt out."""
+    if checkpoint is None:
+        checkpoint = f"{state_path}.checkpoint"
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -55,11 +64,10 @@ def stream_kmv_sketch(
 
         fold_parquet_state(spark, state_path, epoch_id, merge_state)
 
-    writer = (
+    return (
         stream_df.writeStream.outputMode("update")
         .foreachBatch(_fold)
         .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
     )
-    if checkpoint is not None:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()

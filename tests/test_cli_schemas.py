@@ -151,14 +151,12 @@ def test_cli_stages_url_input(spark, tmp_path):
 
 
 def test_entry_exposes_each_registered_query_exactly_once():
-    """Round-7 contract: ``queries()`` = the scoped coverage-rotation
-    aliases (one ``a0_<name>`` per COVERAGE_ROTATION entry, leading the
-    sort) followed by the base registry verbatim — one entry per
-    registered query, sorted by name. ``oracle_sql()`` covers exactly the
-    names carrying a value oracle, with each alias mapped to its base
-    oracle (behind the alias comment line). When the rotation retires
-    again, COVERAGE_ROTATION empties and this degenerates back to the
-    round-5 'registry verbatim, no aliases' contract."""
+    """Round-8 contract (VERDICT r07 #2 — rotation retired PERMANENTLY):
+    ``queries()`` = the base registry verbatim, sorted by name, one entry
+    per registered query, with NO ``a0_``-prefixed alias ever again;
+    ``oracle_sql()`` covers exactly the names carrying a value oracle.
+    COVERAGE_ROTATION must stay empty — its job (earning a driver
+    CORRECTNESS row for every query) completed in round 7."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -170,18 +168,10 @@ def test_entry_exposes_each_registered_query_exactly_once():
     from fhir_etl_spark.queries import all_queries
 
     registry = all_queries()
-    rotation = sorted(mod.COVERAGE_ROTATION)
-    assert len(rotation) == len(set(rotation))
-    assert all(name in registry for name in rotation)
-    expected = [f"a0_{n}" for n in rotation] + sorted(registry)
-    assert list(qs) == expected, "queries() must be aliases + sorted registry"
-    for name in rotation:
-        alias = qs[f"a0_{name}"]
-        assert alias is not registry[name].fn  # distinct wrapper, same plan
-        if registry[name].oracle is not None:
-            assert osql[f"a0_{name}"].endswith(registry[name].oracle)
-        else:
-            assert f"a0_{name}" not in osql
+    assert mod.COVERAGE_ROTATION == [], "rotation is retired; must stay empty"
+    assert not any(n.startswith("a0_") for n in qs), "no rotation aliases"
+    assert not any(n.startswith("a0_") for n in osql), "no rotation aliases"
+    assert list(qs) == sorted(registry), "queries() must be the sorted registry"
     for name, qd in registry.items():
         assert qs[name] is qd.fn, name
         assert (name in osql) == (qd.oracle is not None), name

@@ -109,6 +109,31 @@ def test_zorder_rejects_curve_overflowing_bigint(spark):
     assert zorder_key(df, [f"c{i}" for i in range(7)], bits=8).count() == 10
 
 
+def test_curve_bucketization_range_overflow_raises(spark):
+    """Round-8 advice fix: a column whose (max - min) range exceeds
+    (2^63-1)/buckets overflows the BIGINT product (c - min) * buckets —
+    Spark WRAPS where DuckDB raises, so the curve key silently corrupts
+    AND the value oracle would diverge instead of catching it. The
+    denominator guard (computed in DECIMAL, overflow-proof even at the
+    full int64 span) must raise at stats time; an in-range long column
+    near the limit must still bucketize."""
+    from fhir_etl_spark.operators.layout import hilbert_key
+
+    bad = spark.createDataFrame(
+        [(-(2**62), 0), (2**62, 1)], "x long, y long"
+    )  # range 2^63 ≫ (2^63-1)/256 at bits=8
+    with pytest.raises(Exception, match="overflow"):
+        zorder_key(bad, ["x", "y"], bits=8).collect()
+    with pytest.raises(Exception, match="overflow"):
+        hilbert_key(bad, ["x", "y"], bits=8).collect()
+
+    # just inside the guard: range == (2^63-1) div 256 buckets
+    lim = (2**63 - 1) // 256
+    ok = spark.createDataFrame([(0, 0), (lim, 1)], "x long, y long")
+    keyed = zorder_key(ok, ["x", "y"], bits=8).collect()
+    assert len(keyed) == 2 and all(r["_zvalue"] >= 0 for r in keyed)
+
+
 def test_dynamic_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     """Hive-partitioned layout + a filtered dim join plans a dynamic
     partition pruning subquery: only matching partitions are scanned —

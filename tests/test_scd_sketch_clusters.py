@@ -485,3 +485,64 @@ def test_kmv_distinct_estimate_accuracy_and_exact_tier(spark):
     }
     assert est["small"] == 10.0  # below k: exact, not estimated
     assert abs(est["big"] / 750 - 1) < 0.40  # one draw of a ~13%-sd estimator
+
+
+def test_kmv_null_values_excluded_from_sketch(spark):
+    """Round-8 advice fix (medium): NULL values must be EXCLUDED before
+    hashing — the same convention as Spark's own sketch aggregates.
+    Previously a NULL entered as _v=null (high quantile reads returned
+    null) and, with row_key_cols=[value_col], hashed as md5('') —
+    counting NULL as one extra distinct value and colliding with ''."""
+    from fhir_etl_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_quantiles,
+        kmv_sample_sketch,
+    )
+
+    rows = [("g", float(i)) for i in range(40)] + [("g", None)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    sk = kmv_sample_sketch(df, ["g"], "v", ["v"], k=64)
+    [r] = sk.collect()
+    assert len(r["sample"]) == 40  # nulls contributed nothing
+    assert all(e["v"] is not None for e in r["sample"])
+    [qr] = kmv_quantiles(sk, ["g"], [0.95]).collect()
+    assert qr["q95"] is not None  # the silent-null read the fix targets
+    [er] = kmv_distinct_estimate(sk, ["g"]).collect()
+    assert er["distinct_est"] == 40.0  # exact tier; NULL not a 41st value
+
+
+def test_kmv_merge_rejects_empty_sample_rows(spark):
+    """Round-8 advice fix: explode() silently DROPPED a sketch row whose
+    sample array was empty/null — a group whose every row was empty
+    vanished from the merged output. kmv_sample_sketch can never emit
+    one (groupBy has no empty groups), so an empty sample means a
+    corrupted sketch table and must raise loudly."""
+    import pytest
+
+    from fhir_etl_spark.operators.sketch import kmv_merge
+
+    empty = spark.createDataFrame(
+        [("g", [], 16)], "g string, sample array<struct<h string, v double>>, k int"
+    )
+    with pytest.raises(Exception, match="empty/null sample"):
+        kmv_merge(empty, ["g"]).collect()
+
+
+def test_kmv_merge_mixed_k_detected_despite_shared_entries(spark):
+    """Round-8 advice fix: the (group, h, v) dedup key excluded k, so
+    when two sketches built at DIFFERENT k shared every entry, one k
+    value survived arbitrarily and the final mixed-k check could be
+    masked. The consistency check now runs on the pre-dedup entries."""
+    import pytest
+
+    from fhir_etl_spark.operators.sketch import kmv_merge, kmv_sample_sketch
+
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(6)], "g string, rid long, v double"
+    )
+    # 6 rows < both ks → both sketches hold the IDENTICAL 6 entries,
+    # which is exactly the masking shape
+    s8 = kmv_sample_sketch(df, ["g"], "v", ["rid"], k=8)
+    s16 = kmv_sample_sketch(df, ["g"], "v", ["rid"], k=16)
+    with pytest.raises(Exception, match="mixed k"):
+        kmv_merge(s8.unionByName(s16), ["g"]).collect()

@@ -602,3 +602,65 @@ def test_fold_parquet_state_crash_recovery(spark, tmp_path):
     fold_parquet_state(spark, state, 3, fold_const(9))
     assert spark.read.parquet(state).count() == 9
     assert not os.path.exists(f"{state}.old.3")
+
+
+def test_fold_parquet_state_epoch_replay_skipped(spark, tmp_path):
+    """Round-8 advice fix: replaying an epoch the state already absorbed
+    (crash after the swap completed but before the stream's commit) is a
+    SKIP, not a re-fold — which makes even NON-idempotent additive folds
+    exactly-once under replay. The _LAST_EPOCH ledger inside the state
+    dir is what records absorption (underscore-prefixed: parquet readers
+    ignore it)."""
+    import os
+
+    from fhir_etl_spark.streaming.state import fold_parquet_state
+
+    state = str(tmp_path / "state")
+
+    def add_rows(n):
+        # deliberately NOT idempotent: every application appends n rows
+        return lambda prev: (
+            spark.range(n) if prev is None else prev.unionByName(spark.range(n))
+        )
+
+    fold_parquet_state(spark, state, 7, add_rows(5))
+    assert spark.read.parquet(state).count() == 5
+    assert os.path.exists(f"{state}/_LAST_EPOCH")
+
+    # replay of epoch 7: must be skipped (previously would double to 10)
+    fold_parquet_state(spark, state, 7, add_rows(5))
+    assert spark.read.parquet(state).count() == 5
+
+    # the NEXT epoch folds normally
+    fold_parquet_state(spark, state, 8, add_rows(3))
+    assert spark.read.parquet(state).count() == 8
+
+
+def test_streaming_folds_default_a_checkpoint(spark, tmp_path, events_stream):
+    """Round-8 advice fix: the state swap's crash-recovery guarantee
+    requires the engine to be ABLE to replay a lost-commit epoch, so the
+    fold entry points must not run checkpoint-less by default —
+    continuous_rollup and stream_kmv_sketch both derive one from their
+    state path when none is given."""
+    import os
+
+    from fhir_etl_spark.streaming.rollup import continuous_rollup
+    from fhir_etl_spark.streaming.sketch import stream_kmv_sketch
+
+    table = str(tmp_path / "rollup")
+    q = continuous_rollup(spark, events_stream, table)
+    q.awaitTermination(120)
+    assert os.path.isdir(f"{table}.checkpoint"), "derived checkpoint missing"
+
+    state = str(tmp_path / "kmv_state")
+    q2 = stream_kmv_sketch(
+        spark,
+        events_stream,
+        ["event_type"],
+        "value",
+        ["event_id"],
+        state,
+        k=16,
+    )
+    q2.awaitTermination(120)
+    assert os.path.isdir(f"{state}.checkpoint"), "derived checkpoint missing"

@@ -57,6 +57,18 @@ QUERIES = [
     "q21_waiting_suppliers",
     "d6_dedup_clusters",
     "d10_substring_dedup",
+    # r08 additions (VERDICT r07 #5): the most expensive round-7 queries
+    # get sf1-shape plan-regression floors with shuffle-byte columns.
+    # t12/m6 run over the 10x perturbed documents; x14 over the 10x
+    # lineitem; v8 runs over the UNSCALED embeddings table (it is
+    # byte-copied like a dim — rebuilding the cache to replicate vectors
+    # would turn every vector into a 10-exact-duplicate clique and
+    # measure a different workload), so its value here is the
+    # near-deterministic shuffle-byte floor, not a bigger input.
+    "t12_lm_perplexity",
+    "m6_jpeg_decode",
+    "x14_kmv_quantiles",
+    "v8_semdedup",
 ]
 
 # Wall-time floors (seconds) at the sf1 shape, set from the round-7
@@ -77,6 +89,12 @@ SF1_FLOOR = {
     "q21_waiting_suppliers": 2.90,  # best observed (5.2 under contention)
     "d6_dedup_clusters": 7.79,
     "d10_substring_dedup": 4.86,
+    # r08 first-appearance floors for the round-7 heavy tier (best-of-2,
+    # quiet host; shuffle-byte references recorded in BENCH_sf1_r08.json)
+    "t12_lm_perplexity": 14.44,
+    "m6_jpeg_decode": 17.06,
+    "x14_kmv_quantiles": 4.80,
+    "v8_semdedup": 3.32,
 }
 
 
