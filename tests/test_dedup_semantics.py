@@ -456,7 +456,10 @@ def test_semdedup_keep_rule_and_cap(spark):
     }
     assert got2 == {0: True, 1: False, 2: False}
 
-    # cap: rank > max_cluster_size members stay, un-deduped, still flagged kept
+    # cap=1 degenerate edge: identical trio re-splits, k-means cannot
+    # separate identical vectors (all to sub 0), the rank-chunk backstop
+    # makes three single-member blocks -> no pairs, everyone kept (the
+    # documented ≤-one-keeper-per-cap-block recall bound at its extreme)
     got3 = {
         r["vec_id"]: r["kept"]
         for r in semdedup_keep(
@@ -464,3 +467,59 @@ def test_semdedup_keep_rule_and_cap(spark):
         ).collect()
     }
     assert got3 == {0: True, 1: True, 2: True}
+
+
+def test_semdedup_oversized_cluster_resplit(spark):
+    """VERDICT r07 #6: an over-cap cluster must be RE-SPLIT (second
+    k-means within it), not truncated — the old policy kept every
+    rank>cap member un-deduped, losing recall exactly where dedup
+    matters most. Planted shape: ONE first-level cluster (k=1) holding
+    two tight near-duplicate blobs of 20; cap=10 forces the re-split.
+
+    Old behavior: 10 in-scope members -> ~2 keepers, PLUS 30 over-cap
+    members all kept -> ≥30 kept. New behavior: the sub-k-means
+    separates the blobs, every member participates in the prune, and
+    only per-sub-cluster keepers survive (≤ resplit_k)."""
+    from fhir_etl_spark.operators.similarity import semdedup_keep
+
+    dim = 8
+
+    def vec(axis, i, eps):
+        v = [0.0] * dim
+        v[axis] = 10.0
+        v[(axis + 1) % dim] = eps * (i % 3)  # tiny within-blob jitter
+        return v
+
+    # interleaved ids so first-k seeding sees both blobs
+    rows = [(i, vec(0 if i % 2 == 0 else 4, i, 0.01)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = semdedup_keep(
+        df, k=1, n_iterations=2, threshold=0.99,
+        max_cluster_size=10, resplit_k=4,
+    ).collect()
+    assert len(got) == 40  # nobody disappears from the output
+    n_kept = sum(1 for r in got if r["kept"])
+    # every member was deduped: keepers bounded by sub-clusters plus
+    # any rank-chunk blocks inside still-oversized subs (≤ resplit_k +
+    # ceil(40/10) here), far below the ≥30 the truncation policy kept
+    assert 2 <= n_kept <= 8, f"kept {n_kept}"
+
+
+def test_semdedup_degenerate_identical_mass_chunked(spark):
+    """The re-split's backstop: a mass of IDENTICAL vectors cannot be
+    separated by k-means (every distance ties -> all to sub 0), so it is
+    chunked by rank into cap-sized blocks — every member participates in
+    the prune, and exactly one keeper survives per block (30 identical,
+    cap=10 -> 3 keepers; the old truncation kept 21)."""
+    from fhir_etl_spark.operators.similarity import semdedup_keep
+
+    v = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame(
+        [(i, v) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    got = semdedup_keep(
+        df, k=1, n_iterations=1, threshold=0.9,
+        max_cluster_size=10, resplit_k=2,
+    ).collect()
+    assert len(got) == 30
+    assert sum(1 for r in got if r["kept"]) == 3
