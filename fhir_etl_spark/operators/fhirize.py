@@ -306,28 +306,79 @@ def stamp_subject(resources: DataFrame, resource_type: str, target_id: str) -> D
     )
 
 
-def group_1kg(member_specimen_ids: DataFrame, group_value: str = S.ONEKG_HEADER_URL) -> DataFrame:
+def group_membership_table(
+    member_specimen_ids: DataFrame, group_id: str, member_type: str = "Specimen"
+) -> DataFrame:
+    """SURVEY §4.4 scale form of Group.member: a ``group_membership
+    (group_id, member_ref)`` table — one ROW per member instead of one
+    43k-element array cell (VERDICT r07 #7).
+
+    At 100 TB a Group can hold millions of members; collect_list funnels
+    them all into a single aggregation task and a single row whose cell
+    must fit in one executor's memory AND in every downstream reader's.
+    The membership table keeps members distributed (partitionable,
+    predicate-pushable, joinable on either column); the parity/export
+    sink assembles the array form only when a FHIR consumer needs it
+    (:func:`assemble_group_member_array`). Map-only plan — no shuffle,
+    no aggregation."""
+    return member_specimen_ids.select(
+        F.lit(group_id).alias("group_id"),
+        F.concat(F.lit(f"{member_type}/"), F.col("specimen_id")).alias("member_ref"),
+    )
+
+
+def assemble_group_member_array(membership: DataFrame) -> DataFrame:
+    """Parity/export-sink assembly: fold a ``group_membership`` table
+    back into ``(group_id, member array)`` rows — bit-identical to what
+    the parity-mode collect_list builders emit (sort_array gives the
+    same deterministic order). Only run where the array form is truly
+    required; this is the one place the single-row bottleneck is paid."""
+    return membership.groupBy("group_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.struct(F.col("member_ref").alias("reference")).alias("entity")
+                )
+            )
+        ).alias("member")
+    )
+
+
+def group_1kg(
+    member_specimen_ids: DataFrame,
+    group_value: str = S.ONEKG_HEADER_URL,
+    include_member: bool = True,
+) -> DataFrame:
     """The 1KG Group resource from a DataFrame of matched specimen ids
     (one column ``specimen_id``; reference document_references.py:218-238).
 
     sort_array makes member order deterministic (the reference's order is
     Python set-iteration order — comparison must be order-insensitive
     anyway, SURVEY.md §5.1).
-    """
+
+    ``include_member=False`` emits the Group SHELL without the member
+    array — the scale-mode form (SURVEY §4.4), where membership lives in
+    the distributed :func:`group_membership_table` instead of one giant
+    array cell."""
     group_id = onekg_mint_const("Group", group_value)
-    members = member_specimen_ids.agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
+    if include_member:
+        members = member_specimen_ids.agg(
+            F.sort_array(
+                F.collect_list(
                     F.struct(
-                        F.concat(F.lit("Specimen/"), F.col("specimen_id")).alias(
-                            "reference"
-                        )
-                    ).alias("entity")
+                        F.struct(
+                            F.concat(F.lit("Specimen/"), F.col("specimen_id")).alias(
+                                "reference"
+                            )
+                        ).alias("entity")
+                    )
                 )
-            )
-        ).alias("member")
-    )
+            ).alias("member")
+        )
+        member_fields = [F.col("member")]
+    else:
+        members = member_specimen_ids.sparkSession.range(1)
+        member_fields = []
     return members.select(
         F.struct(
             F.lit("Group").alias("resourceType"),
@@ -338,6 +389,6 @@ def group_1kg(member_specimen_ids: DataFrame, group_value: str = S.ONEKG_HEADER_
             ).alias("identifier"),
             F.lit("specimen").alias("type"),
             F.lit("definitional").alias("membership"),
-            F.col("member"),
+            *member_fields,
         ).alias("resource")
     )

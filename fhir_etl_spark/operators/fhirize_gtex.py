@@ -168,23 +168,35 @@ def research_study_gtex(spark) -> DataFrame:
     )
 
 
-def group_gtex(member_specimen_ids: DataFrame) -> DataFrame:
+def group_gtex(
+    member_specimen_ids: DataFrame, include_member: bool = True
+) -> DataFrame:
     """GTEx Group from matched specimen ids (column ``specimen_id``;
     gtex_fhirizer.py:377-395). Identifier system is the annotations file
-    URL; id minted from the metadata system + GTEX_V10."""
-    members = member_specimen_ids.agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
+    URL; id minted from the metadata system + GTEX_V10.
+
+    ``include_member=False`` emits the SHELL without the 43,559-element
+    member array — scale mode (SURVEY §4.4) keeps membership in the
+    distributed ``group_membership`` table instead (see
+    operators/fhirize.group_membership_table)."""
+    if include_member:
+        members = member_specimen_ids.agg(
+            F.sort_array(
+                F.collect_list(
                     F.struct(
-                        F.concat(F.lit("Specimen/"), F.col("specimen_id")).alias(
-                            "reference"
-                        )
-                    ).alias("entity")
+                        F.struct(
+                            F.concat(F.lit("Specimen/"), F.col("specimen_id")).alias(
+                                "reference"
+                            )
+                        ).alias("entity")
+                    )
                 )
-            )
-        ).alias("member")
-    )
+            ).alias("member")
+        )
+        member_fields = [F.col("member")]
+    else:
+        members = member_specimen_ids.sparkSession.range(1)
+        member_fields = []
     return members.select(
         F.struct(
             F.lit("Group").alias("resourceType"),
@@ -197,7 +209,7 @@ def group_gtex(member_specimen_ids: DataFrame) -> DataFrame:
             ).alias("identifier"),
             F.lit("specimen").alias("type"),
             F.lit("definitional").alias("membership"),
-            F.col("member"),
+            *member_fields,
         ).alias("resource")
     )
 

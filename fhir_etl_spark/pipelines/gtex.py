@@ -77,21 +77,36 @@ def transform_gtex(
     filelist: DataFrame,
     annotations: DataFrame,
     meta_dir: str,
+    scale_mode: bool = False,
 ) -> dict[str, str]:
     """Full GTEx transform over staged inputs:
 
     - subjects / samples: the paginated REST payloads (S3), staged
     - filelist: the nested fileList payload (S4), staged
     - annotations: the SampleAttributesDS TSV (S2), staged
+
+    ``scale_mode`` (SURVEY §4.4, VERDICT r07 #7): default parity mode
+    builds the reference-exact Group whose member array holds all 43,559
+    specimen refs in ONE row (golden-parity requirement); scale mode
+    writes the distributed ``group_membership.parquet`` table plus the
+    Group shell instead — see pipelines/onekg.transform_1k_files for the
+    full rationale.
     """
     files = explode_filelist(filelist)
     members = gtex_group_members(samples, annotations)
+    if scale_mode:
+        from fhir_etl_spark.operators.fhirize import group_membership_table
+        from fhir_etl_spark.operators.fhirize_gtex import GTEX_GROUP_ID
+
+        group_membership_table(members, GTEX_GROUP_ID).write.mode(
+            "overwrite"
+        ).parquet(f"{meta_dir}/group_membership.parquet")
     outputs = {
         "Patient": fhirize_patient_gtex(subjects),
         "ResearchSubject": fhirize_research_subject_gtex(subjects),
         "Specimen": fhirize_specimen_gtex(samples),
         "DocumentReference": fhirize_document_reference_gtex(files),
         "ResearchStudy": research_study_gtex(spark),
-        "Group": group_gtex(members),
+        "Group": group_gtex(members, include_member=not scale_mode),
     }
     return {rtype: write_ndjson(df, meta_dir, rtype) for rtype, df in outputs.items()}

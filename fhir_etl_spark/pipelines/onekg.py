@@ -19,6 +19,7 @@ from fhir_etl_spark.operators.fhirize import (
     fhirize_research_subject_1kg,
     fhirize_specimen_1kg,
     group_1kg,
+    group_membership_table,
     onekg_mint,
     onekg_mint_const,
     research_study_1kg,
@@ -61,6 +62,7 @@ def transform_1k_files(
     ftp_listing: DataFrame,
     header_path: str,
     meta_dir: str,
+    scale_mode: bool = False,
 ) -> dict[str, int]:
     """Stage 2 (reference transform_1k_files): FTP listing + VCF header +
     read-back of stage 1's Specimen.ndjson → DocumentReference + Group.
@@ -68,6 +70,16 @@ def transform_1k_files(
     ``ftp_listing`` columns: file STRING, size BIGINT, last_modified STRING
     (ISO-8601, no offset) — the staged form of the FTP NLST/SIZE/MDTM scan
     (document_references.py:125-153).
+
+    ``scale_mode`` (SURVEY §4.4, VERDICT r07 #7): parity mode (default)
+    emits the reference-exact Group with its collect_list member array —
+    required for golden NDJSON parity. Scale mode writes the SAME
+    membership as a distributed ``group_membership.parquet`` table
+    (group_id, member_ref — one row per member, map-only, partitionable)
+    plus the Group SHELL resource without the array, so a
+    million-member Group never funnels through one aggregation task or
+    one row. The parity array is recoverable exactly via
+    operators/fhirize.assemble_group_member_array.
     """
     # P3 substring filter + P5 dropna (document_references.py:132-134,156)
     files = ftp_listing.filter(F.lower(F.col("file")).contains("vcf")).na.drop(
@@ -85,8 +97,14 @@ def transform_1k_files(
     members = found.select(
         onekg_mint("Specimen", F.col("sample_id")).alias("specimen_id")
     )
-    group = group_1kg(members)
     group_id = onekg_mint_const("Group", S.ONEKG_HEADER_URL)
+    if scale_mode:
+        group = group_1kg(members, include_member=False)
+        group_membership_table(members, group_id).write.mode("overwrite").parquet(
+            f"{meta_dir}/group_membership.parquet"
+        )
+    else:
+        group = group_1kg(members)
 
     # DocumentReferences stamped with the Group subject (J4), deduped by id
     # (document_references.py:248 — {id: doc} dict semantics)
