@@ -462,6 +462,114 @@ def test_xlsx_column_letters_roundtrip(n):
     assert col_to_index(letters) == n
 
 
+def _xlsx_book_single_sheet(sheet_xml: str) -> bytes:
+    """Minimal one-sheet workbook around raw sheet XML (the adversarial
+    fixture builder shared by the fuzz + deterministic edge tests)."""
+    import io
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    wb = (
+        f'<workbook {ns} xmlns:r="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships"><sheets>'
+        '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships"><Relationship Id="rId1" Type="t" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", f"<worksheet {ns}>{sheet_xml}</worksheet>")
+    return buf.getvalue()
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.booleans(),  # row carries an explicit r= attribute
+            st.integers(min_value=0, max_value=2),  # extra row gap (if explicit)
+            st.lists(
+                st.tuples(
+                    # col gap before this cell; gap>0 forces an explicit ref
+                    st.integers(min_value=0, max_value=760),
+                    st.booleans(),  # explicit ref even when gap==0
+                    st.integers(min_value=-999, max_value=999),
+                ),
+                max_size=5,
+            ),
+        ),
+        min_size=0,
+        max_size=5,
+    )
+)
+@settings(max_examples=120, deadline=None)
+def test_xlsx_sparse_refs_match_reference_model(rows):
+    """VERDICT r07 #8: fuzz the reader against adversarial sheet layouts —
+    sparse/missing r= references, column gaps (including jumps past the
+    702-column two-letter boundary into AAA+ territory), explicit row
+    gaps, empty rows, and empty sheets — checked cell-for-cell against an
+    independent model of the spec's sequential-fallback rule (a missing
+    cell ref means 'next column after the previous cell'; a missing row
+    ref means 'next row')."""
+    from fhir_etl_spark.sources.xlsx import index_to_col, iter_xlsx_cells
+
+    xml_rows, expected = [], []
+    implicit_row = 0
+    for has_r, row_gap, cells in rows:
+        implicit_row = implicit_row + 1 + (row_gap if has_r else 0)
+        row_attr = f' r="{implicit_row}"' if has_r else ""
+        xml_cells = []
+        implicit_col = 0
+        for gap, explicit, val in cells:
+            explicit = explicit or gap > 0
+            col = implicit_col + 1 + (gap if explicit else 0)
+            implicit_col = col
+            ref = f"{index_to_col(col)}{implicit_row}"
+            ref_attr = f' r="{ref}"' if explicit else ""
+            xml_cells.append(f"<c{ref_attr}><v>{val}</v></c>")
+            expected.append(("S", implicit_row, col, ref, "n", str(val)))
+        xml_rows.append(f"<row{row_attr}>{''.join(xml_cells)}</row>")
+    sheet = "<sheetData>" + "".join(xml_rows) + "</sheetData>"
+
+    got = list(iter_xlsx_cells(_xlsx_book_single_sheet(sheet)))
+    assert got == expected
+
+
+def test_xlsx_empty_sheet_and_three_letter_columns():
+    """Deterministic edges from the same verdict item: (a) empty
+    sheetData — both the <sheetData/> self-closed and the open-close
+    form — parses to zero cells without raising; (b) cells addressed at
+    and past column 702 (ZZ -> AAA boundary) keep exact positions, and
+    an implicit cell after AAA crosses into AAB."""
+    from fhir_etl_spark.sources.xlsx import col_to_index, iter_xlsx_cells
+
+    assert list(iter_xlsx_cells(_xlsx_book_single_sheet("<sheetData/>"))) == []
+    assert (
+        list(iter_xlsx_cells(_xlsx_book_single_sheet("<sheetData></sheetData>")))
+        == []
+    )
+    # a row element with no cells, between populated rows
+    sheet = (
+        "<sheetData>"
+        '<row r="1"><c r="ZZ1"><v>1</v></c><c><v>2</v></c></row>'
+        "<row/>"
+        '<row><c r="AAA3"><v>3</v></c><c><v>4</v></c></row>'
+        "</sheetData>"
+    )
+    got = list(iter_xlsx_cells(_xlsx_book_single_sheet(sheet)))
+    assert got == [
+        ("S", 1, col_to_index("ZZ"), "ZZ1", "n", "1"),
+        ("S", 1, col_to_index("AAA"), "AAA1", "n", "2"),  # implicit past ZZ
+        ("S", 3, col_to_index("AAA"), "AAA3", "n", "3"),
+        ("S", 3, col_to_index("AAB"), "AAB3", "n", "4"),
+    ]
+    assert col_to_index("ZZ") == 702 and col_to_index("AAA") == 703
+
+
 @given(
     bits=st.integers(min_value=1, max_value=5),
     data=st.data(),
