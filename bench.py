@@ -83,6 +83,12 @@ HEADLINE = [
     "s15_xlsx_scan",
     "y3_hilbert_curve",
     "x14_kmv_quantiles",
+    # r08 additions: Gopher char-weighted repetition rules (positional
+    # coverage union — two doc-local gram groupBys + one distinct) and
+    # int8-quantized ANN (global-absmax scalar quantization, integer
+    # dot top-k — the memory-bandwidth tier of similarity search)
+    "t17_gopher_char_repetition",
+    "v9_int8_quantized_ann",
 ]
 
 

@@ -169,6 +169,121 @@ def repetition_signals(
     )
 
 
+def gopher_char_repetition(
+    df: DataFrame,
+    n_top: int = 2,
+    n_dup: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher's CHAR-WEIGHTED repetition rules (Rae et al. 2021 table A1
+    — the metrics MassiveText actually thresholds on, complementing
+    :func:`repetition_signals`' count fractions):
+
+    - ``top{n}_char_num / word_chars``: fraction of word characters
+      contained within occurrences of the document's most frequent
+      ``n_top``-gram (count × the gram's word chars; ties at max count
+      break to the lexicographically smallest gram). Gopher rejects
+      above 0.20 for n=2.
+    - ``dup{n}_covered_chars / word_chars``: fraction of word characters
+      covered by ANY occurrence of a duplicated ``n_dup``-gram — the
+      positional-UNION accounting (overlapping duplicate grams must not
+      double-count a token), which is what distinguishes this from a
+      simple duplicate-count fraction. Gopher rejects above 0.15 for
+      n=5.
+
+    Everything integer (token chars, counts, coverage sums) and the
+    reject flags are integer cross-comparisons (``num·5 > den`` for
+    0.20, ``num·20 > den·3`` for 0.15) — no float division anywhere, so
+    a DuckDB oracle hashes exactly.
+
+    Scale shape: per-doc gram arrays are codegen expressions; shuffles
+    are the (doc, gram) groupBys and one (doc, position) distinct — all
+    doc-local keys (map-side partial aggregation, no global hot key).
+    The coverage join back to the token array is by doc id.
+    """
+    toks = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+    ).select(
+        id_col,
+        "_toks",
+        F.size("_toks").alias("n_tokens"),
+        F.aggregate(
+            F.transform("_toks", lambda t: F.length(t)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("word_chars"),
+    )
+
+    # most frequent n_top-gram, char-weighted
+    top_grams = toks.select(
+        id_col, F.explode(word_ngrams("_toks", n_top)).alias("_g")
+    )
+    top = (
+        top_grams.groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct((-F.col("_c")).alias("_nc"), F.col("_g"))).alias("_best"))
+        .select(
+            id_col,
+            (-F.col("_best._nc")).alias("top_count"),
+            F.col("_best._g").alias("top_gram"),
+            (
+                (-F.col("_best._nc"))
+                * F.length(F.replace(F.col("_best._g"), F.lit(" "), F.lit("")))
+            ).alias("top_char_num"),
+        )
+    )
+
+    # positions covered by any duplicated n_dup-gram (union semantics)
+    pos_grams = toks.select(
+        id_col, F.posexplode(word_ngrams("_toks", n_dup)).alias("_p", "_g")
+    )
+    dup_positions = (
+        pos_grams.groupBy(id_col, "_g")
+        .agg(F.collect_list("_p").alias("_ps"), F.count("*").alias("_c"))
+        .where(F.col("_c") > 1)
+        .select(id_col, F.explode("_ps").alias("_p"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("_p") + 1, F.col("_p") + n_dup)).alias("_i"),
+        )
+        .distinct()
+    )
+    covered = (
+        dup_positions.join(toks.select(id_col, "_toks"), id_col)
+        .select(id_col, F.length(F.element_at("_toks", F.col("_i"))).alias("_len"))
+        .groupBy(id_col)
+        .agg(F.sum("_len").alias("dup_covered_chars"))
+    )
+
+    return (
+        toks.select(id_col, "n_tokens", "word_chars")
+        .join(top, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "word_chars",
+            F.coalesce("top_gram", F.lit("")).alias("top_gram"),
+            F.coalesce("top_count", F.lit(0)).cast("long").alias("top_count"),
+            F.coalesce("top_char_num", F.lit(0)).cast("long").alias("top_char_num"),
+            F.coalesce("dup_covered_chars", F.lit(0)).cast("long").alias(
+                "dup_covered_chars"
+            ),
+            # integer cross-compares of Gopher's 0.20 / 0.15 thresholds
+            (F.coalesce("top_char_num", F.lit(0)) * 5 > F.col("word_chars")).alias(
+                "top_gram_reject"
+            ),
+            (
+                F.coalesce("dup_covered_chars", F.lit(0)) * 20
+                > F.col("word_chars") * 3
+            ).alias("dup_gram_reject"),
+        )
+    )
+
+
 def distinctive_terms(
     df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -45,6 +45,52 @@ def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "v9_int8_quantized_ann",
+    oracle=f"""
+    WITH g AS MATERIALIZED (
+      SELECT 127.0 / max(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                 x -> abs(x)))) AS s
+      FROM embeddings
+    ), c8 AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * g.s + 0.5) AS BIGINT)) AS q
+      FROM embeddings, g
+    ), q8 AS (
+      SELECT vec_id AS query_id, q FROM c8 WHERE vec_id IN {_QUERY_IDS}
+    ), scored AS (
+      SELECT q8.query_id, c8.vec_id,
+             CAST(list_dot_product(CAST(c8.q AS DOUBLE[]),
+                                   CAST(q8.q AS DOUBLE[])) AS BIGINT) AS int_dot
+      FROM c8 CROSS JOIN q8
+    )
+    SELECT query_id, vec_id, int_dot, rank FROM (
+      SELECT scored.*,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY int_dot DESC, vec_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "quantization"),
+)
+def v9_int8_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 addition: int8 scalar-quantized brute-force ANN — the
+    memory-bandwidth-optimized tier of similarity search (FAISS-SQ8
+    style: one global absmax scale, integer dot products, 4× fewer
+    bytes through scan/shuffle than float32). Fully integer ranking, so
+    the oracle replays it with zero rounding steps; see
+    operators/similarity.int8_topk for why the scale is global."""
+    from fhir_etl_spark.operators.similarity import int8_topk
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return int8_topk(embeddings, queries, k=5)
+
+
+@query(
     "v3_embedding_neardup",
     oracle="""
     SELECT a.vec_id AS a, b.vec_id AS b,

@@ -511,6 +511,80 @@ def t12_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_cross_entropy(documents)
 
 
+@query(
+    "t17_gopher_char_repetition",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, {_TOKS_SQL} AS t,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             CAST(coalesce(list_sum(list_transform({_TOKS_SQL}, x -> length(x))), 0)
+                  AS BIGINT) AS word_chars
+      FROM documents
+    ), bi AS (
+      SELECT doc_id, array_to_string(t[j : j + 1], ' ') AS g
+      FROM base, UNNEST(generate_series(1, len(t) - 1)) AS u(j)
+    ), topg AS (
+      SELECT doc_id, g, count(*) AS c,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY count(*) DESC, g ASC
+             ) AS rk
+      FROM bi GROUP BY doc_id, g
+    ), top1 AS (
+      SELECT doc_id, g AS top_gram, CAST(c AS BIGINT) AS top_count,
+             CAST(c * length(replace(g, ' ', '')) AS BIGINT) AS top_char_num
+      FROM topg WHERE rk = 1
+    ), pg AS MATERIALIZED (
+      SELECT doc_id, j AS p, array_to_string(t[j : j + 4], ' ') AS g
+      FROM base, UNNEST(generate_series(1, len(t) - 4)) AS u(j)
+    ), dupg AS (
+      SELECT doc_id, g FROM pg GROUP BY doc_id, g HAVING count(*) > 1
+    ), cover AS (
+      SELECT DISTINCT pg.doc_id, i
+      FROM pg JOIN dupg USING (doc_id, g),
+           UNNEST(generate_series(pg.p, pg.p + 4)) AS v(i)
+    ), covchars AS (
+      SELECT cover.doc_id,
+             CAST(sum(length(base.t[cover.i])) AS BIGINT) AS dup_covered_chars
+      FROM cover JOIN base USING (doc_id) GROUP BY cover.doc_id
+    )
+    SELECT base.doc_id, base.n_tokens, base.word_chars,
+           coalesce(top1.top_gram, '') AS top_gram,
+           coalesce(top1.top_count, 0) AS top_count,
+           coalesce(top1.top_char_num, 0) AS top_char_num,
+           coalesce(covchars.dup_covered_chars, 0) AS dup_covered_chars,
+           coalesce(top1.top_char_num, 0) * 5 > base.word_chars AS top_gram_reject,
+           coalesce(covchars.dup_covered_chars, 0) * 20 > base.word_chars * 3
+             AS dup_gram_reject
+    FROM base
+    LEFT JOIN top1 USING (doc_id)
+    LEFT JOIN covchars USING (doc_id)
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def t17_gopher_char_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's char-weighted repetition filters (Rae et al. 2021 table
+    A1): fraction of word characters inside the most frequent 2-gram and
+    inside ANY duplicated 5-gram occurrence (positional-union coverage —
+    overlapping duplicates must not double-count a token). Complements
+    t7's count fractions with the metrics MassiveText actually
+    thresholds on; all-integer arithmetic, so the oracle hashes exactly.
+    See operators/text.gopher_char_repetition for the scale shape."""
+    from fhir_etl_spark.operators.text import gopher_char_repetition
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return gopher_char_repetition(documents).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "word_chars",
+        "top_gram",
+        "top_count",
+        "top_char_num",
+        "dup_covered_chars",
+        "top_gram_reject",
+        "dup_gram_reject",
+    )
+
+
 def _bpe_oracle_sql(n_merges: int = 6) -> str:
     """Generate a DuckDB oracle that replays BPE TRAINING AND ENCODING
     end-to-end (VERDICT r07 #3, upgraded: the learned merges differ per

@@ -140,6 +140,53 @@ def test_ivf_topk_self_match_and_recall(spark, sf_dir):
     assert set(by_query) == {1, 2, 3}
 
 
+def test_int8_topk_matches_exact_dot_ranking(spark, sf_dir):
+    """Round-8 v9: int8 quantization must (a) bound components to
+    [-127, 127] with at least one component hitting ±127 (the absmax
+    scale is tight), and (b) rank like the exact FLOAT dot product it
+    approximates — int8_topk's metric is the raw dot (NOT cosine: under
+    one global scale int_dot ∝ float_dot, while cosine divides by
+    per-vector norms), so the apples-to-apples reference is the float
+    dot ranking, where the only divergence quantization could cause is
+    a sub-0.4%-of-scale tie flip; the corpus's neighbor margins are far
+    wider."""
+    import math
+
+    from fhir_etl_spark.operators.similarity import int8_quantize, int8_topk
+    from fhir_etl_spark.session import load_tables
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    q8 = int8_quantize(embeddings).select(
+        F.array_max("q8").alias("mx"), F.array_min("q8").alias("mn")
+    )
+    agg = q8.agg(F.max("mx"), F.min("mn")).first()
+    assert agg[0] <= 127 and agg[1] >= -127
+    assert max(agg[0], -agg[1]) == 127  # tight absmax scale
+
+    queries = embeddings.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = int8_topk(embeddings, queries, k=3).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert set(by_query) == {1, 2, 3}
+
+    # exact float-dot top-3 reference, computed driver-side
+    corpus = {
+        r["vec_id"]: r["embedding"] for r in embeddings.collect()
+    }
+    for qid in (1, 2, 3):
+        qv = corpus[qid]
+        dots = sorted(
+            ((sum(a * b for a, b in zip(v, qv)), -i) for i, v in corpus.items()),
+            reverse=True,
+        )
+        expect = [-n for _, n in dots[:3]]
+        assert by_query[qid] == expect, (qid, by_query[qid], expect)
+    assert math.isfinite(sum(corpus[1]))  # sanity on fixture decode
+
+
 def test_md5_twin_minhash_same_semantics(docs):
     """The md5-twin hash (the d4 oracle path) is the same estimator as the
     xxhash64 default: exact dups collide with jaccard_est 1.0, near-dups

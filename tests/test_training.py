@@ -96,6 +96,53 @@ def test_repetition_signals_known_doc(spark):
     assert rows[0]["dup_trigram_frac"] == 0.5
 
 
+def test_gopher_char_repetition_worked_examples(spark):
+    """Pin the char-weighted Gopher math (round-8 t17) on constructed
+    documents:
+
+    doc 1 'aa b aa b xx' — top 2-gram 'aa b' ×2, gram word chars 3 →
+      top_char_num 6 of word_chars 8 → 6·5 > 8 → reject. No duplicated
+      5-gram (only one 5-gram exists) → coverage 0.
+    doc 2 'p q r s t p q r s t' — the 5-gram 'p q r s t' occurs twice
+      (positions 1 and 6); its occurrences cover ALL 10 tokens → coverage
+      10 of 10, union semantics (the overlapping duplicated 5-grams
+      starting at 2..5 must not over- or double-count) → reject.
+    doc 3 'one two three' — too short for any 5-gram; top 2-gram ties
+      ('one two' vs 'two three', both ×1) break to the lexicographically
+      smaller 'one two' (6 word chars of 11 total); 6·5 = 30 > 11, so
+      even a no-repetition short doc trips the 20% rule — exactly why
+      Gopher pairs these filters with a minimum-length gate.
+    """
+    from fhir_etl_spark.operators.text import gopher_char_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa b aa b xx"),
+            (2, "p q r s t p q r s t"),
+            (3, "one two three"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_char_repetition(df).collect()}
+
+    r1 = got[1]
+    assert (r1["word_chars"], r1["top_gram"], r1["top_count"]) == (8, "aa b", 2)
+    assert r1["top_char_num"] == 6 and r1["top_gram_reject"]  # 30 > 8
+    assert r1["dup_covered_chars"] == 0 and not r1["dup_gram_reject"]
+
+    r2 = got[2]
+    assert r2["word_chars"] == 10 and r2["n_tokens"] == 10
+    assert r2["dup_covered_chars"] == 10  # union over overlapping dups
+    assert r2["dup_gram_reject"]  # 200 > 30
+    assert r2["top_gram"] == "p q" and r2["top_count"] == 2
+
+    r3 = got[3]
+    assert r3["top_gram"] == "one two"  # tie at count 1 -> lexicographic
+    assert r3["top_char_num"] == 6 and r3["word_chars"] == 11
+    assert r3["top_gram_reject"]  # 30 > 11: short docs trip the 20% rule
+    assert r3["dup_covered_chars"] == 0
+
+
 def test_pii_scrub_known_strings(spark):
     """Counts are taken before redaction. The email pattern requires an
     alphabetic TLD, so a numeric-host address (bob@10.0.0.1) is not an

@@ -89,12 +89,14 @@ SF1_FLOOR = {
     "q21_waiting_suppliers": 2.90,  # best observed (5.2 under contention)
     "d6_dedup_clusters": 7.79,
     "d10_substring_dedup": 4.86,
-    # r08 first-appearance floors for the round-7 heavy tier (best-of-2,
-    # quiet host; shuffle-byte references recorded in BENCH_sf1_r08.json)
-    "t12_lm_perplexity": 14.44,
-    "m6_jpeg_decode": 17.06,
-    "x14_kmv_quantiles": 4.80,
-    "v8_semdedup": 3.32,
+    # r08 first-appearance floors for the round-7 heavy tier (best over
+    # two r08 runs — the first ran under heavy ambient load and the
+    # second under its residue; shuffle-byte references: t12 11.9 MB,
+    # m6 0, x14 0.5 MB, v8 3.4 MB, recorded in BENCH_sf1_r08.json)
+    "t12_lm_perplexity": 4.94,
+    "m6_jpeg_decode": 1.96,
+    "x14_kmv_quantiles": 1.46,
+    "v8_semdedup": 4.25,
 }
 
 
@@ -204,10 +206,15 @@ def main() -> None:
     from fhir_etl_spark.queries import all_queries
     from fhir_etl_spark.session import get_spark
 
-    # snapshot host load BEFORE our own executors start — this is the
-    # pre-existing contention a reader needs; sampling at print time
-    # would mostly measure our own 32 threads
-    load_before = [round(x, 1) for x in os.getloadavg()]
+    # bounded wait for ambient load to drain, then snapshot host load
+    # BEFORE our own executors start — this is the pre-existing
+    # contention a reader needs; sampling at print time would mostly
+    # measure our own 32 threads (same hygiene as bench.py, VERDICT r07
+    # #4: the r08 first measurement of this file's new queries came back
+    # 2-10x inflated with BYTE-IDENTICAL shuffle metrics — pure noise)
+    from bench import wait_for_quiet_host
+
+    _, load_before = wait_for_quiet_host()
     # the status REST API needs the UI server (engine sessions disable it)
     os.environ.setdefault("SPARK_GRAFT_UI", "true")
     spark = get_spark("bench_sf1")
