@@ -115,24 +115,29 @@ def int8_topk(
     shuffles, queries broadcast, rank-k trims map-side
     (WindowGroupLimit) — but every scored byte is int8 instead of
     float32: the 4× scan/shuffle saving IS the operator's reason to
-    exist at 100 TB."""
-    stats = corpus.agg(
+    exist at 100 TB.
+
+    The absmax is collected driver-side as ONE bounded 1-row action and
+    inlined as a literal (the centroid-collect pattern,
+    :func:`kmeans_assign`): leaving it as a broadcast subtree would
+    re-execute the full-corpus aggregate once per quantized side — two
+    extra 100 TB scans for one scalar."""
+    gmax = corpus.agg(
         F.max(
             F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
-        ).alias("_gmax")
+        )
+    ).first()[0]
+    if gmax is None or gmax <= 0:
+        raise ValueError(
+            "int8_topk: corpus has no nonzero vector component to scale by"
+        )
+    scale = F.lit(127.0) / F.lit(float(gmax))
+    qc = int8_quantize(corpus, vec_col, out_col="_q8", scale=scale).select(
+        id_col, "_q8"
     )
-    qc = int8_quantize(
-        corpus.crossJoin(F.broadcast(stats)),
-        vec_col,
-        out_col="_q8",
-        scale=F.lit(127.0) / F.col("_gmax"),
-    ).select(id_col, "_q8")
-    qq = int8_quantize(
-        queries.crossJoin(F.broadcast(stats)),
-        vec_col,
-        out_col="_qq8",
-        scale=F.lit(127.0) / F.col("_gmax"),
-    ).select(query_id_col, "_qq8")
+    qq = int8_quantize(queries, vec_col, out_col="_qq8", scale=scale).select(
+        query_id_col, "_qq8"
+    )
     int_dot = F.aggregate(
         F.zip_with(F.col("_q8"), F.col("_qq8"), lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -648,6 +653,8 @@ def _grouped_kmeans_sub(
     small — it usually is, since only DEGENERATE clusters reach this
     path); the argmin and centroid-update aggregates shuffle only the
     oversized mass, never the full corpus."""
+    if n_iterations < 1:
+        raise ValueError("_grouped_kmeans_sub: n_iterations must be >= 1")
     w = Window.partitionBy("_gid").orderBy("_id")
     cent = (
         members.withColumn("_rn", F.row_number().over(w))

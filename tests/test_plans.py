@@ -192,6 +192,12 @@ def test_no_broadcast_hints_on_scaling_tables():
         # bounded by the annotation table's sample count (~tens of
         # thousands of short strings in the reference's domain)
         "normalized",
+        # int8_topk: the quantized QUERY probe set (same bounded role as
+        # sig_queries/q in the other ANN tiers — a handful of vectors)
+        "qq",
+        # semdedup_keep re-split: one cluster_id row per over-cap
+        # first-level cluster — ≤ k rows of one int regardless of SF
+        "over_clusters",
     }
     root = pathlib.Path(__file__).resolve().parent.parent / "fhir_etl_spark"
     violations = []
