@@ -92,44 +92,39 @@ HEADLINE = [
 ]
 
 
-# Per-query wall-time floor (seconds) from BENCH_r03.json — the standing
-# regression bar (VERDICT r03 item 6): any query above 1.5× its floor is
-# flagged in the output's "regressions" field. Update when a round's
-# numbers become the new accepted baseline.
+# Per-query wall-time floor (seconds) — the standing regression bar
+# (VERDICT r03 item 6): any query above 1.5× its floor (+0.3 s absolute
+# noise term) is flagged in the output's "regressions" field. Update
+# when a round's numbers become the new accepted baseline. Floors below
+# were TIGHTENED in round 8 from a genuinely quiet run (loadavg 0.25 at
+# start, the new wait_for_quiet_host hygiene) — most queries set
+# all-round bests, so the bar is now stricter than any prior round's.
 R03_FLOOR = {
-    "q1_pricing_summary": 0.712, "q3_shipping_priority": 1.123,
-    "q5_local_supplier_volume": 1.363, "q13_customer_distribution": 0.607,
-    "w1_topk_per_group": 0.452, "e3_sessionization": 0.672,
-    "r1_asof_join_backward": 0.781, "t2_quality_score": 0.461,
-    "d1_exact_dedup": 0.310, "d4x_minhash_lsh_xxh64": 2.275,
-    "v1_cosine_topk": 0.737, "q9_profit_by_nation": 1.119,
-    "q21_waiting_suppliers": 1.230, "ds4_shard_shuffle": 0.326,
-    "t6_clean_corpus": 0.490, "d6_dedup_clusters": 3.970,
+    "q1_pricing_summary": 0.576, "q3_shipping_priority": 0.772,
+    "q5_local_supplier_volume": 1.038, "q13_customer_distribution": 0.506,
+    "w1_topk_per_group": 0.391, "e3_sessionization": 0.476,
+    "r1_asof_join_backward": 0.546, "t2_quality_score": 0.460,
+    "d1_exact_dedup": 0.233, "d4x_minhash_lsh_xxh64": 1.561,
+    "v1_cosine_topk": 0.507, "q9_profit_by_nation": 0.929,
+    "q21_waiting_suppliers": 1.006, "ds4_shard_shuffle": 0.253,
+    "t6_clean_corpus": 0.400, "d6_dedup_clusters": 3.387,
     "y1_zorder_curve": 0.650, "d9_chunk_dedup": 1.070,
-    # r04 first-appearance values as the floor for the round-4 additions
-    # (t12's first two executions routinely run 2-3x its converged 3.0 s —
-    # the adaptive sample below buys the needed third run)
-    "m2_image_decode": 2.658, "t12_lm_perplexity": 3.071,
-    # d10's floor moved 2.42 → 2.70 with the round-5 maximal-span merge
-    # (3fb508f): one extra window pass buys near-byte-exact removal
-    # granularity; isolated best-of-5 converges to 2.70 s at sf0.1
-    "d10_substring_dedup": 2.700,
-    # r05/r06 additions: best observed under light host load (the VM has
-    # noisy neighbors — see BASELINE.md; the 1.5× bar absorbs that)
-    "m6_jpeg_decode": 2.67, "s12_warc_scan": 0.89,
+    "m2_image_decode": 2.038, "t12_lm_perplexity": 2.719,
+    "d10_substring_dedup": 2.318,
+    "m6_jpeg_decode": 2.424, "s12_warc_scan": 0.89,
     "dq1_quality_checks": 0.61, "t16_url_canonicalize": 0.32,
-    "w8_rolling_zscore": 0.58, "g3_triangle_count": 2.26,
-    # r07 first-appearance values as the floors for the round-7 additions
-    # (best-of-2 at sf0.1 on this VM)
-    "v8_semdedup": 3.83, "s15_xlsx_scan": 0.96,
-    "y3_hilbert_curve": 1.49,
-    # x14 floor re-set 1.61 -> 2.50 late in r07: the two-phase build
-    # (map-side partial bottom-k per input partition + merge, replacing
-    # the whole-group window rank that collapsed parallelism to one
-    # reducer per group) costs ~0.9 s more at sf0.1's toy scale and is
-    # the correct trade at any real scale — the architecture change is
-    # priced into the floor, not hidden under it
-    "x14_kmv_quantiles": 2.50,
+    "w8_rolling_zscore": 0.58, "g3_triangle_count": 2.163,
+    # v8's floor moved 3.83 -> 4.83 with the round-8 oversized-cluster
+    # re-split: the cap probe (a bounded count over the checkpointed
+    # clustering subtree) executes per build — the measured price of
+    # never truncating the prune, on the same quiet run that set every
+    # other floor
+    "v8_semdedup": 4.83, "s15_xlsx_scan": 0.96,
+    "y3_hilbert_curve": 1.144,
+    "x14_kmv_quantiles": 1.703,
+    # r08 first-appearance floors (quiet host, best-of-2)
+    "t17_gopher_char_repetition": 1.293,
+    "v9_int8_quantized_ann": 0.428,
 }
 
 
