@@ -14,7 +14,7 @@ CORRECTNESS row (174 value-exact, 4 rows-only by documented structure,
 PERMANENTLY (VERDICT r07 "Next round" #2): ``COVERAGE_ROTATION`` is
 empty, ``queries()`` returns exactly the sorted base-name registry, and
 the window re-checks ``a1…`` as steady-state regression coverage. A
-contract test (tests/test_entry.py) pins that no ``a0_`` key can
+contract test (tests/test_cli_schemas.py::test_entry_exposes_each_registered_query_exactly_once) pins that no ``a0_`` key can
 reappear.
 """
 
@@ -46,7 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # --- coverage rotation: RETIRED (round 8; see module docstring) ------------
 # Kept as an empty constant (not deleted) so the retirement is explicit
-# and contract-testable: tests/test_entry.py asserts this list is empty
+# and contract-testable: tests/test_cli_schemas.py (test_entry_exposes_
+# each_registered_query_exactly_once) asserts this list is empty
 # and that queries() exposes no a0_-prefixed key.
 COVERAGE_ROTATION: list[str] = []
 

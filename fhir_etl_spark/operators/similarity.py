@@ -51,6 +51,7 @@ def int8_quantize(
     vec_col: str = "embedding",
     out_col: str = "q8",
     scale: Column | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scalar int8 quantization of an embedding column (the FAISS-SQ8 /
     bitsandbytes absmax scheme): a single GLOBAL scale ``127 / max|x|``
@@ -86,13 +87,19 @@ def int8_quantize(
         scale_expr = F.lit(127.0) / F.col("_gmax")
     else:
         scale_expr = scale
-    out = df.withColumn(
-        out_col,
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * scale_expr + F.lit(0.5)).cast("long"),
-        ),
-    )
+
+    def q(x: Column) -> Column:
+        return F.floor(x.cast("double") * scale_expr + F.lit(0.5)).cast("long")
+
+    if dim is not None:
+        # unrolled codegen form — see int8_topk's dim note (interpreted
+        # HOF lambdas cost ~µs/element; the unrolled chain compiles once)
+        quantized = F.array(
+            *[q(F.element_at(F.col(vec_col), i)) for i in range(1, dim + 1)]
+        )
+    else:
+        quantized = F.transform(F.col(vec_col), q)
+    out = df.withColumn(out_col, quantized)
     return out.drop("_gmax") if scale is None else out
 
 
@@ -103,6 +110,7 @@ def int8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k by INTEGER dot product over int8-quantized vectors →
     (query_id, vec_id, int_dot, rank). Both sides are quantized with the
@@ -121,7 +129,16 @@ def int8_topk(
     inlined as a literal (the centroid-collect pattern,
     :func:`kmeans_assign`): leaving it as a broadcast subtree would
     re-execute the full-corpus aggregate once per quantized side — two
-    extra 100 TB scans for one scalar."""
+    extra 100 TB scans for one scalar.
+
+    Pass ``dim`` to UNROLL the dot product into a compile-once codegen
+    expression (the layout.py hilbert lesson): Spark's higher-order
+    ``zip_with``/``aggregate`` evaluate their lambda INTERPRETED per
+    element (~µs each), which turned the 1M×64 smoke into 60 s of
+    lambda dispatch; the unrolled element_at chain runs from the
+    whole-stage-codegen cache instead (same smoke: 20.8 s, 2.9×). The
+    HOF fallback stays for unknown-width columns; identical integers
+    either way."""
     gmax = corpus.agg(
         F.max(
             F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
@@ -132,17 +149,26 @@ def int8_topk(
             "int8_topk: corpus has no nonzero vector component to scale by"
         )
     scale = F.lit(127.0) / F.lit(float(gmax))
-    qc = int8_quantize(corpus, vec_col, out_col="_q8", scale=scale).select(
+    qc = int8_quantize(corpus, vec_col, out_col="_q8", scale=scale, dim=dim).select(
         id_col, "_q8"
     )
-    qq = int8_quantize(queries, vec_col, out_col="_qq8", scale=scale).select(
+    qq = int8_quantize(queries, vec_col, out_col="_qq8", scale=scale, dim=dim).select(
         query_id_col, "_qq8"
     )
-    int_dot = F.aggregate(
-        F.zip_with(F.col("_q8"), F.col("_qq8"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    if dim is not None:
+        terms = [
+            F.element_at("_q8", i) * F.element_at("_qq8", i)
+            for i in range(1, dim + 1)
+        ]
+        int_dot = terms[0]
+        for t in terms[1:]:
+            int_dot = int_dot + t
+    else:
+        int_dot = F.aggregate(
+            F.zip_with(F.col("_q8"), F.col("_qq8"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
     scored = qc.join(F.broadcast(qq)).select(
         query_id_col, id_col, int_dot.alias("int_dot")
     )
@@ -638,6 +664,8 @@ def _grouped_kmeans_sub(
     n_iterations: int,
     round_centroid: int = 4,
     round_dist: int = 6,
+    init: str = "first_k",
+    init_seed: int = 42,
 ) -> DataFrame:
     """Lloyd's k-means run INDEPENDENTLY per group, in one plan: input
     ``(_gid, _id, _v)`` → output ``(_gid, _id, _sub)`` with ``_sub`` in
@@ -652,10 +680,24 @@ def _grouped_kmeans_sub(
     groups×sub_k centroid table on ``_gid`` (AQE broadcasts it when
     small — it usually is, since only DEGENERATE clusters reach this
     path); the argmin and centroid-update aggregates shuffle only the
-    oversized mass, never the full corpus."""
+    oversized mass, never the full corpus.
+
+    ``init`` mirrors :func:`kmeans_assign` (round-8 review finding: the
+    re-split must honor the CALLER's seeding mode — a first-level
+    ``hash_sample`` clustering exists precisely because consecutive ids
+    cluster by source, and an oversized cluster's lowest ids have the
+    same pathology, which would seed every sub-centroid in one region
+    and degenerate the re-split into the rank-chunk backstop)."""
     if n_iterations < 1:
         raise ValueError("_grouped_kmeans_sub: n_iterations must be >= 1")
-    w = Window.partitionBy("_gid").orderBy("_id")
+    if init not in ("first_k", "hash_sample"):
+        raise ValueError(f"init must be first_k|hash_sample, got {init!r}")
+    seed_key = (
+        F.col("_id")
+        if init == "first_k"
+        else F.xxhash64(F.lit(init_seed), F.col("_id"))
+    )
+    w = Window.partitionBy("_gid").orderBy(seed_key, "_id")
     cent = (
         members.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= sub_k)
@@ -816,6 +858,7 @@ def semdedup_keep(
                 ),
                 sub_k=resplit_k,
                 n_iterations=n_iterations,
+                init=init,
             ).select(
                 F.col("_gid").alias("cluster_id"),
                 F.col("_id").alias(id_col),

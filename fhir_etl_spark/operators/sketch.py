@@ -149,12 +149,38 @@ def kmv_sample_sketch(
     h = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in row_key_cols]))
     from pyspark.sql import Window
 
-    # filter on the CAST value: a NULL input and a non-castable input
-    # both surface as null _v, and neither belongs in the sample
+    # NULL inputs are skipped (the documented sketch-agg convention); a
+    # NON-null value that fails the double cast raises LOUDLY with a
+    # domain message — silently filtering it would empty the whole
+    # sketch for a string value_col (e.g. the row_key_cols ==
+    # [value_col] distinct-estimate construction pointed at an id
+    # column), the same silent-vanish failure mode kmv_merge's
+    # empty-sample guard exists to prevent. try_cast (not cast): under
+    # Spark's ANSI default a plain cast throws its own generic
+    # CAST_INVALID_INPUT before this guard could phrase the problem,
+    # and under non-ANSI it nulls silently — try_cast gives the same
+    # null on both, which the guard then turns into the loud error.
+    cast_v = F.expr(f"try_cast(`{value_col}` as double)")
+    guarded_v = F.when(
+        F.col(value_col).isNotNull() & cast_v.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"kmv_sample_sketch: value_col {value_col!r} is not "
+                    "numeric-castable (got "
+                ),
+                F.col(value_col).cast("string"),
+                F.lit(
+                    ") — the sketch stores double values; for pure "
+                    "distinct counting pass a numeric surrogate"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(cast_v)
     base = (
         df.select(
             *group_cols,
-            F.col(value_col).cast("double").alias("_v"),
+            guarded_v.alias("_v"),
             h.alias("_h"),
             F.spark_partition_id().alias("_p"),
         )

@@ -202,6 +202,11 @@ def gopher_char_repetition(
     doc-local keys (map-side partial aggregation, no global hot key).
     The coverage join back to the token array is by doc id.
     """
+    # the tokenization subtree fans out to four consumers below
+    # (top-gram explode, positional-gram explode, the coverage join's
+    # token-length lookup, and the final select) — checkpoint it once
+    # instead of re-tokenizing the corpus per consumer (the m10/d4/
+    # semdedup pattern; round-8 review finding)
     toks = df.select(
         F.col(id_col),
         tokens(text_col).alias("_toks"),
@@ -214,7 +219,7 @@ def gopher_char_repetition(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("word_chars"),
-    )
+    ).localCheckpoint()
 
     # most frequent n_top-gram, char-weighted
     top_grams = toks.select(

@@ -87,7 +87,7 @@ def v9_int8_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = embeddings.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return int8_topk(embeddings, queries, k=5)
+    return int8_topk(embeddings, queries, k=5, dim=64)
 
 
 @query(

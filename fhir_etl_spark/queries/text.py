@@ -615,7 +615,7 @@ def _bpe_oracle_sql(n_merges: int = 6) -> str:
     parts = [
         """WITH words AS MATERIALIZED (
       SELECT w, count(*) AS weight
-      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) AS w
             FROM documents)
       WHERE w <> '' GROUP BY w
     ), w0 AS MATERIALIZED (
@@ -645,7 +645,7 @@ def _bpe_oracle_sql(n_merges: int = 6) -> str:
     parts.append(
         f""", doc_words AS MATERIALIZED (
       SELECT doc_id, j, ws[j] AS w
-      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+') AS ws
             FROM documents) t,
            UNNEST(generate_series(1, len(ws))) AS g(j)
       WHERE ws[j] <> ''

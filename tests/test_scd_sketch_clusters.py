@@ -511,6 +511,30 @@ def test_kmv_null_values_excluded_from_sketch(spark):
     assert er["distinct_est"] == 40.0  # exact tier; NULL not a 41st value
 
 
+def test_kmv_non_castable_value_col_raises(spark):
+    """Round-8 review finding: a NON-null value that fails the double
+    cast must raise loudly — silently filtering it (the first cut of the
+    NULL fix) emptied the entire sketch for a string value_col, the same
+    silent-vanish failure mode the empty-sample guard prevents. True
+    NULLs are still skipped."""
+    import pytest
+
+    from fhir_etl_spark.operators.sketch import kmv_sample_sketch
+
+    strings = spark.createDataFrame(
+        [("g", "user-1"), ("g", "user-2")], "g string, v string"
+    )
+    with pytest.raises(Exception, match="not numeric-castable"):
+        kmv_sample_sketch(strings, ["g"], "v", ["v"], k=8).collect()
+
+    # numeric strings cast fine and NULLs are skipped, as before
+    ok = spark.createDataFrame(
+        [("g", "1.5"), ("g", "2.5"), ("g", None)], "g string, v string"
+    )
+    [row] = kmv_sample_sketch(ok, ["g"], "v", ["v"], k=8).collect()
+    assert sorted(e["v"] for e in row["sample"]) == [1.5, 2.5]
+
+
 def test_kmv_merge_rejects_empty_sample_rows(spark):
     """Round-8 advice fix: explode() silently DROPPED a sketch row whose
     sample array was empty/null — a group whose every row was empty

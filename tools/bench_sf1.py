@@ -90,13 +90,14 @@ SF1_FLOOR = {
     "d6_dedup_clusters": 7.79,
     "d10_substring_dedup": 4.86,
     # r08 first-appearance floors for the round-7 heavy tier (best over
-    # two r08 runs — the first ran under heavy ambient load and the
-    # second under its residue; shuffle-byte references: t12 11.9 MB,
-    # m6 0, x14 0.5 MB, v8 3.4 MB, recorded in BENCH_sf1_r08.json)
+    # FOUR r08 runs; t12 and m6 are strongly bimodal run-to-run — 4.9 vs
+    # ~13 s and 2.0 vs ~4.2 s with IDENTICAL shuffle bytes — so expect
+    # their wall column to flag spuriously; shuffle-byte references:
+    # t12 11.9 MB, m6 0, x14 0.5 MB, v8 3.4 MB, in BENCH_sf1_r08.json)
     "t12_lm_perplexity": 4.94,
     "m6_jpeg_decode": 1.96,
-    "x14_kmv_quantiles": 1.46,
-    "v8_semdedup": 4.25,
+    "x14_kmv_quantiles": 1.41,
+    "v8_semdedup": 4.17,
 }
 
 
@@ -251,7 +252,10 @@ def main() -> None:
                 best = sample
         out[name] = best
         floor = SF1_FLOOR.get(name)
-        if floor and best["sec"] > 1.5 * floor:
+        # same bar as bench.py: 1.5x relative PLUS a 0.3 s absolute
+        # noise term, so sub-second floors (q1 at 0.48) stop flapping on
+        # host jitter that is constant-ms, not proportional
+        if floor and best["sec"] > 1.5 * floor + 0.3:
             regressions[name] = round(best["sec"] / floor, 2)
 
     print(json.dumps({
