@@ -41,7 +41,9 @@ def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = embeddings.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk(embeddings, queries, k=5)
+    # dim=64 unrolls the per-pair dot into codegen (bit-identical sums —
+    # _sum_chain matches the fold's association order exactly)
+    return cosine_topk(embeddings, queries, k=5, dim=64)
 
 
 @query(
