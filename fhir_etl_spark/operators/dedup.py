@@ -129,6 +129,73 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs).select(id_col, sig.alias("sig"))
 
 
+def banded_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, bucket) banded-LSH index rows from MinHash signatures —
+    the inverted-index half of :func:`lsh_candidate_pairs`, exposed on
+    its own because the index IS the incrementally-maintainable dedup
+    state (streaming/dedup.py): the banding of a doc depends only on the
+    doc, so index(batch₁ ∪ batch₂) == index(batch₁) ∪ index(batch₂)
+    exactly — per-batch index rows union into the same table a
+    whole-corpus build would produce. Map-only (one explode per doc)."""
+
+    def band_bucket(b: int) -> Column:
+        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        if hash_fn == "xxhash64":
+            return F.xxhash64(sl)
+        if hash_fn == "md5":
+            return F.md5(F.array_join(sl, "|"))
+        raise ValueError(f"unknown hash_fn: {hash_fn!r} (want 'xxhash64' or 'md5')")
+
+    return signatures.select(
+        F.col(id_col),
+        # explode_outer: sidesteps the inferred size()>0 filter, which would
+        # otherwise re-hash every band a second time (see doc_shingles).
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_bucket_keepers(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """DIRECT bucket-collision dedup verdicts off a banded index →
+    (id, kept): a doc is dropped iff some bucket it occupies contains a
+    smaller id. One per-bucket min aggregate + one join back — no pair
+    enumeration, so a degenerate bucket costs O(d), not O(d²).
+
+    This is deliberately NON-transitive (a doc that is the min of every
+    bucket it occupies survives even if one of its bucket-mates was
+    dropped for colliding elsewhere) — the property that makes the
+    verdict a pure function of the index table and therefore
+    incrementally maintainable from a stream (streaming/dedup.py reads
+    verdicts off the folded index at any point). Full transitive-closure
+    dedup is the batch d6 pass over :func:`lsh_candidate_pairs`."""
+    mins = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("_m"))
+    flagged = (
+        banded.join(mins, ["band", "bucket"])
+        .filter(F.col(id_col) > F.col("_m"))
+        .select(id_col)
+        .distinct()
+        .withColumn("_flagged", F.lit(True))
+    )
+    return (
+        banded.select(id_col)
+        .distinct()
+        .join(flagged, id_col, "left")
+        .select(id_col, F.coalesce(~F.col("_flagged"), F.lit(True)).alias("kept"))
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -159,27 +226,7 @@ def lsh_candidate_pairs(
     the DuckDB-replayable twin (see :func:`_seeded_hash`).
     """
 
-    def band_bucket(b: int) -> Column:
-        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
-        if hash_fn == "xxhash64":
-            return F.xxhash64(sl)
-        if hash_fn == "md5":
-            return F.md5(F.array_join(sl, "|"))
-        raise ValueError(f"unknown hash_fn: {hash_fn!r} (want 'xxhash64' or 'md5')")
-
-    banded = signatures.select(
-        F.col(id_col),
-        # explode_outer: sidesteps the inferred size()>0 filter, which would
-        # otherwise re-hash every band a second time (see doc_shingles).
-        F.explode_outer(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = banded_buckets(signatures, id_col, bands, rows_per_band, hash_fn)
     postings = banded.groupBy("band", "bucket").agg(
         F.array_sort(F.collect_set(id_col)).alias("ids")
     )

@@ -222,6 +222,54 @@ def d4x_minhash_lsh_xxh64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_jaccard(sigs, pairs)
 
 
+_D12_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    ), sig AS (
+      SELECT doc_id, {_MH_AGGS}
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      {_BAND_SELECTS}
+    ), mins AS (
+      SELECT band, bucket, min(doc_id) AS m FROM banded GROUP BY band, bucket
+    ), flagged AS (
+      SELECT DISTINCT banded.doc_id
+      FROM banded JOIN mins USING (band, bucket)
+      WHERE banded.doc_id > mins.m
+    )
+    SELECT s.doc_id, f.doc_id IS NULL AS kept
+    FROM sig s LEFT JOIN flagged f ON s.doc_id = f.doc_id
+    """
+
+
+@query("d12_lsh_bucket_keepers", oracle=_D12_ORACLE, tags=("dedup", "approx", "streaming"))
+def d12_lsh_bucket_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 addition: DIRECT bucket-collision dedup verdicts off the
+    banded LSH index — (doc_id, kept), dropped iff some occupied bucket
+    holds a smaller id. No pair enumeration (a degenerate bucket costs
+    O(d), not O(d²)), deliberately non-transitive, and a pure function
+    of the index table — the property that makes it the read side of
+    the INCREMENTALLY-MAINTAINED streaming dedup index
+    (streaming/dedup.py: per-batch index rows union bit-exactly into
+    the whole-corpus index). md5-twin hash here so DuckDB replays every
+    stage; the streaming tier defaults to xxhash64 and is pinned by
+    stream-vs-batch equality in tests/test_streaming.py."""
+    from fhir_etl_spark.operators.dedup import (
+        banded_buckets,
+        lsh_bucket_keepers,
+        minhash_signatures,
+    )
+
+    documents = load_tables(spark, sf_dir, "documents")
+    sigs = minhash_signatures(documents, hash_fn="md5")
+    return lsh_bucket_keepers(banded_buckets(sigs, hash_fn="md5"))
+
+
 @query("d4_minhash_lsh", oracle=_D4_ORACLE, tags=("dedup", "approx"))
 def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) → LSH(8 bands × 4 rows) candidate pairs with estimated

@@ -604,6 +604,63 @@ def test_fold_parquet_state_crash_recovery(spark, tmp_path):
     assert not os.path.exists(f"{state}.old.3")
 
 
+def test_stream_lsh_dedup_index_equals_batch(spark, sf_dir, tmp_path):
+    """Round-8 incremental dedup: streaming the corpus in 4 file-chunks
+    and folding per-batch banded index rows must reproduce the
+    WHOLE-CORPUS index bit-for-bit (banding is per-doc, so the union
+    law is exact, not approximate), and the keeper verdicts read off
+    the streamed state must equal the batch operator row-for-row."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.dedup import (
+        banded_buckets,
+        lsh_bucket_keepers,
+        minhash_signatures,
+    )
+    from fhir_etl_spark.session import load_tables
+    from fhir_etl_spark.streaming.dedup import (
+        read_dedup_verdicts,
+        stream_lsh_dedup_index,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.withColumn("part", F.col("doc_id") % 4).repartition(4, "part").drop(
+        "part"
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "lsh_state")
+    q = stream_lsh_dedup_index(spark, stream, state)
+    q.awaitTermination(300)
+    assert len(q.recentProgress) >= 2  # genuinely multiple epochs
+
+    streamed_idx = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in spark.read.parquet(state).collect()
+    }
+    batch_banded = banded_buckets(minhash_signatures(docs))
+    batch_idx = {
+        (r["doc_id"], r["band"], r["bucket"]) for r in batch_banded.collect()
+    }
+    assert streamed_idx == batch_idx  # exact union law
+
+    got = {
+        r["doc_id"]: r["kept"]
+        for r in read_dedup_verdicts(spark, state).collect()
+    }
+    want = {
+        r["doc_id"]: r["kept"]
+        for r in lsh_bucket_keepers(batch_banded).collect()
+    }
+    assert got == want
+    assert not all(got.values())  # the corpus has actual near-dup buckets
+
+
 def test_fold_parquet_state_epoch_replay_skipped(spark, tmp_path):
     """Round-8 advice fix: replaying an epoch the state already absorbed
     (crash after the swap completed but before the stream's commit) is a
