@@ -84,11 +84,14 @@ HEADLINE = [
     "y3_hilbert_curve",
     "x14_kmv_quantiles",
     # r08 additions: Gopher char-weighted repetition rules (positional
-    # coverage union — two doc-local gram groupBys + one distinct) and
+    # coverage union — two doc-local gram groupBys + one distinct),
     # int8-quantized ANN (global-absmax scalar quantization, integer
-    # dot top-k — the memory-bandwidth tier of similarity search)
+    # dot top-k — the memory-bandwidth tier of similarity search), and
+    # the streaming-dedup index read (signatures + banding + per-bucket
+    # min verdicts, no pair enumeration)
     "t17_gopher_char_repetition",
     "v9_int8_quantized_ann",
+    "d12_lsh_bucket_keepers",
 ]
 
 
