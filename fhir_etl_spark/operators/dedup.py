@@ -167,6 +167,54 @@ def banded_buckets(
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+def doc_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Documents → the complete banded dedup index: MinHash signatures →
+    :func:`banded_buckets` rows, PLUS a sentinel row ``(id, band=-1,
+    bucket=<own id>)`` for every document too short to shingle (< k
+    tokens / empty text), which :func:`minhash_signatures`'s groupBy
+    would otherwise drop entirely.
+
+    The sentinels make the (id, kept) verdict contract TOTAL (round-8
+    review finding: a pipeline inner-joining documents to verdicts on
+    kept=true silently lost every short doc): each sentinel bucket is a
+    singleton keyed by the doc's own id at band −1 — no real band is
+    negative, so sentinels can never collide with content buckets, and
+    a singleton bucket always reads back kept=true. The per-doc union
+    law banded_buckets documents is preserved (sentinels too depend
+    only on the doc)."""
+    idx = banded_buckets(
+        minhash_signatures(df, id_col, text_col, num_hashes, k, hash_fn),
+        id_col,
+        bands,
+        rows_per_band,
+        hash_fn,
+    )
+    bucket_type = "long" if hash_fn == "xxhash64" else "string"
+    # sentinel membership is decided by the shingle precondition directly
+    # (size(tokens) < k — exactly when doc_shingles yields nothing): an
+    # anti join against the index would re-execute the whole signature
+    # subtree just to find the short docs
+    sentinels = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .where(F.size("_toks") < k)
+        .select(
+            id_col,
+            F.lit(-1).alias("band"),
+            F.col(id_col).cast(bucket_type).alias("bucket"),
+        )
+    )
+    return idx.unionByName(sentinels)
+
+
 def lsh_bucket_keepers(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """DIRECT bucket-collision dedup verdicts off a banded index →
     (id, kept): a doc is dropped iff some bucket it occupies contains a

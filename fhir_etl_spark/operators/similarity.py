@@ -41,40 +41,26 @@ def _norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Cosine similarity between two array<numeric> columns.
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<numeric> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
-    Pass ``dim`` to unroll the dot/norm folds into compile-once codegen
-    expression chains (see int8_topk's dim note — interpreted HOF
-    lambdas cost ~µs/element in the hot loop). The unrolled chain sums
-    left-to-right, EXACTLY the order ``F.aggregate``'s fold uses, so
-    the doubles are bit-identical and every rounded-sim oracle is
-    unaffected."""
-    if dim is None:
-        return _dot(a, b) / (_norm(a) * _norm(b))
-    dot = _sum_chain(
+
+def unrolled_pair_dot(a: Column, b: Column, dim: int) -> Column:
+    """Dot product as a compile-once UNROLLED codegen chain for a known
+    vector width — bit-identical to :func:`_dot`'s fold (same
+    left-to-right association, :func:`_sum_chain`), but without the
+    interpreted per-element lambda dispatch that costs ~µs/element in
+    ``F.aggregate``/``zip_with`` hot loops (int8_topk's dim note: the
+    1M×64 smoke dropped 3× from this swap). cosine_topk uses this
+    double form; int8_topk keeps its own integer-pure chain (no casts
+    — the whole point of the int8 tier)."""
+    return _sum_chain(
         [
             F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
             for i in range(1, dim + 1)
         ]
     )
-    na = F.sqrt(
-        _sum_chain(
-            [
-                F.element_at(a, i).cast("double") * F.element_at(a, i).cast("double")
-                for i in range(1, dim + 1)
-            ]
-        )
-    )
-    nb = F.sqrt(
-        _sum_chain(
-            [
-                F.element_at(b, i).cast("double") * F.element_at(b, i).cast("double")
-                for i in range(1, dim + 1)
-            ]
-        )
-    )
-    return dot / (na * nb)
 
 
 def _sum_chain(terms: list[Column]) -> Column:
@@ -255,13 +241,7 @@ def cosine_topk(
     if dim is None:
         pair_dot = _dot(F.col(vec_col), F.col("_qvec"))
     else:
-        pair_dot = _sum_chain(
-            [
-                F.element_at(F.col(vec_col), i).cast("double")
-                * F.element_at(F.col("_qvec"), i).cast("double")
-                for i in range(1, dim + 1)
-            ]
-        )
+        pair_dot = unrolled_pair_dot(F.col(vec_col), F.col("_qvec"), dim)
     scored = (
         corpus.withColumn("_cnorm", _norm(F.col(vec_col)))
         .crossJoin(F.broadcast(q))

@@ -160,7 +160,11 @@ def kmv_sample_sketch(
     # CAST_INVALID_INPUT before this guard could phrase the problem,
     # and under non-ANSI it nulls silently — try_cast gives the same
     # null on both, which the guard then turns into the loud error.
-    cast_v = F.expr(f"try_cast(`{value_col}` as double)")
+    # Column.try_cast (not an F.expr string) so dotted struct-field
+    # value columns resolve exactly like every other F.col reference
+    # here (round-8 review finding: a backtick-quoted SQL string treats
+    # 's.price' as one identifier).
+    cast_v = F.col(value_col).try_cast("double")
     guarded_v = F.when(
         F.col(value_col).isNotNull() & cast_v.isNull(),
         F.raise_error(

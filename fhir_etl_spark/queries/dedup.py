@@ -233,8 +233,16 @@ _D12_ORACLE = f"""
     ), sig AS (
       SELECT doc_id, {_MH_AGGS}
       FROM sh GROUP BY doc_id
-    ), banded AS (
+    ), content AS (
       {_BAND_SELECTS}
+    ), banded AS (
+      -- sentinel singleton rows for docs too short to shingle (band -1
+      -- can never collide with a content band) keep the verdict
+      -- contract TOTAL over all documents
+      SELECT * FROM content
+      UNION ALL
+      SELECT doc_id, -1 AS band, CAST(doc_id AS VARCHAR) AS bucket
+      FROM toks WHERE len(t) < 3
     ), mins AS (
       SELECT band, bucket, min(doc_id) AS m FROM banded GROUP BY band, bucket
     ), flagged AS (
@@ -242,8 +250,8 @@ _D12_ORACLE = f"""
       FROM banded JOIN mins USING (band, bucket)
       WHERE banded.doc_id > mins.m
     )
-    SELECT s.doc_id, f.doc_id IS NULL AS kept
-    FROM sig s LEFT JOIN flagged f ON s.doc_id = f.doc_id
+    SELECT d.doc_id, f.doc_id IS NULL AS kept
+    FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
     """
 
 
@@ -258,16 +266,14 @@ def d12_lsh_bucket_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/dedup.py: per-batch index rows union bit-exactly into
     the whole-corpus index). md5-twin hash here so DuckDB replays every
     stage; the streaming tier defaults to xxhash64 and is pinned by
-    stream-vs-batch equality in tests/test_streaming.py."""
-    from fhir_etl_spark.operators.dedup import (
-        banded_buckets,
-        lsh_bucket_keepers,
-        minhash_signatures,
-    )
+    stream-vs-batch equality in tests/test_streaming.py. Verdicts are
+    TOTAL over documents — docs too short to shingle ride sentinel
+    singleton buckets (operators/dedup.doc_band_index) and read back
+    kept=true."""
+    from fhir_etl_spark.operators.dedup import doc_band_index, lsh_bucket_keepers
 
     documents = load_tables(spark, sf_dir, "documents")
-    sigs = minhash_signatures(documents, hash_fn="md5")
-    return lsh_bucket_keepers(banded_buckets(sigs, hash_fn="md5"))
+    return lsh_bucket_keepers(doc_band_index(documents, hash_fn="md5"))
 
 
 @query("d4_minhash_lsh", oracle=_D4_ORACLE, tags=("dedup", "approx"))

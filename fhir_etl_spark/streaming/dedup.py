@@ -26,15 +26,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from fhir_etl_spark.operators.dedup import (
-    banded_buckets,
-    lsh_bucket_keepers,
-    minhash_signatures,
-)
+from fhir_etl_spark.operators.dedup import doc_band_index, lsh_bucket_keepers
 from fhir_etl_spark.streaming.state import fold_parquet_state
 
-_STATE_SCHEMA_XXH = "doc_id bigint, band int, bucket bigint"
-_STATE_SCHEMA_MD5 = "doc_id bigint, band int, bucket string"
+
+def _state_schema(id_col: str, hash_fn: str) -> str:
+    """Parquet state schema keyed by the CALLER's id column (round-8
+    review finding: a hardcoded 'doc_id' schema wedged the stream at
+    epoch 2 for any other id_col and silently nulled the read side),
+    with hash_fn validated at ENTRY — a typo must fail the call, not
+    the first micro-batch inside a running stream."""
+    if hash_fn == "xxhash64":
+        return f"{id_col} bigint, band int, bucket bigint"
+    if hash_fn == "md5":
+        return f"{id_col} bigint, band int, bucket string"
+    raise ValueError(f"unknown hash_fn: {hash_fn!r} (want 'xxhash64' or 'md5')")
 
 
 def stream_lsh_dedup_index(
@@ -60,19 +66,17 @@ def stream_lsh_dedup_index(
     needs monotonic-unique ids)."""
     if checkpoint is None:
         checkpoint = f"{state_path}.checkpoint"
-    schema = _STATE_SCHEMA_XXH if hash_fn == "xxhash64" else _STATE_SCHEMA_MD5
+    schema = _state_schema(id_col, hash_fn)
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        idx = banded_buckets(
-            minhash_signatures(
-                batch_df, id_col, text_col, num_hashes, k, hash_fn
-            ),
-            id_col,
-            bands,
-            rows_per_band,
-            hash_fn,
+        # doc_band_index (not bare banded_buckets): short docs get
+        # sentinel singleton rows, so the verdict contract stays TOTAL
+        # over everything ever streamed (round-8 review finding)
+        idx = doc_band_index(
+            batch_df, id_col, text_col, num_hashes, k, bands,
+            rows_per_band, hash_fn,
         )
 
         def merge_state(prev: DataFrame | None) -> DataFrame:
@@ -96,10 +100,17 @@ def stream_lsh_dedup_index(
 
 
 def read_dedup_verdicts(
-    spark: SparkSession, state_path: str, hash_fn: str = "xxhash64"
+    spark: SparkSession,
+    state_path: str,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, kept) off the maintained index — the pure-function read
+    """(id, kept) off the maintained index — the pure-function read
     (operators/dedup.lsh_bucket_keepers) that matches a from-scratch
-    batch build over everything streamed so far."""
-    schema = _STATE_SCHEMA_XXH if hash_fn == "xxhash64" else _STATE_SCHEMA_MD5
-    return lsh_bucket_keepers(spark.read.schema(schema).parquet(state_path))
+    batch build over everything streamed so far. ``id_col``/``hash_fn``
+    must match the values the index was built with (the schema is keyed
+    by them; a mismatch raises at entry rather than misreading)."""
+    schema = _state_schema(id_col, hash_fn)
+    return lsh_bucket_keepers(
+        spark.read.schema(schema).parquet(state_path), id_col
+    )

@@ -612,11 +612,7 @@ def test_stream_lsh_dedup_index_equals_batch(spark, sf_dir, tmp_path):
     the streamed state must equal the batch operator row-for-row."""
     from pyspark.sql import functions as F
 
-    from fhir_etl_spark.operators.dedup import (
-        banded_buckets,
-        lsh_bucket_keepers,
-        minhash_signatures,
-    )
+    from fhir_etl_spark.operators.dedup import doc_band_index, lsh_bucket_keepers
     from fhir_etl_spark.session import load_tables
     from fhir_etl_spark.streaming.dedup import (
         read_dedup_verdicts,
@@ -624,6 +620,10 @@ def test_stream_lsh_dedup_index_equals_batch(spark, sf_dir, tmp_path):
     )
 
     docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant a doc too short to shingle: it must STILL get a verdict row
+    # (sentinel singleton bucket — the total-contract guarantee)
+    short = spark.createDataFrame([(999_999, "too short")], "doc_id long, text string")
+    docs = docs.unionByName(short)
     src = str(tmp_path / "src")
     docs.withColumn("part", F.col("doc_id") % 4).repartition(4, "part").drop(
         "part"
@@ -636,14 +636,14 @@ def test_stream_lsh_dedup_index_equals_batch(spark, sf_dir, tmp_path):
     )
     state = str(tmp_path / "lsh_state")
     q = stream_lsh_dedup_index(spark, stream, state)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in time"
     assert len(q.recentProgress) >= 2  # genuinely multiple epochs
 
     streamed_idx = {
         (r["doc_id"], r["band"], r["bucket"])
         for r in spark.read.parquet(state).collect()
     }
-    batch_banded = banded_buckets(minhash_signatures(docs))
+    batch_banded = doc_band_index(docs)
     batch_idx = {
         (r["doc_id"], r["band"], r["bucket"]) for r in batch_banded.collect()
     }
@@ -659,6 +659,8 @@ def test_stream_lsh_dedup_index_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert not all(got.values())  # the corpus has actual near-dup buckets
+    assert got[999_999] is True  # sentinel: short doc present and kept
+    assert len(got) == docs.count()  # verdicts are TOTAL over documents
 
 
 def test_fold_parquet_state_epoch_replay_skipped(spark, tmp_path):
@@ -706,7 +708,7 @@ def test_streaming_folds_default_a_checkpoint(spark, tmp_path, events_stream):
 
     table = str(tmp_path / "rollup")
     q = continuous_rollup(spark, events_stream, table)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "rollup stream did not finish in time"
     assert os.path.isdir(f"{table}.checkpoint"), "derived checkpoint missing"
 
     state = str(tmp_path / "kmv_state")
@@ -719,5 +721,5 @@ def test_streaming_folds_default_a_checkpoint(spark, tmp_path, events_stream):
         state,
         k=16,
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "kmv stream did not finish in time"
     assert os.path.isdir(f"{state}.checkpoint"), "derived checkpoint missing"
