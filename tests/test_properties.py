@@ -539,6 +539,50 @@ def test_xlsx_sparse_refs_match_reference_model(rows):
     assert got == expected
 
 
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lsh_bucket_keepers_matches_reference_model(spark, docs):
+    """Round-8 d12 invariants, fuzzed over tiny corpora from a 4-word
+    alphabet (dense collisions): (a) the verdict table is TOTAL — one
+    row per doc id, including docs too short to shingle (sentinel
+    buckets); (b) kept == the reference rule computed independently in
+    Python off the same index rows (dropped iff some occupied bucket
+    holds a smaller id); (c) every short doc is kept."""
+    from fhir_etl_spark.operators.dedup import doc_band_index, lsh_bucket_keepers
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = doc_band_index(df).collect()
+    got = {
+        r["doc_id"]: r["kept"]
+        for r in lsh_bucket_keepers(
+            spark.createDataFrame(banded, "doc_id long, band int, bucket long")
+        ).collect()
+    }
+
+    buckets: dict = {}
+    for r in banded:
+        buckets.setdefault((r["band"], r["bucket"]), set()).add(r["doc_id"])
+    want = {
+        i: all(i <= min(members) for members in buckets.values() if i in members)
+        for i in range(len(docs))
+    }
+    assert got == want
+    for i, words in enumerate(docs):
+        if len(words) < 3:
+            assert got[i] is True  # sentinel singleton -> kept
+
+
 def test_xlsx_empty_sheet_and_three_letter_columns():
     """Deterministic edges from the same verdict item: (a) empty
     sheetData — both the <sheetData/> self-closed and the open-close
