@@ -583,6 +583,44 @@ def test_lsh_bucket_keepers_matches_reference_model(spark, docs):
             assert got[i] is True  # sentinel singleton -> kept
 
 
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "ba"]), min_size=0, max_size=12),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "ab", "ba"]),
+        st.sampled_from(["a", "b", "ab", "ba"]),
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_merge_replace_trick_equals_greedy_fold(syms, pair):
+    """The identity the t13 BPE oracle rests on, fuzzed: a non-overlapping
+    left-to-right ``replace`` on the wrapped-separator encoding
+    ``|s1||s2||…|`` equals the greedy left-to-right pair-merge fold, for
+    ALL symbol sequences and merge pairs — including the adversarial
+    self-pair runs (``a a a``), composite symbols that embed the pair's
+    text (``ab``), and adjacent matches sharing no boundary chars. The
+    reference fold is implemented independently here; DuckDB executes the
+    replace exactly as the generated oracle does."""
+    import duckdb
+
+    left, right = pair
+
+    # independent greedy fold (the _merge_pair_expr contract)
+    folded: list[str] = []
+    for s in syms:
+        if folded and folded[-1] == left and s == right:
+            folded[-1] = left + right
+        else:
+            folded.append(s)
+
+    wrapped = "|" + "||".join(syms) + "|" if syms else "||"
+    got = duckdb.connect().execute(
+        "SELECT replace(?, ?, ?)",
+        [wrapped, f"|{left}||{right}|", f"|{left}{right}|"],
+    ).fetchone()[0]
+    want = "|" + "||".join(folded) + "|" if folded else "||"
+    assert got == want, (syms, pair, got, want)
+
+
 def test_xlsx_empty_sheet_and_three_letter_columns():
     """Deterministic edges from the same verdict item: (a) empty
     sheetData — both the <sheetData/> self-closed and the open-close
