@@ -227,7 +227,15 @@ def lsh_bucket_keepers(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
     verdict a pure function of the index table and therefore
     incrementally maintainable from a stream (streaming/dedup.py reads
     verdicts off the folded index at any point). Full transitive-closure
-    dedup is the batch d6 pass over :func:`lsh_candidate_pairs`."""
+    dedup is the batch d6 pass over :func:`lsh_candidate_pairs`.
+
+    The index subtree fans out three ways below (per-bucket mins, the
+    flag join's probe side, the distinct id universe) — checkpoint it
+    once instead of re-executing its upstream (for the d12 shape that
+    upstream is the full MinHash signature pass; the m10/d4 pattern).
+    For the streaming read path the upstream is just a parquet scan and
+    the checkpoint is a cheap materialization."""
+    banded = banded.localCheckpoint()
     mins = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("_m"))
     flagged = (
         banded.join(mins, ["band", "bucket"])

@@ -58,12 +58,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _recover(state_path: str) -> None:
     """If a crash stranded the state in ``.old.{epoch}`` (between swap
-    steps 3 and 4), rename the newest one back; clear stale tmp dirs."""
+    steps 3 and 4), rename the newest one back; clear stale tmp dirs.
+
+    When the state dir EXISTS, any surviving ``.old.*`` is debris from a
+    crash between step 4 and the final cleanup — remove it too (round-8
+    review: one such dir leaked per crash, and though the max-epoch
+    pick keeps recovery correct, an unbounded crash history should not
+    accumulate state-sized directories)."""
     for tmp in glob.glob(glob.escape(state_path) + ".tmp.*"):
         shutil.rmtree(tmp, ignore_errors=True)
-    if os.path.exists(state_path):
-        return
     olds = glob.glob(glob.escape(state_path) + ".old.*")
+    if os.path.exists(state_path):
+        for p in olds:
+            shutil.rmtree(p, ignore_errors=True)
+        return
     if not olds:
         return
     newest = max(olds, key=lambda p: int(p.rsplit(".", 1)[-1]))

@@ -663,6 +663,29 @@ def test_stream_lsh_dedup_index_equals_batch(spark, sf_dir, tmp_path):
     assert len(got) == docs.count()  # verdicts are TOTAL over documents
 
 
+def test_recover_removes_stale_old_dirs_when_state_live(spark, tmp_path):
+    """Round-8 review: a crash between the swap's rename-in and its old
+    cleanup leaked one state-sized .old dir per crash (recovery stayed
+    correct — max-epoch pick — but the debris accumulated forever).
+    _recover now clears stale olds whenever the live state exists."""
+    import os
+
+    from fhir_etl_spark.streaming.state import fold_parquet_state
+
+    state = str(tmp_path / "state")
+    fold_parquet_state(spark, state, 1, lambda prev: spark.range(3))
+    # debris from a hypothetical crash-after-rename-in at an old epoch
+    os.makedirs(f"{state}.old.0")
+    with open(f"{state}.old.0/leftover", "w") as f:
+        f.write("debris")
+    fold_parquet_state(
+        spark, state, 2,
+        lambda prev: spark.range(4) if prev is None else prev.unionByName(spark.range(4)),
+    )
+    assert not os.path.exists(f"{state}.old.0")
+    assert spark.read.parquet(state).count() == 7
+
+
 def test_fold_parquet_state_epoch_replay_skipped(spark, tmp_path):
     """Round-8 advice fix: replaying an epoch the state already absorbed
     (crash after the swap completed but before the stream's commit) is a
