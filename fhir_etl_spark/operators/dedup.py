@@ -152,6 +152,28 @@ def banded_buckets(
             return F.md5(F.array_join(sl, "|"))
         raise ValueError(f"unknown hash_fn: {hash_fn!r} (want 'xxhash64' or 'md5')")
 
+    # loud guard on the band geometry: if bands × rows_per_band exceeds
+    # the signature width, the out-of-range bands slice EMPTY arrays and
+    # hash identically for every doc — all docs collide in those bands
+    # and the dedup false-positives catastrophically, silently (round-8
+    # review follow-up; latent in lsh_candidate_pairs since round 1)
+    need = bands * rows_per_band
+    signatures = signatures.withColumn(
+        "sig",
+        F.when(
+            F.size("sig") < need,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"banded_buckets: {bands} bands x {rows_per_band} "
+                        f"rows need >= {need} hashes but signature has "
+                    ),
+                    F.size("sig").cast("string"),
+                )
+            ),
+        ).otherwise(F.col("sig")),
+    )
+
     return signatures.select(
         F.col(id_col),
         # explode_outer: sidesteps the inferred size()>0 filter, which would

@@ -187,6 +187,25 @@ def test_int8_topk_matches_exact_dot_ranking(spark, sf_dir):
     assert math.isfinite(sum(corpus[1]))  # sanity on fixture decode
 
 
+def test_banded_buckets_rejects_oversized_band_geometry(spark):
+    """Round-8 guard: bands x rows_per_band beyond the signature width
+    would slice EMPTY band arrays that hash identically for every doc —
+    total false-collision, silently. Must raise loudly instead."""
+    import pytest
+
+    from fhir_etl_spark.operators.dedup import banded_buckets, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, num_hashes=16)
+    with pytest.raises(Exception, match="need >= 32 hashes"):
+        banded_buckets(sigs, bands=8, rows_per_band=4).collect()
+    # exact fit is fine
+    assert banded_buckets(sigs, bands=4, rows_per_band=4).count() == 8
+
+
 def test_md5_twin_minhash_same_semantics(docs):
     """The md5-twin hash (the d4 oracle path) is the same estimator as the
     xxhash64 default: exact dups collide with jaccard_est 1.0, near-dups

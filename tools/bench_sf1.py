@@ -236,7 +236,14 @@ def main() -> None:
     regressions: dict[str, float] = {}
     for name in QUERIES:
         best = None
-        for _ in range(2):
+        # best-of-2, plus bench.py's adaptive third sample: t12/m6 warm
+        # up monotonically over a process's first executions (C2 JIT +
+        # page cache: 26 -> 18 -> 7 -> 5 s measured for t12), so a
+        # best-of-2 caught mid-warmup records a 2.6x phantom regression
+        samples = 2
+        attempt = 0
+        while attempt < samples:
+            attempt += 1
             before = _shuffle_totals(spark)
             t0 = time.perf_counter()
             registry[name].fn(spark, CACHE).write.format("noop").mode(
@@ -250,6 +257,14 @@ def main() -> None:
                 sample["shuffle_write_mb"] = round((after[1] - before[1]) / 1e6, 1)
             if best is None or sample["sec"] < best["sec"]:
                 best = sample
+            floor = SF1_FLOOR.get(name)
+            if (
+                attempt == samples
+                and samples < 4
+                and floor
+                and best["sec"] > 1.2 * floor
+            ):
+                samples += 1  # still above the floor band: buy another run
         out[name] = best
         floor = SF1_FLOOR.get(name)
         # same bar as bench.py: 1.5x relative PLUS a 0.3 s absolute
