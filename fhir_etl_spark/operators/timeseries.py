@@ -1,0 +1,107 @@
+"""Order-dependent time-series recurrences (EWMA) as pure DataFrame plans.
+
+An exponentially-weighted moving average is the canonical op that Spark's
+built-in window frames CANNOT express: ``s_i = a*x_i + (1-a)*s_{i-1}`` is a
+linear recurrence over the event order, and every built-in frame aggregate
+(avg/sum/min over ROWS BETWEEN) is order-insensitive within its frame. The
+reference family covers it with imperative per-row loops; the Spark-first
+form used here is the sorted-array left fold:
+
+    groupBy(key) -> array_sort(collect_list(struct(order..., value, ...)))
+                 -> F.aggregate left fold emitting the running state array
+                 -> posexplode back to rows
+
+which is ONE shuffle (the groupBy) and zero Python — the fold compiles to
+Catalyst expressions. The same shape backs the ds5 sequence-packing state
+machine (operators/packing.py) and the streaming rolling z-score ring
+buffer (streaming/anomaly.py).
+
+Exactness contract (what lets the driver value-oracle w9): the fold is a
+FIXED left-to-right association — identical to a recursive-CTE replay row
+by row — and each step is exactly two IEEE-754 multiplies and one add,
+``a*x + (1-a)*s``, with no reassociation for either engine to disagree on.
+With ``alpha`` chosen exactly representable in binary (0.25 here; any
+k/2^n works), Spark and DuckDB produce bit-identical doubles at every
+step, so NO rounding is needed before hashing. Contrast w8's rolling
+z-score, which rounds to 4 dp because avg/stddev sum in engine-chosen
+order.
+
+Scale shape (100 TB): the one shuffle moves each key's rows to one task;
+per-key state arrays live in executor memory, so the operator assumes
+BOUNDED series per key (sessions, device streams — same assumption the
+streaming twin's ring buffer makes explicit). Unbounded keys want the
+streaming path (applyInPandasWithState) or a date-bucketed key. The fold's
+array-concat accumulator is O(n^2) copies per key in the worst case —
+fine at session scale (<= ~10^4 rows/key), and still JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key EWMA of ``value_col`` over ``order_cols`` order.
+
+    ``s_0 = x_0``; ``s_i = alpha*x_i + (1-alpha)*s_{i-1}``. Rows where the
+    value is NULL are rejected loudly (a NULL would poison every later
+    state in its key; callers choose to filter or impute first — silently
+    doing either here would be a wrong answer someone has to debug).
+
+    Output: the input's key/order/value columns plus ``out_col``. Order
+    within a key is ``order_cols`` ascending with the value as the final
+    struct tie-break; callers should pass a unique order key (e.g.
+    ``[ts, event_id]``) so the fold order — and therefore every EWMA
+    value — is total and reproducible.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
+    beta = 1.0 - alpha  # exact when alpha is a small dyadic (0.25 -> 0.75)
+
+    guarded_v = F.when(
+        F.col(value_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"ewma: NULL in value column {value_col!r} — a NULL would "
+                "poison every subsequent state in its key; filter or impute "
+                "upstream"
+            )
+        ),
+    ).otherwise(F.col(value_col).cast("double"))
+
+    row = F.struct(
+        *[F.col(c).alias(c) for c in order_cols],
+        guarded_v.alias("__v"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        nxt = F.when(F.size(acc) == 0, x["__v"]).otherwise(
+            F.lit(alpha) * x["__v"] + F.lit(beta) * F.element_at(acc, -1)
+        )
+        return F.concat(acc, F.array(nxt))
+
+    grouped = (
+        df.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(row)).alias("__rows"))
+        .withColumn(
+            "__states",
+            F.aggregate(
+                "__rows", F.expr("CAST(array() AS array<double>)"), step
+            ),
+        )
+    )
+    z = F.posexplode(F.arrays_zip("__rows", "__states")).alias("__i", "__z")
+    return grouped.select(*key_cols, z).select(
+        *key_cols,
+        *[F.col(f"__z.__rows.{c}").alias(c) for c in order_cols],
+        F.col("__z.__rows.__v").alias(value_col),
+        F.col("__z.__states").alias(out_col),
+    )

