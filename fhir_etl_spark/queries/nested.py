@@ -523,3 +523,36 @@ def s15_xlsx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fields")["NATIONKEY"].cast("bigint").alias("s_nationkey"),
         F.col("fields")["ACCTBAL"].cast("double").alias("s_acctbal"),
     )
+
+
+@query(
+    "s16_orc_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    tags=("scan", "orc"),
+)
+def s16_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip: documents → lang-partitioned ORC → read back, every
+    row and column intact (the oracle is the source table itself, so any
+    value the format mangles — type widening, charset, partition-column
+    re-encoding — hash-mismatches). ORC is Spark's second first-class
+    columnar format (vectorized reader, predicate pushdown, partition
+    pruning all apply exactly as for parquet); `partitionBy(lang)` makes
+    the read-back exercise directory-partition discovery too, where the
+    partition column comes back from directory names, not file data —
+    the classic silent type-change spot (string-typed here, so identity).
+    pid-scoped dir + atexit cleanup, same as s14."""
+    import atexit
+    import os
+    import shutil
+
+    documents = load_tables(spark, sf_dir, "documents")
+    out_dir = (
+        "/tmp/fhir_etl_spark_orc/"
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    documents.write.mode("overwrite").partitionBy("lang").orc(out_dir)
+    back = spark.read.orc(out_dir)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")

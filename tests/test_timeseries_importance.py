@@ -64,3 +64,28 @@ class TestEwma:
         )
         out = ewma(df, ["k"], ["t"], "v", alpha=1.0)
         assert all(r.ewma == r.v for r in out.collect())
+
+
+class TestOrcRoundtrip:
+    def test_pushdown_and_partition_pruning(self, spark, sf_dir, tmp_path):
+        """The scale properties that justify the ORC tier: data filters reach
+        the ORC scan (PushedFilters) and lang partitions prune at planning
+        time (PartitionFilters) — same contract the parquet scans are held
+        to in test_plans."""
+        from fhir_etl_spark.session import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents")
+        out = str(tmp_path / "orc")
+        docs.write.mode("overwrite").partitionBy("lang").orc(out)
+        back = spark.read.orc(out).filter(
+            (F.col("lang") == "en") & (F.col("n_chars") > 100)
+        )
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "n_chars" in plan.split(
+            "PushedFilters"
+        )[1].split("]")[0]
+        assert "lang" in plan.split("PartitionFilters")[1].split("]")[0]
+        # and the roundtrip preserves row identity
+        assert back.count() == docs.filter(
+            (F.col("lang") == "en") & (F.col("n_chars") > 100)
+        ).count()
