@@ -36,11 +36,11 @@ from pyspark.sql import functions as F
 BUCKETS = 1_000_000
 
 
-def hash_bucket(key: Column, salt: str = "") -> Column:
-    """Deterministic bucket in [0, BUCKETS) from a row key.
+def hash_bucket(key: Column, salt: str = "", n_buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, n_buckets) from a row key.
 
-    ``conv(substr(md5(key), 1, 8), 16, 10) % BUCKETS`` — identical in
-    DuckDB as ``CAST('0x' || substr(md5(key), 1, 8) AS UBIGINT) % BUCKETS``.
+    ``conv(substr(md5(key), 1, 8), 16, 10) % n_buckets`` — identical in
+    DuckDB as ``CAST('0x' || substr(md5(key), 1, 8) AS UBIGINT) % n_buckets``.
     ``salt`` decorrelates independent decisions made from the same key
     (e.g. split assignment vs shard assignment).
     """
@@ -48,7 +48,7 @@ def hash_bucket(key: Column, salt: str = "") -> Column:
     return (
         F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10)
         .cast("long")
-        % BUCKETS
+        % n_buckets
     )
 
 
@@ -301,3 +301,124 @@ def temperature_weights(
     rates = {k: (probs[k] / z) / sizes[k] for k in sizes}
     scale = cap / max(rates.values())
     return {k: r * scale for k, r in rates.items()}
+
+
+def dsir_bucket_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    n_buckets: int = 256,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR bucket log-ratio weights (Xie et al. 2023, *Data Selection for
+    Language Models via Importance Resampling*), in integer micro-log units.
+
+    DSIR scores raw documents by how much their hashed-n-gram profile looks
+    like a TARGET corpus (here: the subset of ``df`` matching ``target``)
+    relative to the RAW corpus (all of ``df``): fit two bag-of-hashed-ngrams
+    multinomials with Laplace smoothing and weight each bucket by
+    ``ln p_target(b) - ln p_raw(b)``. This module's variant quantizes each
+    bucket weight to an integer number of MICRO-LOGS —
+    ``round(1e6 * (ln(t_b+1) - ln(T+B) - ln(r_b+1) + ln(R+B)))`` — so that
+    document scores (count-weighted SUMS of bucket weights, see
+    :func:`dsir_importance`) live entirely in BIGINT: order-independent,
+    overflow-safe, and bit-comparable across engines. The only float op is
+    one ln per bucket over exactly-representable integer arguments, rounded
+    at a 1e-6 grain — tests assert every bucket value sits far from a
+    rounding boundary, which makes the quantization engine-stable even
+    under 1-ulp libm differences.
+
+    Output: ``(b, r, t, w_micro)`` — one row per bucket in [0, n_buckets),
+    including empty buckets (they carry the pure smoothing weight). B rows
+    total: broadcast-sized by construction, independent of corpus size.
+
+    Scale shape: one explode over tokens feeding two partial-aggregated
+    groupBys on the bucket id (B distinct keys — the exchange carries at
+    most B rows per map task), then O(B) arithmetic. The 100 TB cost is
+    the token scan, which is unavoidable and map-parallel.
+    """
+    spark = df.sparkSession
+    from fhir_etl_spark.operators.text import tokens
+
+    tokb = df.select(
+        target.alias("__is_target"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).select(
+        "__is_target",
+        hash_bucket(F.col("tok"), salt=salt, n_buckets=n_buckets).alias("b"),
+    )
+    raw = tokb.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    tgt = (
+        tokb.filter(F.col("__is_target"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    buckets = (
+        spark.range(n_buckets)
+        .select(F.col("id").alias("b"))
+        .join(raw, "b", "left")
+        .join(tgt, "b", "left")
+        .select("b", F.coalesce("r", F.lit(0)).alias("r"), F.coalesce("t", F.lit(0)).alias("t"))
+    )
+    totals = buckets.agg(
+        F.sum("r").alias("rt"), F.sum("t").alias("tt")
+    )
+    bb = float(n_buckets)
+    # fixed term order (left-assoc, same shape in the oracle SQL): each ln
+    # argument is an integer-valued double, exact by construction
+    w = (
+        F.log(F.col("t") + 1.0)
+        - F.log(F.col("tt") + bb)
+        - F.log(F.col("r") + 1.0)
+        + F.log(F.col("rt") + bb)
+    )
+    return (
+        buckets.crossJoin(F.broadcast(totals))
+        .select("b", "r", "t", F.round(w * 1e6).cast("long").alias("w_micro"))
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-document DSIR importance scores in micro-log units.
+
+    ``score_micro(d) = Σ_b c_d[b] * w_micro[b]`` — the document's hashed
+    unigram counts dotted with :func:`dsir_bucket_weights`. Pure BIGINT:
+    the sum is order-independent, so the score is exactly reproducible on
+    any partitioning and any engine. Select the training subset by taking
+    the top-k scores (deterministic ``(score desc, id)`` order) — the
+    paper resamples with Gumbel noise; the deterministic variant keeps
+    selection reproducible, which is what a 100 TB pipeline wants anyway.
+
+    Plan: token explode → groupBy (id, b) with map-side partial
+    aggregation → broadcast join against the B-row weight table →
+    groupBy id. Documents with zero tokens score NULL→excluded (no
+    profile to weigh); callers wanting them keep a left join on ids.
+    """
+    from fhir_etl_spark.operators.text import tokens
+
+    weights = dsir_bucket_weights(
+        df, target, text_col=text_col, n_buckets=n_buckets, salt=salt
+    )
+    dbc = (
+        df.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+        )
+        .select(
+            id_col,
+            hash_bucket(F.col("tok"), salt=salt, n_buckets=n_buckets).alias("b"),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        dbc.join(F.broadcast(weights.select("b", "w_micro")), "b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.col("w_micro")).alias("score_micro"))
+    )

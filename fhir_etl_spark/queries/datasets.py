@@ -306,3 +306,60 @@ def ds9_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_mix(sources, key="doc_id", salt="tmix").select(
         "doc_id", F.col("source").alias("src")
     )
+
+
+_DSIR_TOKS = (
+    "list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
+)
+
+
+@query(
+    "ds10_dsir_importance",
+    oracle=f"""
+    WITH tb AS MATERIALIZED (
+      SELECT doc_id, lang = 'en' AS is_target,
+             CAST('0x' || substr(md5('dsir' || tok), 1, 8) AS UBIGINT) % 256 AS b
+      FROM (SELECT doc_id, lang, unnest({_DSIR_TOKS}) AS tok FROM documents)
+    ), raw AS (
+      SELECT b, count(*) AS r FROM tb GROUP BY b
+    ), tgt AS (
+      SELECT b, count(*) AS t FROM tb WHERE is_target GROUP BY b
+    ), buckets AS MATERIALIZED (
+      SELECT g.b, coalesce(raw.r, 0) AS r, coalesce(tgt.t, 0) AS t
+      FROM (SELECT unnest(generate_series(0, 255)) AS b) g
+      LEFT JOIN raw ON raw.b = g.b
+      LEFT JOIN tgt ON tgt.b = g.b
+    ), tot AS (
+      SELECT CAST(sum(r) AS BIGINT) AS rt, CAST(sum(t) AS BIGINT) AS tt
+      FROM buckets
+    ), wt AS MATERIALIZED (
+      SELECT b,
+             CAST(round((ln(t + 1.0) - ln(tt + 256.0) - ln(r + 1.0)
+                         + ln(rt + 256.0)) * 1e6) AS BIGINT) AS w_micro
+      FROM buckets CROSS JOIN tot
+    ), dbc AS (
+      SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b
+    )
+    SELECT doc_id, score_micro FROM (
+      SELECT dbc.doc_id,
+             CAST(sum(c * w_micro) AS BIGINT) AS score_micro
+      FROM dbc JOIN wt ON wt.b = dbc.b
+      GROUP BY dbc.doc_id
+    )
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 25
+    """,
+    tags=("datasets", "importance"),
+)
+def ds10_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie 2023): score every document by how
+    English-target its hashed-unigram profile is vs the raw corpus, take
+    the top 25 deterministically. Integer micro-log domain end to end —
+    see operators/datasets.dsir_bucket_weights for the exactness
+    contract; tests/test_timeseries_importance.py asserts every bucket
+    weight sits far from its rounding boundary at both SFs."""
+    from fhir_etl_spark.operators.datasets import dsir_importance
+
+    documents = load_tables(spark, sf_dir, "documents")
+    scores = dsir_importance(documents, target=F.col("lang") == "en")
+    return scores.orderBy(F.desc("score_micro"), "doc_id").limit(25)

@@ -89,3 +89,83 @@ class TestOrcRoundtrip:
         assert back.count() == docs.filter(
             (F.col("lang") == "en") & (F.col("n_chars") > 100)
         ).count()
+
+
+class TestDsir:
+    def test_bucket_weights_shape_and_smoothing(self, spark):
+        from fhir_etl_spark.operators.datasets import dsir_bucket_weights
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="aa bb aa", lang="en"),
+             Row(doc_id=2, text="cc dd", lang="de")]
+        )
+        wt = dsir_bucket_weights(df, F.col("lang") == "en", n_buckets=16)
+        rows = wt.collect()
+        assert len(rows) == 16  # every bucket present, including empty ones
+        assert sum(r.r for r in rows) == 5 and sum(r.t for r in rows) == 3
+        # empty buckets carry the pure smoothing weight ln((rt+B)/(tt+B))
+        import math
+        empty = [r for r in rows if r.r == 0]
+        expected = round((math.log(1.0) - math.log(3 + 16.0)
+                          - math.log(1.0) + math.log(5 + 16.0)) * 1e6)
+        assert all(r.w_micro == expected for r in empty)
+
+    def test_target_like_docs_score_higher(self, spark):
+        from fhir_etl_spark.operators.datasets import dsir_importance
+
+        # target vocabulary is disjoint from raw-only vocabulary; a doc made
+        # of target tokens must outscore a doc made of raw-only tokens
+        rows = [Row(doc_id=i, text="alpha beta gamma", lang="en") for i in range(10)]
+        rows += [Row(doc_id=100 + i, text="zeta eta theta", lang="de") for i in range(10)]
+        df = spark.createDataFrame(rows)
+        scores = {r.doc_id: r.score_micro for r in
+                  dsir_importance(df, F.col("lang") == "en").collect()}
+        assert scores[0] > scores[100]
+        # identical docs score identically (pure function of content)
+        assert scores[0] == scores[9] and scores[100] == scores[109]
+
+    def test_bucket_matches_duckdb(self, spark):
+        """The Spark conv(md5)-bucket and the oracle's UBIGINT-cast bucket
+        agree token for token."""
+        import duckdb
+
+        from fhir_etl_spark.operators.datasets import hash_bucket
+
+        toks = ["the", "spark", "Straße", "λ", "123", ""]
+        df = spark.createDataFrame([(t,) for t in toks], ["tok"])
+        got = {
+            r.tok: r.b
+            for r in df.select(
+                "tok", hash_bucket(F.col("tok"), salt="dsir", n_buckets=256).alias("b")
+            ).collect()
+        }
+        for t in toks:
+            (want,) = duckdb.sql(
+                "SELECT CAST('0x' || substr(md5('dsir' || ?), 1, 8) AS UBIGINT) % 256",
+                params=[t],
+            ).fetchone()
+            assert got[t] == want, t
+
+    @pytest.mark.parametrize(
+        "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_weights_far_from_rounding_boundary(self, spark, sf):
+        """The exactness guard: every bucket's ln-ratio*1e6 must sit well
+        away from a .5 boundary, so a 1-ulp libm difference between the
+        JVM and DuckDB can never flip the rounded micro-log weight."""
+        from fhir_etl_spark.operators.datasets import dsir_bucket_weights
+        from fhir_etl_spark.session import load_tables
+
+        docs = load_tables(spark, sf, "documents")
+        wt = dsir_bucket_weights(docs, F.col("lang") == "en")
+        # recompute the unrounded value and measure fractional distance
+        import math
+
+        rows = wt.collect()
+        rt = sum(r.r for r in rows)
+        tt = sum(r.t for r in rows)
+        for r in rows:
+            raw = (math.log(r.t + 1.0) - math.log(tt + 256.0)
+                   - math.log(r.r + 1.0) + math.log(rt + 256.0)) * 1e6
+            frac = abs(raw - math.floor(raw) - 0.5)
+            assert frac > 1e-3, (r.b, raw)
