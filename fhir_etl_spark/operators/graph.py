@@ -182,3 +182,60 @@ def bfs_hops(
             break
         labels = labels.unionByName(frontier).localCheckpoint()
     return labels
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iterations: int = 3,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan 2007)
+    over a directed edge list (src, dst) → (node, community).
+
+    Every node starts labeled with itself; each round, every node adopts
+    the MOST FREQUENT label among its in-neighbors, smallest label
+    breaking ties (the paper breaks ties randomly — the deterministic
+    rule is what makes the run reproducible and oracle-able). Fixed
+    iteration count, synchronous updates (all nodes step together from
+    the previous round's labels). Distinct from dedup_clusters'
+    connected components: CC is a min-label FIXPOINT (pure reachability),
+    LPA's majority vote separates densely-knit groups inside one
+    component and is the standard cheap community detector.
+
+    Scale shape per iteration: one key-partitioned join (labels ⋈ edges
+    on src) + a (dst, label) count with map-side partial aggregation +
+    an argmax agg on dst — all shuffles on node ids, payload is one
+    BIGINT label. The argmax is max(struct(count, -label)) — a plain
+    aggregate, never a whole-graph window sort. Labels are required
+    numeric for the negate trick; mint ids upstream for string keys.
+    """
+    edges = edges.select("src", "dst").localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("node").alias("community"))
+    for it in range(n_iterations):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        winner = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("community")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("community"))
+        )
+        # nodes with no in-neighbors keep their previous label — with a
+        # symmetrized edge list this branch never fires, but the operator
+        # must not silently drop nodes on directed inputs
+        labels = (
+            labels.select("node", F.col("community").alias("prev"))
+            .join(winner, "node", "left")
+            .select("node", F.coalesce("community", "prev").alias("community"))
+        )
+        if (it + 1) % checkpoint_every == 0 or it == n_iterations - 1:
+            labels = labels.localCheckpoint()
+    return labels

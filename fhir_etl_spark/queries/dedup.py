@@ -569,3 +569,54 @@ def g4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("node")
     )
     return bfs_hops(edges, sources, max_hops=5)
+
+
+# --- g5 oracle: 3 synchronous LPA rounds over the near-dup graph ----------
+# Each round references the previous labels twice (votes + keep-previous
+# fallback) — MATERIALIZED, or DuckDB re-inlines the chain exponentially
+# (the ds5/t13 lesson).
+_G5_ITERS = "".join(
+    f""", l{it} AS MATERIALIZED (
+      SELECT l.node, coalesce(w.community, l.community) AS community
+      FROM l{it - 1} l LEFT JOIN (
+        SELECT node, community FROM (
+          SELECT v.node, v.community,
+                 row_number() OVER (PARTITION BY v.node
+                                    ORDER BY v.c DESC, v.community) AS rn
+          FROM (
+            SELECT e.dst AS node, p.community, count(*) AS c
+            FROM edges e JOIN l{it - 1} p ON p.node = e.src
+            GROUP BY e.dst, p.community
+          ) v
+        ) WHERE rn = 1
+      ) w ON w.node = l.node
+    )"""
+    for it in range(1, 4)
+)
+_G5_ORACLE = f"""
+    WITH pairs AS MATERIALIZED ({_G2_PAIRS}
+    ), edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS community FROM edges
+    ){_G5_ITERS}
+    SELECT node, community FROM l3
+    """
+
+
+@query("g5_label_propagation", oracle=_G5_ORACLE, tags=("graph", "iterative"))
+def g5_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup pair graph: 3 synchronous
+    majority-vote label-propagation rounds (deterministic min-label
+    tie-break). Complements d6's connected components (reachability) and
+    g2's PageRank (centrality) with the group-structure view; all-integer
+    labels make the CTE replay exact. See operators/graph.
+    label_propagation for the per-iteration scale shape."""
+    from fhir_etl_spark.operators.graph import label_propagation
+
+    documents = load_tables(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(documents, threshold=0.5)
+    edges = pairs.selectExpr("a AS src", "b AS dst").unionByName(
+        pairs.selectExpr("b AS src", "a AS dst")
+    )
+    return label_propagation(edges, n_iterations=3)

@@ -169,3 +169,35 @@ class TestDsir:
                    - math.log(r.r + 1.0) + math.log(rt + 256.0)) * 1e6
             frac = abs(raw - math.floor(raw) - 0.5)
             assert frac > 1e-3, (r.b, raw)
+
+
+class TestLabelPropagation:
+    def _edges(self, spark, pairs):
+        sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(sym, ["src", "dst"])
+
+    def test_two_triangles_with_bridge(self, spark):
+        """Hand-worked 3-round synchronous LPA: two triangles joined by a
+        bridge resolve to communities {1,2,3}->1 and {4,5,6}->3."""
+        from fhir_etl_spark.operators.graph import label_propagation
+
+        edges = self._edges(
+            spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+        )
+        got = {r.node: r.community for r in label_propagation(edges, 3).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+    def test_directed_sink_keeps_own_label(self, spark):
+        from fhir_etl_spark.operators.graph import label_propagation
+
+        edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        got = {r.node: r.community for r in label_propagation(edges, 2).collect()}
+        assert got == {1: 1, 2: 1}
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        from fhir_etl_spark.operators.graph import label_propagation
+
+        # node 3 sees labels {1, 2} once each -> must adopt 1
+        edges = self._edges(spark, [(1, 3), (2, 3)])
+        got = {r.node: r.community for r in label_propagation(edges, 1).collect()}
+        assert got[3] == 1
