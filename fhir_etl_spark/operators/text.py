@@ -527,3 +527,55 @@ def compression_ratio(
             yield pd.DataFrame(rows, columns=[id_col, "n_bytes", "z_bytes", "z_ratio"])
 
     return df.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+def quantile_buckets(
+    df: "DataFrame",
+    score_col: str,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    out_col: str = "bucket",
+) -> "DataFrame":
+    """Split rows into k equal-count buckets by a (quantized) score — the
+    CCNet head/middle/tail convention: ``labels[0]`` gets the LOWEST
+    scores. Cut i is the smallest score whose cumulative count reaches
+    ``ceil(i*n/k)``; every row with the same score gets the same label
+    (ties never straddle a cut, unlike ntile's arbitrary within-tie
+    split — which is also what makes the assignment a pure function of
+    the score multiset, independent of row order and partitioning).
+
+    Scale shape: the quantile scan runs on the score HISTOGRAM, not the
+    corpus — groupBy(score) with map-side partial aggregation, then a
+    cumulative window over the (small) distinct-score table and a
+    broadcast of the k-1 cuts back onto the corpus, which is labeled
+    map-side. The single-partition window is bounded by the number of
+    DISTINCT scores, so the score must be quantized (e.g. xent rounded
+    to 4 dp ⇒ ≤ ~2e5 distinct values for any corpus size); a raw float
+    score would funnel ~n rows through one task — that is the caller's
+    contract to uphold.
+    """
+    from pyspark.sql import Window
+
+    k = len(labels)
+    if k < 2:
+        raise ValueError("quantile_buckets: need at least 2 labels")
+    hist = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    tot = df.agg(F.count(F.lit(1)).alias("_n"))
+    cuts = cum.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum")
+                    >= F.floor((F.lit(i) * F.col("_n") + F.lit(k - 1)) / F.lit(float(k))),
+                    F.col(score_col),
+                )
+            ).alias(f"_cut{i}")
+            for i in range(1, k)
+        ]
+    )
+    lab = F.when(F.col(score_col) <= F.col("_cut1"), labels[0])
+    for i in range(2, k):
+        lab = lab.when(F.col(score_col) <= F.col(f"_cut{i}"), labels[i - 1])
+    lab = lab.otherwise(labels[-1])
+    return df.crossJoin(F.broadcast(cuts)).select(*df.columns, lab.alias(out_col))

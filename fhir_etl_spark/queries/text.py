@@ -808,3 +808,69 @@ def t16_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_components(with_url).select(
         "doc_id", "host", "reg_domain", "path", "path_depth", "norm_url"
     )
+
+
+# t18: the t12 per-doc cross-entropy replay, as a CTE feeding the bucket split
+_T18_XE = """
+      SELECT bigrams.doc_id,
+             round(avg(-ln((bi.c12 + 1.0) / (uni.c1 + v.v))), 4) AS xent
+      FROM bigrams
+      JOIN bi  ON bigrams.w1 = bi.w1 AND bigrams.w2 = bi.w2
+      JOIN uni ON bigrams.w1 = uni.w1
+      CROSS JOIN v
+      GROUP BY bigrams.doc_id
+"""
+
+
+@query(
+    "t18_ccnet_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bigrams AS MATERIALIZED (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    ), uni AS MATERIALIZED (
+      SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1
+    ), bi AS MATERIALIZED (
+      SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2
+    ), v AS MATERIALIZED (
+      SELECT count(*) AS v FROM uni
+    ), xe AS MATERIALIZED ({_T18_XE}
+    ), hist AS MATERIALIZED (
+      SELECT xent, count(*) AS c FROM xe GROUP BY xent
+    ), cum AS MATERIALIZED (
+      SELECT xent, sum(c) OVER (ORDER BY xent
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum
+      FROM hist
+    ), tot AS (
+      SELECT count(*) AS n FROM xe
+    ), cuts AS MATERIALIZED (
+      SELECT min(CASE WHEN cum >= floor((1*n + 2) / 3.0) THEN xent END) AS c1,
+             min(CASE WHEN cum >= floor((2*n + 2) / 3.0) THEN xent END) AS c2
+      FROM cum CROSS JOIN tot
+    )
+    SELECT doc_id, xent,
+           CASE WHEN xent <= c1 THEN 'head'
+                WHEN xent <= c2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM xe CROSS JOIN cuts
+    """,
+    tags=("text", "lm", "quality"),
+)
+def t18_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek 2020): score every
+    document by LM cross-entropy (the t12 pipeline), then cut the corpus
+    into perplexity terciles — head = most fluent third, the slice CCNet
+    keeps outright. Cuts come from the HISTOGRAM of the 4dp-quantized
+    score (operators/text.quantile_buckets): the corpus is never
+    globally sorted, and equal scores never straddle a cut, so the
+    label is a pure function of the score multiset. Exactness rides on
+    t12's: integer-count probabilities, avg rounded at 1e-4 — the cut
+    compare then operates on values both engines agree on bit-for-bit."""
+    from fhir_etl_spark.operators.text import lm_cross_entropy, quantile_buckets
+
+    documents = load_tables(spark, sf_dir, "documents")
+    xe = lm_cross_entropy(documents).select("doc_id", "xent")
+    return quantile_buckets(xe, "xent", out_col="ppl_bucket")

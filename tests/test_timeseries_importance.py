@@ -201,3 +201,41 @@ class TestLabelPropagation:
         edges = self._edges(spark, [(1, 3), (2, 3)])
         got = {r.node: r.community for r in label_propagation(edges, 1).collect()}
         assert got[3] == 1
+
+
+class TestQuantileBuckets:
+    def test_worked_example_with_ties(self, spark):
+        from fhir_etl_spark.operators.text import quantile_buckets
+
+        # scores: 1 x4, 2 x3, 3 x2 (n=9; tercile thresholds ceil(3)=3, ceil(6)=6)
+        rows = [Row(i=i, s=1.0) for i in range(4)]
+        rows += [Row(i=10 + i, s=2.0) for i in range(3)]
+        rows += [Row(i=20 + i, s=3.0) for i in range(2)]
+        out = quantile_buckets(spark.createDataFrame(rows), "s")
+        got = {r.i: r.bucket for r in out.collect()}
+        assert all(got[i] == "head" for i in range(4))
+        assert all(got[10 + i] == "middle" for i in range(3))
+        assert all(got[20 + i] == "tail" for i in range(2))
+
+    def test_ties_never_straddle_a_cut(self, spark):
+        from fhir_etl_spark.operators.text import quantile_buckets
+
+        df = spark.createDataFrame([Row(i=i, s=7.0) for i in range(30)])
+        out = quantile_buckets(df, "s")
+        assert {r.bucket for r in out.collect()} == {"head"}
+
+    def test_balanced_on_distinct_scores(self, spark):
+        from fhir_etl_spark.operators.text import quantile_buckets
+
+        df = spark.createDataFrame([Row(i=i, s=float(i)) for i in range(9)])
+        out = quantile_buckets(df, "s")
+        from collections import Counter
+
+        counts = Counter(r.bucket for r in out.collect())
+        assert counts == {"head": 3, "middle": 3, "tail": 3}
+
+    def test_label_validation(self, spark):
+        from fhir_etl_spark.operators.text import quantile_buckets
+
+        with pytest.raises(ValueError, match="at least 2"):
+            quantile_buckets(spark.range(3), "id", labels=("only",))
