@@ -746,3 +746,36 @@ def test_streaming_folds_default_a_checkpoint(spark, tmp_path, events_stream):
     )
     assert q2.awaitTermination(120), "kmv stream did not finish in time"
     assert os.path.isdir(f"{state}.checkpoint"), "derived checkpoint missing"
+
+
+def test_ewma_stream_matches_batch_bit_for_bit(spark, sf_dir, events_stream):
+    """The streaming EWMA replayed over the events table equals the batch
+    w9 fold EXACTLY (==, no tolerance): both paths run the same two IEEE
+    multiplies + add per step in the same association order, so there is
+    no engine rounding to forgive — see streaming/smoothing.py."""
+    from fhir_etl_spark.queries import all_queries
+    from fhir_etl_spark.streaming.smoothing import ewma_stream
+
+    q = run_to_memory(ewma_stream(events_stream), "ewma_out", output_mode="update")
+    try:
+        stream_rows = {
+            r["event_id"]: r for r in spark.sql("SELECT * FROM ewma_out").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_rows = {
+        r["event_id"]: r for r in all_queries()["w9_ewma"].fn(spark, sf_dir).collect()
+    }
+    assert set(stream_rows) == set(batch_rows) and len(batch_rows) > 0
+    for eid, b in batch_rows.items():
+        s = stream_rows[eid]
+        assert s["ewma"] == b["ewma"], (eid, s["ewma"], b["ewma"])
+        assert s["value"] == b["value"]
+
+
+def test_ewma_stream_alpha_validation(spark):
+    from fhir_etl_spark.streaming.smoothing import ewma_stream
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_stream(spark.readStream.format("rate").load(), alpha=0.0)
