@@ -958,3 +958,109 @@ def semdedup_keep(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    per query, greedily pick k results maximizing
+    ``lam*sim(q,d) - (1-lam)*max_{s in S} sim(d,s)`` — relevance minus
+    redundancy against what's already selected. The retrieval-side
+    diversity twin of SemDeDup's corpus-side prune (v8).
+
+    Returns (query_id, vec_id, sim, mmr_rank), mmr_rank 1..k in selection
+    order; the first pick is the pure-relevance argmax (empty S ⇒ zero
+    penalty). Ties break on vec_id, so the greedy trajectory is total-
+    ordered and reproducible.
+
+    Exactness: candidate and pair similarities use the SAME rounded-6dp
+    cosine construction as cosine_topk (unrolled dot when ``dim`` is
+    given), so both engines hold identical doubles; ``lam`` must be
+    dyadic (0.5, 0.25, …) so ``lam*sim - (1-lam)*pen`` is two exact
+    scalings and one IEEE subtract — engine-stable scores, no further
+    rounding.
+
+    Scale shape: the only corpus-scale work is cosine_topk (one broadcast
+    cross join). Everything after operates on ≤ n_candidates rows per
+    query — the k-1 greedy rounds are joins/aggs/windows keyed on
+    query_id over bounded-size tables (the per-query window sorts
+    ≤ n_candidates rows), checkpointed per round to keep the iterative
+    lineage flat. Cost scales with |queries|, not |corpus|.
+    """
+    if not 0.0 < lam <= 1.0:
+        raise ValueError(f"mmr_rerank: lam must be in (0, 1], got {lam}")
+    if k > n_candidates:
+        raise ValueError(
+            f"mmr_rerank: k={k} exceeds the candidate pool n_candidates={n_candidates}"
+        )
+    cands = cosine_topk(
+        corpus,
+        queries,
+        k=n_candidates,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        dim=dim,
+    )
+    # re-attach vectors (cosine_topk projects them away); pin the mined
+    # candidate table once — it feeds every greedy round
+    cands = (
+        cands.join(
+            corpus.select(F.col(id_col), F.col(vec_col).alias("_emb")), id_col
+        )
+        .select(query_id_col, id_col, "sim", "_emb")
+        .localCheckpoint()
+    )
+    w1 = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    selected = (
+        cands.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("mmr_rank", F.lit(1))
+    )
+    remaining = cands.join(
+        selected.select(query_id_col, id_col), [query_id_col, id_col], "left_anti"
+    )
+    for step in range(2, k + 1):
+        if dim is None:
+            pd_ = _dot(F.col("_emb"), F.col("_semb"))
+        else:
+            pd_ = unrolled_pair_dot(F.col("_emb"), F.col("_semb"), dim)
+        pair_sim = F.round(pd_ / (_norm(F.col("_emb")) * _norm(F.col("_semb"))), 6)
+        pen = (
+            remaining.select(query_id_col, id_col, "_emb")
+            .join(
+                selected.select(query_id_col, F.col("_emb").alias("_semb")),
+                query_id_col,
+            )
+            .select(query_id_col, id_col, pair_sim.alias("_ps"))
+            .groupBy(query_id_col, id_col)
+            .agg(F.max("_ps").alias("_pen"))
+        )
+        scored = remaining.join(pen, [query_id_col, id_col]).withColumn(
+            "_score",
+            F.lit(lam) * F.col("sim") - F.lit(1.0 - lam) * F.col("_pen"),
+        )
+        ws = Window.partitionBy(query_id_col).orderBy(
+            F.desc("_score"), F.col(id_col)
+        )
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(ws))
+            .filter(F.col("_rn") == 1)
+            .select(query_id_col, id_col, "sim", "_emb")
+            .withColumn("mmr_rank", F.lit(step))
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+        remaining = remaining.join(
+            pick.select(query_id_col, id_col), [query_id_col, id_col], "left_anti"
+        ).localCheckpoint()
+    return selected.select(query_id_col, id_col, "sim", "mmr_rank")

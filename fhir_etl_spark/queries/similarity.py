@@ -479,3 +479,82 @@ def v8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embeddings = load_tables(spark, sf_dir, "embeddings")
     return semdedup_keep(embeddings, k=8, n_iterations=2, threshold=0.35)
+
+
+# --- v10 oracle: greedy MMR replay, one CTE block per selection round ----
+# Every round references the previous selected/remaining sets twice —
+# MATERIALIZED throughout (the chained-CTE inlining lesson).
+_V10_ROUNDS = "".join(
+    f""", w{i} AS MATERIALIZED (
+      SELECT r.query_id, r.vec_id,
+             max(round(list_cosine_similarity(r.emb, s.emb), 6)) AS pen
+      FROM r{i - 1} r JOIN s{i - 1} s ON s.query_id = r.query_id
+      GROUP BY r.query_id, r.vec_id
+    ), k{i} AS MATERIALIZED (
+      SELECT c.query_id, c.vec_id, c.sim, c.emb, {i} AS mmr_rank
+      FROM (
+        SELECT w.query_id, w.vec_id,
+               row_number() OVER (PARTITION BY w.query_id
+                                  ORDER BY 0.5 * c2.sim - 0.5 * w.pen DESC,
+                                           w.vec_id) AS rn
+        FROM w{i} w JOIN cand c2
+          ON c2.query_id = w.query_id AND c2.vec_id = w.vec_id
+      ) t JOIN cand c ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+      WHERE t.rn = 1
+    ), s{i} AS MATERIALIZED (
+      SELECT * FROM s{i - 1} UNION ALL SELECT * FROM k{i}
+    ), r{i} AS MATERIALIZED (
+      SELECT r.* FROM r{i - 1} r
+      LEFT JOIN k{i} x ON x.query_id = r.query_id AND x.vec_id = r.vec_id
+      WHERE x.vec_id IS NULL
+    )"""
+    for i in range(2, 6)
+)
+_V10_ORACLE = f"""
+    WITH cand AS MATERIALIZED (
+      SELECT query_id, vec_id, sim, emb FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])), 6) AS sim,
+               CAST(c.embedding AS DOUBLE[]) AS emb,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                       CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                          c.vec_id) AS rank
+        FROM embeddings c
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id IN {_QUERY_IDS}) q
+      ) WHERE rank <= 20
+    ), s1 AS MATERIALIZED (
+      SELECT query_id, vec_id, sim, emb, 1 AS mmr_rank FROM (
+        SELECT cand.*,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ), r1 AS MATERIALIZED (
+      SELECT c.* FROM cand c
+      LEFT JOIN s1 s ON s.query_id = c.query_id AND s.vec_id = c.vec_id
+      WHERE s.vec_id IS NULL
+    ){_V10_ROUNDS}
+    SELECT query_id, vec_id, sim, mmr_rank FROM s5
+    """
+
+
+@query("v10_mmr_rerank", oracle=_V10_ORACLE, tags=("similarity", "iterative"))
+def v10_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance top-5 over a 20-candidate cosine pool
+    for the three probe vectors: greedy relevance-minus-redundancy
+    selection (lam = 0.5), the retrieval-side diversity twin of v8's
+    SemDeDup prune. Dyadic lam + the v1 rounded-cosine construction
+    keep every greedy score engine-exact; the oracle replays all four
+    selection rounds. See operators/similarity.mmr_rerank for the
+    bounded-candidate scale shape."""
+    from fhir_etl_spark.operators.similarity import mmr_rerank
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_rerank(embeddings, queries, k=5, n_candidates=20, lam=0.5, dim=64)

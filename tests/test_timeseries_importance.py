@@ -239,3 +239,56 @@ class TestQuantileBuckets:
 
         with pytest.raises(ValueError, match="at least 2"):
             quantile_buckets(spark.range(3), "id", labels=("only",))
+
+
+class TestMmrRerank:
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                Row(vec_id=10, embedding=[0.98, 0.199]),   # most relevant
+                Row(vec_id=11, embedding=[0.979, 0.2]),    # near-dup of 10
+                Row(vec_id=12, embedding=[0.9, -0.4359]),  # diverse, less relevant
+            ]
+        )
+        queries = spark.createDataFrame(
+            [Row(query_id=1, embedding=[1.0, 0.0])]
+        )
+        return corpus, queries
+
+    def test_diverse_pick_beats_near_dup(self, spark):
+        """Plain top-2 = {10, 11} (the near-dup pair); MMR's redundancy
+        penalty must swap the duplicate for the diverse vector 12."""
+        from fhir_etl_spark.operators.similarity import cosine_topk, mmr_rerank
+
+        corpus, queries = self._frames(spark)
+        plain = {
+            r.vec_id
+            for r in cosine_topk(corpus, queries, k=2, dim=2).collect()
+        }
+        assert plain == {10, 11}
+        got = {
+            r.mmr_rank: r.vec_id
+            for r in mmr_rerank(
+                corpus, queries, k=2, n_candidates=3, lam=0.5, dim=2
+            ).collect()
+        }
+        assert got == {1: 10, 2: 12}
+
+    def test_lam_one_reduces_to_topk(self, spark):
+        from fhir_etl_spark.operators.similarity import cosine_topk, mmr_rerank
+
+        corpus, queries = self._frames(spark)
+        mmr = mmr_rerank(corpus, queries, k=3, n_candidates=3, lam=1.0, dim=2)
+        topk = cosine_topk(corpus, queries, k=3, dim=2)
+        assert {(r.mmr_rank, r.vec_id) for r in mmr.collect()} == {
+            (r.rank, r.vec_id) for r in topk.collect()
+        }
+
+    def test_parameter_validation(self, spark):
+        from fhir_etl_spark.operators.similarity import mmr_rerank
+
+        corpus, queries = self._frames(spark)
+        with pytest.raises(ValueError, match="lam"):
+            mmr_rerank(corpus, queries, lam=0.0)
+        with pytest.raises(ValueError, match="candidate pool"):
+            mmr_rerank(corpus, queries, k=9, n_candidates=3)
