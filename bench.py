@@ -92,6 +92,18 @@ HEADLINE = [
     "t17_gopher_char_repetition",
     "v9_int8_quantized_ann",
     "d12_lsh_bucket_keepers",
+    # r08 continuation: per-key EWMA recurrence (sorted-array fold),
+    # label-propagation communities (3 vote rounds over the mined graph),
+    # DSIR importance scoring (token explode -> 256-bucket micro-log
+    # weights -> broadcast-weighted doc sums), CCNet perplexity terciles
+    # (t12 LM + histogram cuts), MMR diversified re-ranking (greedy
+    # rounds over a bounded candidate pool), and the ORC round trip
+    "w9_ewma",
+    "g5_label_propagation",
+    "ds10_dsir_importance",
+    "t18_ccnet_buckets",
+    "v10_mmr_rerank",
+    "s16_orc_roundtrip",
 ]
 
 

@@ -1012,12 +1012,19 @@ def mmr_rerank(
         dim=dim,
     )
     # re-attach vectors (cosine_topk projects them away); pin the mined
-    # candidate table once — it feeds every greedy round
+    # candidate table once — it feeds every greedy round. coalesce(1):
+    # the pool is ≤ |queries|·n_candidates rows BY CONTRACT, and the
+    # greedy rounds are many tiny jobs over it — one partition turns
+    # each round into single-task jobs instead of 32-task shuffles of
+    # a few dozen rows (measured 6.4 s → the job-overhead floor at
+    # sf0.1). A huge query set should shard the queries upstream, not
+    # widen this table.
     cands = (
         cands.join(
             corpus.select(F.col(id_col), F.col(vec_col).alias("_emb")), id_col
         )
         .select(query_id_col, id_col, "sim", "_emb")
+        .coalesce(1)
         .localCheckpoint()
     )
     w1 = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
@@ -1026,11 +1033,17 @@ def mmr_rerank(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
         .withColumn("mmr_rank", F.lit(1))
-    )
-    remaining = cands.join(
-        selected.select(query_id_col, id_col), [query_id_col, id_col], "left_anti"
+        .localCheckpoint()
     )
     for step in range(2, k + 1):
+        # remaining re-derives from the two PINNED tables (one anti join)
+        # instead of chaining its own checkpoint lineage — one checkpoint
+        # per round, not two
+        remaining = cands.join(
+            selected.select(query_id_col, id_col),
+            [query_id_col, id_col],
+            "left_anti",
+        )
         if dim is None:
             pd_ = _dot(F.col("_emb"), F.col("_semb"))
         else:
@@ -1060,7 +1073,4 @@ def mmr_rerank(
             .withColumn("mmr_rank", F.lit(step))
         )
         selected = selected.unionByName(pick).localCheckpoint()
-        remaining = remaining.join(
-            pick.select(query_id_col, id_col), [query_id_col, id_col], "left_anti"
-        ).localCheckpoint()
     return selected.select(query_id_col, id_col, "sim", "mmr_rank")
