@@ -1074,3 +1074,219 @@ def mmr_rerank(
         )
         selected = selected.unionByName(pick).localCheckpoint()
     return selected.select(query_id_col, id_col, "sim", "mmr_rank")
+
+
+def pq_train_encode(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    sub_k: int = 16,
+    n_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_centroid: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization training + encoding (Jégou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+    the FAISS ``PQ`` index family): split each vector into ``m``
+    subvectors of ``dim/m`` dims, run an independent ``sub_k``-codeword
+    Lloyd's k-means per subspace, and encode every corpus vector as its
+    ``m`` nearest-codeword ids. The int8 tier (:func:`int8_topk`)
+    compresses 4×; PQ at these defaults stores 64 float32 dims in
+    m=4 BYTES of code — 64× — which is why it is THE layout for
+    billion-vector / 100 TB ANN.
+
+    Determinism (the v7 ``kmeans_assign`` recipe, applied per subspace):
+    seeds are slices of the FIRST ``sub_k`` corpus rows by id (one
+    TakeOrderedAndProject — the same tiny seed set feeds every
+    subspace); assignment argmins an INTEGER micro-distance
+    ``round(L2² × 1e6) :: bigint`` (ties → lower code id), so no float
+    comparison ever decides a code; centroid means round to
+    ``round_centroid`` dp. Every stage replays in DuckDB SQL — the
+    registered v11 oracle retrains the codebooks from scratch.
+
+    Scale shape: the corpus is exploded to (id, subspace, subvector)
+    rows — m× the row count but the SAME total floats, never shuffled
+    for scoring (codebooks are m·sub_k rows, always broadcast). Per
+    iteration: one groupBy(id, s) argmin and one groupBy(s, c, i) mean
+    — both shuffle only (key, scalar) pairs, not vectors. Returned
+    codebooks are the ones the FINAL assignment scored against (updates
+    after the last assignment are not computed — they would be dead
+    work at any scale).
+
+    Returns ``(codes, codebook)``: codes = (id_col, array<int> codes,
+    m entries, codes[s] ∈ 0..sub_k-1) and codebook = (_s, _c, _cv).
+    """
+    sub_len, rem = divmod(dim, m)
+    if rem or m < 1:
+        raise ValueError(f"pq_train_encode: m={m} must divide dim={dim}")
+    if n_iterations < 1:
+        raise ValueError("pq_train_encode: n_iterations must be >= 1")
+    corpus = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    subs = corpus.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("_s"),
+                        F.slice("_v", s * sub_len + 1, sub_len).alias("_sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_e"),
+    ).select("_id", "_e._s", "_e._sv")
+    # Seeds: first sub_k full rows by id (TakeOrdered — no global sort),
+    # sliced into every subspace. The row_number window runs over sub_k
+    # rows only.
+    seed = (
+        corpus.orderBy("_id")
+        .limit(sub_k)
+        .select(
+            (F.row_number().over(Window.orderBy("_id")) - 1).alias("_c"), "_v"
+        )
+    )
+    cent = seed.select(
+        "_c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("_s"),
+                        F.slice("_v", s * sub_len + 1, sub_len).alias("_cv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_e"),
+    ).select("_e._s", "_c", "_e._cv")
+
+    def _micro_dist(v: Column, cv: Column) -> Column:
+        # Unrolled element_at chain: compile-once codegen (the int8_topk
+        # lesson — HOF lambdas interpret per element), and the explicit
+        # left-to-right + chain matches DuckDB list_sum association
+        # closely enough that the 1e-6 quantum swallows the difference.
+        terms = [
+            (F.element_at(v, i) - F.element_at(cv, i))
+            * (F.element_at(v, i) - F.element_at(cv, i))
+            for i in range(1, sub_len + 1)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return F.round(acc * F.lit(1e6), 0).cast("long")
+
+    assigned = None
+    for it in range(n_iterations):
+        scored = subs.join(F.broadcast(cent), "_s").select(
+            "_id", "_s", "_sv", "_c", _micro_dist(F.col("_sv"), F.col("_cv")).alias("_dm")
+        )
+        assigned = (
+            scored.groupBy("_id", "_s")
+            .agg(F.min(F.struct("_dm", "_c")).alias("_best"), F.first("_sv").alias("_sv"))
+            .select("_id", "_s", F.col("_best._c").alias("_c"), "_sv")
+        )
+        if it < n_iterations - 1:
+            cent = (
+                assigned.select("_s", "_c", F.posexplode("_sv").alias("_i", "_x"))
+                .groupBy("_s", "_c", "_i")
+                .agg(F.round(F.avg("_x"), round_centroid).alias("_mu"))
+                .groupBy("_s", "_c")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_i", "_mu"))),
+                        lambda st: st["_mu"],
+                    ).alias("_cv")
+                )
+            )
+    codes = (
+        assigned.groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_s", "_c"))), lambda st: st["_c"]
+            ).alias("codes")
+        )
+        .select(F.col("_id").alias(id_col), "codes")
+    )
+    return codes, cent
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    sub_len: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, build a
+    lookup table LUT[s][c] = micro-L2²(query subvector, codeword) — m ×
+    sub_k bigints, computed ONCE against the broadcast codebook — then
+    score each corpus row as ``Σ_s LUT[s][codes[s]]``, an integer sum of
+    m table reads. This is the FAISS ADC scan: the corpus contribution
+    per row is m bytes of code + m additions, no floats, no vectors.
+
+    Scoring is map-only (codes ⋈ broadcast(per-query LUT arrays) with an
+    unrolled element_at chain in codegen); the only shuffle is the rank-k
+    window, which WindowGroupLimit trims map-side. Integer micro-
+    distances make the ranking bit-exact cross-engine: ties →
+    (adc_micro, id).
+
+    Returns (query_id, vec_id, adc_micro, rank), rank 1..k ascending
+    distance. Recall < 1 by construction (quantization error); the
+    planted-structure test pins recall against exact search.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+
+    def _micro_dist_off(qv: Column, cv: Column, s: int) -> Column:
+        terms = [
+            (F.element_at(qv, s * sub_len + i) - F.element_at(cv, i))
+            * (F.element_at(qv, s * sub_len + i) - F.element_at(cv, i))
+            for i in range(1, sub_len + 1)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return F.round(acc * F.lit(1e6), 0).cast("long")
+
+    # LUT rows: one per (query, subspace, code). The per-subspace branch
+    # on a literal _s keeps the whole LUT build in one codegen stage.
+    ld = F.lit(None).cast("long")
+    for s in range(m - 1, -1, -1):
+        ld = F.when(F.col("_s") == s, _micro_dist_off(F.col("_qv"), F.col("_cv"), s)).otherwise(ld)
+    lut_rows = q.join(F.broadcast(codebook)).select("_qid", "_s", "_c", ld.alias("_ld"))
+    lut = (
+        lut_rows.groupBy("_qid", "_s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_c", "_ld"))), lambda st: st["_ld"]
+            ).alias("_row")
+        )
+        .groupBy("_qid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_s", "_row"))), lambda st: st["_row"]
+            ).alias("_lut")
+        )
+    )
+    score = F.element_at(F.element_at("_lut", 1), F.element_at("codes", 1) + F.lit(1))
+    for s in range(1, m):
+        score = score + F.element_at(
+            F.element_at("_lut", s + 1), F.element_at("codes", s + 1) + F.lit(1)
+        )
+    scored = codes.join(F.broadcast(lut)).select(
+        F.col("_qid").alias(query_id_col),
+        id_col,
+        score.alias("adc_micro"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc_micro", F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -558,3 +558,88 @@ def v10_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return mmr_rerank(embeddings, queries, k=5, n_candidates=20, lam=0.5, dim=64)
+
+
+# --- v11 oracle: PQ retrained + ADC-scanned entirely in DuckDB ---------------
+# Replays pq_train_encode + pq_adc_topk end to end: the same first-16-by-id
+# seed slices, two Lloyd's rounds per subspace with integer micro-distance
+# argmins (ties → lower code), 4-dp centroid means, then the per-query
+# LUT and the Σ_s LUT[s][code_s] BIGINT scan. AS MATERIALIZED on every
+# reused CTE (cent1 feeds both the final assignment and the LUT; DuckDB
+# would otherwise inline the whole training chain once per consumer).
+_V11_ORACLE = f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), subs AS MATERIALIZED (
+      SELECT vec_id, s, v[16 * s + 1 : 16 * (s + 1)] AS sv
+      FROM corpus, unnest([0, 1, 2, 3]) AS u(s)
+    ), seed AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+      FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 16)
+    ), cent0 AS MATERIALIZED (
+      SELECT s, c, v[16 * s + 1 : 16 * (s + 1)] AS cv
+      FROM seed, unnest([0, 1, 2, 3]) AS u(s)
+    ), d1 AS (
+      SELECT vec_id, s, sv, c,
+             CAST(round(list_sum(list_transform(generate_series(1, 16),
+                  i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) * 1e6, 0) AS BIGINT) AS dm
+      FROM subs JOIN cent0 USING (s)
+    ), a1 AS MATERIALIZED (
+      SELECT vec_id, s, sv, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, c) AS rn
+        FROM d1) WHERE rn = 1
+    ), m1 AS (
+      SELECT s, c, i, round(avg(sv[i]), 4) AS mu
+      FROM a1, unnest(generate_series(1, 16)) AS g(i)
+      GROUP BY s, c, i
+    ), cent1 AS MATERIALIZED (
+      SELECT s, c, list(mu ORDER BY i) AS cv FROM m1 GROUP BY s, c
+    ), d2 AS (
+      SELECT vec_id, s, c,
+             CAST(round(list_sum(list_transform(generate_series(1, 16),
+                  i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) * 1e6, 0) AS BIGINT) AS dm
+      FROM subs JOIN cent1 USING (s)
+    ), codes AS MATERIALIZED (
+      SELECT vec_id, s, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, c) AS rn
+        FROM d2) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM corpus
+      WHERE vec_id IN {_QUERY_IDS}
+    ), lut AS MATERIALIZED (
+      SELECT query_id, s, c,
+             CAST(round(list_sum(list_transform(generate_series(1, 16),
+                  i -> (qv[16 * s + i] - cv[i]) * (qv[16 * s + i] - cv[i]))) * 1e6, 0)
+                  AS BIGINT) AS ld
+      FROM q CROSS JOIN cent1
+    ), scored AS (
+      SELECT query_id, vec_id, CAST(sum(ld) AS BIGINT) AS adc_micro
+      FROM codes JOIN lut USING (s, c)
+      GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, adc_micro, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_micro, vec_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """
+
+
+@query("v11_pq_ann", oracle=_V11_ORACLE, tags=("similarity", "ml", "quantization"))
+def v11_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011 / FAISS PQ): train
+    m=4 × 16-codeword codebooks with the deterministic per-subspace
+    Lloyd's recipe, encode the corpus to 4 bytes of code per vector
+    (64× smaller than float32), then ADC top-5 for the three probe
+    vectors via per-query integer lookup tables. Integer micro-
+    distances end to end, so the oracle retrains the codebooks from
+    scratch and matches bit-exactly. See operators/similarity
+    pq_train_encode / pq_adc_topk for the 100 TB shape (codes scan is
+    map-only; codebooks and LUTs always broadcast)."""
+    from fhir_etl_spark.operators.similarity import pq_adc_topk, pq_train_encode
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    codes, codebook = pq_train_encode(embeddings, dim=64, m=4, sub_k=16, n_iterations=2)
+    queries = embeddings.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(codes, codebook, queries, k=5, m=4, sub_len=16)

@@ -589,3 +589,78 @@ def test_semdedup_degenerate_identical_mass_chunked(spark):
     ).collect()
     assert len(got) == 30
     assert sum(1 for r in got if r["kept"]) == 3
+
+
+def test_pq_codes_shape_and_adc_self_match(spark, sf_dir):
+    """Round-8 v11: PQ encoding must emit exactly m in-range codes per
+    vector, and ADC self-distance is PROVABLY minimal — ADC(q, q) =
+    Σ_s min_c ||q_s − c||² ≤ ADC(q, x) for every x (each subterm is the
+    argmin the encoder itself took) — so each probe's top-1 ADC value
+    equals the corpus-wide minimum for that query."""
+    from fhir_etl_spark.operators.similarity import pq_adc_topk, pq_train_encode
+    from fhir_etl_spark.session import load_tables
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    codes, codebook = pq_train_encode(embeddings, dim=64, m=4, sub_k=16, n_iterations=2)
+    stats = codes.select(
+        F.size("codes").alias("n"),
+        F.array_max("codes").alias("mx"),
+        F.array_min("codes").alias("mn"),
+    ).agg(F.min("n"), F.max("n"), F.max("mx"), F.min("mn")).first()
+    assert stats[0] == 4 and stats[1] == 4
+    assert stats[2] <= 15 and stats[3] >= 0
+
+    queries = embeddings.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # top-k over the whole corpus: rank-1 adc must equal the global min
+    n = embeddings.count()
+    full = pq_adc_topk(codes, codebook, queries, k=n, m=4, sub_len=16)
+    rows = full.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {1, 2, 3}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        self_adc = next(r["adc_micro"] for r in rs if r["vec_id"] == qid)
+        assert self_adc == rs[0]["adc_micro"]
+
+
+def test_pq_adc_separates_planted_clusters(spark):
+    """Planted two-cluster corpus: every same-cluster member must
+    out-rank every cross-cluster member under ADC — the quantization
+    error (≤ intra-cluster spread) can never bridge a 20-unit-per-dim
+    gap. This is the recall property that makes PQ usable as a 100 TB
+    pruning index."""
+    import random as _random
+
+    from fhir_etl_spark.operators.similarity import pq_adc_topk, pq_train_encode
+
+    rng = _random.Random(7)
+    rows = []
+    for i in range(40):
+        center = 10.0 if i % 2 == 0 else -10.0
+        rows.append((i, [center + rng.uniform(-1, 1) for _ in range(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, codebook = pq_train_encode(df, dim=16, m=4, sub_k=4, n_iterations=2)
+    queries = df.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_adc_topk(codes, codebook, queries, k=20, m=4, sub_len=4).collect()
+    for r in got:
+        same_cluster = (r["vec_id"] % 2) == (r["query_id"] % 2)
+        assert same_cluster, (
+            f"query {r['query_id']} rank {r['rank']}: cross-cluster "
+            f"vec {r['vec_id']} leaked into the same-cluster top-20"
+        )
+
+
+def test_pq_rejects_bad_geometry(spark):
+    from fhir_etl_spark.operators.similarity import pq_train_encode
+
+    df = spark.createDataFrame([(1, [0.0] * 10)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="must divide"):
+        pq_train_encode(df, dim=10, m=4)
+    with pytest.raises(ValueError, match="n_iterations"):
+        pq_train_encode(df, dim=10, m=2, n_iterations=0)

@@ -198,6 +198,17 @@ def test_no_broadcast_hints_on_scaling_tables():
         # semdedup_keep re-split: one cluster_id row per over-cap
         # first-level cluster — ≤ k rows of one int regardless of SF
         "over_clusters",
+        # pq_adc_topk: the PQ codebook (m × sub_k rows, 64 at the v11
+        # defaults) and the per-query ADC lookup tables (one array row
+        # per probe vector) — both bounded by construction, never by SF
+        "codebook", "lut",
+        # dsir_bucket_weights / dsir_importance: `totals` is the 1-row
+        # (tt, rt) token-total aggregate; `weights` is the n_buckets-row
+        # (256 default) hashed-ngram weight table — both fixed-size
+        "totals", "weights",
+        # quantile_buckets (t18): `tot` is the 1-row corpus count,
+        # `cuts` the 1-row aggregate holding the k-1 cut scores
+        "tot", "cuts",
     }
     root = pathlib.Path(__file__).resolve().parent.parent / "fhir_etl_spark"
     violations = []
