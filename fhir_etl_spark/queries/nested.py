@@ -556,3 +556,65 @@ def s16_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents.write.mode("overwrite").partitionBy("lang").orc(out_dir)
     back = spark.read.orc(out_dir)
     return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "s17_arrow_ipc_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    tags=("scan", "arrow"),
+)
+def s17_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) round trip: documents → 4 hash-sharded
+    ``.arrow`` files written distributed (applyInPandas group writer,
+    atomic rename — the s15 xlsx protocol) → binaryFile-listed,
+    mapInArrow-decoded read-back (sources/arrow_ipc.py: Arrow batches
+    end to end, no pandas on the read side). Identity oracle: any value
+    the interchange mangles — string encoding, int width, null masks —
+    hash-mismatches against the source table."""
+    import os
+
+    from fhir_etl_spark.sources.arrow_ipc import read_arrow_ipc, write_ipc_file
+
+    documents = load_tables(spark, sf_dir, "documents")
+    n_files = 4
+    out_dir = (
+        "/tmp/fhir_etl_spark_arrow/"
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(key, pdf):
+        import pandas as pd
+        import pyarrow as pa
+
+        fid = int(key[0])
+        pdf = pdf.sort_values("doc_id").drop(columns=["file_id"])
+        table = pa.Table.from_pandas(
+            pdf,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("text", pa.string()),
+                    ("lang", pa.string()),
+                    ("source", pa.string()),
+                    ("n_chars", pa.int64()),
+                ]
+            ),
+            preserve_index=False,
+        )
+        write_ipc_file(f"{out_dir}/shard-{fid:02d}.arrow", table)
+        return pd.DataFrame({"file_id": [fid], "n": [len(pdf)]})
+
+    (
+        documents.withColumn("file_id", F.col("doc_id") % n_files)
+        .groupBy("file_id")
+        .applyInPandas(write_group, "file_id long, n long")
+        .collect()
+    )
+    return read_arrow_ipc(
+        spark,
+        f"{out_dir}/*.arrow",
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )

@@ -690,3 +690,44 @@ def test_xlsx_datasource_spark_and_records(spark, tmp_path):
     }
     assert recs[2] == {"VAR": "SMTS", "DESC": "tissue"}  # first VAR wins
     assert recs[3] == {"DESC": "no-name"}
+
+
+def test_arrow_ipc_roundtrip_and_errors(spark, tmp_path):
+    """Round-8 s17: IPC read-back preserves values/types/nulls across
+    multiple files and multiple batches per file; corrupt payloads and
+    missing declared columns raise LOUDLY with the file path (never
+    silent null-fill); casts to the declared schema are applied."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from fhir_etl_spark.sources.arrow_ipc import read_arrow_ipc, write_ipc_file
+
+    t1 = pa.table(
+        {"id": pa.array([1, 2, None], pa.int32()),  # int32 → casts to bigint
+         "name": pa.array(["a", None, "c"])}
+    )
+    t2 = pa.table({"id": pa.array([4, 5], pa.int32()),
+                   "name": pa.array(["d", "e"]),
+                   "extra": pa.array([9, 9])})  # extra cols are pruned
+    write_ipc_file(str(tmp_path / "a.arrow"), t1)
+    write_ipc_file(str(tmp_path / "b.arrow"), t2)
+
+    got = read_arrow_ipc(
+        spark, f"{tmp_path}/*.arrow", "id bigint, name string"
+    )
+    rows = {r["id"]: r["name"] for r in got.collect()}
+    assert rows == {1: "a", 2: None, None: "c", 4: "d", 5: "e"}
+    assert dict(got.dtypes) == {"id": "bigint", "name": "string"}
+
+    # missing declared column → KeyError naming the file
+    with _pytest.raises(Exception, match="lacks declared columns"):
+        read_arrow_ipc(
+            spark, f"{tmp_path}/a.arrow", "id bigint, nope string"
+        ).collect()
+
+    # corrupt payload → ValueError naming the file
+    (tmp_path / "c.arrow").write_bytes(b"ARROW1 but not really")
+    with _pytest.raises(Exception, match="cannot open"):
+        read_arrow_ipc(
+            spark, f"{tmp_path}/c.arrow", "id bigint, name string"
+        ).collect()
