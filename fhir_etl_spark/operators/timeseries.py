@@ -105,3 +105,89 @@ def ewma(
         F.col("__z.__rows.__v").alias(value_col),
         F.col("__z.__states").alias(out_col),
     )
+
+
+def holt_smoothing(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    beta: float,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend — Holt
+    1957, the standard trend-aware upgrade of :func:`ewma`):
+
+    - ``l_0 = x_0``, ``b_0 = 0``
+    - ``l_i = alpha*x_i + (1-alpha)*(l_{i-1} + b_{i-1})``
+    - ``b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}``
+
+    Output adds ``level``, ``trend``, and ``forecast`` (= level + trend,
+    the one-step-ahead prediction) to the key/order/value columns.
+
+    Exactness contract (same as ewma's, extended to a 2-double state):
+    with ``alpha`` and ``beta`` dyadic, every step is a fixed sequence
+    of IEEE multiplies/adds with no reassociation freedom — `a*x +
+    c*(l+b)` parses as add(mul, mul) in both Spark and DuckDB — so the
+    recursive-CTE oracle replays each (level, trend) pair bit-exactly,
+    no rounding before hashing.
+
+    Scale shape: identical to ewma — one groupBy shuffle, per-key
+    sorted-array fold in executor memory (bounded series per key), zero
+    Python. NULL values are rejected loudly for the same
+    state-poisoning reason.
+    """
+    for name, p in (("alpha", alpha), ("beta", beta)):
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"holt_smoothing: {name} must be in (0, 1], got {p}")
+
+    guarded_v = F.when(
+        F.col(value_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"holt_smoothing: NULL in value column {value_col!r} — a NULL "
+                "would poison every subsequent state in its key; filter or "
+                "impute upstream"
+            )
+        ),
+    ).otherwise(F.col(value_col).cast("double"))
+
+    row = F.struct(
+        *[F.col(c).alias(c) for c in order_cols],
+        guarded_v.alias("__v"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        prev = F.element_at(acc, -1)
+        lvl = F.when(F.size(acc) == 0, x["__v"]).otherwise(
+            F.lit(alpha) * x["__v"]
+            + F.lit(1.0 - alpha) * (prev["__l"] + prev["__b"])
+        )
+        trd = F.when(F.size(acc) == 0, F.lit(0.0)).otherwise(
+            F.lit(beta) * (lvl - prev["__l"]) + F.lit(1.0 - beta) * prev["__b"]
+        )
+        return F.concat(
+            acc, F.array(F.struct(lvl.alias("__l"), trd.alias("__b")))
+        )
+
+    grouped = (
+        df.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(row)).alias("__rows"))
+        .withColumn(
+            "__states",
+            F.aggregate(
+                "__rows",
+                F.expr("CAST(array() AS array<struct<__l:double,__b:double>>)"),
+                step,
+            ),
+        )
+    )
+    z = F.posexplode(F.arrays_zip("__rows", "__states")).alias("__i", "__z")
+    return grouped.select(*key_cols, z).select(
+        *key_cols,
+        *[F.col(f"__z.__rows.{c}").alias(c) for c in order_cols],
+        F.col("__z.__rows.__v").alias(value_col),
+        F.col("__z.__states.__l").alias("level"),
+        F.col("__z.__states.__b").alias("trend"),
+        (F.col("__z.__states.__l") + F.col("__z.__states.__b")).alias("forecast"),
+    )

@@ -293,3 +293,49 @@ def w9_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         alpha=0.25,
     )
+
+
+@query(
+    "w10_holt_trend",
+    oracle="""
+    WITH RECURSIVE ordered AS MATERIALIZED (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), holt AS (
+      SELECT user_id, event_id, ts, value, rn,
+             CAST(value AS DOUBLE) AS level, CAST(0.0 AS DOUBLE) AS trend
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+             0.25 * o.value + 0.75 * (h.level + h.trend) AS level,
+             0.5 * ((0.25 * o.value + 0.75 * (h.level + h.trend)) - h.level)
+               + 0.5 * h.trend AS trend
+      FROM ordered o JOIN holt h ON o.user_id = h.user_id AND o.rn = h.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, level, trend,
+           level + trend AS forecast
+    FROM holt
+    """,
+    tags=("window", "timeseries"),
+)
+def w10_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double-exponential smoothing (alpha = 0.25,
+    beta = 0.5) over event values — level + trend recurrence with the
+    one-step-ahead forecast column, run as the same sorted-array left
+    fold as w9 (one shuffle, zero Python) with a 2-double struct state.
+    UNROUNDED: dyadic coefficients + fixed association order make every
+    (level, trend) pair bit-identical to the recursive-CTE replay; the
+    trend row recomputes the new level expression textually exactly as
+    the fold does, so both engines run the identical op sequence."""
+    from fhir_etl_spark.operators.timeseries import holt_smoothing
+
+    events = load_tables(spark, sf_dir, "events")
+    return holt_smoothing(
+        events,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=0.25,
+        beta=0.5,
+    )

@@ -292,3 +292,57 @@ class TestMmrRerank:
             mmr_rerank(corpus, queries, lam=0.0)
         with pytest.raises(ValueError, match="candidate pool"):
             mmr_rerank(corpus, queries, k=9, n_candidates=3)
+
+
+class TestHolt:
+    def test_worked_example(self, spark):
+        from fhir_etl_spark.operators.timeseries import holt_smoothing
+
+        df = spark.createDataFrame(
+            [
+                Row(k=1, t=1, v=4.0),
+                Row(k=1, t=2, v=8.0),
+                Row(k=1, t=3, v=2.0),
+                Row(k=2, t=1, v=10.0),
+            ]
+        )
+        out = holt_smoothing(df, ["k"], ["t"], "v", alpha=0.25, beta=0.5)
+        got = {(r.k, r.t): (r.level, r.trend, r.forecast) for r in out.collect()}
+        # k=1 hand-fold (alpha=.25, beta=.5):
+        # t1: l=4, b=0
+        # t2: l=.25*8+.75*4=5,       b=.5*(5-4)+.5*0=0.5
+        # t3: l=.25*2+.75*5.5=4.625, b=.5*(4.625-5)+.5*.5=0.0625
+        assert got[(1, 1)] == (4.0, 0.0, 4.0)
+        assert got[(1, 2)] == (5.0, 0.5, 5.5)
+        assert got[(1, 3)] == (4.625, 0.0625, 4.6875)
+        assert got[(2, 1)] == (10.0, 0.0, 10.0)
+
+    def test_constant_series_has_zero_trend(self, spark):
+        from fhir_etl_spark.operators.timeseries import holt_smoothing
+
+        df = spark.createDataFrame([Row(k=1, t=i, v=7.0) for i in range(1, 9)])
+        out = holt_smoothing(df, ["k"], ["t"], "v", alpha=0.25, beta=0.5)
+        for r in out.collect():
+            assert r.level == 7.0 and r.trend == 0.0 and r.forecast == 7.0
+
+    def test_linear_series_trend_converges(self, spark):
+        # x_i = 2*i: the trend state must approach the true slope 2
+        from fhir_etl_spark.operators.timeseries import holt_smoothing
+
+        df = spark.createDataFrame(
+            [Row(k=1, t=i, v=2.0 * i) for i in range(1, 40)]
+        )
+        out = holt_smoothing(df, ["k"], ["t"], "v", alpha=0.25, beta=0.5)
+        last = max(out.collect(), key=lambda r: r.t)
+        assert abs(last.trend - 2.0) < 0.05
+        assert abs(last.forecast - (last.level + last.trend)) == 0.0
+
+    def test_null_and_param_validation(self, spark):
+        from fhir_etl_spark.operators.timeseries import holt_smoothing
+
+        df = spark.createDataFrame([Row(k=1, t=1, v=None)], "k int, t int, v double")
+        with pytest.raises(Exception, match="poison"):
+            holt_smoothing(df, ["k"], ["t"], "v", alpha=0.25, beta=0.5).collect()
+        ok = spark.createDataFrame([Row(k=1, t=1, v=1.0)])
+        with pytest.raises(ValueError, match="beta"):
+            holt_smoothing(ok, ["k"], ["t"], "v", alpha=0.25, beta=0.0)
