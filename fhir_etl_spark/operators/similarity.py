@@ -1076,6 +1076,53 @@ def mmr_rerank(
     return selected.select(query_id_col, id_col, "sim", "mmr_rank")
 
 
+def _pq_sub_sq_norm(v: Column, offset: int, sub_len: int) -> Column:
+    """Unrolled ``Σ v[offset+i]²`` over one subspace slice — computed
+    ONCE per (row, subspace) and shared across that subspace's sub_k
+    distance expressions (see :func:`_pq_micro_dist_lit`)."""
+    acc = None
+    for i in range(sub_len):
+        x = F.element_at(v, offset + i + 1)
+        t = x * x
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _pq_micro_dist_lit(
+    v: Column,
+    offset: int,
+    codeword: list[float],
+    sub_len: int,
+    sq_norm: Column,
+) -> Column:
+    """Integer micro-L2² between ``sub_len`` components of an array
+    column starting at ``offset`` (0-based) and a LITERAL codeword, in
+    the EXPANDED form ``round((‖a‖² − 2·a·w + ‖w‖²) × 1e6) :: bigint``
+    with ``sq_norm`` = the shared per-subspace ``‖a‖²`` column and
+    ``‖w‖²`` folded to a Python literal.
+
+    Why expanded (not ``Σ (a_i−w_i)²``): the direct form needs
+    sub_len×3 ops per (row, codeword) — m·sub_k·sub_len ≈ 3000 ops per
+    row at the v11 defaults, which overflows Janino's 64 KB generated-
+    method limit and silently drops the whole projection (and anything
+    fused with it) to interpreted eval. The expansion shares ‖a‖² per
+    subspace and precomputes ‖w‖², cutting the per-codeword expression
+    to one unrolled dot — the same assign at 1M×64 compiles clean and
+    runs 0.8 s vs 18 s interpreted. The registered v11 oracle computes
+    the IDENTICAL expansion (same left-to-right association for every
+    sum), so cross-engine noise stays ~1e-13 against the 1e-6 rounding
+    quantum — the v7 exactness convention."""
+    dot = None
+    for i in range(sub_len):
+        t = F.element_at(v, offset + i + 1) * F.lit(float(codeword[i]))
+        dot = t if dot is None else dot + t
+    wsq = 0.0
+    for x in codeword:
+        wsq += float(x) * float(x)
+    d2 = sq_norm - F.lit(2.0) * dot + F.lit(wsq)
+    return F.round(d2 * F.lit(1e6), 0).cast("long")
+
+
 def pq_train_encode(
     embeddings: DataFrame,
     dim: int,
@@ -1085,7 +1132,7 @@ def pq_train_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_centroid: int = 4,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, dict[tuple[int, int], list[float]]]:
     """Product-quantization training + encoding (Jégou, Douze, Schmid,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
     the FAISS ``PQ`` index family): split each vector into ``m``
@@ -1096,26 +1143,33 @@ def pq_train_encode(
     m=4 BYTES of code — 64× — which is why it is THE layout for
     billion-vector / 100 TB ANN.
 
-    Determinism (the v7 ``kmeans_assign`` recipe, applied per subspace):
-    seeds are slices of the FIRST ``sub_k`` corpus rows by id (one
-    TakeOrderedAndProject — the same tiny seed set feeds every
-    subspace); assignment argmins an INTEGER micro-distance
-    ``round(L2² × 1e6) :: bigint`` (ties → lower code id), so no float
-    comparison ever decides a code; centroid means round to
-    ``round_centroid`` dp. Every stage replays in DuckDB SQL — the
-    registered v11 oracle retrains the codebooks from scratch.
+    Determinism (the v7 ``kmeans_assign`` recipe, per subspace): seeds
+    are slices of the FIRST ``sub_k`` corpus rows by id; assignment
+    argmins an INTEGER micro-distance ``round(L2² × 1e6) :: bigint``
+    (ties → lower code id); centroid means round to ``round_centroid``
+    dp. Every stage replays in DuckDB SQL — the registered v11 oracle
+    retrains the codebooks from scratch.
 
-    Scale shape: the corpus is exploded to (id, subspace, subvector)
-    rows — m× the row count but the SAME total floats, never shuffled
-    for scoring (codebooks are m·sub_k rows, always broadcast). Per
-    iteration: one groupBy(id, s) argmin and one groupBy(s, c, i) mean
-    — both shuffle only (key, scalar) pairs, not vectors. Returned
-    codebooks are the ones the FINAL assignment scored against (updates
-    after the last assignment are not computed — they would be dead
-    work at any scale).
+    Scale shape — centroids live DRIVER-SIDE as literals (the
+    ivf/int8 collect pattern; m·sub_k·(dim/m) = dim·sub_k doubles,
+    ~8 KB at the defaults, bounded by construction, never by SF):
 
-    Returns ``(codes, codebook)``: codes = (id_col, array<int> codes,
-    m entries, codes[s] ∈ 0..sub_k-1) and codebook = (_s, _c, _cv).
+    - assignment is ONE map-only projection per iteration — the n·k·d
+      distance arithmetic runs inside whole-stage codegen with zero
+      joins, zero explodes, zero shuffles (the first PQ cut joined
+      exploded subvectors against a broadcast centroid table and paid
+      two corpus-scale array shuffles per iteration: 226 s for 1M×64;
+      this form trains the same codebooks in a fraction of that);
+    - each update round shuffles only (s, c, i, x) SCALARS (one
+      groupBy mean over n·dim rows), then collects the m·sub_k new
+      centroid rows as the next round's literals — one bounded driver
+      action per non-final iteration;
+    - the returned ``codes`` DataFrame is a lazy map-only projection
+      (id, array<int> codes) with NO training lineage behind it, so
+      consumers never re-execute a training pass.
+
+    Returns ``(codes, codebook)`` where codebook maps (s, c) → centroid
+    (the codebook the final assignment actually scored against).
     """
     sub_len, rem = divmod(dim, m)
     if rem or m < 1:
@@ -1125,118 +1179,120 @@ def pq_train_encode(
     corpus = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    subs = corpus.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("_s"),
-                        F.slice("_v", s * sub_len + 1, sub_len).alias("_sv"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("_e"),
-    ).select("_id", "_e._s", "_e._sv")
-    # Seeds: first sub_k full rows by id (TakeOrdered — no global sort),
-    # sliced into every subspace. The row_number window runs over sub_k
-    # rows only.
-    seed = (
-        corpus.orderBy("_id")
-        .limit(sub_k)
-        .select(
-            (F.row_number().over(Window.orderBy("_id")) - 1).alias("_c"), "_v"
-        )
-    )
-    cent = seed.select(
-        "_c",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("_s"),
-                        F.slice("_v", s * sub_len + 1, sub_len).alias("_cv"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("_e"),
-    ).select("_e._s", "_c", "_e._cv")
+    # Seeds: first sub_k full rows by id (TakeOrderedAndProject — one
+    # bounded action), sliced into every subspace driver-side.
+    seed_rows = corpus.orderBy("_id").limit(sub_k).collect()
+    if not seed_rows:
+        raise ValueError("pq_train_encode: empty corpus")
+    codebook: dict[tuple[int, int], list[float]] = {}
+    for c, row in enumerate(seed_rows):
+        v = row["_v"]
+        for s in range(m):
+            codebook[(s, c)] = [float(x) for x in v[s * sub_len : (s + 1) * sub_len]]
 
-    def _micro_dist(v: Column, cv: Column) -> Column:
-        # Unrolled element_at chain: compile-once codegen (the int8_topk
-        # lesson — HOF lambdas interpret per element), and the explicit
-        # left-to-right + chain matches DuckDB list_sum association
-        # closely enough that the 1e-6 quantum swallows the difference.
-        terms = [
-            (F.element_at(v, i) - F.element_at(cv, i))
-            * (F.element_at(v, i) - F.element_at(cv, i))
-            for i in range(1, sub_len + 1)
+    def assign_df(df: DataFrame) -> DataFrame:
+        """(_id, _v) → (_id, _v, codes). Staged projections: the shared
+        per-subspace ‖a‖² columns first, then every (s, c) expanded
+        micro-distance as its own named column, then the argmins. See
+        :func:`_pq_micro_dist_lit` for why the expansion (not the
+        direct squared-difference sum) is what keeps the whole thing
+        inside whole-stage codegen."""
+        by_s = [
+            {c: w for (cs, c), w in codebook.items() if cs == s} for s in range(m)
         ]
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        return F.round(acc * F.lit(1e6), 0).cast("long")
-
-    assigned = None
-    for it in range(n_iterations):
-        scored = subs.join(F.broadcast(cent), "_s").select(
-            "_id", "_s", "_sv", "_c", _micro_dist(F.col("_sv"), F.col("_cv")).alias("_dm")
+        with_norms = df.select(
+            "_id",
+            "_v",
+            *[
+                _pq_sub_sq_norm(F.col("_v"), s * sub_len, sub_len).alias(f"_asq_{s}")
+                for s in range(m)
+            ],
         )
-        assigned = (
-            scored.groupBy("_id", "_s")
-            .agg(F.min(F.struct("_dm", "_c")).alias("_best"), F.first("_sv").alias("_sv"))
-            .select("_id", "_s", F.col("_best._c").alias("_c"), "_sv")
-        )
-        if it < n_iterations - 1:
-            cent = (
-                assigned.select("_s", "_c", F.posexplode("_sv").alias("_i", "_x"))
-                .groupBy("_s", "_c", "_i")
-                .agg(F.round(F.avg("_x"), round_centroid).alias("_mu"))
-                .groupBy("_s", "_c")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("_i", "_mu"))),
-                        lambda st: st["_mu"],
-                    ).alias("_cv")
+        dist_proj = [F.col("_id"), F.col("_v")]
+        for s in range(m):
+            for c in sorted(by_s[s]):
+                dist_proj.append(
+                    _pq_micro_dist_lit(
+                        F.col("_v"),
+                        s * sub_len,
+                        by_s[s][c],
+                        sub_len,
+                        F.col(f"_asq_{s}"),
+                    ).alias(f"_d_{s}_{c}")
                 )
+        tmp = with_norms.select(*dist_proj)
+        code_exprs = []
+        for s in range(m):
+            cs = sorted(by_s[s])
+            darr = F.array(*[F.col(f"_d_{s}_{c}") for c in cs])
+            pos = F.array_position(darr, F.array_min(darr)).cast("int")
+            code_exprs.append(
+                F.element_at(F.array(*[F.lit(c) for c in cs]), pos)
             )
-    codes = (
-        assigned.groupBy("_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_s", "_c"))), lambda st: st["_c"]
-            ).alias("codes")
+        return tmp.select("_id", "_v", F.array(*code_exprs).alias("codes"))
+
+    for _ in range(n_iterations - 1):
+        assigned = assign_df(corpus)
+        upd = assigned.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("_s"),
+                            F.element_at("codes", s + 1).alias("_c"),
+                            F.slice("_v", s * sub_len + 1, sub_len).alias("_sv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("_e")
+        ).select("_e._s", "_e._c", F.posexplode("_e._sv").alias("_i", "_x"))
+        new_rows = (
+            upd.groupBy("_s", "_c", "_i")
+            .agg(F.round(F.avg("_x"), round_centroid).alias("_mu"))
+            .groupBy("_s", "_c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_i", "_mu"))),
+                    lambda st: st["_mu"],
+                ).alias("_cv")
+            )
+            .collect()  # m·sub_k rows — the bounded centroid action
         )
-        .select(F.col("_id").alias(id_col), "codes")
-    )
-    return codes, cent
+        codebook = {
+            (r["_s"], r["_c"]): [float(x) for x in r["_cv"]] for r in new_rows
+        }
+
+    codes = assign_df(corpus).select(F.col("_id").alias(id_col), "codes")
+    return codes, codebook
 
 
 def pq_adc_topk(
     codes: DataFrame,
-    codebook: DataFrame,
+    codebook: dict[tuple[int, int], list[float]],
     queries: DataFrame,
     k: int = 5,
     m: int = 4,
     sub_len: int = 16,
+    sub_k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: per query, build a
     lookup table LUT[s][c] = micro-L2²(query subvector, codeword) — m ×
-    sub_k bigints, computed ONCE against the broadcast codebook — then
-    score each corpus row as ``Σ_s LUT[s][codes[s]]``, an integer sum of
-    m table reads. This is the FAISS ADC scan: the corpus contribution
-    per row is m bytes of code + m additions, no floats, no vectors.
+    sub_k bigints, computed in ONE projection over the (small) query set
+    against the LITERAL codebook — then score each corpus row as
+    ``Σ_s LUT[s][codes[s]]``, an integer sum of m table reads. This is
+    the FAISS ADC scan: the corpus contribution per row is m bytes of
+    code + m additions, no floats, no vectors, no training lineage.
 
-    Scoring is map-only (codes ⋈ broadcast(per-query LUT arrays) with an
-    unrolled element_at chain in codegen); the only shuffle is the rank-k
-    window, which WindowGroupLimit trims map-side. Integer micro-
-    distances make the ranking bit-exact cross-engine: ties →
-    (adc_micro, id).
+    Scoring is map-only (codes ⋈ broadcast(per-query LUT arrays), an
+    unrolled element_at chain in codegen); the only shuffle is the
+    rank-k window, which WindowGroupLimit trims map-side. Integer
+    micro-distances make the ranking bit-exact cross-engine: ties →
+    (adc_micro, id). Codes for clusters a training round emptied never
+    occur in ``codes``, so their LUT slots are zero-filled padding.
 
     Returns (query_id, vec_id, adc_micro, rank), rank 1..k ascending
     distance. Recall < 1 by construction (quantization error); the
@@ -1246,37 +1302,40 @@ def pq_adc_topk(
         F.col(query_id_col).alias("_qid"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
-
-    def _micro_dist_off(qv: Column, cv: Column, s: int) -> Column:
-        terms = [
-            (F.element_at(qv, s * sub_len + i) - F.element_at(cv, i))
-            * (F.element_at(qv, s * sub_len + i) - F.element_at(cv, i))
-            for i in range(1, sub_len + 1)
-        ]
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        return F.round(acc * F.lit(1e6), 0).cast("long")
-
-    # LUT rows: one per (query, subspace, code). The per-subspace branch
-    # on a literal _s keeps the whole LUT build in one codegen stage.
-    ld = F.lit(None).cast("long")
-    for s in range(m - 1, -1, -1):
-        ld = F.when(F.col("_s") == s, _micro_dist_off(F.col("_qv"), F.col("_cv"), s)).otherwise(ld)
-    lut_rows = q.join(F.broadcast(codebook)).select("_qid", "_s", "_c", ld.alias("_ld"))
-    lut = (
-        lut_rows.groupBy("_qid", "_s")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_c", "_ld"))), lambda st: st["_ld"]
-            ).alias("_row")
-        )
-        .groupBy("_qid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_s", "_row"))), lambda st: st["_row"]
-            ).alias("_lut")
-        )
+    # Staged like assign_df (shared ‖q_s‖² + expanded per-codeword
+    # dots), then the nested LUT array assembles from named columns —
+    # see _pq_micro_dist_lit for the codegen-size rationale.
+    q = q.select(
+        "_qid",
+        "_qv",
+        *[
+            _pq_sub_sq_norm(F.col("_qv"), s * sub_len, sub_len).alias(f"_qsq_{s}")
+            for s in range(m)
+        ],
+    )
+    lut_proj = [F.col("_qid")]
+    for s in range(m):
+        for c in range(sub_k):
+            entry = (
+                _pq_micro_dist_lit(
+                    F.col("_qv"),
+                    s * sub_len,
+                    codebook[(s, c)],
+                    sub_len,
+                    F.col(f"_qsq_{s}"),
+                )
+                if (s, c) in codebook
+                else F.lit(0).cast("long")
+            )
+            lut_proj.append(entry.alias(f"_ld_{s}_{c}"))
+    lut = q.select(*lut_proj).select(
+        "_qid",
+        F.array(
+            *[
+                F.array(*[F.col(f"_ld_{s}_{c}") for c in range(sub_k)])
+                for s in range(m)
+            ]
+        ).alias("_lut"),
     )
     score = F.element_at(F.element_at("_lut", 1), F.element_at("codes", 1) + F.lit(1))
     for s in range(1, m):

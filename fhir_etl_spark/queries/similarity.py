@@ -561,6 +561,11 @@ def v10_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- v11 oracle: PQ retrained + ADC-scanned entirely in DuckDB ---------------
+# Distances use the EXPANDED micro-L2² (‖a‖² − 2·a·w + ‖w‖², each sum
+# left-to-right) — the exact formula the Spark side computes (see
+# operators/similarity._pq_micro_dist_lit for why the direct form blew
+# Janino's method limit); keeping the formula identical keeps the
+# cross-engine noise ~1e-13 against the 1e-6 rounding quantum.
 # Replays pq_train_encode + pq_adc_topk end to end: the same first-16-by-id
 # seed slices, two Lloyd's rounds per subspace with integer micro-distance
 # argmins (ties → lower code), 4-dp centroid means, then the per-query
@@ -581,8 +586,11 @@ _V11_ORACLE = f"""
       FROM seed, unnest([0, 1, 2, 3]) AS u(s)
     ), d1 AS (
       SELECT vec_id, s, sv, c,
-             CAST(round(list_sum(list_transform(generate_series(1, 16),
-                  i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) * 1e6, 0) AS BIGINT) AS dm
+             CAST(round((list_sum(list_transform(sv, x -> x * x))
+                  - 2.0 * list_sum(list_transform(generate_series(1, 16),
+                        i -> sv[i] * cv[i]))
+                  + list_sum(list_transform(cv, x -> x * x))) * 1e6, 0)
+                  AS BIGINT) AS dm
       FROM subs JOIN cent0 USING (s)
     ), a1 AS MATERIALIZED (
       SELECT vec_id, s, sv, c FROM (
@@ -596,8 +604,11 @@ _V11_ORACLE = f"""
       SELECT s, c, list(mu ORDER BY i) AS cv FROM m1 GROUP BY s, c
     ), d2 AS (
       SELECT vec_id, s, c,
-             CAST(round(list_sum(list_transform(generate_series(1, 16),
-                  i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) * 1e6, 0) AS BIGINT) AS dm
+             CAST(round((list_sum(list_transform(sv, x -> x * x))
+                  - 2.0 * list_sum(list_transform(generate_series(1, 16),
+                        i -> sv[i] * cv[i]))
+                  + list_sum(list_transform(cv, x -> x * x))) * 1e6, 0)
+                  AS BIGINT) AS dm
       FROM subs JOIN cent1 USING (s)
     ), codes AS MATERIALIZED (
       SELECT vec_id, s, c FROM (
@@ -608,8 +619,11 @@ _V11_ORACLE = f"""
       WHERE vec_id IN {_QUERY_IDS}
     ), lut AS MATERIALIZED (
       SELECT query_id, s, c,
-             CAST(round(list_sum(list_transform(generate_series(1, 16),
-                  i -> (qv[16 * s + i] - cv[i]) * (qv[16 * s + i] - cv[i]))) * 1e6, 0)
+             CAST(round((list_sum(list_transform(qv[16 * s + 1 : 16 * (s + 1)],
+                        x -> x * x))
+                  - 2.0 * list_sum(list_transform(generate_series(1, 16),
+                        i -> qv[16 * s + i] * cv[i]))
+                  + list_sum(list_transform(cv, x -> x * x))) * 1e6, 0)
                   AS BIGINT) AS ld
       FROM q CROSS JOIN cent1
     ), scored AS (

@@ -647,7 +647,9 @@ def test_pq_adc_separates_planted_clusters(spark):
     queries = df.filter(F.col("vec_id").isin(0, 1)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    got = pq_adc_topk(codes, codebook, queries, k=20, m=4, sub_len=4).collect()
+    got = pq_adc_topk(
+        codes, codebook, queries, k=20, m=4, sub_len=4, sub_k=4
+    ).collect()
     for r in got:
         same_cluster = (r["vec_id"] % 2) == (r["query_id"] % 2)
         assert same_cluster, (
