@@ -104,6 +104,14 @@ HEADLINE = [
     "t18_ccnet_buckets",
     "v10_mmr_rerank",
     "s16_orc_roundtrip",
+    # r08 second continuation: product-quantization ANN (literal
+    # codebooks, map-only encode, integer ADC LUT scan — the 64×
+    # compression tier of similarity search), Holt level+trend smoothing
+    # (the w9 fold with a 2-double state), and the Arrow IPC round trip
+    # (binaryFile -> mapInArrow batch decode)
+    "v11_pq_ann",
+    "w10_holt_trend",
+    "s17_arrow_ipc_roundtrip",
 ]
 
 

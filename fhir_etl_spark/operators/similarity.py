@@ -1076,30 +1076,40 @@ def mmr_rerank(
     return selected.select(query_id_col, id_col, "sim", "mmr_rank")
 
 
-def _pq_sub_sq_norm(v: Column, offset: int, sub_len: int) -> Column:
-    """Unrolled ``Σ v[offset+i]²`` over one subspace slice — computed
-    ONCE per (row, subspace) and shared across that subspace's sub_k
-    distance expressions (see :func:`_pq_micro_dist_lit`)."""
-    acc = None
-    for i in range(sub_len):
-        x = F.element_at(v, offset + i + 1)
-        t = x * x
-        acc = t if acc is None else acc + t
-    return acc
+def _dlit(x: float) -> str:
+    """SQL DOUBLE literal with exact binary round-trip: Python repr
+    emits the shortest decimal that parses back to the identical IEEE
+    double (both Python and Java use shortest-round-trip semantics), so
+    the SQL-parsed literal is bit-equal to the collected centroid."""
+    return f"{float(x)!r}D"
 
 
-def _pq_micro_dist_lit(
-    v: Column,
+def _pq_sub_sq_norm_sql(v: str, offset: int, sub_len: int) -> str:
+    """SQL for the unrolled ``Σ v[offset+i]²`` over one subspace slice —
+    computed ONCE per (row, subspace) and shared across that subspace's
+    sub_k distance expressions (see :func:`_pq_micro_dist_sql`).
+    Left-associated ``+`` chain — the association the oracle's list_sum
+    replays."""
+    terms = [
+        f"element_at({v}, {offset + i + 1}) * element_at({v}, {offset + i + 1})"
+        for i in range(sub_len)
+    ]
+    return " + ".join(terms)
+
+
+def _pq_micro_dist_sql(
+    v: str,
     offset: int,
     codeword: list[float],
     sub_len: int,
-    sq_norm: Column,
-) -> Column:
-    """Integer micro-L2² between ``sub_len`` components of an array
-    column starting at ``offset`` (0-based) and a LITERAL codeword, in
-    the EXPANDED form ``round((‖a‖² − 2·a·w + ‖w‖²) × 1e6) :: bigint``
-    with ``sq_norm`` = the shared per-subspace ``‖a‖²`` column and
-    ``‖w‖²`` folded to a Python literal.
+    sq_norm: str,
+) -> str:
+    """SQL for the integer micro-L2² between ``sub_len`` components of
+    an array column starting at ``offset`` (0-based) and a LITERAL
+    codeword, in the EXPANDED form
+    ``round((‖a‖² − 2·a·w + ‖w‖²) × 1e6) :: bigint`` with ``sq_norm``
+    naming the shared per-subspace ``‖a‖²`` column and ``‖w‖²`` folded
+    to a Python-summed literal.
 
     Why expanded (not ``Σ (a_i−w_i)²``): the direct form needs
     sub_len×3 ops per (row, codeword) — m·sub_k·sub_len ≈ 3000 ops per
@@ -1110,17 +1120,27 @@ def _pq_micro_dist_lit(
     to one unrolled dot — the same assign at 1M×64 compiles clean and
     runs 0.8 s vs 18 s interpreted. The registered v11 oracle computes
     the IDENTICAL expansion (same left-to-right association for every
-    sum), so cross-engine noise stays ~1e-13 against the 1e-6 rounding
-    quantum — the v7 exactness convention."""
-    dot = None
-    for i in range(sub_len):
-        t = F.element_at(v, offset + i + 1) * F.lit(float(codeword[i]))
-        dot = t if dot is None else dot + t
+    sum: ``a + b + c`` parses left-assoc in both engines), so
+    cross-engine noise stays ~1e-13 against the 1e-6 rounding quantum —
+    the v7 exactness convention.
+
+    Why SQL strings (not Column arithmetic): building these trees
+    Column-by-Column costs ~4 py4j round-trips per term — ~4000 JVM
+    calls per assign stage, ~13 s of pure driver latency per v11 run
+    at the defaults. One selectExpr ships the whole stage in a single
+    call; the parsed tree is identical (parser precedence: ``*`` over
+    left-assoc ``+``/``-``)."""
+    dot = " + ".join(
+        f"element_at({v}, {offset + i + 1}) * {_dlit(codeword[i])}"
+        for i in range(sub_len)
+    )
     wsq = 0.0
     for x in codeword:
         wsq += float(x) * float(x)
-    d2 = sq_norm - F.lit(2.0) * dot + F.lit(wsq)
-    return F.round(d2 * F.lit(1e6), 0).cast("long")
+    return (
+        f"CAST(ROUND(({sq_norm} - 2.0D * ({dot}) + {_dlit(wsq)}) * 1.0E6D, 0) "
+        "AS BIGINT)"
+    )
 
 
 def pq_train_encode(
@@ -1191,45 +1211,41 @@ def pq_train_encode(
             codebook[(s, c)] = [float(x) for x in v[s * sub_len : (s + 1) * sub_len]]
 
     def assign_df(df: DataFrame) -> DataFrame:
-        """(_id, _v) → (_id, _v, codes). Staged projections: the shared
+        """(_id, _v) → (_id, _v, codes). Staged selectExpr projections
+        (one py4j call each — see :func:`_pq_micro_dist_sql` for both
+        the expansion and the SQL-string rationale): the shared
         per-subspace ‖a‖² columns first, then every (s, c) expanded
-        micro-distance as its own named column, then the argmins. See
-        :func:`_pq_micro_dist_lit` for why the expansion (not the
-        direct squared-difference sum) is what keeps the whole thing
-        inside whole-stage codegen."""
+        micro-distance as its own named column, then the argmins.
+        Argmin is array_min over (d, c) structs — lexicographic struct
+        order gives min distance with ties to the LOWER c (the oracle's
+        ORDER BY dm, c) and references each distance column once."""
         by_s = [
             {c: w for (cs, c), w in codebook.items() if cs == s} for s in range(m)
         ]
-        with_norms = df.select(
+        with_norms = df.selectExpr(
             "_id",
             "_v",
             *[
-                _pq_sub_sq_norm(F.col("_v"), s * sub_len, sub_len).alias(f"_asq_{s}")
+                f"{_pq_sub_sq_norm_sql('_v', s * sub_len, sub_len)} AS _asq_{s}"
                 for s in range(m)
             ],
         )
-        dist_proj = [F.col("_id"), F.col("_v")]
+        dist_proj = ["_id", "_v"]
         for s in range(m):
             for c in sorted(by_s[s]):
-                dist_proj.append(
-                    _pq_micro_dist_lit(
-                        F.col("_v"),
-                        s * sub_len,
-                        by_s[s][c],
-                        sub_len,
-                        F.col(f"_asq_{s}"),
-                    ).alias(f"_d_{s}_{c}")
+                d_sql = _pq_micro_dist_sql(
+                    "_v", s * sub_len, by_s[s][c], sub_len, f"_asq_{s}"
                 )
-        tmp = with_norms.select(*dist_proj)
+                dist_proj.append(f"{d_sql} AS _d_{s}_{c}")
+        tmp = with_norms.selectExpr(*dist_proj)
         code_exprs = []
         for s in range(m):
             cs = sorted(by_s[s])
-            darr = F.array(*[F.col(f"_d_{s}_{c}") for c in cs])
-            pos = F.array_position(darr, F.array_min(darr)).cast("int")
-            code_exprs.append(
-                F.element_at(F.array(*[F.lit(c) for c in cs]), pos)
-            )
-        return tmp.select("_id", "_v", F.array(*code_exprs).alias("codes"))
+            structs = ", ".join(f"named_struct('d', _d_{s}_{c}, 'c', {c})" for c in cs)
+            code_exprs.append(f"array_min(array({structs})).c")
+        return tmp.selectExpr(
+            "_id", "_v", f"array({', '.join(code_exprs)}) AS codes"
+        )
 
     for _ in range(n_iterations - 1):
         assigned = assign_df(corpus)
@@ -1303,39 +1319,35 @@ def pq_adc_topk(
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
     # Staged like assign_df (shared ‖q_s‖² + expanded per-codeword
-    # dots), then the nested LUT array assembles from named columns —
-    # see _pq_micro_dist_lit for the codegen-size rationale.
-    q = q.select(
+    # dots, selectExpr stages), then the nested LUT array assembles from
+    # named columns — see _pq_micro_dist_sql for both rationales.
+    q = q.selectExpr(
         "_qid",
         "_qv",
         *[
-            _pq_sub_sq_norm(F.col("_qv"), s * sub_len, sub_len).alias(f"_qsq_{s}")
+            f"{_pq_sub_sq_norm_sql('_qv', s * sub_len, sub_len)} AS _qsq_{s}"
             for s in range(m)
         ],
     )
-    lut_proj = [F.col("_qid")]
+    lut_proj = ["_qid"]
     for s in range(m):
         for c in range(sub_k):
             entry = (
-                _pq_micro_dist_lit(
-                    F.col("_qv"),
-                    s * sub_len,
-                    codebook[(s, c)],
-                    sub_len,
-                    F.col(f"_qsq_{s}"),
+                _pq_micro_dist_sql(
+                    "_qv", s * sub_len, codebook[(s, c)], sub_len, f"_qsq_{s}"
                 )
                 if (s, c) in codebook
-                else F.lit(0).cast("long")
+                else "CAST(0 AS BIGINT)"
             )
-            lut_proj.append(entry.alias(f"_ld_{s}_{c}"))
-    lut = q.select(*lut_proj).select(
-        "_qid",
-        F.array(
-            *[
-                F.array(*[F.col(f"_ld_{s}_{c}") for c in range(sub_k)])
-                for s in range(m)
-            ]
-        ).alias("_lut"),
+            lut_proj.append(f"{entry} AS _ld_{s}_{c}")
+    rows_sql = ", ".join(
+        "array({})".format(
+            ", ".join(f"_ld_{s}_{c}" for c in range(sub_k))
+        )
+        for s in range(m)
+    )
+    lut = q.selectExpr(*lut_proj).selectExpr(
+        "_qid", f"array({rows_sql}) AS _lut"
     )
     score = F.element_at(F.element_at("_lut", 1), F.element_at("codes", 1) + F.lit(1))
     for s in range(1, m):
