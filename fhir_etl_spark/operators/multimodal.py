@@ -1191,3 +1191,97 @@ def audio_fingerprint(
             err.alias("error"),
         )
     )
+
+
+def luma_histogram(
+    df: DataFrame,
+    image_col: str = "image",
+    out_col: str = "hist",
+    n_bins: int = 16,
+) -> DataFrame:
+    """Integer luma histogram per decoded frame: ``luma_milli = 299·R +
+    587·G + 114·B`` (the ITU-R BT.601 weights scaled to exact integer
+    milli-units, range 0..255000) binned as ``luma_milli · n_bins //
+    255001`` — pure int64 arithmetic end to end, so the histogram is
+    exactly reproducible in any engine (the m14 oracle replays it in
+    SQL). Grayscale frames (channels = 1) use ``1000·v``; any other
+    channel count raises loudly (a silent skip would undercount scene
+    cuts downstream).
+
+    Arrow-batched numpy (codec-tier Python, the decode_image policy);
+    the per-frame output is ``n_bins`` longs — the frame's pixels never
+    leave the stage. Rows whose decode failed (``image.error`` set or
+    NULL image) get a NULL histogram, mirroring decode_image's
+    survive-bad-files contract."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.LongType()))]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            hists: list[list[int] | None] = []
+            for img in pdf[image_col]:
+                if img is None or img["error"] is not None or img["pixels"] is None:
+                    hists.append(None)
+                    continue
+                ch = int(img["channels"])
+                buf = np.frombuffer(img["pixels"], np.uint8).astype(np.int64)
+                if ch == 3:
+                    px = buf.reshape(-1, 3)
+                    lum = 299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]
+                elif ch == 1:
+                    lum = 1000 * buf
+                else:
+                    raise ValueError(
+                        f"luma_histogram: unsupported channel count {ch}"
+                    )
+                bins = (lum * n_bins) // 255001
+                hists.append(
+                    np.bincount(bins, minlength=n_bins).astype("int64").tolist()
+                )
+            out = pdf.copy()
+            out[out_col] = hists
+            yield out
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def scene_cuts(
+    df: DataFrame,
+    id_col: str,
+    order_col: str,
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Histogram-delta scene-change detection (the standard shot-
+    boundary heuristic: Zhang, Kankanhalli & Smoliar 1993): a frame is
+    a CUT when more than half its pixel mass moved luma bins since the
+    previous frame — ``2·L1(h_f, h_{f−1}) > Σ h_f``. Declarative on top
+    of :func:`luma_histogram`: one lag window per clip + a zip_with
+    fold, all integer, no Python.
+
+    Adds ``l1_delta`` (NULL for each clip's first frame) and ``is_cut``.
+    Scale shape: the only shuffle is the per-clip window; state per key
+    is the clip's frame count (bounded — clips are sampled to dozens of
+    frames upstream, the m4/m7 contract)."""
+    w = Window.partitionBy(id_col).orderBy(order_col)
+    prev = F.lag(hist_col).over(w)
+    l1 = F.when(
+        prev.isNotNull(),
+        F.aggregate(
+            F.zip_with(F.col(hist_col), prev, lambda a, b: F.abs(a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    npix = F.aggregate(
+        F.col(hist_col), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        df.withColumn("l1_delta", l1)
+        .withColumn(
+            "is_cut",
+            F.coalesce(F.lit(2) * F.col("l1_delta") > npix, F.lit(False)),
+        )
+    )

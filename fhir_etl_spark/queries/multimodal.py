@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fhir_etl_spark.queries.registry import query
@@ -963,3 +964,114 @@ def m13_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprint(
         media, frame_samples=8, bytes_col="media", id_col="doc_id"
     ).select("doc_id", "n_frames", "fingerprint")
+
+
+@query(
+    "m14_scene_change",
+    oracle="""
+    -- GIF LZW is lossless, so the oracle recomputes every frame's pixels
+    -- from the planting formula, replays the integer BT.601 luma binning
+    -- (luma_milli * 16 // 255001), the dense 16-bin L1 deltas, and the
+    -- 2*L1 > pixels cut rule. Margins are engineered (within-scene
+    -- 2*L1/n <= 0.23, at-cut >= 4.0), so the verdict never rides a
+    -- boundary.
+    WITH spec AS MATERIALIZED (
+      SELECT doc_id, 8 + doc_id % 15 AS h, 8 + doc_id % 11 AS w,
+             6 + doc_id % 5 AS nf, 2 + doc_id % 3 AS cut
+      FROM documents
+    ), px AS (
+      SELECT doc_id, f.f AS f,
+             CASE WHEN f.f < cut
+                  THEN (doc_id + f.f + 5 * y.y + 3 * x.x) % 8
+                  ELSE 13 END AS i
+      FROM spec,
+           unnest(range(0, nf)) AS f(f),
+           unnest(range(0, h)) AS y(y),
+           unnest(range(0, w)) AS x(x)
+    ), binned AS (
+      SELECT doc_id, f,
+             ((299 * ((i * 37) % 256) + 587 * ((i * 59) % 256)
+               + 114 * ((i * 83) % 256)) * 16) // 255001 AS b
+      FROM px
+    ), hist AS MATERIALIZED (
+      SELECT doc_id, f, b, count(*) AS c FROM binned GROUP BY doc_id, f, b
+    ), pairs AS (
+      SELECT doc_id, f.f AS f, h * w AS npix
+      FROM spec, unnest(range(1, nf)) AS f(f)
+    ), l1 AS (
+      SELECT p.doc_id, p.f, p.npix,
+             sum(abs(coalesce(h1.c, 0) - coalesce(h0.c, 0))) AS d
+      FROM pairs p
+      CROSS JOIN unnest(range(0, 16)) AS b(b)
+      LEFT JOIN hist h1 ON h1.doc_id = p.doc_id AND h1.f = p.f AND h1.b = b.b
+      LEFT JOIN hist h0 ON h0.doc_id = p.doc_id AND h0.f = p.f - 1 AND h0.b = b.b
+      GROUP BY p.doc_id, p.f, p.npix
+    ), cuts AS (
+      SELECT doc_id, f FROM l1 WHERE 2 * d > npix
+    )
+    SELECT s.doc_id,
+           CAST(s.nf AS INTEGER) AS n_frames,
+           CAST(count(c.f) AS INTEGER) AS n_cuts,
+           CAST(coalesce(min(c.f), -1) AS INTEGER) AS first_cut
+    FROM spec s LEFT JOIN cuts c USING (doc_id)
+    GROUP BY s.doc_id, s.nf
+    """,
+    tags=("multimodal", "video", "scene"),
+)
+def m14_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over animated GIFs, value-checked end to
+    end: per doc, an nf-frame animation with a planted hard cut (scene 0
+    cycles the low palette half with a per-frame shift; scene 1 holds
+    palette index 13) → encode_gif (interlaced for odd docs) →
+    split_gif_frames (container-level frame split) → decode_image (LZW)
+    → luma_histogram (integer BT.601 binning) → scene_cuts (lag-window
+    L1 deltas, 2·L1 > pixels rule) → per-clip summary. Python only in
+    the codec tier; the detection itself is one window + fold."""
+    from fhir_etl_spark.operators.multimodal import (
+        decode_image,
+        luma_histogram,
+        scene_cuts,
+        split_gif_frames,
+    )
+
+    documents = load_tables(spark, sf_dir, "documents")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from fhir_etl_spark.functions.gif import encode_gif
+
+        pal = np.stack(
+            [
+                np.array([(i * 37) % 256, (i * 59) % 256, (i * 83) % 256])
+                for i in range(16)
+            ]
+        ).astype(np.uint8)
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                h, w = 8 + doc_id % 15, 8 + doc_id % 11
+                nf, cut = 6 + doc_id % 5, 2 + doc_id % 3
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = []
+                for f in range(nf):
+                    if f < cut:
+                        idx = ((doc_id + f + yy * 5 + xx * 3) % 8).astype(np.uint8)
+                    else:
+                        idx = np.full((h, w), 13, np.uint8)
+                    frames.append(idx)
+                blobs.append(encode_gif(frames, pal, interlace=bool(doc_id % 2)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    frames = split_gif_frames(media, every_n=1, bytes_col="media", id_col="doc_id")
+    decoded = decode_image(frames, bytes_col="frame")
+    hists = luma_histogram(decoded, image_col="image")
+    flagged = scene_cuts(hists, id_col="doc_id", order_col="frame_index")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.sum(F.col("is_cut").cast("int")).cast("int").alias("n_cuts"),
+        F.coalesce(
+            F.min(F.when(F.col("is_cut"), F.col("frame_index"))), F.lit(-1)
+        ).cast("int").alias("first_cut"),
+    )

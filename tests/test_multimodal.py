@@ -1152,3 +1152,73 @@ def test_gif_offset_frame_composites_onto_logical_screen():
     data[desc + 1 : desc + 5] = struct.pack("<HH", 6, 4)  # 6+5>9, 4+4>7
     with pytest.raises(ValueError, match="exceeds logical screen"):
         decode_gif(bytes(data))
+
+
+class TestSceneChange:
+    def test_scene_cuts_worked_example(self, spark):
+        from fhir_etl_spark.operators.multimodal import scene_cuts
+
+        rows = [
+            (1, 0, [8, 0, 0, 0]),
+            (1, 1, [7, 1, 0, 0]),   # L1=2, npix=8, 2*2 <= 8 -> no cut
+            (1, 2, [0, 0, 4, 4]),   # L1=16 -> 32 > 8 -> cut
+            (2, 0, [4, 4, 0, 0]),   # single/first frame never cuts
+        ]
+        df = spark.createDataFrame(
+            rows, "clip int, frame_index int, hist array<bigint>"
+        )
+        got = {
+            (r["clip"], r["frame_index"]): (r["l1_delta"], r["is_cut"])
+            for r in scene_cuts(df, "clip", "frame_index").collect()
+        }
+        assert got[(1, 0)] == (None, False)
+        assert got[(1, 1)] == (2, False)
+        assert got[(1, 2)] == (16, True)
+        assert got[(2, 0)] == (None, False)
+
+    def test_luma_histogram_channels(self, spark):
+        import struct as _struct
+
+        from pyspark.sql import Row
+
+        from fhir_etl_spark.operators.multimodal import luma_histogram
+
+        img_rgb = Row(
+            height=1, width=2, channels=3,
+            pixels=bytes([0, 0, 0, 255, 255, 255]), error=None,
+        )
+        img_gray = Row(
+            height=1, width=1, channels=1, pixels=bytes([128]), error=None,
+        )
+        img_bad = Row(height=1, width=1, channels=4,
+                      pixels=bytes(4), error=None)
+        img_err = Row(height=None, width=None, channels=None,
+                      pixels=None, error="boom")
+        schema = (
+            "doc_id long, image struct<height:int,width:int,channels:int,"
+            "pixels:binary,error:string>"
+        )
+        df = spark.createDataFrame(
+            [(1, img_rgb), (2, img_gray), (3, img_err)], schema
+        )
+        got = {r["doc_id"]: r["hist"] for r in luma_histogram(df).collect()}
+        # black pixel -> bin 0; white -> luma 255000*16//255001 = 15
+        assert got[1][0] == 1 and got[1][15] == 1 and sum(got[1]) == 2
+        # gray 128 -> 128000*16//255001 = 8
+        assert got[2][8] == 1 and sum(got[2]) == 1
+        assert got[3] is None  # decode error -> NULL hist, not a crash
+
+        bad = spark.createDataFrame([(4, img_bad)], schema)
+        with pytest.raises(Exception, match="unsupported channel count"):
+            luma_histogram(bad).collect()
+
+    def test_m14_plants_detected_exactly(self, spark):
+        from fhir_etl_spark.queries.multimodal import m14_scene_change
+
+        rows = m14_scene_change(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 500
+        for r in rows:
+            d = r["doc_id"]
+            assert r["n_frames"] == 6 + d % 5
+            assert r["n_cuts"] == 1, f"doc {d}: expected exactly the planted cut"
+            assert r["first_cut"] == 2 + d % 3
