@@ -112,6 +112,8 @@ HEADLINE = [
     "v11_pq_ann",
     "w10_holt_trend",
     "s17_arrow_ipc_roundtrip",
+    # animated-GIF shot-boundary detection (codec tier + window delta)
+    "m14_scene_change",
 ]
 
 
@@ -156,6 +158,17 @@ R03_FLOOR = {
     # into the floor, not hidden under it.
     "v9_int8_quantized_ann": 1.903,
     "d12_lsh_bucket_keepers": 4.734,
+    # r08 second-continuation first-appearance floors, measured at
+    # loadavg ~2-4 (the host never quieted below 2 during this window;
+    # conservative by construction — a quiet run will undercut them).
+    # v11's cost is FLAT driver work (2 bounded actions over a
+    # 64-codeword literal plan + one Janino attempt on the fused update
+    # stage), amortizing at scale: the 1M-vector smoke encodes at
+    # ~64k vec/s (tools/scale_smoke_r08c.py).
+    "v11_pq_ann": 5.375,
+    "w10_holt_trend": 0.543,
+    "s17_arrow_ipc_roundtrip": 0.598,
+    "m14_scene_change": 6.162,
 }
 
 
