@@ -1361,3 +1361,287 @@ def pq_adc_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy("adc_micro", F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_pq_build(
+    embeddings: DataFrame,
+    dim: int,
+    n_list: int = 8,
+    m: int = 4,
+    sub_k: int = 16,
+    n_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_centroid: int = 4,
+) -> tuple[DataFrame, list[list[float]], dict[tuple[int, int], list[float]]]:
+    """IVF-PQ index build (Jégou et al. 2011 §IV / the FAISS ``IVFPQ``
+    index): coarse-quantize each vector to its nearest of ``n_list``
+    coarse centroids (the inverted-list id), then product-quantize the
+    RESIDUAL ``v − c_list`` with per-subspace Lloyd codebooks. Search
+    probes only a few lists (:func:`ivf_pq_search`), so cost scales with
+    ``n_probe / n_list`` of the corpus — the ANN layout for the
+    billion-vector tier, composing the two structures this module
+    already has (IVF pruning, PQ compression) the way FAISS does.
+
+    Determinism: coarse centroids are the first ``n_list`` corpus rows
+    by id (the ivf_topk convention — a production system plugs a
+    trained coarse quantizer here; every downstream stage is identical
+    either way); list assignment argmins the integer micro-L2 in the
+    expanded form (ties → lower list id); PQ training on residuals
+    follows the exact :func:`pq_train_encode` recipe (first-sub_k-by-id
+    residual seeds, micro-distance argmins, 4 dp means). The v12 oracle
+    replays ALL of it — coarse assign, residuals, codebook retraining,
+    encoding — in one CTE chain.
+
+    Scale shape: everything corpus-sized is a map-only selectExpr
+    projection (coarse centroids, PQ codebooks, and every micro-
+    distance are literals — the :func:`pq_train_encode` lesson); each
+    training round shuffles only (s, c, i, x) scalars. Returns
+    ``(codes, coarse, codebook)`` where codes = (id_col, _list,
+    codes array<int>) with no training lineage, coarse = n_list
+    centroid vectors (index = list id), codebook = (s, c) → codeword
+    over residual space.
+    """
+    sub_len, rem = divmod(dim, m)
+    if rem or m < 1:
+        raise ValueError(f"ivf_pq_build: m={m} must divide dim={dim}")
+    if n_iterations < 1:
+        raise ValueError("ivf_pq_build: n_iterations must be >= 1")
+    corpus = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    coarse_rows = corpus.orderBy("_id").limit(n_list).collect()
+    if not coarse_rows:
+        raise ValueError("ivf_pq_build: empty corpus")
+    coarse = [[float(x) for x in r["_v"]] for r in coarse_rows]
+
+    def listed_df(df: DataFrame, v: str = "_v") -> DataFrame:
+        """Adds ``_list`` (coarse argmin) and ``_rv`` (residual) to a
+        (_id, _v) frame — two staged selectExpr projections, all
+        literals, map-only."""
+        asq = _pq_sub_sq_norm_sql(v, 0, dim)
+        with_norm = df.selectExpr("*", f"{asq} AS _fsq")
+        dists = with_norm.selectExpr(
+            "*",
+            *[
+                f"{_pq_micro_dist_sql(v, 0, coarse[c], dim, '_fsq')} AS _cd_{c}"
+                for c in range(n_list)
+            ],
+        )
+        structs = ", ".join(
+            f"named_struct('d', _cd_{c}, 'c', {c})" for c in range(n_list)
+        )
+        with_list = dists.selectExpr(
+            "_id", v, f"array_min(array({structs})).c AS _list"
+        )
+        # Residual per component via a scalar CASE over the list id —
+        # NOT element_at on a nested array-of-arrays literal: projection
+        # collapse inlines whatever _cv binds to into all `dim` residual
+        # expressions, and a 512-double nested literal duplicated 64×
+        # (~32k literal nodes) OOMs Janino compilation on a default-1g
+        # driver (the vanilla driver gate). The CASE form is 8 scalar
+        # literals per component, n_list·dim total.
+        rv = ", ".join(
+            "element_at({v}, {i}) - (CASE _list {arms} END)".format(
+                v=v,
+                i=i + 1,
+                arms=" ".join(
+                    f"WHEN {c} THEN {_dlit(coarse[c][i])}" for c in range(n_list)
+                ),
+            )
+            for i in range(dim)
+        )
+        return with_list.selectExpr("_id", "_list", f"array({rv}) AS _rv")
+
+    # Lazy checkpoint: (a) the coarse-assign + residual chain executes
+    # ONCE instead of once per training action (each update round, the
+    # final encode, and every search consumer would otherwise re-run the
+    # full-dim coarse scoring over the corpus), and (b) it is a codegen
+    # boundary — fused, the coarse dists + residual CASEs + PQ distance
+    # stages produce a ~16k-line generated class whose Janino compile
+    # OOMs a default-1g driver (the vanilla driver gate). The
+    # materialized working set is (id, list, residual) — the same
+    # corpus-sized training copy a FAISS IVFPQ build holds.
+    resid = listed_df(corpus).localCheckpoint(eager=False)
+
+    # PQ training on residuals — the pq_train_encode loop verbatim, but
+    # keyed on the residual column and carrying _list through.
+    seed_rows = resid.orderBy("_id").limit(sub_k).collect()
+    codebook: dict[tuple[int, int], list[float]] = {}
+    for c, row in enumerate(seed_rows):
+        rvv = row["_rv"]
+        for s in range(m):
+            codebook[(s, c)] = [float(x) for x in rvv[s * sub_len : (s + 1) * sub_len]]
+
+    def assign_codes(df: DataFrame) -> DataFrame:
+        by_s = [
+            {c: w for (cs, c), w in codebook.items() if cs == s} for s in range(m)
+        ]
+        with_norms = df.selectExpr(
+            "_id",
+            "_list",
+            "_rv",
+            *[
+                f"{_pq_sub_sq_norm_sql('_rv', s * sub_len, sub_len)} AS _asq_{s}"
+                for s in range(m)
+            ],
+        )
+        dist_proj = ["_id", "_list", "_rv"]
+        for s in range(m):
+            for c in sorted(by_s[s]):
+                d_sql = _pq_micro_dist_sql(
+                    "_rv", s * sub_len, by_s[s][c], sub_len, f"_asq_{s}"
+                )
+                dist_proj.append(f"{d_sql} AS _d_{s}_{c}")
+        tmp = with_norms.selectExpr(*dist_proj)
+        code_exprs = []
+        for s in range(m):
+            cs = sorted(by_s[s])
+            structs = ", ".join(f"named_struct('d', _d_{s}_{c}, 'c', {c})" for c in cs)
+            code_exprs.append(f"array_min(array({structs})).c")
+        return tmp.selectExpr(
+            "_id", "_list", "_rv", f"array({', '.join(code_exprs)}) AS codes"
+        )
+
+    for _ in range(n_iterations - 1):
+        assigned = assign_codes(resid)
+        upd = assigned.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("_s"),
+                            F.element_at("codes", s + 1).alias("_c"),
+                            F.slice("_rv", s * sub_len + 1, sub_len).alias("_sv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("_e")
+        ).select("_e._s", "_e._c", F.posexplode("_e._sv").alias("_i", "_x"))
+        new_rows = (
+            upd.groupBy("_s", "_c", "_i")
+            .agg(F.round(F.avg("_x"), round_centroid).alias("_mu"))
+            .groupBy("_s", "_c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_i", "_mu"))),
+                    lambda st: st["_mu"],
+                ).alias("_cv")
+            )
+            .collect()
+        )
+        codebook = {
+            (r["_s"], r["_c"]): [float(x) for x in r["_cv"]] for r in new_rows
+        }
+
+    codes = assign_codes(resid).select(
+        F.col("_id").alias(id_col), "_list", "codes"
+    )
+    return codes, coarse, codebook
+
+
+def ivf_pq_search(
+    codes: DataFrame,
+    coarse: list[list[float]],
+    codebook: dict[tuple[int, int], list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    m: int = 4,
+    sub_len: int = 16,
+    sub_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ probe + ADC scan: per query, pick the ``n_probe`` nearest
+    coarse lists (expanded micro-L2 over the literal coarse centroids,
+    ties → lower list id), build one residual LUT PER PROBED LIST
+    (``LUT[s][c] = micro-L2²((q − c_list)_s, codeword)``), and score
+    only that list's members — the equi-join on ``_list`` against the
+    broadcast (query × probe) LUTs IS the inverted-index prune: each
+    corpus row is touched by exactly the queries probing its list.
+
+    Integer micro-distances end to end (rank ties → id), so the v12
+    oracle replays probing, residuals, LUTs, and the scan bit-exactly.
+    Recall < 1 two ways (list pruning + quantization); the planted test
+    pins both. Returns (query_id, vec_id, adc_micro, rank).
+    """
+    dim = len(coarse[0])
+    n_list = len(coarse)
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    # probe selection: n_probe smallest (micro dist, list id)
+    fsq = _pq_sub_sq_norm_sql("_qv", 0, dim)
+    with_norm = q.selectExpr("_qid", "_qv", f"{fsq} AS _fsq")
+    dists = with_norm.selectExpr(
+        "_qid",
+        "_qv",
+        *[
+            f"{_pq_micro_dist_sql('_qv', 0, coarse[c], dim, '_fsq')} AS _cd_{c}"
+            for c in range(n_list)
+        ],
+    )
+    structs = ", ".join(f"named_struct('d', _cd_{c}, 'c', {c})" for c in range(n_list))
+    probed = dists.selectExpr(
+        "_qid",
+        "_qv",
+        f"slice(array_sort(array({structs})), 1, {n_probe}) AS _probes",
+    ).select(
+        "_qid", "_qv", F.explode("_probes").alias("_p")
+    ).select("_qid", "_qv", F.col("_p.c").alias("_list"))
+    # residual per (query, probed list) — scalar CASE per component, the
+    # ivf_pq_build rationale (a nested-array literal would be inlined
+    # `dim` times by projection collapse and blow up codegen)
+    qr = ", ".join(
+        "element_at(_qv, {i}) - (CASE _list {arms} END)".format(
+            i=i + 1,
+            arms=" ".join(
+                f"WHEN {c} THEN {_dlit(coarse[c][i])}" for c in range(n_list)
+            ),
+        )
+        for i in range(dim)
+    )
+    resq = probed.selectExpr("_qid", "_list", f"array({qr}) AS _qr")
+    resq = resq.selectExpr(
+        "_qid",
+        "_list",
+        "_qr",
+        *[
+            f"{_pq_sub_sq_norm_sql('_qr', s * sub_len, sub_len)} AS _qsq_{s}"
+            for s in range(m)
+        ],
+    )
+    lut_proj = ["_qid", "_list"]
+    for s in range(m):
+        for c in range(sub_k):
+            entry = (
+                _pq_micro_dist_sql(
+                    "_qr", s * sub_len, codebook[(s, c)], sub_len, f"_qsq_{s}"
+                )
+                if (s, c) in codebook
+                else "CAST(0 AS BIGINT)"
+            )
+            lut_proj.append(f"{entry} AS _ld_{s}_{c}")
+    rows_sql = ", ".join(
+        "array({})".format(", ".join(f"_ld_{s}_{c}" for c in range(sub_k)))
+        for s in range(m)
+    )
+    lut = resq.selectExpr(*lut_proj).selectExpr(
+        "_qid", "_list", f"array({rows_sql}) AS _lut"
+    )
+    score = F.element_at(F.element_at("_lut", 1), F.element_at("codes", 1) + F.lit(1))
+    for s in range(1, m):
+        score = score + F.element_at(
+            F.element_at("_lut", s + 1), F.element_at("codes", s + 1) + F.lit(1)
+        )
+    scored = codes.join(F.broadcast(lut), "_list").select(
+        F.col("_qid").alias(query_id_col),
+        id_col,
+        score.alias("adc_micro"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc_micro", F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

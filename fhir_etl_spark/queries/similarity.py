@@ -657,3 +657,136 @@ def v11_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_adc_topk(codes, codebook, queries, k=5, m=4, sub_len=16)
+
+
+# --- v12 oracle: IVF-PQ replayed end to end in DuckDB ------------------------
+# Coarse assign (expanded micro-L2 argmin over the first-8-by-id coarse
+# centroids), residuals, PQ codebook retraining ON residuals (the v11
+# chain), encoding, per-query probe selection (2 nearest lists), per-list
+# residual LUTs, and the pruned ADC scan — every distance the expanded
+# ‖a‖² − 2·a·w + ‖w‖² micro form the Spark side computes.
+_V12_ORACLE = f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), coarse AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS l, v AS cv
+      FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 8)
+    ), fd AS (
+      SELECT vec_id, l,
+             CAST(round((list_sum(list_transform(v, x -> x * x))
+                  - 2.0 * list_sum(list_transform(generate_series(1, 64),
+                        i -> v[i] * cv[i]))
+                  + list_sum(list_transform(cv, x -> x * x))) * 1e6, 0)
+                  AS BIGINT) AS dm
+      FROM corpus CROSS JOIN coarse
+    ), fassign AS MATERIALIZED (
+      SELECT vec_id, l FROM (
+        SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dm, l) AS rn
+        FROM fd) WHERE rn = 1
+    ), resid AS MATERIALIZED (
+      SELECT c.vec_id, a.l,
+             list_transform(generate_series(1, 64), i -> c.v[i] - co.cv[i]) AS rv
+      FROM corpus c JOIN fassign a USING (vec_id) JOIN coarse co ON co.l = a.l
+    ), subs AS MATERIALIZED (
+      SELECT vec_id, l, s, rv[16 * s + 1 : 16 * (s + 1)] AS sv
+      FROM resid, unnest([0, 1, 2, 3]) AS u(s)
+    ), seed AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, rv
+      FROM (SELECT * FROM resid ORDER BY vec_id LIMIT 16)
+    ), cent0 AS MATERIALIZED (
+      SELECT s, c, rv[16 * s + 1 : 16 * (s + 1)] AS cv
+      FROM seed, unnest([0, 1, 2, 3]) AS u(s)
+    ), d1 AS (
+      SELECT vec_id, s, sv, c,
+             CAST(round((list_sum(list_transform(sv, x -> x * x))
+                  - 2.0 * list_sum(list_transform(generate_series(1, 16),
+                        i -> sv[i] * cv[i]))
+                  + list_sum(list_transform(cv, x -> x * x))) * 1e6, 0)
+                  AS BIGINT) AS dm
+      FROM subs JOIN cent0 USING (s)
+    ), a1 AS MATERIALIZED (
+      SELECT vec_id, s, sv, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, c) AS rn
+        FROM d1) WHERE rn = 1
+    ), m1 AS (
+      SELECT s, c, i, round(avg(sv[i]), 4) AS mu
+      FROM a1, unnest(generate_series(1, 16)) AS g(i)
+      GROUP BY s, c, i
+    ), cent1 AS MATERIALIZED (
+      SELECT s, c, list(mu ORDER BY i) AS cv FROM m1 GROUP BY s, c
+    ), d2 AS (
+      SELECT vec_id, l, s, c,
+             CAST(round((list_sum(list_transform(sv, x -> x * x))
+                  - 2.0 * list_sum(list_transform(generate_series(1, 16),
+                        i -> sv[i] * cv[i]))
+                  + list_sum(list_transform(cv, x -> x * x))) * 1e6, 0)
+                  AS BIGINT) AS dm
+      FROM subs JOIN cent1 USING (s)
+    ), codes AS MATERIALIZED (
+      SELECT vec_id, l, s, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, c) AS rn
+        FROM d2) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM corpus
+      WHERE vec_id IN {_QUERY_IDS}
+    ), qp AS MATERIALIZED (
+      SELECT query_id, l, qv FROM (
+        SELECT q.query_id, co.l, q.qv,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 CAST(round((list_sum(list_transform(q.qv, x -> x * x))
+                      - 2.0 * list_sum(list_transform(generate_series(1, 64),
+                            i -> q.qv[i] * co.cv[i]))
+                      + list_sum(list_transform(co.cv, x -> x * x))) * 1e6, 0)
+                      AS BIGINT), co.l) AS rn
+        FROM q CROSS JOIN coarse co) WHERE rn <= 2
+    ), qres AS MATERIALIZED (
+      SELECT qp.query_id, qp.l,
+             list_transform(generate_series(1, 64),
+                            i -> qp.qv[i] - co.cv[i]) AS qr
+      FROM qp JOIN coarse co ON co.l = qp.l
+    ), lut AS MATERIALIZED (
+      SELECT query_id, qres.l, s, c,
+             CAST(round((list_sum(list_transform(qr[16 * s + 1 : 16 * (s + 1)],
+                        x -> x * x))
+                  - 2.0 * list_sum(list_transform(generate_series(1, 16),
+                        i -> qr[16 * s + i] * cv[i]))
+                  + list_sum(list_transform(cv, x -> x * x))) * 1e6, 0)
+                  AS BIGINT) AS ld
+      FROM qres CROSS JOIN cent1
+    ), scored AS (
+      SELECT lut.query_id, codes.vec_id, CAST(sum(ld) AS BIGINT) AS adc_micro
+      FROM codes
+      JOIN lut ON lut.l = codes.l AND lut.s = codes.s AND lut.c = codes.c
+      GROUP BY lut.query_id, codes.vec_id
+    )
+    SELECT query_id, vec_id, adc_micro, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_micro, vec_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """
+
+
+@query("v12_ivfpq_ann", oracle=_V12_ORACLE, tags=("similarity", "ml", "quantization"))
+def v12_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011 §IV / FAISS IVFPQ): 8 coarse lists,
+    residual product quantization (m=4 × 16 codewords), 2-probe ADC
+    top-5 for the three probe vectors — the composition of the v4 IVF
+    prune and the v11 PQ compression that serves the billion-vector
+    tier. Integer micro-distances end to end; the oracle replays coarse
+    assignment, residuals, codebook retraining, probing, per-list LUTs,
+    and the pruned scan. See operators/similarity.ivf_pq_build/_search
+    for the 100 TB shape (map-only encode, the _list equi-join IS the
+    inverted-index prune)."""
+    from fhir_etl_spark.operators.similarity import ivf_pq_build, ivf_pq_search
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    codes, coarse, codebook = ivf_pq_build(
+        embeddings, dim=64, n_list=8, m=4, sub_k=16, n_iterations=2
+    )
+    queries = embeddings.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_search(
+        codes, coarse, codebook, queries, k=5, n_probe=2, m=4, sub_len=16
+    )

@@ -666,3 +666,85 @@ def test_pq_rejects_bad_geometry(spark):
         pq_train_encode(df, dim=10, m=4)
     with pytest.raises(ValueError, match="n_iterations"):
         pq_train_encode(df, dim=10, m=2, n_iterations=0)
+
+
+def test_ivfpq_self_match_and_probe_prune(spark, sf_dir):
+    """Round-8 v12: each probe's own vector must surface at the ADC
+    minimum (its nearest coarse list is probe #1 and its residual
+    self-distance is the per-list minimum), and every returned candidate
+    must belong to one of the query's probed lists (the _list equi-join
+    IS the inverted-index prune)."""
+    from fhir_etl_spark.operators.similarity import ivf_pq_build, ivf_pq_search
+    from fhir_etl_spark.session import load_tables
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    codes, coarse, codebook = ivf_pq_build(
+        embeddings, dim=64, n_list=8, m=4, sub_k=16, n_iterations=2
+    )
+    queries = embeddings.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = embeddings.count()
+    got = ivf_pq_search(
+        codes, coarse, codebook, queries, k=n, n_probe=2, m=4, sub_len=16
+    ).collect()
+    lists = {r["vec_id"]: r["_list"] for r in codes.collect()}
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {1, 2, 3}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        # candidate set = members of exactly the probed lists
+        probed_lists = {lists[r["vec_id"]] for r in rs}
+        assert len(probed_lists) <= 2
+        assert lists[qid] in probed_lists  # own list is always probed
+        self_adc = next(r["adc_micro"] for r in rs if r["vec_id"] == qid)
+        assert self_adc == rs[0]["adc_micro"]
+        # pruning really pruned: fewer candidates than the corpus
+        assert len(rs) < n
+
+
+def test_ivfpq_planted_clusters_separate(spark):
+    """Two planted clusters -> two coarse regions: same-cluster members
+    out-rank cross-cluster ones under residual-PQ ADC whenever both
+    lists are probed."""
+    import random as _random
+
+    from fhir_etl_spark.operators.similarity import ivf_pq_build, ivf_pq_search
+
+    rng = _random.Random(11)
+    rows = []
+    for i in range(48):
+        center = 10.0 if i % 2 == 0 else -10.0
+        rows.append((i, [center + rng.uniform(-1, 1) for _ in range(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, coarse, codebook = ivf_pq_build(
+        df, dim=16, n_list=4, m=4, sub_k=4, n_iterations=2
+    )
+    queries = df.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_pq_search(
+        codes, coarse, codebook, queries, k=10, n_probe=4,
+        m=4, sub_len=4, sub_k=4,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        for r in rs[:10]:
+            assert (r["vec_id"] % 2) == (qid % 2), (
+                f"query {qid}: cross-cluster vec {r['vec_id']} at rank {r['rank']}"
+            )
+
+
+def test_ivfpq_geometry_validation(spark):
+    from fhir_etl_spark.operators.similarity import ivf_pq_build
+
+    df = spark.createDataFrame([(1, [0.0] * 10)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="must divide"):
+        ivf_pq_build(df, dim=10, m=4)
+    with pytest.raises(ValueError, match="n_iterations"):
+        ivf_pq_build(df, dim=10, m=2, n_iterations=0)

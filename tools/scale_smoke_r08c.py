@@ -151,7 +151,49 @@ def smoke_ipc(spark):
     print(f"ipc: {n} docs round-tripped in {dt:.1f}s (incl. staging), sums ok")
 
 
-SMOKES = {"pq": smoke_pq, "holt": smoke_holt, "ipc": smoke_ipc}
+def smoke_ivfpq(spark):
+    """IVF-PQ at 1M×64: build (coarse assign + residual checkpoint +
+    codebook training + encode) and a 2-of-8-probe ADC search — the
+    probed scan should touch ~25% of the corpus's codes."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from fhir_etl_spark.operators.similarity import ivf_pq_build, ivf_pq_search
+
+    n, dim = 1_000_000, 64
+    emb = _synth_embeddings(spark, n, dim).localCheckpoint()
+    t0 = time.perf_counter()
+    codes, coarse, codebook = ivf_pq_build(
+        emb, dim=dim, n_list=8, m=4, sub_k=16, n_iterations=2
+    )
+    codes = codes.localCheckpoint()
+    t_build = time.perf_counter() - t0
+    queries = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t1 = time.perf_counter()
+    top = ivf_pq_search(
+        codes, coarse, codebook, queries, k=10, n_probe=2, m=4, sub_len=16
+    ).collect()
+    t_scan = time.perf_counter() - t1
+    by_q = {}
+    for r in sorted(top, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {1, 2, 3}
+    for qid, rows in by_q.items():
+        self_rows = [r for r in rows if r["vec_id"] == qid]
+        assert self_rows and self_rows[0]["adc_micro"] == rows[0]["adc_micro"]
+    print(
+        f"ivfpq: build {n}x{dim} (8 lists) in {t_build:.1f}s, "
+        f"2-probe ADC scan in {t_scan:.1f}s, self-match ok"
+    )
+
+
+SMOKES = {
+    "pq": smoke_pq,
+    "holt": smoke_holt,
+    "ipc": smoke_ipc,
+    "ivfpq": smoke_ivfpq,
+}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(SMOKES)
