@@ -90,3 +90,85 @@ def ewma_stream(events: DataFrame, alpha: float = 0.25) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HOLT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("forecast", T.DoubleType()),
+    ]
+)
+
+HOLT_STATE_SCHEMA = T.StructType(
+    [T.StructField("l", T.DoubleType()), T.StructField("b", T.DoubleType())]
+)
+
+
+def _make_holt_fold(alpha: float, beta: float):
+    ac, bc = 1.0 - alpha, 1.0 - beta
+
+    def _fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        lvl, trd = state.get if state.exists else (None, None)
+        batch = pd.concat(list(pdfs))
+        if batch.empty:
+            return
+        batch = batch.sort_values(["ts", "event_id"])
+        out = []
+        for event_id, v in zip(batch["event_id"], batch["value"]):
+            if pd.isna(v):
+                raise ValueError(
+                    "holt stream: NULL value would poison all later state "
+                    f"for user {user_id}; filter or impute upstream"
+                )
+            v = float(v)
+            if lvl is None:
+                lvl, trd = v, 0.0
+            else:
+                new_l = alpha * v + ac * (lvl + trd)
+                trd = beta * (new_l - lvl) + bc * trd
+                lvl = new_l
+            out.append(
+                {
+                    "event_id": int(event_id),
+                    "user_id": int(user_id),
+                    "value": v,
+                    "level": lvl,
+                    "trend": trd,
+                    "forecast": lvl + trd,
+                }
+            )
+        state.update((lvl, trd))
+        yield pd.DataFrame(out)
+
+    return _fold
+
+
+def holt_stream(
+    events: DataFrame, alpha: float = 0.25, beta: float = 0.5
+) -> DataFrame:
+    """Streaming Holt double-exponential smoothing — the real-time twin
+    of the batch w10 fold (operators/timeseries.holt_smoothing). State
+    per key: TWO doubles (level, trend). Each step is the identical IEEE
+    op sequence the batch fold compiles to — ``a·x + (1−a)·(l+b)`` then
+    ``β·(l'−l) + (1−β)·b`` — in the same association order, so replaying
+    a table through the stream reproduces the batch query BIT-FOR-BIT
+    (asserted with == in tests/test_streaming.py, the ewma_stream
+    standard). Same ordering caveat as every per-event stateful op here:
+    per-key event-time order across micro-batches is assumed."""
+    for name, p in (("alpha", alpha), ("beta", beta)):
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"holt_stream: {name} must be in (0, 1], got {p}")
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_holt_fold(alpha, beta),
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -779,3 +779,39 @@ def test_ewma_stream_alpha_validation(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         ewma_stream(spark.readStream.format("rate").load(), alpha=0.0)
+
+
+def test_holt_stream_matches_batch_bit_for_bit(spark, sf_dir, events_stream):
+    """The streaming Holt fold replayed over the events table equals the
+    batch w10 query EXACTLY (==, no tolerance) on level, trend, and
+    forecast — same IEEE op sequence, same association order; see
+    streaming/smoothing.holt_stream."""
+    from fhir_etl_spark.queries import all_queries
+    from fhir_etl_spark.streaming.smoothing import holt_stream
+
+    q = run_to_memory(holt_stream(events_stream), "holt_out", output_mode="update")
+    try:
+        stream_rows = {
+            r["event_id"]: r for r in spark.sql("SELECT * FROM holt_out").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_rows = {
+        r["event_id"]: r
+        for r in all_queries()["w10_holt_trend"].fn(spark, sf_dir).collect()
+    }
+    assert set(stream_rows) == set(batch_rows) and len(batch_rows) > 0
+    for eid, b in batch_rows.items():
+        s = stream_rows[eid]
+        assert s["level"] == b["level"], (eid, s["level"], b["level"])
+        assert s["trend"] == b["trend"]
+        assert s["forecast"] == b["forecast"]
+        assert s["value"] == b["value"]
+
+
+def test_holt_stream_param_validation(spark):
+    from fhir_etl_spark.streaming.smoothing import holt_stream
+
+    with pytest.raises(ValueError, match="beta"):
+        holt_stream(spark.readStream.format("rate").load(), beta=1.5)
