@@ -114,6 +114,8 @@ HEADLINE = [
     "s17_arrow_ipc_roundtrip",
     # animated-GIF shot-boundary detection (codec tier + window delta)
     "m14_scene_change",
+    # IVF-PQ: coarse lists + residual PQ + probed ADC (the v4+v11 composition)
+    "v12_ivfpq_ann",
 ]
 
 

@@ -422,3 +422,89 @@ def dsir_importance(
         .groupBy(id_col)
         .agg(F.sum(F.col("c") * F.col("w_micro")).alias("score_micro"))
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    weights: dict[str, int],
+    token_budget: int,
+    max_epochs_micro: int = 3_000_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mixture token allocation (the GPT-3/Llama-style mixture
+    table, solved the way a 100 TB pipeline has to: from aggregate
+    counts, exactly): given integer mixture ``weights`` per source and a
+    total ``token_budget``, compute per source
+
+    - ``available_tokens`` — the corpus's whitespace tokens in that source,
+    - ``desired_tokens = (budget · w_s) DIV Σw`` — the target share,
+    - ``epochs_micro = (desired · 10⁶) DIV available`` — how many passes
+      over the source the target implies, CAPPED at ``max_epochs_micro``
+      (the standard repetition guard: past a few epochs, repeated data
+      stops helping and starts hurting),
+    - ``allocated_tokens = min(desired, (available · cap) DIV 10⁶)`` and
+      the resulting ``deficit_tokens``.
+
+    Every value is BIGINT via integer DIV — bit-exact cross-engine, no
+    float shares. Plan: one explode-free aggregate over the corpus
+    (size(split) per doc, summed per source — map-side partial agg),
+    then literal weight arithmetic on the ≤|sources| aggregate rows.
+    Unknown sources (no weight entry) raise loudly at build time rather
+    than silently getting weight 0.
+    """
+    if token_budget <= 0:
+        raise ValueError("token_budget_mix: token_budget must be positive")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("token_budget_mix: weights must be non-negative, non-empty")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("token_budget_mix: weights must sum to a positive total")
+    from fhir_etl_spark.operators.text import token_count
+
+    avail = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.sum(token_count(text_col)).alias("available_tokens"))
+    )
+    arms = " ".join(
+        f"WHEN '{s}' THEN CAST({w} AS BIGINT)" for s, w in sorted(weights.items())
+    )
+    guarded_w = (
+        f"CASE source {arms} "
+        "ELSE CAST(raise_error(concat('token_budget_mix: no weight for source ', "
+        "source)) AS BIGINT) END"
+    )
+    return (
+        avail.selectExpr(
+            "source",
+            "available_tokens",
+            f"{guarded_w} AS weight",
+        )
+        .selectExpr(
+            "source",
+            "available_tokens",
+            "weight",
+            f"(CAST({token_budget} AS BIGINT) * weight) DIV {total_w} AS desired_tokens",
+        )
+        .selectExpr(
+            "source",
+            "available_tokens",
+            "weight",
+            "desired_tokens",
+            "least((desired_tokens * CAST(1000000 AS BIGINT)) DIV available_tokens, "
+            f"CAST({max_epochs_micro} AS BIGINT)) AS epochs_micro",
+        )
+        .selectExpr(
+            "source",
+            "available_tokens",
+            "weight",
+            "desired_tokens",
+            "epochs_micro",
+            "least(desired_tokens, (available_tokens * epochs_micro) "
+            "DIV CAST(1000000 AS BIGINT)) AS allocated_tokens",
+        )
+        .selectExpr(
+            "*",
+            "desired_tokens - allocated_tokens AS deficit_tokens",
+        )
+    )

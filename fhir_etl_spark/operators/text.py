@@ -579,3 +579,87 @@ def quantile_buckets(
         lab = lab.when(F.col(score_col) <= F.col(f"_cut{i}"), labels[i - 1])
     lab = lab.otherwise(labels[-1])
     return df.crossJoin(F.broadcast(cuts)).select(*df.columns, lab.alias(out_col))
+
+
+def collocation_lift(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_tokens_per_doc: int = 32,
+    min_pair_docs: int = 3,
+    top_k: int = 100,
+) -> DataFrame:
+    """Collocation mining by document-level LIFT in exact integer micro
+    units — the market-basket association measure
+    ``lift(a,b) = N·df(a,b) / (df(a)·df(b))`` over per-document token
+    sets, emitted as ``(N · df_ab · 10⁶) // (df_a · df_b)`` so every
+    value derives from BIGINT counts with one integer division: no
+    float, no log, bit-exact in any engine (the PMI log transform is
+    monotone in lift, so the RANKING is PMI's ranking — without
+    cross-engine ``ln`` ulp risk).
+
+    Scale shape: each doc contributes at most ``top_tokens_per_doc``
+    distinct tokens (rank by in-doc count desc, token asc — a window
+    INSIDE the doc, map-side after the explode groupBy), so the per-doc
+    pair fan-out is bounded at T·(T−1)/2 regardless of document length
+    — the standard guard that keeps pair mining from going quadratic on
+    long docs. Pair and token doc-frequencies are two groupBys over the
+    SAME capped sets (lift's numerator and denominator must come from
+    one universe or rare-token lifts overshoot); the final top-k is one
+    TakeOrdered-size window.
+
+    Returns (token_a, token_b, pair_docs, docs_a, docs_b, lift_micro,
+    rank) — rank 1..top_k by (lift_micro desc, token_a, token_b).
+    """
+    if top_tokens_per_doc < 2:
+        raise ValueError("collocation_lift: top_tokens_per_doc must be >= 2")
+    tok_counts = (
+        df.select(F.col(id_col).alias("_doc"), F.explode(tokens(text_col)).alias("_t"))
+        .groupBy("_doc", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy("_doc").orderBy(F.desc("_c"), F.col("_t"))
+    capped = (
+        tok_counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_tokens_per_doc)
+        .select("_doc", "_t")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    tok_df = capped.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    pairs = (
+        capped.alias("x")
+        .join(capped.alias("y"), "_doc")
+        .where(F.col("x._t") < F.col("y._t"))
+        .groupBy(F.col("x._t").alias("_a"), F.col("y._t").alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_ab"))
+        .filter(F.col("_ab") >= min_pair_docs)
+    )
+    # doc-frequency joins shuffle on the token key (the vocabulary is
+    # corpus-scale at 100 TB — NOT broadcastable); only the 1-row doc
+    # count broadcasts. lift_micro uses integer DIV, never float
+    # division: (N · df_ab · 10⁶) fits a BIGINT at any real corpus size
+    # (≤ 9.2e18 needs N·df_ab ≤ 9.2e12) and DIV matches DuckDB's //
+    # exactly, where a double division could round across the floor
+    # boundary.
+    dfa = tok_df.select(F.col("_t").alias("_a"), F.col("_df").alias("_dfa"))
+    dfb = tok_df.select(F.col("_t").alias("_b"), F.col("_df").alias("_dfb"))
+    scored = (
+        pairs.join(dfa, "_a")
+        .join(dfb, "_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("_a").alias("token_a"),
+            F.col("_b").alias("token_b"),
+            F.col("_ab").alias("pair_docs"),
+            F.col("_dfa").alias("docs_a"),
+            F.col("_dfb").alias("docs_b"),
+            F.expr(
+                "(_n * _ab * CAST(1000000 AS BIGINT)) DIV (_dfa * _dfb)"
+            ).alias("lift_micro"),
+        )
+    )
+    wk = Window.orderBy(F.desc("lift_micro"), "token_a", "token_b")
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= top_k)
+    )

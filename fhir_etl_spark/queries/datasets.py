@@ -363,3 +363,57 @@ def ds10_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_tables(spark, sf_dir, "documents")
     scores = dsir_importance(documents, target=F.col("lang") == "en")
     return scores.orderBy(F.desc("score_micro"), "doc_id").limit(25)
+
+
+_DS11_TOKS = "list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
+
+_DS11_ORACLE = f"""
+    WITH avail AS MATERIALIZED (
+      SELECT source, CAST(sum(len({_DS11_TOKS})) AS BIGINT) AS available_tokens
+      FROM documents GROUP BY source
+    ), wt AS MATERIALIZED (
+      SELECT source, available_tokens,
+             CAST(CAST(substr(source, 4) AS INT) + 1 AS BIGINT) AS weight
+      FROM avail
+    ), tw AS (
+      SELECT CAST(sum(weight) AS BIGINT) AS total FROM wt
+    ), des AS (
+      SELECT source, available_tokens, weight,
+             (CAST(100000 AS BIGINT) * weight) // tw.total AS desired_tokens
+      FROM wt CROSS JOIN tw
+    ), ep AS (
+      SELECT *, least((desired_tokens * CAST(1000000 AS BIGINT))
+                        // available_tokens,
+                      CAST(3000000 AS BIGINT)) AS epochs_micro
+      FROM des
+    ), alloc AS (
+      SELECT *, least(desired_tokens,
+                      (available_tokens * epochs_micro)
+                        // CAST(1000000 AS BIGINT)) AS allocated_tokens
+      FROM ep
+    )
+    SELECT source, available_tokens, weight, desired_tokens, epochs_micro,
+           allocated_tokens,
+           desired_tokens - allocated_tokens AS deficit_tokens
+    FROM alloc
+    """
+
+
+@query("ds11_token_budget_mix", oracle=_DS11_ORACLE, tags=("datasets", "mixture"))
+def ds11_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture token allocation over the documents corpus:
+    per-source weights rise with the source index (src0 → 1 … src19 →
+    20), a 100k-token budget, and a 3-epoch repetition cap — so
+    high-weight sources exceed their available tokens, hit the cap, and
+    report a deficit (the real decision this table drives). All BIGINT
+    integer DIV arithmetic; the oracle recomputes weights from the
+    source names and replays every division. The source-name collect is
+    one bounded action (≤ |sources| rows — the v9 absmax pattern)."""
+    from fhir_etl_spark.operators.datasets import token_budget_mix
+
+    documents = load_tables(spark, sf_dir, "documents")
+    sources = [
+        r["source"] for r in documents.select("source").distinct().collect()
+    ]
+    weights = {s: int(s[3:]) + 1 for s in sorted(sources)}
+    return token_budget_mix(documents, weights, token_budget=100_000)

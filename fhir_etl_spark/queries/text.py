@@ -874,3 +874,54 @@ def t18_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_tables(spark, sf_dir, "documents")
     xe = lm_cross_entropy(documents).select("doc_id", "xent")
     return quantile_buckets(xe, "xent", out_col="ppl_bucket")
+
+
+@query(
+    "t19_collocation_lift",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, t, count(*) AS c FROM (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
+      ) GROUP BY doc_id, t
+    ), capped AS MATERIALIZED (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, t,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, t) AS rk
+        FROM tok) WHERE rk <= 32
+    ), nd AS (
+      SELECT count(DISTINCT doc_id) AS n FROM documents
+    ), tdf AS MATERIALIZED (
+      SELECT t, count(*) AS df FROM capped GROUP BY t
+    ), pairs AS (
+      SELECT x.t AS a, y.t AS b, count(*) AS ab
+      FROM capped x JOIN capped y ON x.doc_id = y.doc_id AND x.t < y.t
+      GROUP BY x.t, y.t
+      HAVING count(*) >= 3
+    ), scored AS (
+      SELECT a, b, ab, da.df AS dfa, db.df AS dfb,
+             (nd.n * ab * CAST(1000000 AS BIGINT)) // (da.df * db.df)
+               AS lift_micro
+      FROM pairs
+      JOIN tdf da ON da.t = a
+      JOIN tdf db ON db.t = b
+      CROSS JOIN nd
+    )
+    SELECT a AS token_a, b AS token_b, ab AS pair_docs,
+           dfa AS docs_a, dfb AS docs_b, lift_micro, rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY lift_micro DESC, a, b) AS rank
+      FROM scored) WHERE rank <= 100
+    """,
+    tags=("text", "association"),
+)
+def t19_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining over the corpus: top-100 token pairs by
+    document-level LIFT in exact integer micro units (N·df_ab·10⁶
+    DIV df_a·df_b — monotone in PMI without cross-engine ln risk),
+    per-doc pair fan-out bounded by a 32-token cap. See
+    operators/text.collocation_lift for the scale shape (capped pairs,
+    key-shuffled doc-frequency joins, one TakeOrdered-style top-k)."""
+    from fhir_etl_spark.operators.text import collocation_lift
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return collocation_lift(documents)

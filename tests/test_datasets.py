@@ -245,3 +245,58 @@ def test_temperature_weights_math():
         temperature_weights({"a": 10}, 0.0)
     with pytest.raises(ValueError):
         temperature_weights({"a": 0}, 2.0)
+
+
+import pytest
+
+
+class TestTokenBudgetMix:
+    def test_worked_example_with_cap_and_deficit(self, spark):
+        from fhir_etl_spark.operators.datasets import token_budget_mix
+
+        df = spark.createDataFrame(
+            [
+                (1, "web", "a b c d e f g h i j"),   # 10 tokens
+                (2, "web", "a b c d e f g h i j"),   # web: 20 available
+                (3, "books", "x y"),                 # books: 2 available
+            ],
+            "doc_id long, source string, text string",
+        )
+        out = {
+            r["source"]: r
+            for r in token_budget_mix(
+                df, {"web": 1, "books": 3}, token_budget=40
+            ).collect()
+        }
+        # web: desired 40*1//4=10, epochs=min(10e6//20, 3e6)=500000,
+        #      allocated=min(10, 20*500000//1e6=10)=10, deficit 0
+        w = out["web"]
+        assert (w["desired_tokens"], w["epochs_micro"],
+                w["allocated_tokens"], w["deficit_tokens"]) == (10, 500_000, 10, 0)
+        # books: desired 30, epochs=min(30e6//2=15e6, 3e6)=3e6 CAPPED,
+        #        allocated=min(30, 2*3e6//1e6=6)=6, deficit 24
+        b = out["books"]
+        assert (b["desired_tokens"], b["epochs_micro"],
+                b["allocated_tokens"], b["deficit_tokens"]) == (30, 3_000_000, 6, 24)
+
+    def test_unknown_source_raises_loudly(self, spark):
+        from fhir_etl_spark.operators.datasets import token_budget_mix
+
+        df = spark.createDataFrame(
+            [(1, "mystery", "a b")], "doc_id long, source string, text string"
+        )
+        with pytest.raises(Exception, match="no weight for source"):
+            token_budget_mix(df, {"web": 1}, token_budget=10).collect()
+
+    def test_parameter_validation(self, spark):
+        from fhir_etl_spark.operators.datasets import token_budget_mix
+
+        df = spark.createDataFrame(
+            [(1, "web", "a")], "doc_id long, source string, text string"
+        )
+        with pytest.raises(ValueError, match="token_budget"):
+            token_budget_mix(df, {"web": 1}, token_budget=0)
+        with pytest.raises(ValueError, match="non-negative"):
+            token_budget_mix(df, {"web": -1}, token_budget=10)
+        with pytest.raises(ValueError, match="positive total"):
+            token_budget_mix(df, {"web": 0}, token_budget=10)

@@ -291,3 +291,52 @@ def test_check_constraints_strict_bound_uses_raw_value(spark):
     ).collect()
     assert r["observed"] == 1.0  # display rounds up...
     assert r["status"] == "fail"  # ...but the verdict sees the raw ratio
+
+
+class TestCollocationLift:
+    def test_worked_example(self, spark):
+        from fhir_etl_spark.operators.text import collocation_lift
+
+        # "new york" co-occur in 3 of 4 docs; "the" is everywhere
+        rows = [
+            (1, "new york is the big city"),
+            (2, "new york has the subway"),
+            (3, "new york the city"),
+            (4, "the quiet town"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["token_a"], r["token_b"]): r
+            for r in collocation_lift(df, min_pair_docs=3, top_k=100).collect()
+        }
+        ny = got[("new", "york")]
+        # df(new)=df(york)=3, df(new,york)=3, N=4 -> lift = 4*3e6//9
+        assert ny["pair_docs"] == 3
+        assert ny["lift_micro"] == (4 * 3 * 1_000_000) // (3 * 3)
+        # ubiquitous pair ("new","the") has lift 4*3e6//(3*4) = 1e6 (=1.0)
+        assert got[("new", "the")]["lift_micro"] == 1_000_000
+        # ranking: "new york" (1.33) outranks the-pairs (1.0)
+        assert ny["rank"] < got[("new", "the")]["rank"]
+
+    def test_per_doc_token_cap_bounds_pairs(self, spark):
+        from fhir_etl_spark.operators.text import collocation_lift
+
+        # one doc with 40 distinct tokens; cap=5 -> pairs only among the
+        # 5 highest-count tokens (all counts 1 -> lexicographically first 5)
+        text = " ".join(f"tok{i:02d}" for i in range(40))
+        df = spark.createDataFrame(
+            [(i, text) for i in range(3)], "doc_id long, text string"
+        )
+        got = collocation_lift(
+            df, top_tokens_per_doc=5, min_pair_docs=3, top_k=1000
+        ).collect()
+        assert len(got) == 10  # C(5,2)
+        toks = {t for r in got for t in (r["token_a"], r["token_b"])}
+        assert toks == {f"tok{i:02d}" for i in range(5)}
+
+    def test_cap_validation(self, spark):
+        from fhir_etl_spark.operators.text import collocation_lift
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="top_tokens_per_doc"):
+            collocation_lift(df, top_tokens_per_doc=1)

@@ -69,6 +69,12 @@ QUERIES = [
     "m6_jpeg_decode",
     "x14_kmv_quantiles",
     "v8_semdedup",
+    # r08 continuation: the quantized-ANN tier (both over the UNSCALED
+    # embeddings, the v8 rationale — their sf1 value is the
+    # near-deterministic shuffle/plan floor plus the flat driver cost
+    # that dominates these literal-heavy plans)
+    "v11_pq_ann",
+    "v12_ivfpq_ann",
 ]
 
 # Wall-time floors (seconds) at the sf1 shape, set from the round-7
@@ -98,6 +104,10 @@ SF1_FLOOR = {
     "m6_jpeg_decode": 1.96,
     "x14_kmv_quantiles": 1.41,
     "v8_semdedup": 4.17,
+    # r08 continuation first-appearance floors (single quiet-ish run;
+    # both are flat-cost dominated — see bench.py's v11 note)
+    "v11_pq_ann": None,  # set on first measured run below
+    "v12_ivfpq_ann": None,
 }
 
 
