@@ -46,15 +46,30 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def unrolled_pair_dot(a: Column, b: Column, dim: int) -> Column:
+def unrolled_pair_dot(a: Column | str, b: Column | str, dim: int) -> Column:
     """Dot product as a compile-once UNROLLED codegen chain for a known
     vector width — bit-identical to :func:`_dot`'s fold (same
     left-to-right association, :func:`_sum_chain`), but without the
     interpreted per-element lambda dispatch that costs ~µs/element in
     ``F.aggregate``/``zip_with`` hot loops (int8_topk's dim note: the
-    1M×64 smoke dropped 3× from this swap). cosine_topk uses this
-    double form; int8_topk keeps its own integer-pure chain (no casts
-    — the whole point of the int8 tier)."""
+    1M-row smoke dropped 3× from this swap). cosine_topk uses this
+    double form; int8_topk keeps its own integer-pure chain.
+
+    Pass column NAMES (strings) to build the chain as ONE parsed SQL
+    expression — the pq_train_encode lesson: Column-by-Column
+    construction costs ~3 py4j round-trips per dimension (~0.5 s of
+    driver latency per plan at dim=64 under host load), while the SQL
+    string is a single call parsing to the IDENTICAL tree (``0.0D +
+    t1 + t2…`` is the same left-assoc chain as the lit-0.0-seeded
+    fold, so not a double moves). The Column form stays for computed
+    operands."""
+    if isinstance(a, str) and isinstance(b, str):
+        terms = " + ".join(
+            f"CAST(element_at(`{a}`, {i}) AS DOUBLE) * "
+            f"CAST(element_at(`{b}`, {i}) AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(f"0.0D + {terms}")
     return _sum_chain(
         [
             F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
@@ -241,7 +256,7 @@ def cosine_topk(
     if dim is None:
         pair_dot = _dot(F.col(vec_col), F.col("_qvec"))
     else:
-        pair_dot = unrolled_pair_dot(F.col(vec_col), F.col("_qvec"), dim)
+        pair_dot = unrolled_pair_dot(vec_col, "_qvec", dim)
     scored = (
         corpus.withColumn("_cnorm", _norm(F.col(vec_col)))
         .crossJoin(F.broadcast(q))
@@ -1047,7 +1062,7 @@ def mmr_rerank(
         if dim is None:
             pd_ = _dot(F.col("_emb"), F.col("_semb"))
         else:
-            pd_ = unrolled_pair_dot(F.col("_emb"), F.col("_semb"), dim)
+            pd_ = unrolled_pair_dot("_emb", "_semb", dim)
         pair_sim = F.round(pd_ / (_norm(F.col("_emb")) * _norm(F.col("_semb"))), 6)
         pen = (
             remaining.select(query_id_col, id_col, "_emb")
