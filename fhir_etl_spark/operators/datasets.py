@@ -491,8 +491,15 @@ def token_budget_mix(
             "available_tokens",
             "weight",
             "desired_tokens",
-            "least((desired_tokens * CAST(1000000 AS BIGINT)) DIV available_tokens, "
-            f"CAST({max_epochs_micro} AS BIGINT)) AS epochs_micro",
+            # a zero-token source must fail LOUDLY: Spark's DIV would
+            # return NULL (silent) where DuckDB's // raises — the same
+            # answer on neither side is an answer on neither side
+            "CASE WHEN available_tokens = 0 THEN "
+            "CAST(raise_error(concat('token_budget_mix: source ', source, "
+            "' has zero available tokens')) AS BIGINT) "
+            "ELSE least((desired_tokens * CAST(1000000 AS BIGINT)) "
+            f"DIV available_tokens, CAST({max_epochs_micro} AS BIGINT)) "
+            "END AS epochs_micro",
         )
         .selectExpr(
             "source",

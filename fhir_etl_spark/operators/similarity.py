@@ -1429,6 +1429,9 @@ def ivf_pq_build(
     if not coarse_rows:
         raise ValueError("ivf_pq_build: empty corpus")
     coarse = [[float(x) for x in r["_v"]] for r in coarse_rows]
+    # a corpus smaller than n_list just gets fewer lists (k-means with
+    # n < k); every later range(n_list) must see the ACTUAL count
+    n_list = len(coarse)
 
     def listed_df(df: DataFrame, v: str = "_v") -> DataFrame:
         """Adds ``_list`` (coarse argmin) and ``_rv`` (residual) to a
@@ -1585,6 +1588,12 @@ def ivf_pq_search(
     """
     dim = len(coarse[0])
     n_list = len(coarse)
+    if m * sub_len != dim:
+        raise ValueError(
+            f"ivf_pq_search: m={m} × sub_len={sub_len} must equal the coarse "
+            f"centroid width dim={dim} — a mismatch would silently slice the "
+            "wrong residual components"
+        )
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.col(vec_col).cast("array<double>").alias("_qv"),

@@ -300,3 +300,38 @@ class TestTokenBudgetMix:
             token_budget_mix(df, {"web": -1}, token_budget=10)
         with pytest.raises(ValueError, match="positive total"):
             token_budget_mix(df, {"web": 0}, token_budget=10)
+
+
+def test_token_budget_mix_zero_token_source_raises(spark):
+    from fhir_etl_spark.operators.datasets import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(1, "web", "a b"), (2, "empty", "   ")],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(Exception, match="zero available tokens"):
+        token_budget_mix(df, {"web": 1, "empty": 1}, token_budget=10).collect()
+
+
+def test_ivfpq_small_corpus_and_geometry_guard(spark):
+    from fhir_etl_spark.operators.similarity import ivf_pq_build, ivf_pq_search
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    # corpus (5) smaller than n_list (8): fewer lists, no IndexError
+    codes, coarse, codebook = ivf_pq_build(
+        df, dim=8, n_list=8, m=2, sub_k=4, n_iterations=2
+    )
+    assert len(coarse) == 5 and codes.count() == 5
+    queries = df.limit(1).selectExpr("vec_id AS query_id", "embedding")
+    got = ivf_pq_search(
+        codes, coarse, codebook, queries, k=3, n_probe=2,
+        m=2, sub_len=4, sub_k=4,
+    ).collect()
+    assert len(got) >= 1
+    with pytest.raises(ValueError, match="must equal the coarse"):
+        ivf_pq_search(
+            codes, coarse, codebook, queries, k=3, m=2, sub_len=3, sub_k=4
+        )
