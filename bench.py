@@ -116,6 +116,10 @@ HEADLINE = [
     "m14_scene_change",
     # IVF-PQ: coarse lists + residual PQ + probed ADC (the v4+v11 composition)
     "v12_ivfpq_ann",
+    # collocation lift mining (capped pair fan-out + key-shuffled df joins)
+    "t19_collocation_lift",
+    # training-mixture token allocation (one aggregate + literal arithmetic)
+    "ds11_token_budget_mix",
 ]
 
 
@@ -171,6 +175,12 @@ R03_FLOOR = {
     "w10_holt_trend": 0.543,
     "s17_arrow_ipc_roundtrip": 0.598,
     "m14_scene_change": 6.162,
+    "v12_ivfpq_ann": 6.888,
+    "t19_collocation_lift": 1.159,
+    "ds11_token_budget_mix": 0.34,
+    # v1's floor stays 0.507: the session's selectExpr dot-construction
+    # fix brought it back under the bar (0.72 at loadavg ~2) after the
+    # py4j-latency inflation the r08 continuation runs recorded.
 }
 
 
