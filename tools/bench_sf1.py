@@ -104,10 +104,12 @@ SF1_FLOOR = {
     "m6_jpeg_decode": 1.96,
     "x14_kmv_quantiles": 1.41,
     "v8_semdedup": 4.17,
-    # r08 continuation first-appearance floors (single quiet-ish run;
-    # both are flat-cost dominated — see bench.py's v11 note)
-    "v11_pq_ann": None,  # set on first measured run below
-    "v12_ivfpq_ann": None,
+    # r08 continuation first-appearance floors (loadavg ~2 at start;
+    # both flat-cost dominated — see bench.py's v11 note — and both
+    # ZERO-shuffle at this shape: the encode is map-only, the ADC scan's
+    # only exchange is the rank-k window over k rows per query)
+    "v11_pq_ann": 4.93,
+    "v12_ivfpq_ann": 5.81,
 }
 
 
