@@ -187,3 +187,51 @@ def drift_psi(
         F.round(F.sum("psi_term"), 6).alias("psi_term"),
     )
     return terms.unionByName(total_row)
+
+
+def referential_integrity(
+    edges: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table foreign-key audit: for each edge ``(name, child,
+    fk_col, parent, pk_col)`` report how many child rows point at a
+    parent key that does not exist — the constraint a warehouse cannot
+    declare-and-enforce at 100 TB and therefore has to AUDIT (the dq1
+    single-table checks' cross-table sibling).
+
+    Per edge: total child rows, rows with a NULL FK (counted separately
+    — a NULL is "no reference", not a dangling one), orphan rows
+    (non-null FK with no matching parent), and distinct orphan keys.
+    Orphans come from one left-anti join per edge on the key — Catalyst
+    broadcasts small parents and sort-merges large ones, and AQE
+    re-plans at runtime; the per-edge outputs are 1-row aggregates
+    unioned together, so the result is |edges| rows regardless of scale.
+    """
+    if not edges:
+        raise ValueError("referential_integrity: need at least one edge")
+    out: DataFrame | None = None
+    for name, child, fk_col, parent, pk_col in edges:
+        base = child.select(F.col(fk_col).alias("_fk"))
+        keys = parent.select(F.col(pk_col).alias("_pk")).distinct()
+        orphans = (
+            base.where(F.col("_fk").isNotNull())
+            .join(keys, F.col("_fk") == F.col("_pk"), "left_anti")
+        )
+        stats = base.agg(
+            F.count(F.lit(1)).alias("child_rows"),
+            F.count(F.when(F.col("_fk").isNull(), 1)).alias("null_fk_rows"),
+        ).crossJoin(
+            F.broadcast(
+                orphans.agg(
+                    F.count(F.lit(1)).alias("orphan_rows"),
+                    F.countDistinct("_fk").alias("orphan_keys"),
+                )
+            )
+        ).select(
+            F.lit(name).alias("edge"),
+            "child_rows",
+            "null_fk_rows",
+            "orphan_rows",
+            "orphan_keys",
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out

@@ -597,3 +597,74 @@ def x15_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=64,
     )
     return kmv_distinct_estimate(sk, ["l_returnflag"], k=64)
+
+
+@query(
+    "dq3_referential_integrity",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem),
+    e1 AS (
+      SELECT 'lineitem.l_orderkey->orders' AS edge,
+             (SELECT count(*) FROM li) AS child_rows,
+             (SELECT count(*) FROM li WHERE l_orderkey IS NULL) AS null_fk_rows,
+             (SELECT count(*) FROM li WHERE l_orderkey IS NOT NULL
+                AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphan_rows,
+             (SELECT count(DISTINCT l_orderkey) FROM li WHERE l_orderkey IS NOT NULL
+                AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphan_keys
+    ), e2 AS (
+      SELECT 'orders.o_custkey->customer' AS edge,
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+             (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+                AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+             (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_custkey IS NOT NULL
+                AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+    ), e3 AS (
+      SELECT 'lineitem.l_suppkey->supplier' AS edge,
+             (SELECT count(*) FROM li),
+             (SELECT count(*) FROM li WHERE l_suppkey IS NULL),
+             (SELECT count(*) FROM li WHERE l_suppkey IS NOT NULL
+                AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+             (SELECT count(DISTINCT l_suppkey) FROM li WHERE l_suppkey IS NOT NULL
+                AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+    ), e4 AS (
+      SELECT 'lineitem.l_partkey->part_mod3 (planted)' AS edge,
+             (SELECT count(*) FROM li),
+             (SELECT count(*) FROM li WHERE l_partkey IS NULL),
+             (SELECT count(*) FROM li WHERE l_partkey IS NOT NULL
+                AND l_partkey NOT IN (SELECT p_partkey FROM part
+                                      WHERE p_partkey % 3 = 0)),
+             (SELECT count(DISTINCT l_partkey) FROM li WHERE l_partkey IS NOT NULL
+                AND l_partkey NOT IN (SELECT p_partkey FROM part
+                                      WHERE p_partkey % 3 = 0))
+    )
+    SELECT * FROM e1 UNION ALL SELECT * FROM e2
+    UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+    """,
+    tags=("quality", "integrity"),
+)
+def dq3_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table FK audit over the TPC-H graph: three real edges
+    (lineitem→orders, orders→customer, lineitem→supplier — all clean by
+    construction, pinning the zero path) plus one PLANTED broken edge
+    (lineitem.l_partkey against only every third part), so non-zero
+    orphan rows/keys flow through the anti-join machinery and the oracle
+    value-checks them. One left-anti join per edge; |edges| output rows
+    at any scale — see operators/quality.referential_integrity."""
+    from fhir_etl_spark.operators.quality import referential_integrity
+
+    lineitem, orders, customer, supplier, part = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "part"
+    )
+    return referential_integrity(
+        [
+            ("lineitem.l_orderkey->orders", lineitem, "l_orderkey",
+             orders, "o_orderkey"),
+            ("orders.o_custkey->customer", orders, "o_custkey",
+             customer, "c_custkey"),
+            ("lineitem.l_suppkey->supplier", lineitem, "l_suppkey",
+             supplier, "s_suppkey"),
+            ("lineitem.l_partkey->part_mod3 (planted)", lineitem, "l_partkey",
+             part.filter(F.col("p_partkey") % 3 == 0), "p_partkey"),
+        ]
+    )

@@ -192,3 +192,50 @@ def y3_hilbert_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hilbert_key(lineitem, ["l_partkey", "l_suppkey"], bits=_BITS).selectExpr(
         "l_orderkey", "l_linenumber", "_hvalue AS hval"
     )
+
+
+@query(
+    "y4_compaction",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
+    tags=("layout", "versioned", "maintenance"),
+)
+def y4_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction exercised end to end through the driver
+    gate: orders is committed as 8 single-slice appends (each slice
+    written as multiple small files), the head is compacted
+    (sinks/versioned.compact_snapshot — rewrite as few size-targeted
+    files, committed as a normal overwrite snapshot), and the COMPACTED
+    head is read back. The oracle is the full source table: compaction
+    must change file layout and NOTHING else — a lost slice, duplicated
+    directory, or schema drift hash-mismatches. File-count reduction and
+    the no-op path are pinned in tests/test_versioned.py."""
+    import atexit
+    import os
+    import shutil
+
+    from fhir_etl_spark.sinks.versioned import (
+        compact_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    orders = load_tables(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = (
+        "/tmp/fhir_etl_spark_versioned/"
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}/orders_y4"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    atexit.register(shutil.rmtree, os.path.dirname(table), ignore_errors=True)
+    for i in range(8):
+        write_snapshot(
+            orders.filter(F.col("o_orderkey") % 8 == i).repartition(4),
+            table,
+            mode="append" if i else "overwrite",
+        )
+    stats = compact_snapshot(spark, table, target_file_bytes=64 * 1024 * 1024)
+    assert stats["compacted"] and stats["files_after"] < stats["files_before"]
+    return read_snapshot(spark, table, stats["version"])

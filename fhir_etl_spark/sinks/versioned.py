@@ -246,3 +246,74 @@ def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
         if v not in keep:
             os.remove(_manifest_path(table_path, v))
     return deleted
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_retries: int = 0,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    log-structured format needs (Delta OPTIMIZE / Iceberg rewrite_data_
+    files): many small appends accumulate many small parquet files, and
+    at 100 TB the per-file open/footer/driver-listing overhead comes to
+    dominate scans. Reads the HEAD snapshot, rewrites it as
+    ``ceil(total_bytes / target_file_bytes)`` files, and commits the
+    rewrite as a normal ``overwrite`` snapshot — so compaction rides the
+    existing atomicity/isolation machinery: readers pinned to older
+    manifests keep their file sets, the compacted version is just the
+    new head, a concurrent writer loses the version race LOUDLY
+    (:class:`ConcurrentWriteError`), and ``vacuum`` reclaims the small
+    files once no retained snapshot references them.
+
+    No-op (returns with ``compacted=False``, no commit) when the head
+    already has ≤ the target file count — "compaction" that rewrites
+    bytes without reducing files is pure cost.
+
+    Returns {version, compacted, files_before, files_after,
+    bytes_before} — version is the NEW head when compacted, else the
+    unchanged head.
+    """
+    if target_file_bytes <= 0:
+        raise ValueError("compact_snapshot: target_file_bytes must be positive")
+    versions = _versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    head = versions[-1]
+    manifest = _load_manifest(table_path, head)
+    files_before, bytes_before = 0, 0
+    for rel in manifest["data_dirs"]:
+        base = os.path.join(table_path, rel)
+        for name in os.listdir(base):
+            if name.endswith(".parquet"):
+                files_before += 1
+                bytes_before += os.path.getsize(os.path.join(base, name))
+    n_out = max(1, -(-bytes_before // target_file_bytes))  # ceil div
+    if files_before <= n_out:
+        return {
+            "version": head,
+            "compacted": False,
+            "files_before": files_before,
+            "files_after": files_before,
+            "bytes_before": bytes_before,
+        }
+    df = read_snapshot(spark, table_path, head)
+    version = write_snapshot(
+        df.repartition(n_out), table_path, mode="overwrite",
+        max_retries=max_retries,
+    )
+    new_manifest = _load_manifest(table_path, version)
+    files_after = sum(
+        1
+        for rel in new_manifest["data_dirs"]
+        for name in os.listdir(os.path.join(table_path, rel))
+        if name.endswith(".parquet")
+    )
+    return {
+        "version": version,
+        "compacted": True,
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_before": bytes_before,
+    }

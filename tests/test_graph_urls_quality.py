@@ -340,3 +340,30 @@ class TestCollocationLift:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="top_tokens_per_doc"):
             collocation_lift(df, top_tokens_per_doc=1)
+
+
+class TestReferentialIntegrity:
+    def test_planted_orphans_counted(self, spark):
+        from fhir_etl_spark.operators.quality import referential_integrity
+
+        child = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (4, None), (5, 20)],
+            "id long, fk long",
+        )
+        parent = spark.createDataFrame([(10,), (99,)], "pk long")
+        got = {
+            r["edge"]: r
+            for r in referential_integrity(
+                [("child.fk->parent", child, "fk", parent, "pk")]
+            ).collect()
+        }
+        e = got["child.fk->parent"]
+        # 5 rows; 1 NULL fk; orphans: 20, 30, 20 -> 3 rows, 2 keys
+        assert (e["child_rows"], e["null_fk_rows"],
+                e["orphan_rows"], e["orphan_keys"]) == (5, 1, 3, 2)
+
+    def test_empty_edges_rejected(self, spark):
+        from fhir_etl_spark.operators.quality import referential_integrity
+
+        with pytest.raises(ValueError, match="at least one edge"):
+            referential_integrity([])

@@ -209,6 +209,12 @@ def test_no_broadcast_hints_on_scaling_tables():
         # quantile_buckets (t18): `tot` is the 1-row corpus count,
         # `cuts` the 1-row aggregate holding the k-1 cut scores
         "tot", "cuts",
+        # referential_integrity (dq3): the per-edge orphan AGGREGATE —
+        # broadcast arg is orphans.agg(...), a 1-row frame
+        "orphans",
+        # token_budget_mix / collocation_lift: `n_docs` is the 1-row
+        # distinct-doc count
+        "n_docs",
     }
     root = pathlib.Path(__file__).resolve().parent.parent / "fhir_etl_spark"
     violations = []

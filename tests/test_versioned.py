@@ -259,3 +259,46 @@ def test_schema_evolution_additive(spark, tmp_path):
         spark.createDataFrame([(9,)], "other long"), table, mode="overwrite"
     )
     assert read_snapshot(spark, table, version=v3).columns == ["other"]
+
+
+def test_compact_snapshot_reduces_files_and_preserves_content(spark, tmp_path):
+    from fhir_etl_spark.sinks.versioned import (
+        compact_snapshot,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    for i in range(5):
+        write_snapshot(
+            spark.range(i * 100, (i + 1) * 100).repartition(4),
+            table,
+            mode="append" if i else "overwrite",
+        )
+    before = {r["id"] for r in read_snapshot(spark, table).collect()}
+    stats = compact_snapshot(spark, table, target_file_bytes=64 * 1024 * 1024)
+    assert stats["compacted"] is True
+    assert stats["files_after"] < stats["files_before"] == 20
+    after = {r["id"] for r in read_snapshot(spark, table, stats["version"]).collect()}
+    assert after == before == set(range(500))
+    # the compaction is a normal commit: history grew by one overwrite
+    hist = snapshot_history(table)
+    assert hist[-1]["mode"] == "overwrite" and hist[-1]["version"] == stats["version"]
+    # old snapshots still readable (time travel unbroken)
+    assert read_snapshot(spark, table, 0).count() == 100
+
+    # second pass is a no-op: already at/below target file count
+    again = compact_snapshot(spark, table, target_file_bytes=64 * 1024 * 1024)
+    assert again["compacted"] is False
+    assert again["version"] == stats["version"]
+
+    with pytest.raises(ValueError, match="target_file_bytes"):
+        compact_snapshot(spark, table, target_file_bytes=0)
+
+
+def test_compact_snapshot_empty_table_raises(spark, tmp_path):
+    from fhir_etl_spark.sinks.versioned import compact_snapshot
+
+    with pytest.raises(FileNotFoundError):
+        compact_snapshot(spark, str(tmp_path / "missing"))
