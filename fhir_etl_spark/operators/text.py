@@ -663,3 +663,52 @@ def collocation_lift(
         scored.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= top_k)
     )
+
+
+# Unicode script ranges as explicit regex char classes — identical
+# semantics in Java regex (Spark, UTF-16) and RE2 (DuckDB, UTF-8) for
+# BMP ranges, verified by the t20 oracle. Latin includes the
+# Latin-1/Extended-A/B supplements (é, ü, ș…); CJK is the unified
+# ideographs block.
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "cjk": "[一-鿿]",
+    "arabic": "[؀-ۿ]",
+}
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode script detection — the multilingual-corpus routing signal
+    language-ID models assume you already have (a CJK doc should never
+    reach a Latin-stopword classifier like t3's): per document, count
+    characters in each script's range with ``regexp_count`` (pure
+    codegen — no per-character lambda, no Python) and pick the dominant
+    script (ties → alphabetical, zero everywhere → 'und').
+
+    All counts are integers and the classes are explicit BMP ranges, so
+    Java regex and RE2 agree exactly — the oracle replays every count.
+    Map-only projection; at 100 TB this is one codegen scan.
+
+    Returns (id_col, n_chars, latin, cyrillic, cjk, arabic, script).
+    """
+    counts = {
+        name: F.regexp_count(F.col(text_col), F.lit(cls)).cast("long")
+        for name, cls in SCRIPT_CLASSES.items()
+    }
+    best = F.greatest(*counts.values())
+    script = F.lit("und")
+    # reversed alphabetical build so the FIRST alphabetical winner ends
+    # up outermost (ties → alphabetical, the t3 convention)
+    for name in sorted(counts, reverse=True):
+        script = F.when((counts[name] > 0) & (counts[name] == best), name).otherwise(
+            script
+        )
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        *[counts[n].alias(n) for n in SCRIPT_CLASSES],
+        script.alias("script"),
+    )

@@ -925,3 +925,51 @@ def t19_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_tables(spark, sf_dir, "documents")
     return collocation_lift(documents)
+
+
+def _t20_cls(name: str) -> str:
+    from fhir_etl_spark.operators.text import SCRIPT_CLASSES
+
+    return SCRIPT_CLASSES[name]
+
+
+@query(
+    "t20_script_detection",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '{{lat}}')) AS BIGINT) AS latin,
+             CAST(len(regexp_extract_all(text, '{{cyr}}')) AS BIGINT) AS cyrillic,
+             CAST(len(regexp_extract_all(text, '{{cjk}}')) AS BIGINT) AS cjk,
+             CAST(len(regexp_extract_all(text, '{{ar}}')) AS BIGINT) AS arabic
+      FROM documents
+    )
+    SELECT doc_id, n_chars, latin, cyrillic, cjk, arabic,
+           CASE
+             WHEN arabic > 0 AND arabic = greatest(latin, cyrillic, cjk, arabic)
+               THEN 'arabic'
+             WHEN cjk > 0 AND cjk = greatest(latin, cyrillic, cjk, arabic)
+               THEN 'cjk'
+             WHEN cyrillic > 0 AND cyrillic = greatest(latin, cyrillic, cjk, arabic)
+               THEN 'cyrillic'
+             WHEN latin > 0 AND latin = greatest(latin, cyrillic, cjk, arabic)
+               THEN 'latin'
+             ELSE 'und' END AS script
+    FROM c
+    """.format(
+        lat=_t20_cls("latin"),
+        cyr=_t20_cls("cyrillic"),
+        cjk=_t20_cls("cjk"),
+        ar=_t20_cls("arabic"),
+    ),
+    tags=("text", "multilingual"),
+)
+def t20_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode script profile + dominant-script pick over
+    the multilingual documents corpus (the zh docs must classify cjk,
+    the rest latin) — pure-codegen regexp_count, integer counts, exact
+    oracle. See operators/text.script_profile."""
+    from fhir_etl_spark.operators.text import script_profile
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return script_profile(documents)

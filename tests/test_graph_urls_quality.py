@@ -367,3 +367,35 @@ class TestReferentialIntegrity:
 
         with pytest.raises(ValueError, match="at least one edge"):
             referential_integrity([])
+
+
+class TestScriptProfile:
+    def test_scripts_classified(self, spark):
+        from fhir_etl_spark.operators.text import script_profile
+
+        rows = [
+            (1, "hello world résumé"),
+            (2, "中文文本处理很有趣"),
+            (3, "Привет мир это тест"),
+            (4, "مرحبا بالعالم"),
+            (5, "12345 !!! ..."),          # no script chars -> und
+            (6, "abc 中文 abc"),            # latin 6 > cjk 2
+            (7, "ab 中文"),                 # tie 2-2 -> alphabetical: cjk
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in script_profile(df).collect()}
+        assert got[1]["script"] == "latin" and got[1]["latin"] == 16
+        assert got[2]["script"] == "cjk" and got[2]["cjk"] == 9
+        assert got[3]["script"] == "cyrillic"
+        assert got[4]["script"] == "arabic"
+        assert got[5]["script"] == "und"
+        assert got[6]["script"] == "latin"
+        assert got[7]["script"] == "cjk"  # ties break alphabetically
+
+    def test_plan_is_pure_codegen(self, spark):
+        from fhir_etl_spark.operators.text import script_profile
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = script_profile(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan  # map-only projection
