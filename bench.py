@@ -120,6 +120,12 @@ HEADLINE = [
     "t19_collocation_lift",
     # training-mixture token allocation (one aggregate + literal arithmetic)
     "ds11_token_budget_mix",
+    # versioned-table small-file compaction (8 fragmented commits -> rewrite)
+    "y4_compaction",
+    # cross-table FK audit (4 anti-join edges incl. one planted-broken)
+    "dq3_referential_integrity",
+    # Unicode script detection (pure-codegen regexp_count projection)
+    "t20_script_detection",
 ]
 
 
@@ -175,9 +181,12 @@ R03_FLOOR = {
     "w10_holt_trend": 0.543,
     "s17_arrow_ipc_roundtrip": 0.598,
     "m14_scene_change": 6.162,
-    "v12_ivfpq_ann": 6.888,
+    "v12_ivfpq_ann": 6.704,
     "t19_collocation_lift": 1.159,
     "ds11_token_budget_mix": 0.34,
+    "y4_compaction": 2.364,
+    "dq3_referential_integrity": 1.319,
+    "t20_script_detection": 0.647,
     # v1's floor stays 0.507: the session's selectExpr dot-construction
     # fix brought it back under the bar (0.72 at loadavg ~2) after the
     # py4j-latency inflation the r08 continuation runs recorded.
