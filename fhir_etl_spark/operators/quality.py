@@ -212,26 +212,29 @@ def referential_integrity(
     for name, child, fk_col, parent, pk_col in edges:
         base = child.select(F.col(fk_col).alias("_fk"))
         keys = parent.select(F.col(pk_col).alias("_pk")).distinct()
-        orphans = (
-            base.where(F.col("_fk").isNotNull())
-            .join(keys, F.col("_fk") == F.col("_pk"), "left_anti")
+        # ONE pass per edge: a left join against the de-duplicated key
+        # set classifies every child row (matched / orphan / null-FK) in
+        # the same scan that counts them — the first cut ran a totals
+        # aggregate AND a separate anti-join aggregate, scanning each
+        # child table twice
+        orphan_fk = F.when(
+            F.col("_fk").isNotNull() & F.col("_pk").isNull(), F.col("_fk")
         )
-        stats = base.agg(
-            F.count(F.lit(1)).alias("child_rows"),
-            F.count(F.when(F.col("_fk").isNull(), 1)).alias("null_fk_rows"),
-        ).crossJoin(
-            F.broadcast(
-                orphans.agg(
-                    F.count(F.lit(1)).alias("orphan_rows"),
-                    F.countDistinct("_fk").alias("orphan_keys"),
-                )
+        stats = (
+            base.join(keys, F.col("_fk") == F.col("_pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("child_rows"),
+                F.count(F.when(F.col("_fk").isNull(), 1)).alias("null_fk_rows"),
+                F.count(orphan_fk).alias("orphan_rows"),
+                F.countDistinct(orphan_fk).alias("orphan_keys"),
             )
-        ).select(
-            F.lit(name).alias("edge"),
-            "child_rows",
-            "null_fk_rows",
-            "orphan_rows",
-            "orphan_keys",
+            .select(
+                F.lit(name).alias("edge"),
+                "child_rows",
+                "null_fk_rows",
+                "orphan_rows",
+                "orphan_keys",
+            )
         )
         out = stats if out is None else out.unionByName(stats)
     return out

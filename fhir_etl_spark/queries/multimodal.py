@@ -1066,7 +1066,12 @@ def m14_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
     frames = split_gif_frames(media, every_n=1, bytes_col="media", id_col="doc_id")
     decoded = decode_image(frames, bytes_col="frame")
-    hists = luma_histogram(decoded, image_col="image")
+    # select BEFORE the window: pruning cannot reach inside mapInPandas,
+    # so without this the per-clip window would shuffle every frame's
+    # pixel buffer and encoded bytes alongside the 16-long histogram
+    hists = luma_histogram(decoded, image_col="image").select(
+        "doc_id", "frame_index", "hist"
+    )
     flagged = scene_cuts(hists, id_col="doc_id", order_col="frame_index")
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_frames"),
