@@ -81,7 +81,11 @@ def _load_manifest(table_path: str, version: int) -> dict:
 
 
 def write_snapshot(
-    df: DataFrame, table_path: str, mode: str = "append", max_retries: int = 0
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    max_retries: int = 0,
+    require_parent: int | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot; returns the new version.
 
@@ -96,6 +100,16 @@ def write_snapshot(
     optimistic retry: the data files are already written and
     version-agnostic, so each retry only re-reads the head manifest and
     re-publishes — the Spark job never re-runs.
+
+    ``require_parent`` pins the commit to a SPECIFIC parent version —
+    the read-modify-write conflict check (Delta's OPTIMIZE semantics):
+    a commit whose input was derived from snapshot ``P`` must abort with
+    :class:`ConcurrentWriteError` if the head is no longer ``P``,
+    because publishing would silently discard whatever the interleaved
+    writer added. The version-race hard-link alone cannot catch this —
+    the late committer simply lands at head+1. Retries do NOT bypass the
+    check (the derivation is stale either way; the CALLER must re-derive
+    and re-commit).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -141,6 +155,14 @@ def write_snapshot(
 
     for attempt in range(max_retries + 1):
         existing = _versions(table_path)
+        head_now = existing[-1] if existing else None
+        if require_parent is not None and head_now != require_parent:
+            raise ConcurrentWriteError(
+                f"head of {table_path} moved to {head_now} but this commit "
+                f"was derived from snapshot {require_parent} — publishing "
+                "would discard the interleaved commit(s); re-derive from "
+                "the new head and retry"
+            )
         version = (existing[-1] + 1) if existing else 0
         parent_dirs: list[str] = []
         if mode == "append" and existing:
@@ -299,9 +321,12 @@ def compact_snapshot(
             "bytes_before": bytes_before,
         }
     df = read_snapshot(spark, table_path, head)
+    # require_parent pins the rewrite to the snapshot it was derived
+    # from: an append landing between the read above and this commit
+    # must fail the compaction LOUDLY, not be silently thrown away
     version = write_snapshot(
         df.repartition(n_out), table_path, mode="overwrite",
-        max_retries=max_retries,
+        max_retries=max_retries, require_parent=head,
     )
     new_manifest = _load_manifest(table_path, version)
     files_after = sum(

@@ -302,3 +302,59 @@ def test_compact_snapshot_empty_table_raises(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         compact_snapshot(spark, str(tmp_path / "missing"))
+
+
+def test_compact_snapshot_aborts_on_interleaved_commit(spark, tmp_path):
+    """Lost-update guard: an append landing between compaction's read and
+    its commit must abort the compaction loudly — publishing would
+    silently discard the appended rows (the head-version race alone
+    cannot catch this; the late committer just lands at head+1)."""
+    from fhir_etl_spark.sinks import versioned as V
+
+    table = str(tmp_path / "t")
+    for i in range(4):
+        V.write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).repartition(3),
+            table,
+            mode="append" if i else "overwrite",
+        )
+
+    real_read = V.read_snapshot
+
+    def read_then_interleave(spark_, path, version=None):
+        df = real_read(spark_, path, version)
+        # simulate a concurrent appender committing AFTER the read
+        V.write_snapshot(spark_.range(1000, 1010), path, mode="append")
+        return df
+
+    orig = V.read_snapshot
+    V.read_snapshot = read_then_interleave
+    try:
+        with pytest.raises(V.ConcurrentWriteError, match="derived from snapshot"):
+            V.compact_snapshot(spark, table, target_file_bytes=64 * 1024 * 1024)
+    finally:
+        V.read_snapshot = orig
+    # nothing lost: the interleaved rows are on the (new) head
+    ids = {r["id"] for r in V.read_snapshot(spark, table).collect()}
+    assert set(range(1000, 1010)) <= ids and set(range(40)) <= ids
+
+
+def test_write_snapshot_require_parent(spark, tmp_path):
+    from fhir_etl_spark.sinks.versioned import (
+        ConcurrentWriteError,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    v0 = write_snapshot(spark.range(5), table, mode="overwrite")
+    # matching parent commits fine
+    v1 = write_snapshot(
+        spark.range(5, 10), table, mode="append", require_parent=v0
+    )
+    assert v1 == v0 + 1
+    # stale parent aborts even with retries
+    with pytest.raises(ConcurrentWriteError, match="derived from snapshot"):
+        write_snapshot(
+            spark.range(10, 15), table, mode="append",
+            require_parent=v0, max_retries=3,
+        )
