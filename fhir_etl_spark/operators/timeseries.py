@@ -37,7 +37,7 @@ fine at session scale (<= ~10^4 rows/key), and still JVM-side.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -190,4 +190,64 @@ def holt_smoothing(
         F.col("__z.__states.__l").alias("level"),
         F.col("__z.__states.__b").alias("trend"),
         (F.col("__z.__states.__l") + F.col("__z.__states.__b")).alias("forecast"),
+    )
+
+
+def ols_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend fit in EXACT integer micro
+    units: x = the rank within the key (1..n over ``order_cols``), y =
+    ``round(value × value_scale)`` (centi-units by default — exact for
+    2-dp data), and the closed-form estimators
+
+    - ``slope_micro   = (n·Σxy − Σx·Σy) · 10⁶ DIV (n·Σx² − (Σx)²)``
+    - ``intercept_micro = (Σy·10⁶ − slope_micro·Σx) DIV n``
+
+    computed entirely from BIGINT sums, so both numbers are bit-exact on
+    any engine and any partitioning (integer DIV truncates toward zero
+    identically in Spark and DuckDB — verified on negatives). The y
+    scaling means slope_micro is "micro-y-units per step" where one
+    y-unit = 1/value_scale of the raw value.
+
+    Keys with fewer than 2 rows are dropped (the denominator
+    ``n·Σx² − (Σx)²`` is 0 exactly then — x ranks are distinct, so it is
+    strictly positive for every kept key; no divide-by-zero path
+    exists). Plan: one rank window + one groupBy per key — two shuffles
+    on the same key, no Python, no floats until the caller divides.
+
+    Output: key_cols + (n, slope_micro, intercept_micro).
+    """
+    if value_scale <= 0:
+        raise ValueError("ols_trend: value_scale must be positive")
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    ranked = df.select(
+        *key_cols,
+        F.row_number().over(w).cast("long").alias("_x"),
+        F.round(F.col(value_col) * F.lit(value_scale), 0).cast("long").alias("_y"),
+    )
+    sums = ranked.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    ).filter(F.col("n") >= 2)
+    return sums.selectExpr(
+        *key_cols,
+        "n",
+        "_sx",
+        "_sy",
+        "((n * _sxy - _sx * _sy) * CAST(1000000 AS BIGINT)) "
+        "DIV (n * _sxx - _sx * _sx) AS slope_micro",
+    ).selectExpr(
+        *key_cols,
+        "n",
+        "slope_micro",
+        "(_sy * CAST(1000000 AS BIGINT) - slope_micro * _sx) DIV n "
+        "AS intercept_micro",
     )

@@ -309,3 +309,97 @@ def e8_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_ts",
         )
     )
+
+
+@query(
+    "e9_sequence_pattern",
+    oracle="""
+    WITH RECURSIVE ranked AS MATERIALIZED (
+      SELECT user_id, event_type,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+      FROM events
+    ), st AS (
+      SELECT user_id, n_events, rn,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS stage,
+             CAST(0 AS BIGINT) AS n_conversions,
+             CAST(-1 AS BIGINT) AS first_rn
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.n_events, r.rn,
+             CASE WHEN r.event_type = 'error' THEN 0
+                  WHEN r.event_type = 'view' AND p.stage = 0 THEN 1
+                  WHEN r.event_type = 'click' AND p.stage = 1 THEN 2
+                  WHEN r.event_type = 'purchase' AND p.stage = 2 THEN 0
+                  ELSE p.stage END,
+             p.n_conversions + CASE WHEN r.event_type = 'purchase'
+                                     AND p.stage = 2 THEN 1 ELSE 0 END,
+             CASE WHEN p.first_rn <> -1 THEN p.first_rn
+                  WHEN r.event_type = 'purchase' AND p.stage = 2 THEN r.rn
+                  ELSE CAST(-1 AS BIGINT) END
+      FROM ranked r JOIN st p ON r.user_id = p.user_id AND r.rn = p.rn + 1
+    )
+    SELECT user_id, n_events, n_conversions, first_rn
+    FROM st WHERE rn = n_events
+    """,
+    tags=("events", "sequence"),
+)
+def e9_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection, Spark-first: per user,
+    count NON-OVERLAPPING completions of the funnel pattern
+    ``view → click → purchase with no error in between`` over the exact
+    event order, plus the event index of the first completion (-1 if
+    none). The state machine (stage 0/1/2, reset on error, emit on
+    stage-2 purchase) runs as the sorted-array left fold the w9/ds5
+    family uses — one shuffle, zero Python, O(1) state per step — and
+    the oracle replays it row by row with a recursive CTE. Unlike e7's
+    ordered funnel (first-occurrence timestamps), this counts EVERY
+    completed, reset-aware traversal."""
+    events = load_tables(spark, sf_dir, "events")
+    row = F.struct(
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("event_id"),
+        F.col("event_type").alias("__t"),
+    )
+
+    def step(acc, x):
+        i2 = acc["__i"] + 1
+        t = x["__t"]
+        completed = (t == "purchase") & (acc["__s"] == 2)
+        s2 = (
+            F.when(t == "error", 0)
+            .when((t == "view") & (acc["__s"] == 0), 1)
+            .when((t == "click") & (acc["__s"] == 1), 2)
+            .when(completed, 0)
+            .otherwise(acc["__s"])
+        )
+        n2 = acc["__n"] + F.when(completed, 1).otherwise(0).cast("long")
+        first2 = (
+            F.when(acc["__f"] != -1, acc["__f"])
+            .when(completed, i2.cast("long"))
+            .otherwise(F.lit(-1).cast("long"))
+        )
+        return F.struct(
+            i2.alias("__i"), s2.alias("__s"), n2.alias("__n"), first2.alias("__f")
+        )
+
+    init = F.expr(
+        "named_struct('__i', 0, '__s', 0, '__n', CAST(0 AS BIGINT), "
+        "'__f', CAST(-1 AS BIGINT))"
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(row)).alias("__rows"))
+        .select(
+            "user_id",
+            F.size("__rows").cast("long").alias("n_events"),
+            F.aggregate("__rows", init, step).alias("__st"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("__st.__n").alias("n_conversions"),
+            F.col("__st.__f").alias("first_rn"),
+        )
+    )

@@ -339,3 +339,50 @@ def w10_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.25,
         beta=0.5,
     )
+
+
+@query(
+    "w11_ols_trend",
+    oracle="""
+    WITH ranked AS MATERIALIZED (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS x,
+             CAST(round(value * 100, 0) AS BIGINT) AS y
+      FROM events
+    ), sums AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM ranked GROUP BY user_id HAVING count(*) >= 2
+    ), sl AS (
+      SELECT user_id, n, sx, sy,
+             ((n * sxy - sx * sy) * CAST(1000000 AS BIGINT))
+               // (n * sxx - sx * sx) AS slope_micro
+      FROM sums
+    )
+    SELECT user_id, n, slope_micro,
+           (sy * CAST(1000000 AS BIGINT) - slope_micro * sx) // n
+             AS intercept_micro
+    FROM sl
+    """,
+    tags=("window", "timeseries", "regression"),
+)
+def w11_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend over event values (x = event rank, y = exact
+    centi-units): slope and intercept in integer micro units computed
+    from BIGINT sums — bit-exact on any engine or partitioning, negative
+    slopes included (integer DIV truncates toward zero identically in
+    Spark and DuckDB). See operators/timeseries.ols_trend."""
+    from fhir_etl_spark.operators.timeseries import ols_trend
+
+    events = load_tables(spark, sf_dir, "events")
+    return ols_trend(
+        events,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="value",
+    )

@@ -346,3 +346,74 @@ class TestHolt:
         ok = spark.createDataFrame([Row(k=1, t=1, v=1.0)])
         with pytest.raises(ValueError, match="beta"):
             holt_smoothing(ok, ["k"], ["t"], "v", alpha=0.25, beta=0.0)
+
+
+class TestOlsTrend:
+    def test_perfect_line_recovers_slope(self, spark):
+        from fhir_etl_spark.operators.timeseries import ols_trend
+
+        # y = 3 + 2x exactly (centi-scale: 300 + 200x)
+        df = spark.createDataFrame(
+            [Row(k=1, t=i, v=3.0 + 2.0 * i) for i in range(1, 6)]
+        )
+        r = ols_trend(df, ["k"], ["t"], "v").collect()[0]
+        assert r["n"] == 5
+        # slope in micro CENTI-units per step: 2.0 -> 200 centi -> 2e8? no:
+        # y_centi = 100*(3+2x) -> slope 200 centi/step -> 200_000_000 micro
+        assert r["slope_micro"] == 200 * 1_000_000
+        assert r["intercept_micro"] == 300 * 1_000_000
+
+    def test_negative_slope_and_truncation(self, spark):
+        from fhir_etl_spark.operators.timeseries import ols_trend
+
+        df = spark.createDataFrame(
+            [Row(k=1, t=1, v=1.0), Row(k=1, t=2, v=0.0), Row(k=1, t=3, v=0.0)]
+        )
+        r = ols_trend(df, ["k"], ["t"], "v").collect()[0]
+        # exact: slope = -0.5 centi-units -> -50 centi/step -> -5e7 micro
+        assert r["slope_micro"] == -50 * 1_000_000
+        # single-row keys dropped
+        one = spark.createDataFrame([Row(k=9, t=1, v=5.0)])
+        assert ols_trend(one, ["k"], ["t"], "v").count() == 0
+        import pytest as _p
+
+        with _p.raises(ValueError, match="value_scale"):
+            ols_trend(df, ["k"], ["t"], "v", value_scale=0)
+
+
+class TestSequencePattern:
+    def test_state_machine_worked_example(self, spark):
+        from fhir_etl_spark.queries.events import e9_sequence_pattern  # noqa: F401
+        # drive the same fold through a tiny planted table via the
+        # operator body: reuse the query over a temp parquet dir
+        import os
+        import tempfile
+
+        rows = [
+            # user 1: v c p | v e c p (error resets mid-pattern) -> 1 conv
+            (1, 1, "view"), (2, 1, "click"), (3, 1, "purchase"),
+            (4, 1, "view"), (5, 1, "error"), (6, 1, "click"), (7, 1, "purchase"),
+            # user 2: v c p v c p -> 2 convs, first at rn 3
+            (10, 2, "view"), (11, 2, "click"), (12, 2, "purchase"),
+            (13, 2, "view"), (14, 2, "click"), (15, 2, "purchase"),
+            # user 3: p c v -> 0
+            (20, 3, "purchase"), (21, 3, "click"), (22, 3, "view"),
+        ]
+        df = spark.createDataFrame(
+            [
+                (eid, __import__("datetime").datetime(2024, 1, 1, 0, 0, eid % 60),
+                 uid, t, 1.0, "{}")
+                for eid, uid, t in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(os.path.join(d, "events.parquet"))
+            got = {
+                r["user_id"]: r
+                for r in e9_sequence_pattern(spark, d).collect()
+            }
+        assert (got[1]["n_conversions"], got[1]["first_rn"]) == (1, 3)
+        assert (got[2]["n_conversions"], got[2]["first_rn"]) == (2, 3)
+        assert (got[3]["n_conversions"], got[3]["first_rn"]) == (0, -1)
