@@ -126,6 +126,10 @@ HEADLINE = [
     "dq3_referential_integrity",
     # Unicode script detection (pure-codegen regexp_count projection)
     "t20_script_detection",
+    # per-key OLS trend (rank window + BIGINT-sum aggregate)
+    "w11_ols_trend",
+    # reset-aware sequence-pattern counting (sorted-array struct fold)
+    "e9_sequence_pattern",
 ]
 
 
