@@ -191,6 +191,8 @@ R03_FLOOR = {
     "y4_compaction": 2.364,
     "dq3_referential_integrity": 1.319,
     "t20_script_detection": 0.647,
+    "w11_ols_trend": 0.467,
+    "e9_sequence_pattern": 0.532,
     # v1's floor stays 0.507: the session's selectExpr dot-construction
     # fix brought it back under the bar (0.72 at loadavg ~2) after the
     # py4j-latency inflation the r08 continuation runs recorded.
