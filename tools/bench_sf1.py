@@ -272,11 +272,17 @@ def main() -> None:
             floor = SF1_FLOOR.get(name)
             if (
                 attempt == samples
-                and samples < 4
+                and samples < 6
                 and floor
                 and best["sec"] > 1.2 * floor
             ):
-                samples += 1  # still above the floor band: buy another run
+                # still above the floor band: buy another run. Cap raised
+                # 4 -> 6 in round 8: d6's CC loop needs ~5 executions for
+                # C2 JIT to converge in a fresh session (measured
+                # 21.5/11.4/18.0/9.9/10.1 s under ambient load — a
+                # 4-sample best caught mid-warmup records a 3.9x phantom
+                # with byte-identical shuffle metrics)
+                samples += 1
         out[name] = best
         floor = SF1_FLOOR.get(name)
         # same bar as bench.py: 1.5x relative PLUS a 0.3 s absolute
