@@ -690,3 +690,139 @@ def test_hilbert_reference_walk_properties(bits, data):
     x = data.draw(st.integers(min_value=0, max_value=n - 1))
     y = data.draw(st.integers(min_value=0, max_value=n - 1))
     assert index[(x, y)] == walk(x, y)
+
+
+# --- round-8 continuation ops: fold/quantization properties -----------------
+
+_holt_series = st.lists(
+    st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(series=_holt_series)
+def test_holt_fold_matches_local_replay(spark, series):
+    """The w10 fold == a plain Python replay of the recurrence on ANY
+    series: identical IEEE op sequence, so equality is exact (==)."""
+    from fhir_etl_spark.operators.timeseries import holt_smoothing
+
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate(series)], "k int, t int, v double"
+    )
+    got = {
+        r["t"]: (r["level"], r["trend"], r["forecast"])
+        for r in holt_smoothing(df, ["k"], ["t"], "v", alpha=0.25, beta=0.5).collect()
+    }
+    lvl = trd = None
+    for i, v in enumerate(series):
+        if lvl is None:
+            lvl, trd = v, 0.0
+        else:
+            new_l = 0.25 * v + 0.75 * (lvl + trd)
+            trd = 0.5 * (new_l - lvl) + 0.5 * trd
+            lvl = new_l
+        assert got[i] == (lvl, trd, lvl + trd), (i, got[i], (lvl, trd))
+
+
+_ols_series = st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False,
+              allow_infinity=False).map(lambda x: round(x, 2)),
+    min_size=2,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(series=_ols_series)
+def test_ols_trend_matches_integer_model(spark, series):
+    """w11's slope/intercept == an exact integer reimplementation on ANY
+    2-dp series (BIGINT sums, truncating division toward zero)."""
+    from fhir_etl_spark.operators.timeseries import ols_trend
+
+    df = spark.createDataFrame(
+        [(1, i + 1, float(v)) for i, v in enumerate(series)],
+        "k int, t int, v double",
+    )
+    r = ols_trend(df, ["k"], ["t"], "v").collect()[0]
+    ys = [int(round(v * 100)) for v in series]
+    xs = list(range(1, len(series) + 1))
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    slope = trunc_div((n * sxy - sx * sy) * 1_000_000, n * sxx - sx * sx)
+    intercept = trunc_div(sy * 1_000_000 - slope * sx, n)
+    assert (r["slope_micro"], r["intercept_micro"]) == (slope, intercept)
+
+
+_pq_corpus = st.lists(
+    st.lists(
+        st.floats(min_value=-2, max_value=2, allow_nan=False,
+                  allow_infinity=False),
+        min_size=8,
+        max_size=8,
+    ),
+    min_size=3,
+    max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vecs=_pq_corpus)
+def test_pq_adc_self_distance_is_minimum(spark, vecs):
+    """ADC(q, q) = Σ_s min_w ‖q_s − w‖² ≤ ADC(q, x) for every x — the
+    self-distance optimality holds on ARBITRARY corpora (any seeds, any
+    cluster collapse), because the encoder's argmin is per subspace."""
+    from fhir_etl_spark.operators.similarity import pq_adc_topk, pq_train_encode
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    codes, cb = pq_train_encode(df, dim=8, m=2, sub_k=4, n_iterations=2)
+    q0 = df.filter("vec_id = 0").selectExpr("vec_id AS query_id", "embedding")
+    got = sorted(
+        pq_adc_topk(codes, cb, q0, k=len(vecs), m=2, sub_len=4, sub_k=4).collect(),
+        key=lambda r: r["rank"],
+    )
+    self_adc = next(r["adc_micro"] for r in got if r["vec_id"] == 0)
+    assert self_adc == got[0]["adc_micro"]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    hists=st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=4, max_size=4),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_scene_cuts_matches_local_model(spark, hists):
+    """scene_cuts' L1 deltas and verdicts == a local integer replay on
+    ANY histogram sequence."""
+    from fhir_etl_spark.operators.multimodal import scene_cuts
+
+    df = spark.createDataFrame(
+        [(1, i, [int(x) for x in h]) for i, h in enumerate(hists)],
+        "clip int, frame_index int, hist array<bigint>",
+    )
+    got = {
+        r["frame_index"]: (r["l1_delta"], r["is_cut"])
+        for r in scene_cuts(df, "clip", "frame_index").collect()
+    }
+    for i, h in enumerate(hists):
+        if i == 0:
+            assert got[i] == (None, False)
+        else:
+            l1 = sum(abs(a - b) for a, b in zip(h, hists[i - 1]))
+            assert got[i] == (l1, 2 * l1 > sum(h))
