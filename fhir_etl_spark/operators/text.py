@@ -712,3 +712,87 @@ def script_profile(
         *[counts[n].alias(n) for n in SCRIPT_CLASSES],
         script.alias("script"),
     )
+
+
+def stupid_backoff_score(
+    documents: "DataFrame",
+    reference: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-document stupid-backoff bigram LM score (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — THE web-scale LM:
+    no normalization, no discounting, a fixed 0.4 backoff factor,
+    chosen because at corpus scale it matches Kneser-Ney within noise
+    at a fraction of the cost). The model trains on ``reference`` and
+    scores ``documents``:
+
+    - seen bigram:  ``term = C_ref(w1 w2) / C_ref(w1 ·)``
+    - unseen:       ``term = 0.4 · C_ref(w2) / N_ref``  (0 if w2 unseen)
+
+    Every term is emitted in EXACT integer micro units —
+    ``(C12 · 10⁶) DIV C1`` and ``(2 · C2 · 10⁶) DIV (5 · N)`` (0.4 =
+    2/5) — so the per-doc sum is a BIGINT and the whole score
+    value-oracles with zero float steps. Output: (id, n_bigrams,
+    n_backoff, score_micro); higher = more in-domain, n_backoff is the
+    out-of-vocabulary-transition diagnostic.
+
+    Shape: reference counts are two groupBys over the reference subset;
+    the document bigram stream joins the bigram LM on (w1, w2) and the
+    unigram table on w2 — two full-stream shuffles, inherent for the
+    same reason as t12's (each position needs both lookups), then one
+    doc-level agg. Same ``split(text, ' ')`` tokenization as the t10/t12
+    LM family."""
+    toks = F.split(text_col, " ")
+
+    def bigram_stream(df: "DataFrame") -> "DataFrame":
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+            ).alias("i", "w1"),
+            toks.alias("_t"),
+        ).select("_id", "w1", F.expr("_t[i + 1]").alias("w2"))
+
+    ref_bi = bigram_stream(reference)
+    c1 = ref_bi.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    c12 = ref_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    lm = c12.join(c1, "w1").selectExpr(
+        "w1", "w2", "(_c12 * CAST(1000000 AS BIGINT)) DIV _c1 AS _seen_micro"
+    )
+    # unigram backoff table over reference TOKENS (not bigram starts):
+    # N = total tokens, C(w2) = token count
+    ref_uni = reference.select(
+        F.explode(F.split(text_col, " ")).alias("_w")
+    )
+    n_ref = ref_uni.count()  # one bounded scalar action (the v9 pattern)
+    if n_ref == 0:
+        raise ValueError("stupid_backoff_score: empty reference corpus")
+    uni = ref_uni.groupBy("_w").agg(F.count(F.lit(1)).alias("_c2")).selectExpr(
+        "_w AS w2",
+        f"(2 * _c2 * CAST(1000000 AS BIGINT)) DIV (5 * CAST({n_ref} AS BIGINT)) "
+        "AS _back_micro",
+    )
+    scored = (
+        bigram_stream(documents)
+        .join(lm, ["w1", "w2"], "left")
+        .join(uni, "w2", "left")
+        .select(
+            "_id",
+            F.coalesce(
+                F.col("_seen_micro"),
+                F.col("_back_micro"),
+                F.lit(0).cast("long"),
+            ).alias("_term"),
+            F.col("_seen_micro").isNull().cast("long").alias("_is_backoff"),
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("_is_backoff").alias("n_backoff"),
+            F.sum("_term").alias("score_micro"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

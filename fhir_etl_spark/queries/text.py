@@ -973,3 +973,65 @@ def t20_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_tables(spark, sf_dir, "documents")
     return script_profile(documents)
+
+
+@query(
+    "t21_stupid_backoff",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), ref_bi AS MATERIALIZED (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE lang = 'en'
+    ), c1 AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM ref_bi GROUP BY w1
+    ), c12 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM ref_bi GROUP BY w1, w2
+    ), lm AS MATERIALIZED (
+      SELECT c12.w1, c12.w2,
+             (c12 * CAST(1000000 AS BIGINT)) // c1 AS seen_micro
+      FROM c12 JOIN c1 ON c12.w1 = c1.w1
+    ), ref_uni AS MATERIALIZED (
+      SELECT u.w, CAST(count(*) AS BIGINT) AS c2
+      FROM toks, UNNEST(t) AS u(w) WHERE lang = 'en' GROUP BY u.w
+    ), nref AS (
+      SELECT CAST(sum(c2) AS BIGINT) AS n FROM ref_uni
+    ), uni AS MATERIALIZED (
+      SELECT w AS w2,
+             (2 * c2 * CAST(1000000 AS BIGINT)) // (5 * nref.n) AS back_micro
+      FROM ref_uni CROSS JOIN nref
+    ), stream AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    ), terms AS (
+      SELECT s.doc_id,
+             coalesce(lm.seen_micro, uni.back_micro, CAST(0 AS BIGINT)) AS term,
+             CASE WHEN lm.seen_micro IS NULL THEN 1 ELSE 0 END AS is_backoff
+      FROM stream s
+      LEFT JOIN lm  ON lm.w1 = s.w1 AND lm.w2 = s.w2
+      LEFT JOIN uni ON uni.w2 = s.w2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(is_backoff) AS BIGINT) AS n_backoff,
+           CAST(sum(term) AS BIGINT) AS score_micro
+    FROM terms GROUP BY doc_id
+    """,
+    tags=("text", "lm", "quality"),
+)
+def t21_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (Brants et al. 2007): the LM
+    trains on the ENGLISH documents only, so non-en docs hit the 0.4
+    unigram backoff on their unseen transitions — the cross-domain
+    scoring setup CCNet-style filters actually run. Every term is exact
+    integer micro arithmetic (2/5 for 0.4), so the per-doc sums
+    value-oracle with no float step. See
+    operators/text.stupid_backoff_score for the shuffle accounting."""
+    from fhir_etl_spark.operators.text import stupid_backoff_score
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return stupid_backoff_score(
+        documents, documents.filter(F.col("lang") == "en")
+    )

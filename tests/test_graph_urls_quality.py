@@ -399,3 +399,37 @@ class TestScriptProfile:
         plan = script_profile(df)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "Exchange" not in plan  # map-only projection
+
+
+class TestStupidBackoff:
+    def test_worked_example(self, spark):
+        from fhir_etl_spark.operators.text import stupid_backoff_score
+
+        ref = spark.createDataFrame(
+            [(100, "a b a b a c")], "doc_id long, text string"
+        )
+        # ref bigrams: ab ba ab ba ac -> C(a·)=3, C(ab)=2, C(ac)=1, C(b·)=2,
+        # C(ba)=2; unigrams: a×3 b×2 c×1, N=6
+        docs = spark.createDataFrame(
+            [
+                (1, "a b"),      # seen: 2e6 DIV 3 = 666666
+                (2, "c a"),      # unseen bigram ca -> backoff on a:
+                                 # 2*3*1e6 DIV 30 = 200000
+                (3, "a z"),      # unseen bigram + unseen unigram z -> 0
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["n_backoff"], r["score_micro"])
+            for r in stupid_backoff_score(docs, ref).collect()
+        }
+        assert got[1] == (1, 0, 666_666)
+        assert got[2] == (1, 1, 200_000)
+        assert got[3] == (1, 1, 0)
+
+    def test_empty_reference_raises(self, spark):
+        from fhir_etl_spark.operators.text import stupid_backoff_score
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="empty reference"):
+            stupid_backoff_score(docs, docs.filter("doc_id < 0"))
