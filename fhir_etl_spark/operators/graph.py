@@ -239,3 +239,63 @@ def label_propagation(
         if (it + 1) % checkpoint_every == 0 or it == n_iterations - 1:
             labels = labels.localCheckpoint()
     return labels
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 16) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    standard community-pruning / influence-backbone pass): repeatedly
+    drop every node whose degree among SURVIVORS is < k until a fixed
+    point. Input is an undirected pair list (src, dst), one row per
+    edge in either orientation; output is (node, core_degree) for the
+    members of the k-core, where core_degree is the node's degree
+    WITHIN the core (≥ k by construction).
+
+    Iteration shape (the pagerank/label-propagation pattern): each
+    round is one groupBy-degree over edges restricted to the surviving
+    node set — two semi joins + one count agg, localCheckpoint'd so the
+    lineage stays flat — with a bounded 1-row driver probe for early
+    stop. Rounds are data-dependent (a chain peels one node per round),
+    so the operator stops early at the fixed point but RAISES loudly if
+    ``max_rounds`` arrives before convergence: returning a half-peeled
+    set would silently claim non-core nodes are core members. The v-g6
+    oracle replays a fixed ``max_rounds`` horizon — idempotent once
+    converged, so early stop changes nothing.
+    """
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    und = (
+        edges.selectExpr("src AS a", "dst AS b")
+        .unionByName(edges.selectExpr("dst AS a", "src AS b"))
+        .where("a <> b")  # a self-loop is not a neighbor
+        .distinct()
+        .localCheckpoint()
+    )
+    surv = und.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    for _ in range(max_rounds):
+        deg = (
+            und.join(surv.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(surv.withColumnRenamed("node", "b"), "b", "left_semi")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+        nxt = deg.filter(F.col("_deg") >= k).select(
+            F.col("a").alias("node")
+        ).localCheckpoint()
+        # bounded probe: one count per round (the pagerank convergence
+        # pattern) — peeling strictly shrinks, so equality = fixed point
+        n_prev, n_next = surv.count(), nxt.count()
+        surv = nxt
+        if n_next == n_prev:
+            break
+    else:
+        raise RuntimeError(
+            f"k_core: not converged after {max_rounds} rounds — raise "
+            "max_rounds (a path graph peels ~1 node per round)"
+        )
+    final_deg = (
+        und.join(surv.withColumnRenamed("node", "a"), "a", "left_semi")
+        .join(surv.withColumnRenamed("node", "b"), "b", "left_semi")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    return final_deg.select(F.col("a").alias("node"), "core_degree")

@@ -620,3 +620,77 @@ def g5_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("b AS src", "a AS dst")
     )
     return label_propagation(edges, n_iterations=3)
+
+
+def _g6_oracle(k: int = 3, rounds: int = 16) -> str:
+    """Peeling replayed over a FIXED horizon: each round recomputes
+    degrees over edges whose BOTH endpoints survived the previous round
+    and keeps nodes with degree >= k. Idempotent after the fixed point,
+    so the horizon only needs to exceed the worst SF's convergence
+    (10 rounds at sf0.01; the Spark operator early-stops and RAISES if
+    max_rounds is ever actually insufficient)."""
+    parts = [
+        """
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), und AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_partkey < y.l_partkey
+        GROUP BY x.l_partkey, y.l_partkey HAVING count(*) >= 2
+      )
+      UNION
+      SELECT b, a FROM (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_partkey < y.l_partkey
+        GROUP BY x.l_partkey, y.l_partkey HAVING count(*) >= 2
+      )
+    ), surv_0 AS MATERIALIZED (
+      SELECT DISTINCT a AS node FROM und
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""", surv_{r} AS MATERIALIZED (
+      SELECT a AS node FROM und
+      WHERE a IN (SELECT node FROM surv_{r - 1})
+        AND b IN (SELECT node FROM surv_{r - 1})
+      GROUP BY a HAVING count(*) >= {k}
+    )""")
+    parts.append(f"""
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM und
+    WHERE a IN (SELECT node FROM surv_{rounds})
+      AND b IN (SELECT node FROM surv_{rounds})
+    GROUP BY a
+    """)
+    return "".join(parts)
+
+
+@query("g6_k_core", oracle=_g6_oracle(), tags=("graph", "iterative"))
+def g6_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-purchase graph (parts sharing >= 2 orders):
+    iterative peeling until the fixed point — 10 genuine rounds at
+    sf0.01 (the whole graph dissolves at sf0.1; 0 rounds at sf0.001),
+    so the driver row exercises real data-dependent iteration. The
+    oracle replays a fixed 16-round horizon (idempotent once
+    converged); see operators/graph.k_core for the per-round shape
+    (two semi joins + one degree agg, checkpointed lineage, bounded
+    early-stop probe)."""
+    from fhir_etl_spark.operators.graph import k_core
+
+    lineitem = load_tables(spark, sf_dir, "lineitem")
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
+    )
+    return k_core(pairs, k=3, max_rounds=16)

@@ -433,3 +433,51 @@ class TestStupidBackoff:
         docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="empty reference"):
             stupid_backoff_score(docs, docs.filter("doc_id < 0"))
+
+
+class TestKCore:
+    def test_chain_cascade_and_clique_survival(self, spark):
+        from fhir_etl_spark.operators.graph import k_core
+
+        # path 1-2-3-4-5 (peels completely under k=2, one end per round)
+        # + clique {10,11,12,13} (4-clique: every node degree 3, survives)
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        edges += [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["core_degree"] for r in k_core(df, k=2).collect()}
+        assert got == {10: 3, 11: 3, 12: 3, 13: 3}
+        # k=4 dissolves even the clique
+        assert k_core(df, k=4).count() == 0
+
+    def test_partial_cascade(self, spark):
+        from fhir_etl_spark.operators.graph import k_core
+
+        # triangle {1,2,3} with a pendant chain 3-4-5: chain peels in
+        # two rounds, the triangle stays (each member keeps degree 2)
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+        )
+        got = {r["node"]: r["core_degree"] for r in k_core(df, k=2).collect()}
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_max_rounds_exhaustion_raises(self, spark):
+        from fhir_etl_spark.operators.graph import k_core
+
+        # a 6-path needs ~3 rounds to dissolve under k=2; max_rounds=1
+        # must raise, never return a half-peeled set
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 6)], "src long, dst long"
+        )
+        with pytest.raises(RuntimeError, match="not converged"):
+            k_core(df, k=2, max_rounds=1)
+        with pytest.raises(ValueError, match="k must be"):
+            k_core(df, k=0)
+
+    def test_self_loops_ignored(self, spark):
+        from fhir_etl_spark.operators.graph import k_core
+
+        df = spark.createDataFrame(
+            [(1, 1), (1, 2), (2, 1)], "src long, dst long"
+        )
+        # only the 1-2 edge counts: both nodes degree 1 -> k=2 core empty
+        assert k_core(df, k=2).count() == 0
