@@ -130,6 +130,10 @@ HEADLINE = [
     "w11_ols_trend",
     # reset-aware sequence-pattern counting (sorted-array struct fold)
     "e9_sequence_pattern",
+    # stupid-backoff LM scoring (two full-stream joins, the t12 family)
+    "t21_stupid_backoff",
+    # k-core peeling over the co-purchase graph (data-dependent rounds)
+    "g6_k_core",
 ]
 
 
@@ -193,6 +197,10 @@ R03_FLOOR = {
     "t20_script_detection": 0.647,
     "w11_ols_trend": 0.467,
     "e9_sequence_pattern": 0.532,
+    "t21_stupid_backoff": 2.785,
+    # g6's wall is ~12 peel rounds of tiny jobs — driver-latency
+    # dominated, so it tracks host load more than data size
+    "g6_k_core": 3.054,
     # v1's floor stays 0.507: the session's selectExpr dot-construction
     # fix brought it back under the bar (0.72 at loadavg ~2) after the
     # py4j-latency inflation the r08 continuation runs recorded.
