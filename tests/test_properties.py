@@ -826,3 +826,88 @@ def test_scene_cuts_matches_local_model(spark, hists):
         else:
             l1 = sum(abs(a - b) for a, b in zip(h, hists[i - 1]))
             assert got[i] == (l1, 2 * l1 > sum(h))
+
+
+_ipc_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-2**40, max_value=2**40)),
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       min_value=-1e6, max_value=1e6)),
+        st.one_of(st.none(), st.text(max_size=40)),
+        st.one_of(st.none(), st.booleans()),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_ipc_rows)
+def test_arrow_ipc_roundtrip_arbitrary_typed_rows(spark, rows, tmp_path_factory):
+    """Arbitrary (nullable long, double, string, bool) rows survive the
+    IPC write → binaryFile → mapInArrow read-back exactly, including
+    null masks and empty strings."""
+    import pyarrow as pa
+
+    from fhir_etl_spark.sources.arrow_ipc import read_arrow_ipc, write_ipc_file
+
+    tmp = tmp_path_factory.mktemp("ipcprop")
+    table = pa.table(
+        {
+            "i": pa.array([r[0] for r in rows], pa.int64()),
+            "d": pa.array([r[1] for r in rows], pa.float64()),
+            "s": pa.array([r[2] for r in rows]
+                          if any(r[2] is not None for r in rows)
+                          else [None] * len(rows), pa.string()),
+            "b": pa.array([r[3] for r in rows], pa.bool_()),
+        }
+    )
+    write_ipc_file(str(tmp / "t.arrow"), table)
+    got = read_arrow_ipc(
+        spark, f"{tmp}/t.arrow", "i bigint, d double, s string, b boolean"
+    ).collect()
+    back = sorted(
+        ((r["i"], r["d"], r["s"], r["b"]) for r in got),
+        key=lambda t: (repr(t)),
+    )
+    want = sorted(rows, key=lambda t: (repr(tuple(t))))
+    assert [tuple(w) for w in want] == back
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    chunks=st.lists(
+        st.integers(min_value=1, max_value=40), min_size=2, max_size=6
+    )
+)
+def test_compaction_preserves_arbitrary_commit_sequences(
+    spark, chunks, tmp_path_factory
+):
+    """Any append sequence compacts to the identical row multiset with
+    strictly fewer (or equal) files and intact time travel."""
+    from fhir_etl_spark.sinks.versioned import (
+        compact_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    table = str(tmp_path_factory.mktemp("cprop") / "t")
+    lo = 0
+    for i, n in enumerate(chunks):
+        write_snapshot(
+            spark.range(lo, lo + n).repartition(2),
+            table,
+            mode="append" if i else "overwrite",
+        )
+        lo += n
+    before = sorted(r["id"] for r in read_snapshot(spark, table).collect())
+    stats = compact_snapshot(spark, table, target_file_bytes=64 * 1024 * 1024)
+    after = sorted(
+        r["id"] for r in read_snapshot(spark, table, stats["version"]).collect()
+    )
+    assert after == before == list(range(lo))
+    assert stats["files_after"] <= stats["files_before"]
+    # version-0 time travel still returns exactly the first chunk
+    assert read_snapshot(spark, table, 0).count() == chunks[0]
