@@ -134,6 +134,8 @@ HEADLINE = [
     "t21_stupid_backoff",
     # k-core peeling over the co-purchase graph (data-dependent rounds)
     "g6_k_core",
+    # the composed curation pipeline (profile projection + digest dedup + verdict join)
+    "c1_curation_pipeline",
 ]
 
 

@@ -678,6 +678,26 @@ SCRIPT_CLASSES: dict[str, str] = {
 }
 
 
+def script_columns(text: Column) -> tuple[dict[str, Column], Column]:
+    """Per-script char counts + the dominant-script pick as reusable
+    COLUMNS (ties → alphabetical, zero everywhere → 'und' — the t3
+    convention). Shared by :func:`script_profile` and the c1 curation
+    pipeline so both compute the identical expressions."""
+    counts = {
+        name: F.regexp_count(text, F.lit(cls)).cast("long")
+        for name, cls in SCRIPT_CLASSES.items()
+    }
+    best = F.greatest(*counts.values())
+    script = F.lit("und")
+    # reversed alphabetical build so the FIRST alphabetical winner ends
+    # up outermost
+    for name in sorted(counts, reverse=True):
+        script = F.when((counts[name] > 0) & (counts[name] == best), name).otherwise(
+            script
+        )
+    return counts, script
+
+
 def script_profile(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -694,18 +714,7 @@ def script_profile(
 
     Returns (id_col, n_chars, latin, cyrillic, cjk, arabic, script).
     """
-    counts = {
-        name: F.regexp_count(F.col(text_col), F.lit(cls)).cast("long")
-        for name, cls in SCRIPT_CLASSES.items()
-    }
-    best = F.greatest(*counts.values())
-    script = F.lit("und")
-    # reversed alphabetical build so the FIRST alphabetical winner ends
-    # up outermost (ties → alphabetical, the t3 convention)
-    for name in sorted(counts, reverse=True):
-        script = F.when((counts[name] > 0) & (counts[name] == best), name).otherwise(
-            script
-        )
+    counts, script = script_columns(F.col(text_col))
     return df.select(
         F.col(id_col),
         F.length(text_col).cast("long").alias("n_chars"),

@@ -1035,3 +1035,107 @@ def t21_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stupid_backoff_score(
         documents, documents.filter(F.col("lang") == "en")
     )
+
+
+def _c1_script_cls(name: str) -> str:
+    from fhir_etl_spark.operators.text import SCRIPT_CLASSES
+
+    return SCRIPT_CLASSES[name]
+
+
+@query(
+    "c1_curation_pipeline",
+    oracle=f"""
+    -- the t2/t3/t20/d1 oracle formulas COMPOSED: per-doc profile,
+    -- exact-dup representative pick, and the keep verdict in one query
+    WITH reps AS MATERIALIZED (
+      SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+      FROM documents
+      GROUP BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
+    ), prof AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(n_tok AS BIGINT) AS n_tokens,
+             (4*least(n_tok, 100)*nc*nt
+            + 300*(nc - least(5*n_punct, nc))*nt
+            + 300*least(5*n_stop, nt)*nc) / (1000*nc*nt) AS quality,
+             CASE
+               WHEN h_de > 0 AND h_de = best THEN 'de'
+               WHEN h_en > 0 AND h_en = best THEN 'en'
+               WHEN h_es > 0 AND h_es = best THEN 'es'
+               WHEN h_fr > 0 AND h_fr = best THEN 'fr'
+               ELSE 'und' END AS lang_pred,
+             CASE
+               WHEN arabic > 0 AND arabic = gs THEN 'arabic'
+               WHEN cjk > 0 AND cjk = gs THEN 'cjk'
+               WHEN cyrillic > 0 AND cyrillic = gs THEN 'cyrillic'
+               WHEN latin > 0 AND latin = gs THEN 'latin'
+               ELSE 'und' END AS script
+      FROM (
+        SELECT *, greatest(n_chars, 1) AS nc, greatest(n_tok, 1) AS nt,
+               greatest(h_en, h_de, h_fr, h_es) AS best,
+               greatest(latin, cyrillic, cjk, arabic) AS gs
+        FROM (
+          SELECT doc_id,
+                 len({_TOKS_SQL}) AS n_tok,
+                 length(text) AS n_chars,
+                 len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS n_punct,
+                 len(list_filter({_TOKS_SQL},
+                      x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], x)))
+                      AS n_stop,
+                 {_lang_hits_sql('en')} AS h_en,
+                 {_lang_hits_sql('de')} AS h_de,
+                 {_lang_hits_sql('fr')} AS h_fr,
+                 {_lang_hits_sql('es')} AS h_es,
+                 len(regexp_extract_all(text, '{{lat}}')) AS latin,
+                 len(regexp_extract_all(text, '{{cyr}}')) AS cyrillic,
+                 len(regexp_extract_all(text, '{{cjk}}')) AS cjk,
+                 len(regexp_extract_all(text, '{{ar}}')) AS arabic
+          FROM documents
+        )
+      )
+    )
+    SELECT prof.doc_id, reps.n_copies, prof.n_tokens, prof.quality,
+           prof.lang_pred, prof.script
+    FROM prof JOIN reps ON prof.doc_id = reps.doc_id
+    WHERE prof.quality >= 0.5 AND prof.n_tokens >= 10
+    """.format(
+        lat=_c1_script_cls("latin"),
+        cyr=_c1_script_cls("cyrillic"),
+        cjk=_c1_script_cls("cjk"),
+        ar=_c1_script_cls("arabic"),
+    ),
+    tags=("pipeline", "curation"),
+)
+def c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation tiers COMPOSED in one plan — what a user of
+    this engine actually runs before training: per-doc profile (token
+    count t1, quality t2, stopword lang-ID t3, Unicode script t20),
+    exact-dedup representative pick (d1's min-id-per-digest), and the
+    keep verdict (quality ≥ 0.5, ≥ 10 tokens, representative only).
+    The profile is ONE map-only projection; dedup adds its digest
+    groupBy; the verdict is a join on the representative ids — three
+    shuffles end to end at any scale. The oracle composes the exact
+    formulas the component oracles already pin."""
+    from fhir_etl_spark.operators.dedup import exact_dedup
+    from fhir_etl_spark.operators.text import (
+        lang_id,
+        quality_score,
+        script_columns,
+        token_count,
+    )
+
+    documents = load_tables(spark, sf_dir, "documents")
+    _, script = script_columns(F.col("text"))
+    prof = documents.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        lang_id("text").alias("lang_pred"),
+        script.alias("script"),
+    )
+    reps = exact_dedup(documents)  # (doc_id, n_copies) — min-id per digest
+    return (
+        prof.join(reps, "doc_id")
+        .where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
+        .select("doc_id", "n_copies", "n_tokens", "quality", "lang_pred", "script")
+    )
