@@ -200,6 +200,7 @@ R03_FLOOR = {
     "w11_ols_trend": 0.467,
     "e9_sequence_pattern": 0.532,
     "t21_stupid_backoff": 2.785,
+    "c1_curation_pipeline": 1.701,
     # g6's wall is ~12 peel rounds of tiny jobs — driver-latency
     # dominated, so it tracks host load more than data size
     "g6_k_core": 3.054,
