@@ -815,3 +815,87 @@ def test_holt_stream_param_validation(spark):
 
     with pytest.raises(ValueError, match="beta"):
         holt_stream(spark.readStream.format("rate").load(), beta=1.5)
+
+
+def test_scene_cuts_stream_matches_batch_bit_for_bit(spark, sf_dir, tmp_path):
+    """The streaming shot-boundary fold replayed over the m14 frame
+    histograms equals the batch scene_cuts window EXACTLY (integers —
+    no tolerance at all)."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.multimodal import scene_cuts
+    from fhir_etl_spark.queries.multimodal import m14_scene_change  # noqa: F401
+    from fhir_etl_spark.streaming.scenes import scene_cuts_stream
+
+    # stage the real m14 histogram table (built via the GIF codec path)
+    from fhir_etl_spark.operators.multimodal import (
+        decode_image,
+        luma_histogram,
+        split_gif_frames,
+    )
+    from fhir_etl_spark.queries.multimodal import _MEDIA_SCHEMA
+    import fhir_etl_spark.queries.multimodal as MM
+
+    documents = __import__("fhir_etl_spark.session", fromlist=["load_tables"]).load_tables(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).limit(60)
+
+    # reuse the m14 builder inline (same formulas)
+    import numpy as np
+    import pandas as pd
+
+    def build(it):
+        from fhir_etl_spark.functions.gif import encode_gif
+
+        pal = np.stack(
+            [np.array([(i * 37) % 256, (i * 59) % 256, (i * 83) % 256])
+             for i in range(16)]
+        ).astype(np.uint8)
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                h, w = 8 + doc_id % 15, 8 + doc_id % 11
+                nf, cut = 6 + doc_id % 5, 2 + doc_id % 3
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = []
+                for f in range(nf):
+                    if f < cut:
+                        idx = ((doc_id + f + yy * 5 + xx * 3) % 8).astype(np.uint8)
+                    else:
+                        idx = np.full((h, w), 13, np.uint8)
+                    frames.append(idx)
+                blobs.append(encode_gif(frames, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    frames = split_gif_frames(media, bytes_col="media", id_col="doc_id")
+    hists = luma_histogram(decode_image(frames, bytes_col="frame")).select(
+        F.col("doc_id").alias("clip_id"), "frame_index", "hist"
+    )
+    stage = str(tmp_path / "hists")
+    hists.write.parquet(stage)
+
+    stream = spark.readStream.schema(
+        "clip_id long, frame_index int, hist array<bigint>"
+    ).parquet(stage)
+    q = run_to_memory(
+        scene_cuts_stream(stream), "scene_out", output_mode="update"
+    )
+    try:
+        got = {
+            (r["clip_id"], r["frame_index"]): (r["l1_delta"], r["is_cut"])
+            for r in spark.sql("SELECT * FROM scene_out").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r["clip_id"], r["frame_index"]): (r["l1_delta"], r["is_cut"])
+        for r in scene_cuts(
+            spark.read.parquet(stage), "clip_id", "frame_index"
+        ).collect()
+    }
+    assert set(got) == set(batch) and len(batch) > 0
+    for k, v in batch.items():
+        assert got[k] == v, (k, got[k], v)
+    assert any(v[1] for v in batch.values())  # the planted cuts fired
