@@ -1285,3 +1285,66 @@ def scene_cuts(
             F.coalesce(F.lit(2) * F.col("l1_delta") > npix, F.lit(False)),
         )
     )
+
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("datetime", T.StringType()),
+        T.StructField("exposure_num", T.LongType()),
+        T.StructField("exposure_den", T.LongType()),
+        T.StructField("pixel_x", T.LongType()),
+        T.StructField("pixel_y", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def extract_exif(df: DataFrame, bytes_col: str = "media", out_col: str = "exif") -> DataFrame:
+    """EXIF metadata extraction over a JPEG/TIFF binary column via the
+    from-spec stdlib reader (functions/exif.py — TIFF 6.0 IFD walk, both
+    endiannesses, APP1 discovery inside JPEG) — the standard first pass
+    over a scraped image corpus: rotation normalization (Orientation),
+    capture-time dedup keys (DateTime/Make/Model), resolution filters
+    (PixelX/YDimension). Metadata only — pixels are never decoded.
+
+    Arrow-batched codec-tier Python (the decode_image policy); corrupt
+    or EXIF-less blobs land in the ``error`` field, never a job
+    failure."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, EXIF_SCHEMA)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fhir_etl_spark.functions.exif import parse_exif
+
+        for pdf in it:
+            vals = []
+            for data in pdf[bytes_col]:
+                if data is None:
+                    vals.append((None,) * 8 + ("null payload",))
+                    continue
+                try:
+                    d = parse_exif(bytes(data))
+                except ValueError as exc:
+                    vals.append((None,) * 8 + (str(exc),))
+                    continue
+                exp = d.get("exposure")
+                vals.append(
+                    (
+                        d.get("make"),
+                        d.get("model"),
+                        d.get("orientation"),
+                        d.get("datetime"),
+                        exp[0] if exp else None,
+                        exp[1] if exp else None,
+                        d.get("pixel_x"),
+                        d.get("pixel_y"),
+                        None,
+                    )
+                )
+            out = pdf.copy()
+            out[out_col] = vals
+            yield out
+
+    return df.mapInPandas(batches, out_schema)

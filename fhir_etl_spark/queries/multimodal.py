@@ -1080,3 +1080,67 @@ def m14_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("is_cut"), F.col("frame_index"))), F.lit(-1)
         ).cast("int").alias("first_cut"),
     )
+
+
+@query(
+    "m15_exif_extract",
+    oracle="""
+    -- metadata planted by integer/string formulas, endianness alternating
+    -- by parity — the oracle replays the formulas; the engine must walk
+    -- real TIFF IFDs (both byte orders) to reproduce them
+    SELECT doc_id,
+           'Maker' || CAST(doc_id % 7 AS VARCHAR) AS make,
+           'Model-' || CAST(doc_id % 13 AS VARCHAR) AS model,
+           CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+           '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+             || ' 12:00:00' AS datetime,
+           CAST(1 AS BIGINT) AS exposure_num,
+           CAST(10 + doc_id % 90 AS BIGINT) AS exposure_den,
+           CAST(640 + doc_id % 1280 AS BIGINT) AS pixel_x,
+           CAST(360 + doc_id % 720 AS BIGINT) AS pixel_y
+    FROM documents
+    """,
+    tags=("multimodal", "metadata", "exif"),
+)
+def m15_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction end to end: per doc, a JPEG carrying an APP1 Exif
+    segment with formula-planted tags (little-endian TIFF for even ids,
+    big-endian for odd — both reader branches exercised every run) →
+    extract_exif (from-spec IFD walk, functions/exif.py) → flattened
+    metadata. Map-only plan; the oracle replays the planting formulas."""
+    from fhir_etl_spark.operators.multimodal import extract_exif
+
+    documents = load_tables(spark, sf_dir, "documents")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fhir_etl_spark.functions.exif import build_exif, build_jpeg_with_exif
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                payload = build_exif(
+                    make=f"Maker{doc_id % 7}",
+                    model=f"Model-{doc_id % 13}",
+                    orientation=1 + doc_id % 8,
+                    datetime_str=f"2024:01:{1 + doc_id % 28:02d} 12:00:00",
+                    exposure=(1, 10 + doc_id % 90),
+                    pixel_x=640 + doc_id % 1280,
+                    pixel_y=360 + doc_id % 720,
+                    endian="II" if doc_id % 2 == 0 else "MM",
+                )
+                blobs.append(build_jpeg_with_exif(payload))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    parsed = extract_exif(media, bytes_col="media")
+    return parsed.select(
+        "doc_id",
+        F.col("exif.make").alias("make"),
+        F.col("exif.model").alias("model"),
+        F.col("exif.orientation").alias("orientation"),
+        F.col("exif.datetime").alias("datetime"),
+        F.col("exif.exposure_num").alias("exposure_num"),
+        F.col("exif.exposure_den").alias("exposure_den"),
+        F.col("exif.pixel_x").alias("pixel_x"),
+        F.col("exif.pixel_y").alias("pixel_y"),
+    )

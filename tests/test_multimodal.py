@@ -1222,3 +1222,46 @@ class TestSceneChange:
             assert r["n_frames"] == 6 + d % 5
             assert r["n_cuts"] == 1, f"doc {d}: expected exactly the planted cut"
             assert r["first_cut"] == 2 + d % 3
+
+
+class TestExif:
+    def test_roundtrip_both_endians(self, spark):
+        from fhir_etl_spark.functions.exif import (
+            build_exif,
+            build_jpeg_with_exif,
+            parse_exif,
+        )
+
+        for endian in ("II", "MM"):
+            p = build_exif(
+                "Mk", "Md", 6, "2024:01:02 03:04:05", (1, 25), 640, 480, endian
+            )
+            got = parse_exif(build_jpeg_with_exif(p))
+            assert got == {
+                "make": "Mk", "model": "Md", "orientation": 6,
+                "datetime": "2024:01:02 03:04:05", "exposure": (1, 25),
+                "pixel_x": 640, "pixel_y": 480,
+            }
+
+    def test_error_paths_are_rows_not_failures(self, spark):
+        from fhir_etl_spark.operators.multimodal import extract_exif
+
+        rows = [
+            (1, b"\xff\xd8\xff\xd9"),          # JPEG with no APP1
+            (2, b"garbage bytes"),               # not a JPEG/TIFF at all
+            (3, None),                           # null payload
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        got = {r["doc_id"]: r["exif"] for r in extract_exif(df).collect()}
+        assert got[1]["error"] is not None and got[1]["make"] is None
+        assert got[2]["error"] is not None
+        assert got[3]["error"] == "null payload"
+
+    def test_truncated_ifd_is_loud_error_field(self, spark):
+        from fhir_etl_spark.functions.exif import build_exif
+        from fhir_etl_spark.operators.multimodal import extract_exif
+
+        p = build_exif("A", "B", 1, "x", (1, 2), 3, 4)[:20]  # cut mid-IFD
+        df = spark.createDataFrame([(1, p)], "doc_id long, media binary")
+        got = extract_exif(df).collect()[0]["exif"]
+        assert got["error"] is not None
