@@ -136,6 +136,8 @@ HEADLINE = [
     "g6_k_core",
     # the composed curation pipeline (profile projection + digest dedup + verdict join)
     "c1_curation_pipeline",
+    # EXIF extraction (APP1 discovery + TIFF IFD walk, both endians)
+    "m15_exif_extract",
 ]
 
 
@@ -201,6 +203,7 @@ R03_FLOOR = {
     "e9_sequence_pattern": 0.532,
     "t21_stupid_backoff": 2.785,
     "c1_curation_pipeline": 1.701,
+    "m15_exif_extract": 0.428,
     # g6's wall is ~12 peel rounds of tiny jobs — driver-latency
     # dominated, so it tracks host load more than data size
     "g6_k_core": 3.054,
