@@ -180,7 +180,10 @@ R03_FLOOR = {
     # amortizes at scale — the 1M-vector smoke went 59.8s -> 20.8s from
     # the same change (tools/scale_smoke_r08.py). Architecture priced
     # into the floor, not hidden under it.
-    "v9_int8_quantized_ann": 1.903,
+    # tightened 1.90 -> 1.73 with the round-8 selectExpr conversion of
+    # the quantize/dot construction (the py4j lesson; 1M smoke 18.7s
+    # under loadavg 20, unchanged integers)
+    "v9_int8_quantized_ann": 1.73,
     "d12_lsh_bucket_keepers": 4.734,
     # r08 second-continuation first-appearance floors, measured at
     # loadavg ~2-4 (the host never quieted below 2 during this window;

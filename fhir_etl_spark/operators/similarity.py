@@ -97,7 +97,7 @@ def int8_quantize(
     df: DataFrame,
     vec_col: str = "embedding",
     out_col: str = "q8",
-    scale: Column | None = None,
+    scale: Column | float | None = None,
     dim: int | None = None,
 ) -> DataFrame:
     """Scalar int8 quantization of an embedding column (the FAISS-SQ8 /
@@ -131,9 +131,28 @@ def int8_quantize(
             ).alias("_gmax")
         )
         df = df.crossJoin(F.broadcast(stats))
-        scale_expr = F.lit(127.0) / F.col("_gmax")
+        scale_expr: Column | None = F.lit(127.0) / F.col("_gmax")
+    elif isinstance(scale, float):
+        scale_expr = None  # literal-scale fast path below
     else:
         scale_expr = scale
+
+    if dim is not None and scale_expr is None:
+        # LITERAL scale + known width → ONE parsed SQL expression (the
+        # pq_train_encode py4j lesson: Column-by-Column construction of
+        # the 64-element quantize array costs ~400 JVM round-trips per
+        # side; the string parses to the identical tree — same FLOOR/
+        # cast ops, scale via shortest-round-trip repr)
+        s = _dlit(scale)
+        terms = ", ".join(
+            f"CAST(FLOOR(CAST(element_at(`{vec_col}`, {i}) AS DOUBLE) * {s} "
+            "+ 0.5D) AS BIGINT)"
+            for i in range(1, dim + 1)
+        )
+        return df.selectExpr("*", f"array({terms}) AS {out_col}")
+
+    if scale_expr is None:
+        scale_expr = F.lit(float(scale))
 
     def q(x: Column) -> Column:
         return F.floor(x.cast("double") * scale_expr + F.lit(0.5)).cast("long")
@@ -195,7 +214,9 @@ def int8_topk(
         raise ValueError(
             "int8_topk: corpus has no nonzero vector component to scale by"
         )
-    scale = F.lit(127.0) / F.lit(float(gmax))
+    # Python-computed literal scale: 127.0/gmax is one correctly-rounded
+    # IEEE division — bit-identical to the previous JVM-side constant fold
+    scale = 127.0 / float(gmax)
     qc = int8_quantize(corpus, vec_col, out_col="_q8", scale=scale, dim=dim).select(
         id_col, "_q8"
     )
@@ -203,13 +224,11 @@ def int8_topk(
         query_id_col, "_qq8"
     )
     if dim is not None:
-        terms = [
-            F.element_at("_q8", i) * F.element_at("_qq8", i)
+        chain = " + ".join(
+            f"element_at(_q8, {i}) * element_at(_qq8, {i})"
             for i in range(1, dim + 1)
-        ]
-        int_dot = terms[0]
-        for t in terms[1:]:
-            int_dot = int_dot + t
+        )
+        int_dot = F.expr(chain)
     else:
         int_dot = F.aggregate(
             F.zip_with(F.col("_q8"), F.col("_qq8"), lambda a, b: a * b),
