@@ -899,3 +899,92 @@ def test_scene_cuts_stream_matches_batch_bit_for_bit(spark, sf_dir, tmp_path):
     for k, v in batch.items():
         assert got[k] == v, (k, got[k], v)
     assert any(v[1] for v in batch.values())  # the planted cuts fired
+
+
+def test_spacesaving_stream_exact_when_capacity_suffices(spark, sf_dir, events_stream):
+    """With capacity >= the group's distinct items, SpaceSaving IS exact
+    counting: the final sketch equals the batch groupBy counts with zero
+    error for every (event_type, user bucket) pair."""
+    from fhir_etl_spark.session import load_tables
+    from fhir_etl_spark.streaming.frequency import heavy_hitters_stream
+
+    stream = events_stream.selectExpr(
+        "event_type AS group", "CAST(user_id % 7 AS STRING) AS item",
+        "ts", "event_id",
+    )
+    q = run_to_memory(
+        heavy_hitters_stream(stream, capacity=64, group_col="group",
+                             item_col="item"),
+        "hh_out",
+        output_mode="update",
+    )
+    try:
+        # update mode re-emits per batch; the LAST estimate per key wins —
+        # take max(est) since counts only grow
+        rows = spark.sql(
+            "SELECT group, item, max(est_count) AS est, max(max_err) AS err "
+            "FROM hh_out GROUP BY group, item"
+        ).collect()
+    finally:
+        q.stop()
+    got = {(r["group"], r["item"]): (r["est"], r["err"]) for r in rows}
+
+    events = load_tables(spark, sf_dir, "events")
+    batch = {
+        (r["event_type"], str(r["b"])): r["n"]
+        for r in events.selectExpr("event_type", "user_id % 7 AS b")
+        .groupBy("event_type", "b")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert set(got) == set(batch) and len(batch) > 0
+    for k, n in batch.items():
+        assert got[k] == (n, 0), (k, got[k], n)
+
+
+def test_spacesaving_eviction_bounds(spark, tmp_path):
+    """Planted overflow: capacity 2, stream a a a b b c — c evicts the
+    min counter (b at 2) and inherits 2+1 with err 2. The classic bounds
+    est >= true and est <= true + err must hold for every tracked item."""
+    import pandas as pd
+
+    from fhir_etl_spark.streaming.frequency import heavy_hitters_stream
+
+    rows = [("g", t, i) for i, t in enumerate("aaabbc")]
+    df = pd.DataFrame(rows, columns=["group", "item", "event_id"])
+    df["ts"] = range(len(df))
+    stage = str(tmp_path / "hh")
+    spark.createDataFrame(df).write.parquet(stage)
+    stream = spark.readStream.schema(
+        "group string, item string, event_id long, ts long"
+    ).parquet(stage)
+    q = run_to_memory(
+        heavy_hitters_stream(stream, capacity=2), "hh_ev", output_mode="update"
+    )
+    try:
+        got = {
+            r["item"]: (r["est_count"], r["max_err"])
+            for r in spark.sql(
+                "SELECT item, max(est_count) AS est_count, max(max_err) AS max_err "
+                "FROM hh_ev GROUP BY item"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    true = {"a": 3, "b": 2, "c": 1}
+    # a survives exactly; c evicted b and inherited its count
+    assert got["a"] == (3, 0)
+    assert got["c"] == (3, 2)
+    assert "b" not in got or got["b"][0] >= true["b"]
+    for item, (est, err) in got.items():
+        assert est >= true[item] and est <= true[item] + err
+
+
+def test_spacesaving_capacity_validation(spark):
+    from fhir_etl_spark.streaming.frequency import heavy_hitters_stream
+
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters_stream(
+            spark.readStream.format("rate").load(), capacity=0
+        )
