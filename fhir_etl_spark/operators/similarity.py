@@ -1688,3 +1688,69 @@ def ivf_pq_search(
     )
     w = Window.partitionBy(query_id_col).orderBy("adc_micro", F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def binary_sign_sketch_sql(vec: str, dim: int) -> list[str]:
+    """SQL expressions packing a ``dim``-wide vector's SIGN BITS into
+    32-bit words held in BIGINTs (bit j of word w = component
+    32w+j+1 > 0) — the 1-bit quantization behind binary ANN indexes
+    (FAISS ``IndexBinaryFlat`` / sign-random-projection LSH): 32×
+    smaller than float32, and Hamming distance over the words is a
+    monotone proxy for angular distance.
+
+    Why 32-bit words (not one 64-bit word): ``1 << 63`` overflows a
+    signed BIGINT, which Spark WRAPS and DuckDB RAISES on — the
+    layout.py zorder lesson — so the packing stays strictly inside
+    non-negative territory on both engines. Pure integer CASE/shift
+    arithmetic; one selectExpr column per word."""
+    if dim < 1:
+        raise ValueError(f"binary_sign_sketch_sql: dim must be >= 1, got {dim}")
+    words = []
+    for w in range((dim + 31) // 32):
+        terms = []
+        for j in range(min(32, dim - 32 * w)):
+            i = 32 * w + j + 1
+            terms.append(
+                f"(CASE WHEN element_at(`{vec}`, {i}) > 0 "
+                f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {j})"
+            )
+        words.append(" + ".join(terms))
+    return words
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k by Hamming distance over 1-bit sign sketches — the coarsest
+    rung of the quantization ladder (float32 → int8 v9 → PQ v11 →
+    IVF-PQ v12 → 1 bit here): 32× smaller than float32, distance is
+    ``Σ_w bit_count(xor(word))`` — pure codegen integers, so the whole
+    search value-oracles with no rounding anywhere. Same brute-force
+    shape as cosine_topk (corpus never shuffles, queries broadcast,
+    rank-k trims map-side); ties → (hamming, id). Recall < exact by
+    construction; the planted test pins sign-structure separation."""
+    n_words = (dim + 31) // 32
+    c_words = binary_sign_sketch_sql(vec_col, dim)
+    corpus_b = corpus.selectExpr(
+        f"`{id_col}`", *[f"{w} AS _cw_{i}" for i, w in enumerate(c_words)]
+    )
+    q_words = binary_sign_sketch_sql(vec_col, dim)
+    queries_b = queries.selectExpr(
+        f"`{query_id_col}`", *[f"{w} AS _qw_{i}" for i, w in enumerate(q_words)]
+    )
+    ham = " + ".join(
+        f"bit_count(_cw_{i} ^ _qw_{i})" for i in range(n_words)
+    )
+    scored = corpus_b.join(F.broadcast(queries_b)).selectExpr(
+        f"`{query_id_col}`", f"`{id_col}`", f"CAST({ham} AS BIGINT) AS hamming"
+    )
+    w = Window.partitionBy(query_id_col).orderBy("hamming", F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

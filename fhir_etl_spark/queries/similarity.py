@@ -790,3 +790,56 @@ def v12_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_search(
         codes, coarse, codebook, queries, k=5, n_probe=2, m=4, sub_len=16
     )
+
+
+def _v13_words_sql(vec: str) -> list[str]:
+    """DuckDB twin of binary_sign_sketch_sql at dim=64: two 32-bit words
+    (1-based list indexing, same strict > 0 sign test)."""
+    out = []
+    for w in range(2):
+        terms = []
+        for j in range(32):
+            i = 32 * w + j + 1
+            terms.append(
+                f"(CASE WHEN {vec}[{i}] > 0 "
+                f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {j})"
+            )
+        out.append(" + ".join(terms))
+    return out
+
+
+_V13_CW = _v13_words_sql("CAST(c.embedding AS DOUBLE[])")
+_V13_QW = _v13_words_sql("CAST(q.embedding AS DOUBLE[])")
+
+_V13_ORACLE = f"""
+    SELECT query_id, vec_id, hamming, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST(bit_count(xor({_V13_CW[0]}, {_V13_QW[0]}))
+                + bit_count(xor({_V13_CW[1]}, {_V13_QW[1]})) AS BIGINT) AS hamming,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY bit_count(xor({_V13_CW[0]}, {_V13_QW[0]}))
+                      + bit_count(xor({_V13_CW[1]}, {_V13_QW[1]})),
+                        c.vec_id) AS rank
+      FROM embeddings c
+      CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id IN {_QUERY_IDS}) q
+    ) WHERE rank <= 5
+    """
+
+
+@query("v13_binary_ann", oracle=_V13_ORACLE, tags=("similarity", "quantization"))
+def v13_binary_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary ANN: sign sketches packed into two 32-bit words
+    (32× smaller than float32), Hamming top-5 via bit_count(xor) — the
+    coarsest rung of the engine's quantization ladder (v9 int8, v11 PQ,
+    v12 IVF-PQ), all-integer and bit-exactly oracled. See
+    operators/similarity.binary_hamming_topk (and the 32-bit-word note:
+    1<<63 wraps in Spark but RAISES in DuckDB)."""
+    from fhir_etl_spark.operators.similarity import binary_hamming_topk
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return binary_hamming_topk(embeddings, queries, k=5, dim=64)

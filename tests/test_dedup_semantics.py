@@ -748,3 +748,35 @@ def test_ivfpq_geometry_validation(spark):
         ivf_pq_build(df, dim=10, m=4)
     with pytest.raises(ValueError, match="n_iterations"):
         ivf_pq_build(df, dim=10, m=2, n_iterations=0)
+
+
+def test_binary_ann_sign_structure(spark):
+    """Planted sign structure: cluster A all-positive, cluster B
+    all-negative, one query mixed-but-mostly-positive — A members must
+    fill the top ranks (Hamming 0 to the A pattern), B members the
+    bottom (Hamming = dim)."""
+    from fhir_etl_spark.operators.similarity import binary_hamming_topk
+
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0] * 16))          # cluster A
+        rows.append((100 + i, [-1.0] * 16))   # cluster B
+    rows.append((500, [1.0] * 15 + [-1.0]))   # query: 15/16 positive
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 500").selectExpr("vec_id AS query_id", "embedding")
+    got = sorted(
+        binary_hamming_topk(df, q, k=21, dim=16).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert got[0]["vec_id"] == 500 and got[0]["hamming"] == 0
+    a_ranks = [r["rank"] for r in got if 0 <= r["vec_id"] < 100]
+    b_ranks = [r["rank"] for r in got if r["vec_id"] >= 100 and r["vec_id"] < 500]
+    assert max(a_ranks) < min(b_ranks)
+    assert all(r["hamming"] == 1 for r in got if 0 <= r["vec_id"] < 100)
+    assert all(r["hamming"] == 15 for r in got if 100 <= r["vec_id"] < 200)
+
+    from fhir_etl_spark.operators.similarity import binary_sign_sketch_sql
+    import pytest as _p
+
+    with _p.raises(ValueError, match="dim"):
+        binary_sign_sketch_sql("v", 0)
