@@ -138,6 +138,8 @@ HEADLINE = [
     "c1_curation_pipeline",
     # EXIF extraction (APP1 discovery + TIFF IFD walk, both endians)
     "m15_exif_extract",
+    # 1-bit binary ANN (sign words + bit_count(xor) Hamming top-k)
+    "v13_binary_ann",
 ]
 
 
@@ -207,6 +209,7 @@ R03_FLOOR = {
     "t21_stupid_backoff": 2.785,
     "c1_curation_pipeline": 1.701,
     "m15_exif_extract": 0.428,
+    "v13_binary_ann": 0.552,
     # g6's wall is ~12 peel rounds of tiny jobs — driver-latency
     # dominated, so it tracks host load more than data size
     "g6_k_core": 3.054,
