@@ -212,6 +212,9 @@ def test_no_broadcast_hints_on_scaling_tables():
         # referential_integrity (dq3): the per-edge orphan AGGREGATE —
         # broadcast arg is orphans.agg(...), a 1-row frame
         "orphans",
+        # binary_hamming_topk (v13): the sign-sketched QUERY probe set
+        # (same bounded role as qq/sig_queries in the other ANN tiers)
+        "queries_b",
         # token_budget_mix / collocation_lift: `n_docs` is the 1-row
         # distinct-doc count
         "n_docs",
