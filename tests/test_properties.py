@@ -911,3 +911,36 @@ def test_compaction_preserves_arbitrary_commit_sequences(
     assert stats["files_after"] <= stats["files_before"]
     # version-0 time travel still returns exactly the first chunk
     assert read_snapshot(spark, table, 0).count() == chunks[0]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-2, max_value=2, allow_nan=False,
+                      allow_infinity=False),
+            min_size=40, max_size=40,
+        ),
+        min_size=2, max_size=8,
+    )
+)
+def test_binary_hamming_matches_sign_model(spark, vecs):
+    """v13's Hamming == the number of positions where the sign tests
+    disagree, on ARBITRARY vectors (incl. zeros, which are 'not
+    positive' on both sides of the packing)."""
+    from fhir_etl_spark.operators.similarity import binary_hamming_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter("vec_id = 0").selectExpr("vec_id AS query_id", "embedding")
+    got = {
+        r["vec_id"]: r["hamming"]
+        for r in binary_hamming_topk(df, q, k=len(vecs), dim=40).collect()
+    }
+    q0 = vecs[0]
+    for i, v in enumerate(vecs):
+        want = sum((a > 0) != (b > 0) for a, b in zip(q0, v))
+        assert got[i] == want, (i, got[i], want)

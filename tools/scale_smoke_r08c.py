@@ -225,12 +225,38 @@ def smoke_colloc(spark):
     )
 
 
+def smoke_binary(spark):
+    """1-bit ANN at 1M×64: sign packing + Hamming scan — the cheapest
+    rung of the quantization ladder should be the fastest scan here."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from fhir_etl_spark.operators.similarity import binary_hamming_topk
+
+    n, dim = 1_000_000, 64
+    emb = _synth_embeddings(spark, n, dim).localCheckpoint()
+    queries = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.perf_counter()
+    top = binary_hamming_topk(emb, queries, k=10, dim=dim).collect()
+    dt = time.perf_counter() - t0
+    by_q = {}
+    for r in sorted(top, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {1, 2, 3}
+    for qid, rows in by_q.items():
+        self_rows = [r for r in rows if r["vec_id"] == qid]
+        assert self_rows and self_rows[0]["hamming"] == 0  # self = 0 bits
+    print(f"binary: {n}x{dim} Hamming top-10 in {dt:.1f}s, self at 0 bits")
+
+
 SMOKES = {
     "pq": smoke_pq,
     "holt": smoke_holt,
     "ipc": smoke_ipc,
     "ivfpq": smoke_ivfpq,
     "colloc": smoke_colloc,
+    "binary": smoke_binary,
 }
 
 if __name__ == "__main__":
