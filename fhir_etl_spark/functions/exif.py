@@ -171,7 +171,9 @@ def parse_exif(data: bytes) -> dict:
             if data[i] != 0xFF:
                 raise ValueError(f"bad JPEG marker at {i}")
             marker = data[i + 1]
-            if marker == 0xD9:  # EOI
+            if marker in (0xD9, 0xDA):  # EOI, or SOS — entropy-coded data
+                # follows SOS, not segments: stop scanning (an EXIF APP1
+                # always precedes the scan per EXIF 2.3 §4.5.4)
                 break
             (seg_len,) = struct.unpack_from(">H", data, i + 2)
             if marker == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00":

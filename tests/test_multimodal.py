@@ -1265,3 +1265,18 @@ class TestExif:
         df = spark.createDataFrame([(1, p)], "doc_id long, media binary")
         got = extract_exif(df).collect()[0]["exif"]
         assert got["error"] is not None
+
+
+def test_exif_real_jpeg_without_app1_is_clean_error(spark):
+    """An actual encoded JPEG (DQT/SOF/DHT/SOS segments, entropy data)
+    with no APP1 must yield the clean 'no APP1' error — the segment
+    walker stops at SOS instead of misparsing entropy bytes."""
+    import numpy as np
+
+    from fhir_etl_spark.functions.jpeg import encode_jpeg
+    from fhir_etl_spark.operators.multimodal import extract_exif
+
+    j = encode_jpeg(np.full((16, 16), 128, np.uint8), quality=33)
+    df = spark.createDataFrame([(1, j)], "doc_id long, media binary")
+    got = extract_exif(df).collect()[0]["exif"]
+    assert got["error"] == "no APP1/Exif segment found"
