@@ -121,8 +121,15 @@ def build_jpeg_with_exif(exif_payload: bytes) -> bytes:
     return b"\xff\xd8" + b"\xff\xe1" + seg + b"\xff\xd9"
 
 
-def _read_ifd(data: bytes, e: str, off: int, wanted: dict[int, str]) -> dict:
+def _read_ifd(
+    data: bytes, e: str, off: int, wanted: dict[int, str],
+    visited: set[int] | None = None,
+) -> dict:
     out: dict[str, object] = {}
+    visited = set() if visited is None else visited
+    if off in visited:
+        raise ValueError(f"cyclic IFD chain at offset {off}")
+    visited.add(off)
     if off + 2 > len(data):
         raise ValueError(f"IFD offset {off} beyond EXIF payload")
     (n,) = struct.unpack_from(f"{e}H", data, off)
@@ -143,7 +150,7 @@ def _read_ifd(data: bytes, e: str, off: int, wanted: dict[int, str]) -> dict:
             raise ValueError(f"tag 0x{tag:04x} value beyond payload")
         if tag == EXIF_IFD_POINTER:
             (sub,) = struct.unpack_from(f"{e}I", data, voff)
-            out.update(_read_ifd(data, e, sub, EXIF_TAGS))
+            out.update(_read_ifd(data, e, sub, EXIF_TAGS, visited))
             continue
         name = wanted.get(tag)
         if name is None:
@@ -164,7 +171,19 @@ def _read_ifd(data: bytes, e: str, off: int, wanted: dict[int, str]) -> dict:
 def parse_exif(data: bytes) -> dict:
     """Parse an EXIF payload (with or without the ``Exif\\x00\\x00``
     prefix) or a JPEG containing an APP1 Exif segment. Returns the
-    surfaced tag dict; raises ValueError on malformed structures."""
+    surfaced tag dict; raises ValueError on malformed structures.
+
+    Every malformed input surfaces as ValueError — including truncated
+    streams (struct.error is rewrapped) and cyclic sub-IFD pointers —
+    so extract_exif's per-row error contract holds against adversarial
+    scraped blobs."""
+    try:
+        return _parse_exif_inner(data)
+    except struct.error as exc:  # truncated stream mid-unpack
+        raise ValueError(f"truncated EXIF/TIFF stream: {exc}") from exc
+
+
+def _parse_exif_inner(data: bytes) -> dict:
     if data[:2] == b"\xff\xd8":  # JPEG: walk segments for APP1/Exif
         i = 2
         while i + 4 <= len(data):

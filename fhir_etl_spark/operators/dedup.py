@@ -220,7 +220,20 @@ def doc_band_index(
         rows_per_band,
         hash_fn,
     )
-    bucket_type = "long" if hash_fn == "xxhash64" else "string"
+    # sentinel bucket key: for md5 the bucket column is string, so any
+    # id casts injectively; for xxhash64 the bucket is BIGINT — numeric
+    # ids cast exactly, while string ids (crawl corpora) hash via
+    # xxhash64 (band −1 keeps sentinels disjoint from content buckets;
+    # a 64-bit sentinel collision merging two short docs is the same
+    # accepted risk the content buckets already carry)
+    if hash_fn == "xxhash64":
+        id_dt = df.schema[id_col].dataType.simpleString()
+        if id_dt in ("bigint", "int", "smallint", "tinyint"):
+            sent_bucket = F.col(id_col).cast("long")
+        else:
+            sent_bucket = F.xxhash64(F.col(id_col))
+    else:
+        sent_bucket = F.col(id_col).cast("string")
     # sentinel membership is decided by the shingle precondition directly
     # (size(tokens) < k — exactly when doc_shingles yields nothing): an
     # anti join against the index would re-execute the whole signature
@@ -231,7 +244,7 @@ def doc_band_index(
         .select(
             id_col,
             F.lit(-1).alias("band"),
-            F.col(id_col).cast(bucket_type).alias("bucket"),
+            sent_bucket.alias("bucket"),
         )
     )
     return idx.unionByName(sentinels)

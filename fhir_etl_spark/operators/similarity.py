@@ -131,7 +131,19 @@ def int8_quantize(
             ).alias("_gmax")
         )
         df = df.crossJoin(F.broadcast(stats))
-        scale_expr: Column | None = F.lit(127.0) / F.col("_gmax")
+        # Same loud-error guard as int8_topk: an all-zero / all-NULL
+        # corpus must fail, not silently emit Infinity/NULL arrays.
+        guarded_gmax = F.when(
+            F.col("_gmax").isNotNull() & (F.col("_gmax") > 0), F.col("_gmax")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "int8_quantize: corpus has no nonzero vector component"
+                    " to scale by"
+                )
+            )
+        )
+        scale_expr: Column | None = F.lit(127.0) / guarded_gmax
     elif isinstance(scale, float):
         scale_expr = None  # literal-scale fast path below
     else:
@@ -1348,6 +1360,23 @@ def pq_adc_topk(
     distance. Recall < 1 by construction (quantization error); the
     planted-structure test pins recall against exact search.
     """
+    # Same shape guard ivf_pq_search performs: a mismatched sub_len
+    # would make element_at read past the query array and silently rank
+    # on NULL micro-distances. The codebook's codeword length is the
+    # ground truth for sub_len; its subspace indices bound m.
+    if codebook:
+        cw_len = len(next(iter(codebook.values())))
+        if cw_len != sub_len:
+            raise ValueError(
+                f"pq_adc_topk: sub_len={sub_len} does not match the "
+                f"codebook's codeword length {cw_len}"
+            )
+        max_s = max(s for s, _ in codebook)
+        if max_s >= m:
+            raise ValueError(
+                f"pq_adc_topk: codebook has subspace index {max_s} but "
+                f"m={m}; m × sub_len must equal the encoded dim"
+            )
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.col(vec_col).cast("array<double>").alias("_qv"),

@@ -574,7 +574,18 @@ def quantile_buckets(
             for i in range(1, k)
         ]
     )
-    lab = F.when(F.col(score_col) <= F.col("_cut1"), labels[0])
+    # Loud-NULL convention (matches ewma/holt): a NULL score would fall
+    # through every `<= cut` (NULL comparison) into the tail label —
+    # silent misclassification of unscorable rows. Fail instead.
+    lab = F.when(
+        F.col(score_col).isNull(),
+        F.raise_error(
+            F.lit(
+                "quantile_buckets: NULL score — filter unscorable rows "
+                "before bucketing"
+            )
+        ),
+    ).when(F.col(score_col) <= F.col("_cut1"), labels[0])
     for i in range(2, k):
         lab = lab.when(F.col(score_col) <= F.col(f"_cut{i}"), labels[i - 1])
     lab = lab.otherwise(labels[-1])

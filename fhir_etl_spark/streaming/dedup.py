@@ -30,16 +30,18 @@ from fhir_etl_spark.operators.dedup import doc_band_index, lsh_bucket_keepers
 from fhir_etl_spark.streaming.state import fold_parquet_state
 
 
-def _state_schema(id_col: str, hash_fn: str) -> str:
+def _state_schema(id_col: str, hash_fn: str, id_type: str = "bigint") -> str:
     """Parquet state schema keyed by the CALLER's id column (round-8
     review finding: a hardcoded 'doc_id' schema wedged the stream at
-    epoch 2 for any other id_col and silently nulled the read side),
-    with hash_fn validated at ENTRY — a typo must fail the call, not
-    the first micro-batch inside a running stream."""
+    epoch 2 for any other id_col and silently nulled the read side) AND
+    the caller's id TYPE (round-9: crawl corpora commonly key on string
+    doc ids — a hardcoded bigint schema misreads string state at the
+    next epoch), with hash_fn validated at ENTRY — a typo must fail the
+    call, not the first micro-batch inside a running stream."""
     if hash_fn == "xxhash64":
-        return f"{id_col} bigint, band int, bucket bigint"
+        return f"{id_col} {id_type}, band int, bucket bigint"
     if hash_fn == "md5":
-        return f"{id_col} bigint, band int, bucket string"
+        return f"{id_col} {id_type}, band int, bucket string"
     raise ValueError(f"unknown hash_fn: {hash_fn!r} (want 'xxhash64' or 'md5')")
 
 
@@ -66,7 +68,10 @@ def stream_lsh_dedup_index(
     needs monotonic-unique ids)."""
     if checkpoint is None:
         checkpoint = f"{state_path}.checkpoint"
-    schema = _state_schema(id_col, hash_fn)
+    # id TYPE derived from the stream itself, not assumed: the state
+    # schema must match whatever the caller keys documents by
+    id_type = docs_stream.schema[id_col].dataType.simpleString()
+    schema = _state_schema(id_col, hash_fn, id_type)
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -104,13 +109,15 @@ def read_dedup_verdicts(
     state_path: str,
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    id_type: str = "bigint",
 ) -> DataFrame:
     """(id, kept) off the maintained index — the pure-function read
     (operators/dedup.lsh_bucket_keepers) that matches a from-scratch
-    batch build over everything streamed so far. ``id_col``/``hash_fn``
-    must match the values the index was built with (the schema is keyed
-    by them; a mismatch raises at entry rather than misreading)."""
-    schema = _state_schema(id_col, hash_fn)
+    batch build over everything streamed so far. ``id_col``/``hash_fn``/
+    ``id_type`` must match the values the index was built with (the
+    schema is keyed by them; a mismatch raises at entry rather than
+    misreading)."""
+    schema = _state_schema(id_col, hash_fn, id_type)
     return lsh_bucket_keepers(
         spark.read.schema(schema).parquet(state_path), id_col
     )
