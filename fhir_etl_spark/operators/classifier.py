@@ -1,0 +1,92 @@
+"""Linear text-classifier inference (fastText-style supervised model:
+Joulin et al. 2016, *Bag of Tricks for Efficient Text Classification*)
+— the quality-filter step every modern curation recipe runs (CCNet,
+GPT-3, LLaMA): a frozen linear model over hashed bag-of-n-gram features
+scores each document, and the pipeline keeps/drops/resamples on the
+margin.
+
+Inference is a SINGLE map-only codegen expression per document — no
+explode, no shuffle, no Python: the gram array is materialized once
+per row, then ``aggregate`` folds frozen integer micro-weights over it.
+At 100 TB this is the ideal shape (embarrassingly parallel token scan,
+zero exchange). All arithmetic is BIGINT:
+
+    score_micro = bias_micro · N + Σ_g w_micro[bucket(g)]
+
+which is N · (bias + mean-pooled feature dot) — the fastText decision
+function scaled by the positive gram count N, so the SIGN (the label)
+matches the float model exactly while every value stays
+order-independent and bit-comparable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.operators.datasets import hash_bucket
+from fhir_etl_spark.operators.text import tokens, word_ngrams
+
+
+def hashed_grams(toks: Column | str, max_n: int = 2) -> Column:
+    """Word 1..max_n-grams from a TOKEN ARRAY column as one array (the
+    fastText ``wordNgrams`` feature set). Pure codegen — no explode.
+    Pass a materialized token column: the n-gram lambdas re-evaluate
+    their child per element, so an unmaterialized tokens(text) child
+    would re-tokenize the document once per gram."""
+    t = F.col(toks) if isinstance(toks, str) else toks
+    out = t
+    for n in range(2, max_n + 1):
+        out = F.concat(out, word_ngrams(t, n))
+    return out
+
+
+def linear_classifier_scores(
+    df: DataFrame,
+    w_micro: list[int],
+    bias_micro: int,
+    salt: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    labels: tuple[str, str] = ("other", "en"),
+    max_n: int = 2,
+) -> DataFrame:
+    """Score every document with a frozen binary linear classifier.
+
+    ``w_micro`` is the per-bucket integer micro-weight table (length =
+    number of hash buckets; a driver literal — the model IS the plan,
+    no join, no broadcast). Output per document:
+
+    - ``n_grams``   — feature count N (BIGINT)
+    - ``score_micro`` — bias_micro·N + Σ w_micro[bucket(g)]; positive
+      means the positive class, and |score_micro| is the margin in
+      micro·gram units
+    - ``label``     — labels[1] if score_micro > 0 else labels[0]
+      (N = 0 ⇒ score 0 ⇒ the negative label, deterministically)
+
+    Scale shape: map-only (one md5 per gram, one array fold per row);
+    the 100 TB cost is the token scan itself. The weight table rides
+    into every task as a codegen literal — no state to distribute.
+    """
+    n_buckets = len(w_micro)
+    if n_buckets == 0:
+        raise ValueError("linear_classifier_scores: empty weight table")
+    w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w_micro])
+    # materialize tokens, then the gram array, BEFORE the fold: the
+    # higher-order lambdas re-evaluate child expressions per element,
+    # so an unmaterialized chain would re-tokenize per gram
+    g = df.withColumn("_toks", tokens(text_col)).withColumn(
+        "_grams", hashed_grams("_toks", max_n=max_n)
+    )
+    score = F.lit(int(bias_micro)).cast("long") * F.size("_grams").cast("long") + F.aggregate(
+        "_grams",
+        F.lit(0).cast("long"),
+        lambda acc, gr: acc
+        + F.element_at(w_arr, (hash_bucket(gr, salt=salt, n_buckets=n_buckets) + 1).cast("int")),
+    )
+    return g.select(
+        id_col,
+        F.size("_grams").cast("long").alias("n_grams"),
+        score.alias("score_micro"),
+        F.when(score > 0, labels[1]).otherwise(labels[0]).alias("label"),
+    )

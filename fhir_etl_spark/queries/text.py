@@ -1139,3 +1139,59 @@ def c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
         .select("doc_id", "n_copies", "n_tokens", "quality", "lang_pred", "script")
     )
+
+
+def _t22_weights_sql() -> tuple[str, int]:
+    """The frozen t22 weight table as a DuckDB list literal (the model
+    is in-source — fhir_etl_spark/functions/ft_weights.py — so the
+    oracle replays inference with the identical literals)."""
+    from fhir_etl_spark.functions import ft_weights as fw
+
+    return "[" + ", ".join(str(v) for v in fw.W_MICRO) + "]", fw.BIAS_MICRO
+
+
+_T22_W_SQL, _T22_BIAS = _t22_weights_sql()
+
+
+@query(
+    "t22_quality_classifier",
+    oracle=f"""
+    WITH w AS (SELECT {_T22_W_SQL} AS W),
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS g
+      FROM toks
+    ), scored AS (
+      SELECT doc_id,
+             CAST(len(g) AS BIGINT) AS n_grams,
+             CAST({_T22_BIAS} AS BIGINT) * len(g)
+             + CAST(coalesce(list_sum(list_transform(g, x ->
+                 W[1 + CAST(CAST('0x' || substr(md5('ft22' || x), 1, 8)
+                            AS UBIGINT) % 128 AS INT)])), 0) AS BIGINT)
+               AS score_micro
+      FROM grams CROSS JOIN w
+    )
+    SELECT doc_id, n_grams, score_micro,
+           CASE WHEN score_micro > 0 THEN 'en' ELSE 'other' END AS label
+    FROM scored
+    """,
+    tags=("text", "classifier"),
+)
+def t22_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality-classifier INFERENCE (Joulin 2016; the
+    GPT-3/CCNet/LLaMA curation filter): a frozen logistic-regression
+    model over hashed word 1+2-grams scores every document; sign =
+    label, |score| = margin. The model was trained offline
+    (tools/train_t22.py) and frozen as integer micro literals, so the
+    plan is map-only pure codegen — no join, no shuffle, no Python —
+    and the oracle replays inference bit-exactly (BIGINT end to end).
+    See operators/classifier.linear_classifier_scores for the scale
+    contract (the weight table rides into tasks as a literal)."""
+    from fhir_etl_spark.functions import ft_weights as fw
+    from fhir_etl_spark.operators.classifier import linear_classifier_scores
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return linear_classifier_scores(
+        documents, fw.W_MICRO, fw.BIAS_MICRO, salt=fw.SALT
+    )
