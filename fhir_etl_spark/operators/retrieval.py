@@ -1,0 +1,138 @@
+"""BM25 ranked retrieval over a document corpus (Robertson/Spärck Jones
+probabilistic relevance; the Lucene-practical variant) — the retrieval
+step a training-data pipeline runs for decontamination-by-retrieval,
+hard-negative mining, and seed-document expansion.
+
+Exactness contract (the repo-wide integer-micro discipline): with
+k1 = 6/5 and b = 3/4 fixed, per-(query-term, doc)
+
+    idf_micro   = round(1e6 · (ln(2N + 2) − ln(2·df + 1)))      ≥ 0
+    contrib     = (idf_micro · 22 · tf · A)
+                  DIV (10 · tf · A + 3 · A + 9000 · dl)
+    score_micro = Σ_terms contrib
+
+where A = (1000 · L) DIV N is the corpus's average document length in
+milli-tokens (one bounded aggregate), dl the document's token count,
+L total tokens, N total docs. Every operand is a positive BIGINT, so
+DIV is identical across engines (trunc == floor for positives); the
+only float op is one ln per distinct term over exactly-representable
+integer arguments, rounded at the 1e-6 grain (the DSIR quantization
+argument — see operators/datasets.dsir_bucket_weights). Lucene's
+idf = ln(1 + (N − df + ½)/(df + ½)) = ln(2N + 2) − ln(2df + 1) is
+used precisely because it is ALWAYS positive: a classic-BM25 negative
+idf would make trunc and floor division disagree cross-engine.
+
+Scale shape: the index build is ONE explode + two partial-aggregated
+groupBys (postings on (doc, term), df on term) — at deployment the
+postings land in a term-bucketed table written once and queried many
+times. Query scoring BROADCASTS the query-term table (queries are
+small by definition) into the postings scan, so the corpus never
+shuffles per query; the only per-query exchange carries candidate
+(query, doc) partial scores, already collapsed by map-side combine.
+Top-k is a rank-≤-k window (WindowGroupLimit: per-partition heads,
+never a full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.operators.text import tokens
+
+IDF_MICRO = 1_000_000
+
+
+def bm25_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the BM25 inverted index: ``(postings, dfreq, stats)``.
+
+    - ``postings``: (id, term, tf, dl) — one row per distinct term per
+      doc; ``dl`` (the doc's token count) is denormalized onto the
+      posting so scoring never joins back to the corpus.
+    - ``dfreq``: (term, df) — document frequencies.
+    - ``stats``: single row (n_docs, total_tokens, avgdl_milli) —
+      bounded by construction, broadcast into scoring.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = (
+        toks.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dl, "id")
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    ).select(
+        "n_docs",
+        "total_tokens",
+        F.expr("(1000 * total_tokens) div n_docs").alias("avgdl_milli"),
+    )
+    return postings, dfreq, stats
+
+
+def bm25_topk(
+    postings: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+) -> DataFrame:
+    """Score ``queries`` (id, text) against a built index; return the
+    top-``k`` (query_id, doc_id, score_micro, rank) per query,
+    deterministic tie-break on doc id. Duplicate terms within one query
+    are collapsed (each distinct term scores once — note in the module
+    docstring; weight a term by repeating documents, not queries)."""
+    qterms = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.explode(F.array_distinct(tokens(query_text_col))).alias("term"),
+    )
+    # idf per query term: join the (small) query-term set against the
+    # term-keyed df table, then broadcast the enriched term list into
+    # the postings scan — the corpus side never shuffles per query.
+    qidf = (
+        qterms.join(dfreq, "term", "left")
+        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl_milli")))
+        .select(
+            "qid",
+            "term",
+            "avgdl_milli",
+            F.round(
+                (
+                    F.log(2.0 * F.col("n_docs") + 2.0)
+                    - F.log(2.0 * F.coalesce(F.col("df"), F.lit(0)) + 1.0)
+                )
+                * IDF_MICRO
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(qidf), "term")
+        .select(
+            "qid",
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "(idf_micro * 22 * tf * avgdl_milli)"
+                " div (10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl)"
+            ).alias("contrib_micro"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib_micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"), "doc_id", "score_micro", "rank"
+        )
+    )

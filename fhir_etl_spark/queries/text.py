@@ -1195,3 +1195,73 @@ def t22_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_classifier_scores(
         documents, fw.W_MICRO, fw.BIAS_MICRO, salt=fw.SALT
     )
+
+
+_T23_QUERIES = (
+    (1, "spark table scan"),
+    (2, "vector stream merge"),
+    (3, "customer query filter"),
+)
+_T23_Q_SQL = ", ".join(f"({i}, '{t}')" for i, t in _T23_QUERIES)
+_T23_QTOKS = _TOKS_SQL.replace("text", "qtext")
+
+
+@query(
+    "t23_bm25_topk",
+    oracle=f"""
+    WITH q(qid, qtext) AS (VALUES {_T23_Q_SQL}),
+    toks AS MATERIALIZED (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ), dl AS MATERIALIZED (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), post AS MATERIALIZED (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS MATERIALIZED (
+      SELECT term, count(*) AS df FROM post GROUP BY term
+    ), stats AS (
+      SELECT count(*) AS n_docs,
+             (1000 * CAST(sum(dl) AS BIGINT)) // count(*) AS a
+      FROM dl
+    ), qt AS (
+      SELECT qid, unnest(list_distinct({_T23_QTOKS})) AS term FROM q
+    ), qidf AS (
+      SELECT qid, term, a,
+             CAST(round((ln(2.0 * n_docs + 2.0)
+                         - ln(2.0 * coalesce(df, 0) + 1.0)) * 1e6)
+                  AS BIGINT) AS idf_micro
+      FROM qt LEFT JOIN dfreq USING (term) CROSS JOIN stats
+    ), scored AS (
+      SELECT qid, post.doc_id,
+             CAST(sum((idf_micro * 22 * tf * a)
+                      // (10 * tf * a + 3 * a + 9000 * dl))
+                  AS BIGINT) AS score_micro
+      FROM post
+      JOIN qidf USING (term)
+      JOIN dl ON dl.doc_id = post.doc_id
+      GROUP BY qid, post.doc_id
+    )
+    SELECT qid AS query_id, doc_id, score_micro, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY score_micro DESC, doc_id)
+             AS INT) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+    tags=("text", "retrieval"),
+)
+def t23_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson; Lucene-positive idf): build the
+    inverted index over the corpus, score three literal queries, return
+    the top-10 docs per query. Integer-micro BM25 end to end — every
+    DIV operand positive by construction (see operators/retrieval for
+    the k1=6/5, b=3/4 clearing) — so the oracle replays ranking
+    bit-exactly. Scale: index built once (two key-partial groupBys),
+    query terms BROADCAST into the postings scan (the corpus never
+    shuffles per query), WindowGroupLimit top-k."""
+    from fhir_etl_spark.operators.retrieval import bm25_index, bm25_topk
+
+    documents = load_tables(spark, sf_dir, "documents")
+    postings, dfreq, stats = bm25_index(documents)
+    queries = spark.createDataFrame(
+        list(_T23_QUERIES), "query_id int, query string"
+    )
+    return bm25_topk(postings, dfreq, stats, queries, k=10)
