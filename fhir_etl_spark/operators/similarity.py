@@ -1256,45 +1256,8 @@ def pq_train_encode(
         for s in range(m):
             codebook[(s, c)] = [float(x) for x in v[s * sub_len : (s + 1) * sub_len]]
 
-    def assign_df(df: DataFrame) -> DataFrame:
-        """(_id, _v) → (_id, _v, codes). Staged selectExpr projections
-        (one py4j call each — see :func:`_pq_micro_dist_sql` for both
-        the expansion and the SQL-string rationale): the shared
-        per-subspace ‖a‖² columns first, then every (s, c) expanded
-        micro-distance as its own named column, then the argmins.
-        Argmin is array_min over (d, c) structs — lexicographic struct
-        order gives min distance with ties to the LOWER c (the oracle's
-        ORDER BY dm, c) and references each distance column once."""
-        by_s = [
-            {c: w for (cs, c), w in codebook.items() if cs == s} for s in range(m)
-        ]
-        with_norms = df.selectExpr(
-            "_id",
-            "_v",
-            *[
-                f"{_pq_sub_sq_norm_sql('_v', s * sub_len, sub_len)} AS _asq_{s}"
-                for s in range(m)
-            ],
-        )
-        dist_proj = ["_id", "_v"]
-        for s in range(m):
-            for c in sorted(by_s[s]):
-                d_sql = _pq_micro_dist_sql(
-                    "_v", s * sub_len, by_s[s][c], sub_len, f"_asq_{s}"
-                )
-                dist_proj.append(f"{d_sql} AS _d_{s}_{c}")
-        tmp = with_norms.selectExpr(*dist_proj)
-        code_exprs = []
-        for s in range(m):
-            cs = sorted(by_s[s])
-            structs = ", ".join(f"named_struct('d', _d_{s}_{c}, 'c', {c})" for c in cs)
-            code_exprs.append(f"array_min(array({structs})).c")
-        return tmp.selectExpr(
-            "_id", "_v", f"array({', '.join(code_exprs)}) AS codes"
-        )
-
     for _ in range(n_iterations - 1):
-        assigned = assign_df(corpus)
+        assigned = _pq_assign_codes(corpus, codebook, m, sub_len, "_v", ("_id",))
         upd = assigned.select(
             F.explode(
                 F.array(
@@ -1325,8 +1288,87 @@ def pq_train_encode(
             (r["_s"], r["_c"]): [float(x) for x in r["_cv"]] for r in new_rows
         }
 
-    codes = assign_df(corpus).select(F.col("_id").alias(id_col), "codes")
+    codes = _pq_assign_codes(corpus, codebook, m, sub_len, "_v", ("_id",)).select(
+        F.col("_id").alias(id_col), "codes"
+    )
     return codes, codebook
+
+
+def _pq_assign_codes(
+    df: DataFrame,
+    codebook: dict[tuple[int, int], list[float]],
+    m: int,
+    sub_len: int,
+    vec: str,
+    carry: tuple[str, ...],
+) -> DataFrame:
+    """(carry…, vec) → (carry…, vec, codes): the shared PQ nearest-
+    codeword assignment. Staged selectExpr projections (one py4j call
+    each — see :func:`_pq_micro_dist_sql` for both the expansion and
+    the SQL-string rationale): the shared per-subspace ‖a‖² columns
+    first, then every (s, c) expanded micro-distance as its own named
+    column, then the argmins. Argmin is array_min over (d, c) structs —
+    lexicographic struct order gives min distance with ties to the
+    LOWER c (the oracle's ORDER BY dm, c) and references each distance
+    column once. Map-only: the codebook rides as codegen literals."""
+    by_s = [
+        {c: w for (cs, c), w in codebook.items() if cs == s} for s in range(m)
+    ]
+    with_norms = df.selectExpr(
+        *carry,
+        vec,
+        *[
+            f"{_pq_sub_sq_norm_sql(vec, s * sub_len, sub_len)} AS _asq_{s}"
+            for s in range(m)
+        ],
+    )
+    dist_proj = [*carry, vec]
+    for s in range(m):
+        for c in sorted(by_s[s]):
+            d_sql = _pq_micro_dist_sql(
+                vec, s * sub_len, by_s[s][c], sub_len, f"_asq_{s}"
+            )
+            dist_proj.append(f"{d_sql} AS _d_{s}_{c}")
+    tmp = with_norms.selectExpr(*dist_proj)
+    code_exprs = []
+    for s in range(m):
+        cs = sorted(by_s[s])
+        structs = ", ".join(f"named_struct('d', _d_{s}_{c}, 'c', {c})" for c in cs)
+        code_exprs.append(f"array_min(array({structs})).c")
+    return tmp.selectExpr(
+        *carry, vec, f"array({', '.join(code_exprs)}) AS codes"
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: dict[tuple[int, int], list[float]],
+    dim: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode-only PQ path against a FROZEN codebook (the deployment
+    shape: train once with :func:`pq_train_encode`, persist via
+    operators/ann_store, then encode/serve with zero training actions).
+    One map-only staged projection — bit-identical codes to the ones
+    pq_train_encode returns for the same codebook."""
+    sub_len, rem = divmod(dim, m)
+    if rem or m < 1:
+        raise ValueError(f"pq_encode: m={m} must divide dim={dim}")
+    if not codebook:
+        raise ValueError("pq_encode: empty codebook")
+    cw = len(next(iter(codebook.values())))
+    if cw != sub_len:
+        raise ValueError(
+            f"pq_encode: codebook codeword length {cw} != dim/m = {sub_len}"
+        )
+    corpus = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    return _pq_assign_codes(corpus, codebook, m, sub_len, "_v", ("_id",)).select(
+        F.col("_id").alias(id_col), "codes"
+    )
 
 
 def pq_adc_topk(
@@ -1481,44 +1523,6 @@ def ivf_pq_build(
     # n < k); every later range(n_list) must see the ACTUAL count
     n_list = len(coarse)
 
-    def listed_df(df: DataFrame, v: str = "_v") -> DataFrame:
-        """Adds ``_list`` (coarse argmin) and ``_rv`` (residual) to a
-        (_id, _v) frame — two staged selectExpr projections, all
-        literals, map-only."""
-        asq = _pq_sub_sq_norm_sql(v, 0, dim)
-        with_norm = df.selectExpr("*", f"{asq} AS _fsq")
-        dists = with_norm.selectExpr(
-            "*",
-            *[
-                f"{_pq_micro_dist_sql(v, 0, coarse[c], dim, '_fsq')} AS _cd_{c}"
-                for c in range(n_list)
-            ],
-        )
-        structs = ", ".join(
-            f"named_struct('d', _cd_{c}, 'c', {c})" for c in range(n_list)
-        )
-        with_list = dists.selectExpr(
-            "_id", v, f"array_min(array({structs})).c AS _list"
-        )
-        # Residual per component via a scalar CASE over the list id —
-        # NOT element_at on a nested array-of-arrays literal: projection
-        # collapse inlines whatever _cv binds to into all `dim` residual
-        # expressions, and a 512-double nested literal duplicated 64×
-        # (~32k literal nodes) OOMs Janino compilation on a default-1g
-        # driver (the vanilla driver gate). The CASE form is 8 scalar
-        # literals per component, n_list·dim total.
-        rv = ", ".join(
-            "element_at({v}, {i}) - (CASE _list {arms} END)".format(
-                v=v,
-                i=i + 1,
-                arms=" ".join(
-                    f"WHEN {c} THEN {_dlit(coarse[c][i])}" for c in range(n_list)
-                ),
-            )
-            for i in range(dim)
-        )
-        return with_list.selectExpr("_id", "_list", f"array({rv}) AS _rv")
-
     # Lazy checkpoint: (a) the coarse-assign + residual chain executes
     # ONCE instead of once per training action (each update round, the
     # final encode, and every search consumer would otherwise re-run the
@@ -1528,7 +1532,7 @@ def ivf_pq_build(
     # OOMs a default-1g driver (the vanilla driver gate). The
     # materialized working set is (id, list, residual) — the same
     # corpus-sized training copy a FAISS IVFPQ build holds.
-    resid = listed_df(corpus).localCheckpoint(eager=False)
+    resid = _ivf_listed(corpus, coarse, dim).localCheckpoint(eager=False)
 
     # PQ training on residuals — the pq_train_encode loop verbatim, but
     # keyed on the residual column and carrying _list through.
@@ -1539,38 +1543,8 @@ def ivf_pq_build(
         for s in range(m):
             codebook[(s, c)] = [float(x) for x in rvv[s * sub_len : (s + 1) * sub_len]]
 
-    def assign_codes(df: DataFrame) -> DataFrame:
-        by_s = [
-            {c: w for (cs, c), w in codebook.items() if cs == s} for s in range(m)
-        ]
-        with_norms = df.selectExpr(
-            "_id",
-            "_list",
-            "_rv",
-            *[
-                f"{_pq_sub_sq_norm_sql('_rv', s * sub_len, sub_len)} AS _asq_{s}"
-                for s in range(m)
-            ],
-        )
-        dist_proj = ["_id", "_list", "_rv"]
-        for s in range(m):
-            for c in sorted(by_s[s]):
-                d_sql = _pq_micro_dist_sql(
-                    "_rv", s * sub_len, by_s[s][c], sub_len, f"_asq_{s}"
-                )
-                dist_proj.append(f"{d_sql} AS _d_{s}_{c}")
-        tmp = with_norms.selectExpr(*dist_proj)
-        code_exprs = []
-        for s in range(m):
-            cs = sorted(by_s[s])
-            structs = ", ".join(f"named_struct('d', _d_{s}_{c}, 'c', {c})" for c in cs)
-            code_exprs.append(f"array_min(array({structs})).c")
-        return tmp.selectExpr(
-            "_id", "_list", "_rv", f"array({', '.join(code_exprs)}) AS codes"
-        )
-
     for _ in range(n_iterations - 1):
-        assigned = assign_codes(resid)
+        assigned = _pq_assign_codes(resid, codebook, m, sub_len, "_rv", ("_id", "_list"))
         upd = assigned.select(
             F.explode(
                 F.array(
@@ -1601,10 +1575,91 @@ def ivf_pq_build(
             (r["_s"], r["_c"]): [float(x) for x in r["_cv"]] for r in new_rows
         }
 
-    codes = assign_codes(resid).select(
+    codes = _pq_assign_codes(
+        resid, codebook, m, sub_len, "_rv", ("_id", "_list")
+    ).select(
         F.col("_id").alias(id_col), "_list", "codes"
     )
     return codes, coarse, codebook
+
+
+def _ivf_listed(
+    df: DataFrame, coarse: list[list[float]], dim: int, v: str = "_v"
+) -> DataFrame:
+    """Adds ``_list`` (coarse argmin) and ``_rv`` (residual) to a
+    (_id, _v) frame — two staged selectExpr projections, all literals,
+    map-only. Residual per component via a scalar CASE over the list
+    id — NOT element_at on a nested array-of-arrays literal: projection
+    collapse inlines whatever _cv binds to into all ``dim`` residual
+    expressions, and a 512-double nested literal duplicated 64×
+    (~32k literal nodes) OOMs Janino compilation on a default-1g
+    driver (the vanilla driver gate). The CASE form is n_list scalar
+    literals per component, n_list·dim total."""
+    n_list = len(coarse)
+    asq = _pq_sub_sq_norm_sql(v, 0, dim)
+    with_norm = df.selectExpr("*", f"{asq} AS _fsq")
+    dists = with_norm.selectExpr(
+        "*",
+        *[
+            f"{_pq_micro_dist_sql(v, 0, coarse[c], dim, '_fsq')} AS _cd_{c}"
+            for c in range(n_list)
+        ],
+    )
+    structs = ", ".join(
+        f"named_struct('d', _cd_{c}, 'c', {c})" for c in range(n_list)
+    )
+    with_list = dists.selectExpr(
+        "_id", v, f"array_min(array({structs})).c AS _list"
+    )
+    rv = ", ".join(
+        "element_at({v}, {i}) - (CASE _list {arms} END)".format(
+            v=v,
+            i=i + 1,
+            arms=" ".join(
+                f"WHEN {c} THEN {_dlit(coarse[c][i])}" for c in range(n_list)
+            ),
+        )
+        for i in range(dim)
+    )
+    return with_list.selectExpr("_id", "_list", f"array({rv}) AS _rv")
+
+
+def ivf_pq_encode(
+    embeddings: DataFrame,
+    coarse: list[list[float]],
+    codebook: dict[tuple[int, int], list[float]],
+    dim: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode-only IVF-PQ path against a FROZEN model (coarse centroids
+    + residual codebook — the deployment shape: train once with
+    :func:`ivf_pq_build`, persist via operators/ann_store, then encode
+    with zero training actions). Coarse-assign + residual + PQ codes,
+    all map-only literal projections; the localCheckpoint stays as the
+    codegen boundary (fused, the coarse dists + residual CASEs + PQ
+    stages overflow Janino on a default-1g driver — the ivf_pq_build
+    note). Bit-identical codes to ivf_pq_build's for the same model."""
+    sub_len, rem = divmod(dim, m)
+    if rem or m < 1:
+        raise ValueError(f"ivf_pq_encode: m={m} must divide dim={dim}")
+    if not coarse:
+        raise ValueError("ivf_pq_encode: empty coarse centroid list")
+    if not codebook:
+        raise ValueError("ivf_pq_encode: empty codebook")
+    cw = len(next(iter(codebook.values())))
+    if cw != sub_len:
+        raise ValueError(
+            f"ivf_pq_encode: codebook codeword length {cw} != dim/m = {sub_len}"
+        )
+    corpus = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    resid = _ivf_listed(corpus, coarse, dim).localCheckpoint(eager=False)
+    return _pq_assign_codes(
+        resid, codebook, m, sub_len, "_rv", ("_id", "_list")
+    ).select(F.col("_id").alias(id_col), "_list", "codes")
 
 
 def ivf_pq_search(

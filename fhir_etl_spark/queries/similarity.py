@@ -649,10 +649,32 @@ def v11_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch and matches bit-exactly. See operators/similarity
     pq_train_encode / pq_adc_topk for the 100 TB shape (codes scan is
     map-only; codebooks and LUTs always broadcast)."""
-    from fhir_etl_spark.operators.similarity import pq_adc_topk, pq_train_encode
+    from fhir_etl_spark.operators.ann_store import (
+        corpus_fingerprint,
+        load_or_train,
+    )
+    from fhir_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_encode,
+    )
 
     embeddings = load_tables(spark, sf_dir, "embeddings")
-    codes, codebook = pq_train_encode(embeddings, dim=64, m=4, sub_k=16, n_iterations=2)
+    # Train-once/serve-forever: the deterministic Lloyd training runs
+    # only when (corpus files, hyperparameters) have no persisted model;
+    # a hit goes straight to the map-only encode (operators/ann_store).
+    params = {"dim": 64, "m": 4, "sub_k": 16, "n_iterations": 2}
+    codebook, _ = load_or_train(
+        spark,
+        "pq",
+        corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+        params,
+        lambda: (
+            pq_train_encode(embeddings, **params)[1],
+            None,
+        ),
+    )
+    codes = pq_encode(embeddings, codebook, dim=64, m=4)
     queries = embeddings.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -778,12 +800,31 @@ def v12_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the pruned scan. See operators/similarity.ivf_pq_build/_search
     for the 100 TB shape (map-only encode, the _list equi-join IS the
     inverted-index prune)."""
-    from fhir_etl_spark.operators.similarity import ivf_pq_build, ivf_pq_search
+    from fhir_etl_spark.operators.ann_store import (
+        corpus_fingerprint,
+        load_or_train,
+    )
+    from fhir_etl_spark.operators.similarity import (
+        ivf_pq_build,
+        ivf_pq_encode,
+        ivf_pq_search,
+    )
 
     embeddings = load_tables(spark, sf_dir, "embeddings")
-    codes, coarse, codebook = ivf_pq_build(
-        embeddings, dim=64, n_list=8, m=4, sub_k=16, n_iterations=2
+    # Train-once/serve-forever (the v11 pattern): a persisted
+    # (coarse, codebook) model skips the Lloyd rounds; encode is the
+    # map-only ivf_pq_encode either way.
+    params = {"dim": 64, "n_list": 8, "m": 4, "sub_k": 16, "n_iterations": 2}
+    codebook, coarse = load_or_train(
+        spark,
+        "ivfpq",
+        corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+        params,
+        lambda: (lambda built: (built[2], built[1]))(
+            ivf_pq_build(embeddings, **params)
+        ),
     )
+    codes = ivf_pq_encode(embeddings, coarse, codebook, dim=64, m=4)
     queries = embeddings.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

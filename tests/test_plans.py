@@ -195,6 +195,11 @@ def test_no_broadcast_hints_on_scaling_tables():
         # int8_topk: the quantized QUERY probe set (same bounded role as
         # sig_queries/q in the other ANN tiers — a handful of vectors)
         "qq",
+        # bm25_topk: the idf-enriched QUERY TERM set — rows = Σ distinct
+        # terms over the (small by definition) query batch, never
+        # corpus-sized; broadcasting it is the point (the postings scan
+        # must not shuffle per query)
+        "qidf",
         # semdedup_keep re-split: one cluster_id row per over-cap
         # first-level cluster — ≤ k rows of one int regardless of SF
         "over_clusters",
