@@ -816,3 +816,23 @@ def stupid_backoff_score(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def nfkc_fold(text: Column | str) -> Column:
+    """NFKC-class normalization from the FROZEN mapping tables in
+    functions/unicode_fold (VERDICT r08 #5): ligature expansion
+    (replace chain), then width folding + confusable homoglyphs +
+    combining-mark stripping in ONE ``translate`` — two engine-native
+    string ops, pure codegen, replayed exactly by DuckDB's
+    Postgres-semantics ``replace``/``translate`` (both per-codepoint,
+    both delete a from-char with no to-counterpart)."""
+    from fhir_etl_spark.functions.unicode_fold import (
+        LIGATURES,
+        TRANSLATE_FROM,
+        TRANSLATE_TO,
+    )
+
+    c = _col(text)
+    for k, v in LIGATURES.items():
+        c = F.replace(c, F.lit(k), F.lit(v))
+    return F.translate(c, TRANSLATE_FROM, TRANSLATE_TO)

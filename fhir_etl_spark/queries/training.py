@@ -177,3 +177,62 @@ def d11_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(corpus, benchmark, k=3).select(
         "doc_id", "source", "n_chars"
     )
+
+
+def _t5b_oracle() -> str:
+    """Replay the decorate + fold in DuckDB from the same frozen tables
+    (functions/unicode_fold) — the mapping is code, so the oracle
+    literal is generated from it, never hand-copied."""
+    from fhir_etl_spark.functions.unicode_fold import (
+        LIGATURES,
+        TRANSLATE_FROM,
+        TRANSLATE_TO,
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    fw = ", ".join(lit(chr(0xFF21 + i)) for i in range(26))
+    decorated = (
+        f"[{fw}][1 + doc_id % 26] || 'х' || 'e' || chr(769) "
+        "|| chr(12288) || 'ﬁ' || ' ' || text"
+    )
+    expr = f"({decorated})"
+    for k, v in LIGATURES.items():
+        expr = f"replace({expr}, {lit(k)}, {lit(v)})"
+    return f"""
+    SELECT doc_id,
+           translate({expr}, {lit(TRANSLATE_FROM)}, {lit(TRANSLATE_TO)})
+             AS norm_text
+    FROM documents
+    """
+
+
+@query("t5b_nfkc_fold", oracle=_t5b_oracle(), tags=("training", "text", "unicode"))
+def t5b_nfkc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFKC-class normalization (width fold + confusable homoglyphs +
+    ligature expansion + combining-mark strip) from the frozen tables
+    in functions/unicode_fold — the multilingual tier above t5's
+    ASCII-class normalize. The synthetic corpus is pure ASCII (the fold
+    would be the identity), so the query first DECORATES every doc with
+    a deterministic non-ASCII prefix derived from doc_id — a fullwidth
+    letter, a Cyrillic х, e + COMBINING ACUTE, an ideographic space,
+    the ﬁ ligature — and the oracle replays both the decoration and the
+    fold; every mapping class is therefore value-checked on every row.
+    Plan: one map-only codegen projection (replace chain + translate)."""
+    from fhir_etl_spark.operators.text import nfkc_fold
+
+    documents = load_tables(spark, sf_dir, "documents")
+    fw = F.array(*[F.lit(chr(0xFF21 + i)) for i in range(26)])
+    decorated = F.concat(
+        F.element_at(fw, (F.col("doc_id") % 26 + 1).cast("int")),
+        F.lit("х"),
+        F.lit("é"),
+        F.lit("　"),
+        F.lit("ﬁ"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    return documents.select(
+        "doc_id", nfkc_fold(decorated).alias("norm_text")
+    )
