@@ -121,3 +121,121 @@ def read_dedup_verdicts(
     return lsh_bucket_keepers(
         spark.read.schema(schema).parquet(state_path), id_col
     )
+
+
+# --- MERGE-backed fold (VERDICT r08 #4): the deployment-scale tier ----------
+
+_MERGE_LEDGER = "_MERGE_LAST_EPOCH"
+
+
+def _merge_last_epoch(table_path: str) -> int | None:
+    import os
+
+    try:
+        with open(os.path.join(table_path, _MERGE_LEDGER)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _stamp_merge_epoch(table_path: str, epoch_id: int) -> None:
+    import os
+
+    os.makedirs(table_path, exist_ok=True)
+    tmp = os.path.join(table_path, f".{_MERGE_LEDGER}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(epoch_id))
+    os.replace(tmp, os.path.join(table_path, _MERGE_LEDGER))
+
+
+def merge_band_index_epoch(
+    spark: SparkSession,
+    table_path: str,
+    idx: DataFrame,
+    epoch_id: int,
+    id_col: str = "doc_id",
+) -> None:
+    """One epoch's MERGE fold: upsert this batch's index rows into the
+    versioned index table — ``MERGE ON (id, band, bucket) WHEN NOT
+    MATCHED THEN INSERT`` semantics, realized as an anti join against
+    the current snapshot followed by an APPEND commit of only the
+    genuinely-new rows (sinks/versioned — atomic manifests, snapshot
+    isolation for concurrent readers). Contrast with the local
+    parquet-swap tier (:func:`stream_lsh_dedup_index`): state is never
+    rewritten — each micro-batch's commit is O(batch), not O(corpus),
+    which is what survives a 100 TB corpus life.
+
+    Exactly-once under replay, twice over: the epoch ledger (stamped
+    AFTER the commit) short-circuits known-absorbed epochs, and the
+    anti join makes a re-applied epoch a no-op even in the
+    crash-window where the commit landed but the ledger stamp was lost
+    — index rows are set-union facts, so insert-if-absent IS the whole
+    merge. Overlapping shards / re-streamed documents dedup by the
+    same mechanism."""
+    from fhir_etl_spark.sinks.versioned import read_snapshot, write_snapshot
+
+    if _merge_last_epoch(table_path) == epoch_id:
+        return  # ledger fast path: replayed epoch, already absorbed
+    try:
+        cur = read_snapshot(spark, table_path)
+        delta = idx.join(cur, on=[id_col, "band", "bucket"], how="left_anti")
+    except FileNotFoundError:
+        delta = idx
+    # materialize once: the commit below and the emptiness probe must
+    # not re-execute the signature pipeline + anti join twice
+    delta = delta.localCheckpoint(eager=True)
+    if not delta.isEmpty():
+        write_snapshot(delta, table_path, mode="append", max_retries=2)
+    _stamp_merge_epoch(table_path, epoch_id)
+
+
+def stream_lsh_dedup_index_merge(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    table_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    hash_fn: str = "xxhash64",
+    checkpoint: str | None = None,
+):
+    """The MERGE-backed twin of :func:`stream_lsh_dedup_index`: each
+    micro-batch UPSERTS its banded index rows into a snapshot-versioned
+    table instead of rewriting the whole state dir — the deployment-
+    scale shape SCALE.md promised ("becomes a MERGE on (doc, band,
+    bucket)"). Readers always see a consistent snapshot (the manifest
+    is pinned per read) even while the stream commits."""
+    if checkpoint is None:
+        checkpoint = f"{table_path}.checkpoint"
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = doc_band_index(
+            batch_df, id_col, text_col, num_hashes, k, bands,
+            rows_per_band, hash_fn,
+        )
+        merge_band_index_epoch(spark, table_path, idx, epoch_id, id_col)
+
+    return (
+        docs_stream.writeStream.outputMode("update")
+        .foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_dedup_verdicts_merge(
+    spark: SparkSession, table_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, kept) off the MERGE-maintained index — schema comes from the
+    snapshot manifest (no id_type threading: the committing write
+    recorded it), read through one pinned manifest so a concurrent
+    micro-batch commit can never tear the verdict set."""
+    from fhir_etl_spark.sinks.versioned import read_snapshot
+
+    return lsh_bucket_keepers(read_snapshot(spark, table_path), id_col)
