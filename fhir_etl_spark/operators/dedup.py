@@ -884,20 +884,37 @@ def substring_dedup(
     # BY MORE THAN ONE position (end-adjacent intervals produce one
     # contiguous covered run and must merge for the span-length
     # threshold to see the true maximal span)
-    occ = grams.join(dup_keys, "_k", "semi").select("_id", "_i")
-    w = Window.partitionBy("_id").orderBy("_i")
-    prev_end = F.max(F.col("_i") + k - 1).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
+    occ = grams.join(dup_keys, "_k", "semi").select(
+        "_id", F.col("_i").alias("_s"), (F.col("_i") + k - 1).alias("_e")
     )
+    return _remove_spans_rebuild(toked, occ, min_span_tokens, id_col)
+
+
+def _remove_spans_rebuild(
+    toked: DataFrame,
+    intervals: DataFrame,
+    min_span_tokens: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared removal tail for the ExactSubstr family: merge the
+    (possibly overlapping) covered ``intervals`` (_id, _s, _e; 0-based
+    inclusive token positions) into MAXIMAL disjoint spans per doc (the
+    windowed interval merge — new span when a start clears the running
+    max end by more than one), drop spans shorter than
+    ``min_span_tokens``, anti-join the token stream against the covered
+    positions, and reassemble (id, n_tokens, n_removed, clean_text).
+    ``toked`` is (_id, _t:array<string>)."""
+    w = Window.partitionBy("_id").orderBy("_s")
+    prev_end = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     is_new_span = F.when(
-        prev_end.isNull() | (F.col("_i") > prev_end + 1), 1
+        prev_end.isNull() | (F.col("_s") > prev_end + 1), 1
     ).otherwise(0)
     spans = (
-        occ.withColumn(
+        intervals.withColumn(
             "_g", F.sum(is_new_span).over(w.rowsBetween(Window.unboundedPreceding, 0))
         )
         .groupBy("_id", "_g")
-        .agg(F.min("_i").alias("_s"), F.max(F.col("_i") + k - 1).alias("_e"))
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
         .filter(F.col("_e") - F.col("_s") + 1 >= min_span_tokens)
     )
     # spans are disjoint and non-adjacent → exploded positions are unique,
@@ -933,3 +950,169 @@ def substring_dedup(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def suffix_array_dedup(
+    documents: DataFrame,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span_tokens: int | None = None,
+    max_levels: int = 32,
+) -> DataFrame:
+    """ExactSubstr via a DISTRIBUTED SUFFIX ARRAY (Lee et al. 2022's
+    actual data structure, built with prefix doubling à la
+    Flick & Aluru 2015 "Parallel distributed memory construction of
+    suffix and LCP arrays"): delete every token position lying inside a
+    substring of ≥ ``min_len`` tokens that occurs ≥ 2 times anywhere in
+    the corpus. Same output contract as :func:`substring_dedup`
+    (id, n_tokens, n_removed, clean_text) — and for the DEFAULT
+    thresholds the two are provably identical (a position is inside a
+    duplicated ≥ k-token substring iff it is inside a duplicated
+    k-gram), which is how the registered query value-oracles this
+    implementation: the oracle replays the k-gram pipeline.
+
+    What the suffix array buys over the k-gram formulation: per-suffix
+    LONGEST duplicated-prefix lengths (true LCPs), so one build answers
+    EVERY threshold — and the shuffle rows carry integer ranks, never
+    k-token gram strings (the k-gram explode's k× text blow-up).
+
+    Build (all key-partitioned; no single-partition window — global
+    dense ranks come from operators/ranking.distributed_dense_rank):
+
+    1. token rank table R₁ (one distributed rank over the vocabulary);
+    2. prefix doubling: R₂ⱼ from (Rⱼ(p), Rⱼ(p+j), −1 beyond doc end) —
+       a (doc,pos)-keyed self-join + one distributed rank per round,
+       ⌈log₂ max_doc_tokens⌉ rounds, early exit once ranks are unique;
+    3. suffix-array adjacency: rank-ordered index (one more distributed
+       rank over unique keys), self-join idx↔idx+1;
+    4. LCP of every adjacent pair by the standard descending walk over
+       the saved level tables (if Rⱼ matches at offset lcp, lcp += j) —
+       two (doc,pos)-keyed joins per level — then clamped to the real
+       remaining lengths (sentinel pads only ever match pads);
+    5. d(s) = max(LCP with SA-prev, LCP with SA-next) — the classic SA
+       identity for "longest duplicated prefix of suffix s";
+    6. spans [s, s+d) for d ≥ min_len → the shared interval-merge +
+       anti-join reassembly tail (:func:`_remove_spans_rebuild`).
+
+    Cost: O(n log L) shuffle rows of small integers (L = max doc
+    tokens) vs the k-gram's O(n·k) text bytes — the trade a 100 TB
+    deployment prices out per corpus. The per-round bounded collects
+    (one row per shuffle partition, the ranking offsets) serialize
+    plan-build exactly like v11's Lloyd rounds — fixed count,
+    corpus-independent size.
+    """
+    if min_span_tokens is None:
+        min_span_tokens = min_len
+    if min_span_tokens < min_len:
+        raise ValueError(
+            f"min_span_tokens ({min_span_tokens}) below min_len ({min_len})"
+        )
+    from fhir_etl_spark.operators.ranking import distributed_dense_rank
+
+    toked = documents.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    ).localCheckpoint(eager=False)
+    suf = toked.select("_id", F.posexplode("_t").alias("_p", "_w"))
+    max_len = toked.agg(F.max(F.size("_t"))).first()[0] or 0
+    if max_len == 0:
+        return _remove_spans_rebuild(
+            toked, suf.select("_id", "_p", "_p").toDF("_id", "_s", "_e").limit(0),
+            min_span_tokens, id_col,
+        )
+
+    level = distributed_dense_rank(suf, ["_w"], "_r").select(
+        "_id", "_p", "_r"
+    ).localCheckpoint(eager=False)
+    tables: list[tuple[int, DataFrame]] = [(1, level)]  # width -> rank table
+    j = 1
+    while j < max_len and len(tables) < max_levels:
+        cur = tables[-1][1]
+        shifted = cur.select(
+            "_id", (F.col("_p") - j).alias("_p"), F.col("_r").alias("_r2")
+        )
+        keyed = cur.join(shifted, ["_id", "_p"], "left").select(
+            "_id", "_p", "_r", F.coalesce("_r2", F.lit(-1)).alias("_r2")
+        )
+        nxt = distributed_dense_rank(keyed, ["_r", "_r2"], "_rn").select(
+            "_id", "_p", F.col("_rn").alias("_r")
+        ).localCheckpoint(eager=False)
+        j *= 2
+        tables.append((j, nxt))
+        # early exit: unique ranks ⇒ all padded LCPs < current width
+        stats = nxt.agg(
+            F.count("*").alias("n"), F.countDistinct("_r").alias("d")
+        ).first()
+        if stats["n"] == stats["d"]:
+            break
+
+    final = tables[-1][1]
+    sa = distributed_dense_rank(final, ["_r", "_id", "_p"], "_sa").select(
+        "_id", "_p", "_sa"
+    )
+    nxt_suf = sa.select(
+        (F.col("_sa") - 1).alias("_sa"),
+        F.col("_id").alias("_bid"),
+        F.col("_p").alias("_bp"),
+    )
+    pairs = (
+        sa.join(nxt_suf, "_sa")
+        .select(
+            F.col("_id").alias("_aid"), F.col("_p").alias("_ap"), "_bid", "_bp"
+        )
+        .withColumn("_lcp", F.lit(0))
+    )
+    # LCP walk over the saved level tables, widest first
+    for width, tbl in reversed(tables):
+        ra = tbl.select(
+            F.col("_id").alias("_aid"), F.col("_p").alias("_qa"),
+            F.col("_r").alias("_ra"),
+        )
+        rb = tbl.select(
+            F.col("_id").alias("_bid"), F.col("_p").alias("_qb"),
+            F.col("_r").alias("_rb"),
+        )
+        pairs = (
+            pairs.withColumn("_qa", F.col("_ap") + F.col("_lcp"))
+            .withColumn("_qb", F.col("_bp") + F.col("_lcp"))
+            .join(ra, ["_aid", "_qa"], "left")
+            .join(rb, ["_bid", "_qb"], "left")
+            .withColumn(
+                "_lcp",
+                F.col("_lcp")
+                + F.when(
+                    F.col("_ra").isNotNull() & (F.col("_ra") == F.col("_rb")),
+                    width,
+                ).otherwise(0),
+            )
+            .drop("_qa", "_qb", "_ra", "_rb")
+        )
+    lens = toked.select("_id", F.size("_t").alias("_len"))
+    la = lens.select(F.col("_id").alias("_aid"), F.col("_len").alias("_la"))
+    lb = lens.select(F.col("_id").alias("_bid"), F.col("_len").alias("_lb"))
+    lcps = (
+        pairs.join(la, "_aid")
+        .join(lb, "_bid")
+        .select(
+            "_aid", "_ap", "_bid", "_bp",
+            F.least(
+                "_lcp", F.col("_la") - F.col("_ap"), F.col("_lb") - F.col("_bp")
+            ).alias("_lcp"),
+        )
+    )
+    d_per_suffix = (
+        lcps.select(F.col("_aid").alias("_id"), F.col("_ap").alias("_p"), "_lcp")
+        .unionByName(
+            lcps.select(
+                F.col("_bid").alias("_id"), F.col("_bp").alias("_p"), "_lcp"
+            )
+        )
+        .groupBy("_id", "_p")
+        .agg(F.max("_lcp").alias("_d"))
+    )
+    intervals = d_per_suffix.filter(F.col("_d") >= min_len).select(
+        "_id",
+        F.col("_p").alias("_s"),
+        (F.col("_p") + F.col("_d") - 1).alias("_e"),
+    )
+    return _remove_spans_rebuild(toked, intervals, min_span_tokens, id_col)

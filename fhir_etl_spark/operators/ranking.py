@@ -1,0 +1,64 @@
+"""Distributed global dense ranking — the primitive a suffix-array
+build needs at every prefix-doubling round, and the one Spark's window
+API only offers through a SINGLE-PARTITION window (``Window.orderBy``
+with no partitionBy moves the whole input through one task — the exact
+anti-pattern this repo's plan audits exist to catch).
+
+The standard distributed formulation instead:
+
+1. ``repartitionByRange`` on the key columns — Spark's range
+   partitioner samples the keys and assigns contiguous KEY RANGES to
+   partitions, so equal keys always land together;
+2. per-partition local dense_rank (a window PARTITIONED by
+   ``spark_partition_id()`` — parallel across partitions);
+3. one BOUNDED driver collect of per-partition distinct-key counts
+   (≤ shuffle-partition-count rows), turned into prefix offsets;
+4. global rank = partition offset + local rank, applied via a literal
+   CASE over the partition id (no join — the offsets table is tiny).
+
+Total cost per call: one range shuffle + one hash shuffle + one
+bounded collect. Rank values are DENSE within the key domain (equal
+keys share a rank; ranks increase with key order with no gaps), which
+is exactly the contract prefix doubling needs (equality ⇔ equal
+prefix, order ⇔ prefix order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_dense_rank(
+    df: DataFrame, key_cols: list[str], out_col: str = "rank"
+) -> DataFrame:
+    """Append ``out_col``: the global dense rank (0-based) of the row's
+    key tuple under ascending NULLS FIRST order, without ever moving
+    the dataset through one partition. Deterministic for any input
+    partitioning (ranks depend only on key values)."""
+    keys = [F.col(c) for c in key_cols]
+    parted = df.repartitionByRange(*keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    local = parted.withColumn("_lrank", F.dense_rank().over(w) - 1)
+    # bounded collect: one row per shuffle partition
+    sizes = {
+        r["_pid"]: r["_n"]
+        for r in local.groupBy("_pid")
+        .agg(F.countDistinct(*keys).alias("_n"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    if not offsets:
+        return df.withColumn(out_col, F.lit(0).cast("long")).limit(0)
+    off = F.when(F.col("_pid") == list(offsets)[0], F.lit(offsets[list(offsets)[0]]))
+    for pid, o in list(offsets.items())[1:]:
+        off = off.when(F.col("_pid") == pid, F.lit(o))
+    return local.withColumn(
+        out_col, (off.cast("long") + F.col("_lrank")).alias(out_col)
+    ).drop("_pid", "_lrank")

@@ -448,9 +448,7 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "d10_substring_dedup",
-    oracle="""
+_EXACTSUBSTR_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
@@ -480,7 +478,12 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(t) - coalesce(kept_n, 0) AS BIGINT) AS n_removed,
            coalesce(clean_text, '') AS clean_text
     FROM toks LEFT JOIN reb ON toks.doc_id = reb.doc_id
-    """,
+    """
+
+
+@query(
+    "d10_substring_dedup",
+    oracle=_EXACTSUBSTR_ORACLE,
     tags=("dedup", "text"),
 )
 def d10_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,6 +498,29 @@ def d10_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_tables(spark, sf_dir, "documents")
     return substring_dedup(documents, k=8, gram_key="text")
+
+
+@query(
+    "d13_suffix_array_dedup",
+    oracle=_EXACTSUBSTR_ORACLE,
+    tags=("dedup", "text", "suffix-array"),
+)
+def d13_suffix_array_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr via the DISTRIBUTED SUFFIX ARRAY (Lee et al. 2022's
+    actual structure; prefix doubling + LCP walk, Flick & Aluru 2015) at
+    the same ≥ 8-token policy as d10 — and oracled by the SAME SQL,
+    because the outputs are provably identical at matching thresholds
+    (a position lies in a duplicated ≥ k substring iff it lies in a
+    duplicated k-gram), making the k-gram replay a value-exact oracle
+    for the SA build, the rank tables, and the LCP walk end to end.
+    What the SA buys at 100 TB: shuffle rows of small integers instead
+    of k-token gram strings, and per-suffix TRUE longest-duplicate
+    lengths so one build answers every threshold. See
+    operators/dedup.suffix_array_dedup for the build shape."""
+    from fhir_etl_spark.operators.dedup import suffix_array_dedup
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return suffix_array_dedup(documents, min_len=8)
 
 
 _G3_ORACLE = f"""

@@ -122,17 +122,28 @@ def _copy_table(src: str, dst: str) -> None:
         shutil.copy2(src, dst)
 
 
-def build_sf1(spark: SparkSession, out_dir: str = CACHE) -> str:
-    """Materialize the 10× dataset (idempotent: a _SUCCESS_SF1 marker
-    skips the build)."""
+def build_sf1(
+    spark: SparkSession,
+    out_dir: str = CACHE,
+    src_sf: str = SRC_SF,
+    replicas: int = REPLICAS,
+    rotate_embeddings: bool = False,
+) -> str:
+    """Materialize the replicas× dataset (idempotent: a _SUCCESS_SF1
+    marker skips the build). ``rotate_embeddings`` replicates the
+    embeddings table too, rotating each replica's vector by r positions
+    — norm-preserving, deterministic, and it kills the exact-duplicate
+    cliques a straight copy would create (the sf1 rationale for NOT
+    scaling embeddings; the sf10 tier needs the corpus to actually
+    grow, so it perturbs instead of copying)."""
     marker = os.path.join(out_dir, "_SUCCESS_SF1")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    reps = F.explode(F.array(*[F.lit(i) for i in range(REPLICAS)])).alias("_r")
+    reps = F.explode(F.array(*[F.lit(i) for i in range(replicas)])).alias("_r")
 
-    orders = spark.read.parquet(f"{SRC_SF}/orders.parquet")
-    lineitem = spark.read.parquet(f"{SRC_SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{src_sf}/orders.parquet")
+    lineitem = spark.read.parquet(f"{src_sf}/lineitem.parquet")
     stride = orders.agg(F.max("o_orderkey") + 1).first()[0]
 
     (
@@ -152,7 +163,7 @@ def build_sf1(spark: SparkSession, out_dir: str = CACHE) -> str:
         .parquet(f"{out_dir}/lineitem.parquet")
     )
 
-    docs = spark.read.parquet(f"{SRC_SF}/documents.parquet")
+    docs = spark.read.parquet(f"{src_sf}/documents.parquet")
     dstride = docs.agg(F.max("doc_id") + 1).first()[0]
     # materialize the token array as a column FIRST: higher-order lambdas
     # re-evaluate child expressions per element, so transform(split(...))
@@ -185,15 +196,39 @@ def build_sf1(spark: SparkSession, out_dir: str = CACHE) -> str:
         f"{out_dir}/documents.parquet"
     )
 
-    for table in [
-        "region", "nation", "customer", "supplier", "part", "events",
-        "embeddings",
-    ]:
+    static = ["region", "nation", "customer", "supplier", "part", "events"]
+    if rotate_embeddings:
+        emb = spark.read.parquet(f"{src_sf}/embeddings.parquet")
+        estride = emb.agg(F.max("vec_id") + 1).first()[0]
+        dim = len(emb.select("embedding").first()[0])
+        (
+            emb.select(reps, "*")
+            .withColumn(
+                "embedding",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.element_at(
+                        "embedding",
+                        ((i + F.col("_r")) % dim + F.lit(1)).cast("int"),
+                    ),
+                ),
+            )
+            .select(
+                (F.col("vec_id") + F.col("_r") * estride).alias("vec_id"),
+                "embedding",
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/embeddings.parquet")
+        )
+    else:
+        static.append("embeddings")
+    for table in static:
         _copy_table(
-            f"{SRC_SF}/{table}.parquet", f"{out_dir}/{table}.parquet"
+            f"{src_sf}/{table}.parquet", f"{out_dir}/{table}.parquet"
         )
     with open(marker, "w") as f:
-        f.write(f"replicas={REPLICAS} src={SRC_SF}\n")
+        f.write(f"replicas={replicas} src={src_sf}\n")
     return out_dir
 
 
@@ -215,50 +250,68 @@ def _shuffle_totals(spark: SparkSession) -> tuple[int, int] | None:
     )
 
 
-def main() -> None:
+def run_shape_bench(
+    queries: list[str],
+    floors: dict[str, float],
+    cache: str,
+    metric: str,
+    sf_equiv: float,
+    replicas: int,
+    src_sf: str = SRC_SF,
+    rotate_embeddings: bool = False,
+    app_name: str = "bench_sf1",
+) -> None:
+    """The shared build + measure + report loop (sf1 and sf10 tiers).
+
+    Methodology (accreted over rounds 6-8, all measured on this VM):
+    - bounded wait for ambient load to drain, loadavg snapshotted BEFORE
+      our own 32 executor threads start (at print time we'd mostly
+      measure ourselves);
+    - best-of-2 per query with adaptive extra samples up to 6: d6's CC
+      loop needs ~5 executions for C2 JIT to converge in a fresh
+      session, so a 2-sample best caught mid-warmup records a phantom
+      3.9x regression with byte-identical shuffle metrics;
+    - shuffle read/write bytes per query from the REST status API —
+      near-deterministic, the instrument that distinguishes a plan
+      regression (bytes move) from host noise (bytes identical);
+    - regression bar = 1.5x floor + 0.3 s absolute, the bench.py
+      contract."""
     from fhir_etl_spark.queries import all_queries
     from fhir_etl_spark.session import get_spark
 
-    # bounded wait for ambient load to drain, then snapshot host load
-    # BEFORE our own executors start — this is the pre-existing
-    # contention a reader needs; sampling at print time would mostly
-    # measure our own 32 threads (same hygiene as bench.py, VERDICT r07
-    # #4: the r08 first measurement of this file's new queries came back
-    # 2-10x inflated with BYTE-IDENTICAL shuffle metrics — pure noise)
     from bench import wait_for_quiet_host
 
     _, load_before = wait_for_quiet_host()
     # the status REST API needs the UI server (engine sessions disable it)
     os.environ.setdefault("SPARK_GRAFT_UI", "true")
-    spark = get_spark("bench_sf1")
+    spark = get_spark(app_name)
     spark.sparkContext.setLogLevel("ERROR")
     if "--rebuild" in sys.argv:
-        m = os.path.join(CACHE, "_SUCCESS_SF1")
+        m = os.path.join(cache, "_SUCCESS_SF1")
         if os.path.exists(m):
             os.remove(m)
-    build_sf1(spark)
+    build_sf1(
+        spark, cache, src_sf=src_sf, replicas=replicas,
+        rotate_embeddings=rotate_embeddings,
+    )
 
     registry = all_queries()
     # warm codegen/JIT on the cheapest query
-    registry["q1_pricing_summary"].fn(spark, CACHE).write.format("noop").mode(
+    registry["q1_pricing_summary"].fn(spark, cache).write.format("noop").mode(
         "overwrite"
     ).save()
 
     out: dict[str, dict[str, float]] = {}
     regressions: dict[str, float] = {}
-    for name in QUERIES:
+    for name in queries:
         best = None
-        # best-of-2, plus bench.py's adaptive third sample: t12/m6 warm
-        # up monotonically over a process's first executions (C2 JIT +
-        # page cache: 26 -> 18 -> 7 -> 5 s measured for t12), so a
-        # best-of-2 caught mid-warmup records a 2.6x phantom regression
         samples = 2
         attempt = 0
         while attempt < samples:
             attempt += 1
             before = _shuffle_totals(spark)
             t0 = time.perf_counter()
-            registry[name].fn(spark, CACHE).write.format("noop").mode(
+            registry[name].fn(spark, cache).write.format("noop").mode(
                 "overwrite"
             ).save()
             sec = time.perf_counter() - t0
@@ -269,43 +322,39 @@ def main() -> None:
                 sample["shuffle_write_mb"] = round((after[1] - before[1]) / 1e6, 1)
             if best is None or sample["sec"] < best["sec"]:
                 best = sample
-            floor = SF1_FLOOR.get(name)
+            floor = floors.get(name)
             if (
                 attempt == samples
                 and samples < 6
                 and floor
                 and best["sec"] > 1.2 * floor
             ):
-                # still above the floor band: buy another run. Cap raised
-                # 4 -> 6 in round 8: d6's CC loop needs ~5 executions for
-                # C2 JIT to converge in a fresh session (measured
-                # 21.5/11.4/18.0/9.9/10.1 s under ambient load — a
-                # 4-sample best caught mid-warmup records a 3.9x phantom
-                # with byte-identical shuffle metrics)
                 samples += 1
         out[name] = best
-        floor = SF1_FLOOR.get(name)
-        # same bar as bench.py: 1.5x relative PLUS a 0.3 s absolute
-        # noise term, so sub-second floors (q1 at 0.48) stop flapping on
-        # host jitter that is constant-ms, not proportional
+        floor = floors.get(name)
         if floor and best["sec"] > 1.5 * floor + 0.3:
             regressions[name] = round(best["sec"] / floor, 2)
 
     print(json.dumps({
-        "metric": "sf1_shape_wall_and_shuffle",
+        "metric": metric,
         # 1/5/15-min host load BEFORE the run started: the noise context
         # a reader needs before trusting wall numbers on this shared VM
-        # (r07 measured 1.6-5.7x wall inflation under neighbor spikes
-        # with byte-identical shuffle metrics)
         "loadavg_before": load_before,
-        "sf_equiv": 1.0,
-        "replicas": REPLICAS,
-        "src": SRC_SF,
+        "sf_equiv": sf_equiv,
+        "replicas": replicas,
+        "src": src_sf,
         "queries": out,
         "total_sec": round(sum(q["sec"] for q in out.values()), 2),
         "regressions": regressions,
     }))
     spark.stop()
+
+
+def main() -> None:
+    run_shape_bench(
+        QUERIES, SF1_FLOOR, CACHE,
+        metric="sf1_shape_wall_and_shuffle", sf_equiv=1.0, replicas=REPLICAS,
+    )
 
 
 if __name__ == "__main__":

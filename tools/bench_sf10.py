@@ -1,0 +1,75 @@
+"""1000×-shape bench (VERDICT r08 #3): measure, don't argue, the
+100×-scale-up claim for the scale-critical family. Runs the shared
+replication build at 100× sf0.1 (sf10-equivalent: ~500k perturbed
+documents, ~60M lineitem rows, ~150k rotation-perturbed embedding
+vectors) and records wall + per-query shuffle bytes.
+
+What "linear scaling" means here, concretely: the shuffle-byte column
+at this shape vs BENCH_sf1_r*'s — a query whose exchanges carry key-
+partial aggregates (d6's edge fold, d10's gram groupBys, t17's
+coverage union, q21's FK joins) should scale shuffle bytes ≈10× for
+10× data; anything super-linear (pair fan-out, lost broadcast,
+unpruned scan) is exactly the regression this tier exists to catch.
+The embeddings family (v8/v9/v12) runs over a corpus that actually
+GROWS here (rotation perturbation — see build_sf1's rotate_embeddings)
+unlike the sf1 tier's byte-copied table, so their bytes are a fresh
+baseline, not a comparison against sf1.
+
+Usage:  python tools/bench_sf10.py [--rebuild] > BENCH_sf10_r09.json
+Cache:  .scale_cache/sf10 (gitignored; ~1.5 GB, built once)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench_sf1 import REPO, run_shape_bench  # noqa: E402
+
+CACHE = os.path.join(REPO, ".scale_cache", "sf10")
+REPLICAS = 100
+
+QUERIES = [
+    "q21_waiting_suppliers",
+    "d6_dedup_clusters",
+    "d10_substring_dedup",
+    "d12_lsh_bucket_keepers",
+    "v8_semdedup",
+    "v9_int8_quantized_ann",
+    "v12_ivfpq_ann",
+    "t17_gopher_char_repetition",
+]
+
+# First-appearance floors from the round-9 measurement run (best-of-N
+# under the adaptive sampler; loadavg recorded in BENCH_sf10_r09.json).
+# Shuffle-byte references live in that artifact — the finer instrument.
+SF10_FLOOR: dict[str, float] = {
+    "q21_waiting_suppliers": 16.39,
+    "d6_dedup_clusters": 40.54,
+    "d10_substring_dedup": 27.74,
+    "d12_lsh_bucket_keepers": 30.48,
+    "v8_semdedup": 18.49,
+    "v9_int8_quantized_ann": 2.73,
+    "v12_ivfpq_ann": 10.95,
+    "t17_gopher_char_repetition": 9.10,
+}
+
+
+def main() -> None:
+    run_shape_bench(
+        QUERIES,
+        SF10_FLOOR,
+        CACHE,
+        metric="sf10_shape_wall_and_shuffle",
+        sf_equiv=10.0,
+        replicas=REPLICAS,
+        rotate_embeddings=True,
+        app_name="bench_sf10",
+    )
+
+
+if __name__ == "__main__":
+    main()
