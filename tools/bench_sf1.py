@@ -128,6 +128,7 @@ def build_sf1(
     src_sf: str = SRC_SF,
     replicas: int = REPLICAS,
     rotate_embeddings: bool = False,
+    perturb_stride: int = 5,
 ) -> str:
     """Materialize the replicas× dataset (idempotent: a _SUCCESS_SF1
     marker skips the build). ``rotate_embeddings`` replicates the
@@ -135,7 +136,19 @@ def build_sf1(
     — norm-preserving, deterministic, and it kills the exact-duplicate
     cliques a straight copy would create (the sf1 rationale for NOT
     scaling embeddings; the sf10 tier needs the corpus to actually
-    grow, so it perturbs instead of copying)."""
+    grow, so it perturbs instead of copying).
+
+    ``perturb_stride``: rewrite every stride-th token of replica r>0
+    with a replica-unique token. The sf1 tier uses 5 (drops
+    cross-replica 3-gram Jaccard to ~0.25, below near-dup thresholds —
+    but 2/5 of 3-gram windows stay UNPERTURBED and therefore shared
+    across ALL replicas, which at high replica counts turns every such
+    shingle into an r+1-document candidate clique: pair-mining volume
+    grows QUADRATICALLY in replicas. Measured: the first sf10 run sat
+    in d6's pair stage for 20+ minutes). The sf10 tier uses 3: every
+    3-gram window then contains a replica-unique token, so NO shingle
+    crosses replicas and the near-dup workload grows exactly linearly
+    — the honest model of a corpus that grew 100x."""
     marker = os.path.join(out_dir, "_SUCCESS_SF1")
     if os.path.exists(marker):
         return out_dir
@@ -176,7 +189,7 @@ def build_sf1(
             F.transform(
                 "_toks",
                 lambda x, i: F.when(
-                    (F.col("_r") > 0) & (i % 5 == 0),
+                    (F.col("_r") > 0) & (i % perturb_stride == 0),
                     F.concat(
                         F.lit("zq"), F.col("_r").cast("string"),
                         F.lit("w"), i.cast("string"),
@@ -259,6 +272,7 @@ def run_shape_bench(
     replicas: int,
     src_sf: str = SRC_SF,
     rotate_embeddings: bool = False,
+    perturb_stride: int = 5,
     app_name: str = "bench_sf1",
 ) -> None:
     """The shared build + measure + report loop (sf1 and sf10 tiers).
@@ -292,7 +306,7 @@ def run_shape_bench(
             os.remove(m)
     build_sf1(
         spark, cache, src_sf=src_sf, replicas=replicas,
-        rotate_embeddings=rotate_embeddings,
+        rotate_embeddings=rotate_embeddings, perturb_stride=perturb_stride,
     )
 
     registry = all_queries()

@@ -67,6 +67,12 @@ def main() -> None:
         sf_equiv=10.0,
         replicas=REPLICAS,
         rotate_embeddings=True,
+        # stride 3, NOT sf1's 5: every 3-gram window must contain a
+        # replica-unique token so no shingle crosses replicas — at 100
+        # replicas the sf1 stride leaves 2/5 of windows shared by all
+        # 101 copies and the candidate-pair volume grows quadratically
+        # (measured: d6's pair stage ran 20+ min before this change)
+        perturb_stride=3,
         app_name="bench_sf10",
     )
 
