@@ -1021,9 +1021,10 @@ def suffix_array_dedup(
             min_span_tokens, id_col,
         )
 
-    level = distributed_dense_rank(suf, ["_w"], "_r").select(
-        "_id", "_p", "_r"
-    ).localCheckpoint(eager=False)
+    # rank tables arrive MATERIALIZED (distributed_dense_rank eager-
+    # checkpoints internally), so the level selects below are cheap
+    # projections over pinned partitions — no re-execution anywhere
+    level = distributed_dense_rank(suf, ["_w"], "_r").select("_id", "_p", "_r")
     tables: list[tuple[int, DataFrame]] = [(1, level)]  # width -> rank table
     j = 1
     while j < max_len and len(tables) < max_levels:
@@ -1036,7 +1037,7 @@ def suffix_array_dedup(
         )
         nxt = distributed_dense_rank(keyed, ["_r", "_r2"], "_rn").select(
             "_id", "_p", F.col("_rn").alias("_r")
-        ).localCheckpoint(eager=False)
+        )
         j *= 2
         tables.append((j, nxt))
         # early exit: unique ranks ⇒ all padded LCPs < current width

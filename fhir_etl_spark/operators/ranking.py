@@ -42,6 +42,15 @@ def distributed_dense_rank(
     )
     w = Window.partitionBy("_pid").orderBy(*keys)
     local = parted.withColumn("_lrank", F.dense_rank().over(w) - 1)
+    # EAGER checkpoint before the offsets collect: the ranked frame is
+    # consumed twice (the sizes collect below, then the caller's plan),
+    # and two independent executions of repartitionByRange can sample
+    # DIFFERENT range boundaries / AQE-coalesce differently — the _pid
+    # stamps the offsets were computed from would then disagree with
+    # the _pid values the final projection sees, silently corrupting
+    # ranks. Invisible at small data (trivial boundaries), measured at
+    # 200k docs (round-9 d13 smoke: planted docs fully removed).
+    local = local.localCheckpoint(eager=True)
     # bounded collect: one row per shuffle partition
     sizes = {
         r["_pid"]: r["_n"]

@@ -89,8 +89,13 @@ def smoke_t23(spark):
     docs = synth_docs(spark, n).localCheckpoint()
     t0 = time.perf_counter()
     postings, dfreq, stats = bm25_index(docs)
-    # materialize the index once (the deployment write); time it apart
+    # materialize ALL THREE index tables once (what the deployment
+    # write persists — the first cut checkpointed only postings and the
+    # query leg silently re-ran two full corpus scans through the
+    # dfreq/stats lineage)
     postings = postings.localCheckpoint()
+    dfreq = dfreq.localCheckpoint()
+    stats = stats.localCheckpoint()
     n_post = postings.count()
     t_build = time.perf_counter() - t0
     q = spark.createDataFrame(
@@ -128,8 +133,11 @@ def smoke_d13(spark):
         F.count("*").alias("n"), F.min("n_removed").alias("lo")
     ).first()
     assert stats["n"] == n // 10
-    # every planted doc must lose AT LEAST the 12-token boilerplate
-    assert stats["lo"] >= 12, stats
+    # every planted doc must lose AT LEAST the 12-token boilerplate —
+    # and no planted doc may lose everything (42): full-doc removal was
+    # the symptom of the round-9 distributed_dense_rank re-execution
+    # bug this smoke caught
+    assert 12 <= stats["lo"] < 42, stats
     total = out.count()
     assert total == n
     print(
