@@ -145,6 +145,12 @@ HEADLINE = [
     # retrieval (index build + broadcast query terms + WindowGroupLimit)
     "t22_quality_classifier",
     "t23_bm25_topk",
+    # NFKC-class fold (map-only translate) and the suffix-array
+    # ExactSubstr tier (log-round distributed rank build — the priced
+    # cost of exactness-at-every-threshold; the k-gram twin d10 stays
+    # the cheap single-threshold path)
+    "t5b_nfkc_fold",
+    "d13_suffix_array_dedup",
 ]
 
 
@@ -225,7 +231,11 @@ R03_FLOOR = {
     "g6_k_core": 3.054,
     # r09 first-appearance floors
     "t22_quality_classifier": 1.072,
-    "t23_bm25_topk": 1.924,
+    "t23_bm25_topk": 1.246,
+    "t5b_nfkc_fold": 0.307,
+    # d13's wall is ~8 doubling rounds of rank jobs + the LCP walk —
+    # driver-latency dominated at sf0.1 (like g6), tracks host load
+    "d13_suffix_array_dedup": 19.885,
     # v1's floor stays 0.507: the session's selectExpr dot-construction
     # fix brought it back under the bar (0.72 at loadavg ~2) after the
     # py4j-latency inflation the r08 continuation runs recorded.
