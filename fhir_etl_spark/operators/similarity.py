@@ -655,6 +655,8 @@ def kmeans_assign(
     round_dist: int = 6,
     init: str = "first_k",
     init_seed: int = 42,
+    train_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column → (id, cluster_id, dist_r).
 
@@ -707,6 +709,21 @@ def kmeans_assign(
     )
 
     def _dist2(v: Column, cv: Column) -> Column:
+        # dim given → unroll the squared-distance sum into a plain
+        # arithmetic chain: higher-order lambdas evaluate OUTSIDE
+        # whole-stage codegen, and the assignment join scores n·k rows —
+        # at 200k vectors × k=1000 the interpreted fold was the
+        # difference between ~10 min and seconds (the v9/PQ lesson).
+        # _sum_chain keeps the fold's exact association order, so the
+        # rounded distance — and therefore every oracle — is
+        # bit-identical on both paths.
+        if dim is not None:
+            terms = [
+                (F.element_at(v, i) - F.element_at(cv, i))
+                * (F.element_at(v, i) - F.element_at(cv, i))
+                for i in range(1, dim + 1)
+            ]
+            return F.round(_sum_chain(terms), round_dist)
         return F.round(
             F.aggregate(
                 F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
@@ -716,15 +733,23 @@ def kmeans_assign(
             round_dist,
         )
 
-    assigned = None
-    for _ in range(n_iterations):
-        scored = corpus.join(F.broadcast(cent)).select(
-            "_id", "_v", "_c", _dist2(F.col("_v"), F.col("_cv")).alias("_d")
+    def _assign(df: DataFrame) -> DataFrame:
+        # score and argmin WITHOUT carrying the vector: the join emits
+        # n·k rows, and projecting _v through them moves n·k·dim
+        # doubles through the pipeline (~100 GB at 200k×k=1000×64 —
+        # the round-9 sf10 profile's missing minutes). With only
+        # (_id, _c, _d) projected, the join → partial-agg argmin fuses
+        # into one codegen stage that streams pairs and emits one row
+        # per id per partition.
+        scored = df.join(F.broadcast(cent)).select(
+            "_id", "_c", _dist2(F.col("_v"), F.col("_cv")).alias("_d")
         )
-        assigned = scored.groupBy("_id").agg(
-            F.min(F.struct("_d", "_c")).alias("_best"), F.first("_v").alias("_v")
-        ).select("_id", "_v", F.col("_best._c").alias("_c"), F.col("_best._d").alias("_d"))
-        cent = (
+        return scored.groupBy("_id").agg(
+            F.min(F.struct("_d", "_c")).alias("_best")
+        ).select("_id", F.col("_best._c").alias("_c"), F.col("_best._d").alias("_d"))
+
+    def _update(assigned: DataFrame) -> DataFrame:
+        return (
             assigned.select("_c", F.posexplode("_v").alias("_i", "_x"))
             .groupBy("_c", "_i")
             .agg(F.round(F.avg("_x"), round_centroid).alias("_m"))
@@ -736,10 +761,40 @@ def kmeans_assign(
                 ).alias("_cv")
             )
         )
-    # final distances against the POST-update centroids would need one
-    # more scoring pass; the contract is the assignment of the last
-    # iteration with its own distance (what the oracle replays)
-    return assigned.select(
+
+    # Training input: the full corpus, or (train_rows set) its first
+    # train_rows rows under the same seed ordering — the FAISS
+    # convention for corpus-scale k-means: each training round's
+    # assignment pass costs O(k·d) PER TRAINING ROW, so at 100 TB you
+    # train on a bounded sample and pay the full-corpus cost exactly
+    # once, in the final assignment below. Seeds are the sample's (and
+    # therefore the corpus's) first k rows, so train_rows >= k keeps
+    # the seed contract identical.
+    if train_rows is None:
+        train = corpus
+    else:
+        if train_rows < k:
+            raise ValueError(
+                f"kmeans_assign: train_rows ({train_rows}) below k ({k})"
+            )
+        train = (
+            corpus.withColumn("_ord", seed_key)
+            .orderBy("_ord", "_id")
+            .limit(train_rows)
+            .select("_id", "_v")
+        )
+    # (n_iterations − 1) train rounds move the centroids; the final
+    # full-corpus assignment scores against the LAST trained centroids
+    # — for train_rows=None this is step-for-step the previous
+    # iterate-then-return-last-assignment behavior (the registered v7/v8
+    # oracles replay it unchanged); the sampled path differs only in
+    # which rows the update rounds average over.
+    for _ in range(n_iterations - 1):
+        # vectors re-join by id for the mean update — the training set
+        # is bounded (train_rows) or corpus-sized exactly as before;
+        # numerics unchanged (same rows averaged)
+        cent = _update(_assign(train).join(train, "_id"))
+    return _assign(corpus).select(
         F.col("_id").alias(id_col),
         F.col("_c").alias("cluster_id"),
         F.col("_d").alias("dist_r"),
@@ -793,6 +848,21 @@ def _grouped_kmeans_sub(
     )
 
     def _dist2(v: Column, cv: Column) -> Column:
+        # dim given → unroll the squared-distance sum into a plain
+        # arithmetic chain: higher-order lambdas evaluate OUTSIDE
+        # whole-stage codegen, and the assignment join scores n·k rows —
+        # at 200k vectors × k=1000 the interpreted fold was the
+        # difference between ~10 min and seconds (the v9/PQ lesson).
+        # _sum_chain keeps the fold's exact association order, so the
+        # rounded distance — and therefore every oracle — is
+        # bit-identical on both paths.
+        if dim is not None:
+            terms = [
+                (F.element_at(v, i) - F.element_at(cv, i))
+                * (F.element_at(v, i) - F.element_at(cv, i))
+                for i in range(1, dim + 1)
+            ]
+            return F.round(_sum_chain(terms), round_dist)
         return F.round(
             F.aggregate(
                 F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
@@ -837,6 +907,8 @@ def semdedup_keep(
     max_cluster_size: int | None = 10_000,
     init: str = "first_k",
     resplit_k: int = 8,
+    train_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings, then pruning within-cluster
@@ -890,7 +962,8 @@ def semdedup_keep(
 
     assign = kmeans_assign(
         embeddings, k=k, n_iterations=n_iterations,
-        id_col=id_col, vec_col=vec_col, init=init,
+        id_col=id_col, vec_col=vec_col, init=init, train_rows=train_rows,
+        dim=dim,
     )
     vecs = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
@@ -979,9 +1052,15 @@ def semdedup_keep(
 
     x = in_scope.alias("x")
     y = in_scope.alias("y")
-    sim = F.round(
-        _dot(F.col("x._v"), F.col("y._v")) / (F.col("x._n") * F.col("y._n")), 6
+    # dim given → the pair dot unrolls into codegen (bit-identical fold
+    # order, see unrolled_pair_dot); the pair join scores Σc² rows, the
+    # same n·k-shaped hot loop the assignment fix above addresses
+    pair_dot = (
+        unrolled_pair_dot(F.col("x._v"), F.col("y._v"), dim)
+        if dim is not None
+        else _dot(F.col("x._v"), F.col("y._v"))
     )
+    sim = F.round(pair_dot / (F.col("x._n") * F.col("y._n")), 6)
     dropped = (
         x.join(
             y,

@@ -466,6 +466,62 @@ _V8_ORACLE = """
     """
 
 
+# v8b oracle: the v8 replay with (a) k derived from the corpus
+# (LIMIT-subquery) and (b) the TRAINING round's assign/update running
+# over the first-S-by-id SAMPLE while the final assignment scores the
+# full corpus — exactly kmeans_assign(train_rows=S).
+_V8B_ORACLE = (
+    _V8_ORACLE.replace(
+        "LIMIT 8",
+        "LIMIT (SELECT greatest(8, count(*) // 200) FROM corpus)",
+    )
+    .replace(
+        "), d1 AS (",
+        """), samp AS (
+      SELECT * FROM corpus ORDER BY vec_id
+      LIMIT (SELECT least(count(*), 40 * greatest(8, count(*) // 200))
+             FROM corpus)
+    ), d1 AS (""",
+    )
+    .replace("FROM corpus CROSS JOIN cent0", "FROM samp CROSS JOIN cent0")
+)
+
+
+@query(
+    "v8b_semdedup_scaled_k",
+    oracle=_V8B_ORACLE,
+    tags=("similarity", "dedup", "ml", "scale"),
+)
+def v8b_semdedup_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the DEPLOYMENT k-means policy — the fix for the
+    round-9 sf10 finding (v8's pinned k=8 pushed all clustering into
+    the re-split recursion at 100×: 546 s, BENCH_sf10_r09.json):
+
+    - k = max(8, n // 200): cluster count grows with the corpus so
+      cluster sizes stay ~200 and the within-cluster pair scan stays
+      Σc² ≈ 200·n — linear;
+    - train_rows = min(n, 40·k): Lloyd's update rounds average over a
+      bounded first-by-id sample (the FAISS train-on-sample
+      convention), so training costs O(k·d) per SAMPLE row and the
+      full corpus is scored exactly once, in the final assignment.
+
+    Same operator, same end-to-end DuckDB replay — the oracle derives
+    k and the sample size from the corpus itself (LIMIT subqueries)
+    and runs the update round over the sample CTE, so BOTH policies
+    are value-checked at every SF (at sf0.01, n=500 → k=8, S=320: the
+    sampled path is already exercised, not just the degenerate
+    S=n case). The two n-counts are one bounded action each."""
+    from fhir_etl_spark.operators.similarity import semdedup_keep
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    n = embeddings.count()
+    k = max(8, n // 200)
+    return semdedup_keep(
+        embeddings, k=k, n_iterations=2, threshold=0.35,
+        train_rows=min(n, 40 * k), dim=64,
+    )
+
+
 @query("v8_semdedup", oracle=_V8_ORACLE, tags=("similarity", "dedup", "ml"))
 def v8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) end to end: deterministic k-means
