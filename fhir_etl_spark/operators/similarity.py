@@ -809,6 +809,7 @@ def _grouped_kmeans_sub(
     round_dist: int = 6,
     init: str = "first_k",
     init_seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means run INDEPENDENTLY per group, in one plan: input
     ``(_gid, _id, _v)`` → output ``(_gid, _id, _sub)`` with ``_sub`` in
@@ -895,6 +896,36 @@ def _grouped_kmeans_sub(
             )
         )
     return assigned.select("_gid", "_id", "_sub")
+
+
+def semdedup_scaled_params(
+    n: int, target_cluster_size: int = 200, train_factor: int = 40
+) -> tuple[int, int]:
+    """The DEPLOYMENT k-means sizing policy for SemDeDup → ``(k,
+    train_rows)``. Round-9's sf10 measurement showed why a pinned k is
+    a scale bug: k=8 at 100× pushed the entire corpus into the over-cap
+    re-split recursion (546 s, BENCH_sf10_r09.json). The fix, as FAISS
+    sizes IVF lists:
+
+    - ``k = max(8, n // target_cluster_size)`` — cluster count grows
+      with the corpus so expected cluster size stays ~target and the
+      within-cluster pair scan stays Σc² ≈ target·n (LINEAR in n);
+    - ``train_rows = min(n, train_factor · k)`` — Lloyd's update rounds
+      average over a bounded first-by-id sample (FAISS trains on
+      ~39–256 points per centroid), so training costs O(k·d) per
+      SAMPLE row and the full corpus is scored exactly once, in the
+      final assignment. ``train_rows ≥ k`` always holds (factor ≥ 1),
+      keeping kmeans_assign's seed contract.
+
+    Kept as a named, unit-tested function so the policy is one fact:
+    the v8b query, the sf10 bench tier, and the oracle's LIMIT
+    subqueries all encode these same two formulas."""
+    if n < 0:
+        raise ValueError(f"semdedup_scaled_params: negative n ({n})")
+    if target_cluster_size < 1 or train_factor < 1:
+        raise ValueError("semdedup_scaled_params: sizes must be >= 1")
+    k = max(8, n // target_cluster_size)
+    return k, min(n, train_factor * k)
 
 
 def semdedup_keep(
@@ -1020,6 +1051,7 @@ def semdedup_keep(
                 sub_k=resplit_k,
                 n_iterations=n_iterations,
                 init=init,
+                dim=dim,
             ).select(
                 F.col("_gid").alias("cluster_id"),
                 F.col("_id").alias(id_col),

@@ -591,6 +591,39 @@ def test_semdedup_degenerate_identical_mass_chunked(spark):
     assert sum(1 for r in got if r["kept"]) == 3
 
 
+def test_semdedup_resplit_with_dim_unrolled(spark):
+    """Round-10 regression (VERDICT r09 #1): the over-cap re-split must
+    work WITH ``dim`` set — the v8b deployment path threads
+    ``dim``/``train_rows`` through semdedup_keep, and round 9's final
+    commit left ``_grouped_kmeans_sub`` without a ``dim`` parameter
+    (NameError at plan build on any corpus with an over-cap cluster).
+    Beyond not crashing, the dim-unrolled distance chain must be
+    BIT-IDENTICAL to the zip_with fold (``_sum_chain`` preserves the
+    association order), so the two runs must agree row-for-row."""
+    from fhir_etl_spark.operators.similarity import semdedup_keep
+
+    dim = 8
+
+    def vec(axis, i, eps):
+        v = [0.0] * dim
+        v[axis] = 10.0
+        v[(axis + 1) % dim] = eps * (i % 3)
+        return v
+
+    rows = [(i, vec(0 if i % 2 == 0 else 4, i, 0.01)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kwargs = dict(
+        k=1, n_iterations=2, threshold=0.99,
+        max_cluster_size=10, resplit_k=4, train_rows=20,
+    )
+    got_dim = semdedup_keep(df, dim=dim, **kwargs).collect()
+    got_hof = semdedup_keep(df, dim=None, **kwargs).collect()
+    key = lambda r: r["vec_id"]  # noqa: E731
+    assert sorted(got_dim, key=key) == sorted(got_hof, key=key)
+    n_kept = sum(1 for r in got_dim if r["kept"])
+    assert 2 <= n_kept <= 8, f"kept {n_kept}"
+
+
 def test_pq_codes_shape_and_adc_self_match(spark, sf_dir):
     """Round-8 v11: PQ encoding must emit exactly m in-range codes per
     vector, and ADC self-distance is PROVABLY minimal — ADC(q, q) =
