@@ -511,14 +511,17 @@ def v8b_semdedup_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     are value-checked at every SF (at sf0.01, n=500 → k=8, S=320: the
     sampled path is already exercised, not just the degenerate
     S=n case). The two n-counts are one bounded action each."""
-    from fhir_etl_spark.operators.similarity import semdedup_keep
+    from fhir_etl_spark.operators.similarity import (
+        semdedup_keep,
+        semdedup_scaled_params,
+    )
 
     embeddings = load_tables(spark, sf_dir, "embeddings")
     n = embeddings.count()
-    k = max(8, n // 200)
+    k, train_rows = semdedup_scaled_params(n)
     return semdedup_keep(
         embeddings, k=k, n_iterations=2, threshold=0.35,
-        train_rows=min(n, 40 * k), dim=64,
+        train_rows=train_rows, dim=64,
     )
 
 

@@ -37,7 +37,12 @@ QUERIES = [
     "d6_dedup_clusters",
     "d10_substring_dedup",
     "d12_lsh_bucket_keepers",
-    "v8_semdedup",
+    # r10: v8b (deployment sizing policy — k ∝ n/200, train-on-sample)
+    # REPLACES v8 in the measured set. v8's 546 s stands from
+    # BENCH_sf10_r09.json as the priced fixed-k reference; re-timing the
+    # known-quadratic path every round buys ~20 min of wall for no new
+    # information, while v8b is the shape deployments actually run.
+    "v8b_semdedup_scaled_k",
     "v9_int8_quantized_ann",
     "v12_ivfpq_ann",
     "t17_gopher_char_repetition",
@@ -57,7 +62,7 @@ SF10_FLOOR: dict[str, float] = {
     "d6_dedup_clusters": 29.06,
     "d10_substring_dedup": 35.11,
     "d12_lsh_bucket_keepers": 26.73,
-    "v8_semdedup": 546.42,
+    "v8_semdedup": 546.42,  # r09 reference measurement (not re-run; see QUERIES)
     "v9_int8_quantized_ann": 3.52,
     "v12_ivfpq_ann": 7.08,
     "t17_gopher_char_repetition": 9.5,
