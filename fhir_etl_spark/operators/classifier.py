@@ -72,10 +72,25 @@ def linear_classifier_scores(
     if n_buckets == 0:
         raise ValueError("linear_classifier_scores: empty weight table")
     w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w_micro])
+    # Loud-NULL convention (ADVICE r09; matches quantile_buckets/ewma):
+    # a NULL text would tokenize to NULL, concat the gram array to NULL,
+    # make size() return -1 and the fold return NULL — so the row would
+    # SILENTLY fall to the negative label while the DuckDB twin keeps
+    # NULL. Unscorable rows must be filtered by the caller, not
+    # misclassified.
+    loud_toks = F.when(
+        F.col(text_col).isNull(),
+        F.raise_error(
+            F.lit(
+                "linear_classifier_scores: NULL text — filter unscorable "
+                "rows before classifying"
+            )
+        ),
+    ).otherwise(tokens(text_col))
     # materialize tokens, then the gram array, BEFORE the fold: the
     # higher-order lambdas re-evaluate child expressions per element,
     # so an unmaterialized chain would re-tokenize per gram
-    g = df.withColumn("_toks", tokens(text_col)).withColumn(
+    g = df.withColumn("_toks", loud_toks).withColumn(
         "_grams", hashed_grams("_toks", max_n=max_n)
     )
     score = F.lit(int(bias_micro)).cast("long") * F.size("_grams").cast("long") + F.aggregate(

@@ -52,10 +52,17 @@ def distributed_dense_rank(
     # 200k docs (round-9 d13 smoke: planted docs fully removed).
     local = local.localCheckpoint(eager=True)
     # bounded collect: one row per shuffle partition
+    # count(distinct struct(...)) not countDistinct(cols...): the bare
+    # multi-column form SKIPS tuples containing any NULL (SQL COUNT
+    # semantics), while the per-partition dense_rank above counts the
+    # NULL group — a null-keyed partition's offset would come up short
+    # and every downstream rank would shift by one (ADVICE r09). A
+    # struct is itself non-null, so its count matches dense_rank's
+    # distinct-group count exactly, NULLS FIRST contract preserved.
     sizes = {
         r["_pid"]: r["_n"]
         for r in local.groupBy("_pid")
-        .agg(F.countDistinct(*keys).alias("_n"))
+        .agg(F.count_distinct(F.struct(*keys)).alias("_n"))
         .collect()
     }
     offsets: dict[int, int] = {}

@@ -13,8 +13,16 @@ k1 = 6/5 and b = 3/4 fixed, per-(query-term, doc)
 
 where A = (1000 · L) DIV N is the corpus's average document length in
 milli-tokens (one bounded aggregate), dl the document's token count,
-L total tokens, N total docs. Every operand is a positive BIGINT, so
-DIV is identical across engines (trunc == floor for positives); the
+L total tokens, N total docs. Every operand is positive, so DIV is
+identical across engines (trunc == floor for positives). Width
+envelope (ADVICE r09): the NUMERATOR is computed at DECIMAL(38,0) /
+HUGEINT width — at deployment scale it exceeds int64 (idf_micro ~2.4e7
+· 22 · tf ~4e4 · A ~5e5 ≈ 1e19 > 2^63) and a silent Spark wrap would
+corrupt ranking where DuckDB errors. The DENOMINATOR stays BIGINT: it
+wraps only past tf · A ≈ 9e17 — a ~10⁹-token single-term document in a
+~10⁶-token-average corpus — far outside any real document (dl and tf
+are bounded by the tokenizer's input size); the contrib itself is
+≤ idf_micro · 22/10 ≈ 5e7, always BIGINT-safe. The
 only float op is one ln per distinct term over exactly-representable
 integer arguments, rounded at the 1e-6 grain (the DSIR quantization
 argument — see operators/datasets.dsir_bucket_weights). Lucene's
@@ -120,8 +128,22 @@ def bm25_topk(
         .select(
             "qid",
             F.col("id").alias("doc_id"),
+            # ADVICE r09: the numerator can exceed int64 at deployment
+            # scale (idf_micro ~2.4e7 at billions of docs × 22 × a
+            # spammy doc's tf ~4e4 × avgdl_milli ~5e5 ≈ 1e19 > 2^63) —
+            # Spark non-ANSI would silently wrap negative while DuckDB
+            # errors, breaking both ranking and the cross-engine
+            # contract. Widen the numerator to DECIMAL(38,0) (exact to
+            # 1e38; the real product tops out ~1e21) — `div` on a
+            # decimal is still integral division returning BIGINT, and
+            # every operand stays positive so trunc == floor holds on
+            # both engines (the oracle widens identically via HUGEINT).
+            # The denominator stays BIGINT: it needs tf·avgdl_milli
+            # ~9e17 to wrap (a ~1e9-token doc of one term in a corpus
+            # averaging ~1e6 tokens/doc) — asserted envelope, see
+            # module docstring.
             F.expr(
-                "(idf_micro * 22 * tf * avgdl_milli)"
+                "(CAST(idf_micro AS DECIMAL(38,0)) * 22 * tf * avgdl_milli)"
                 " div (10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl)"
             ).alias("contrib_micro"),
         )

@@ -1232,7 +1232,7 @@ _T23_QTOKS = _TOKS_SQL.replace("text", "qtext")
       FROM qt LEFT JOIN dfreq USING (term) CROSS JOIN stats
     ), scored AS (
       SELECT qid, post.doc_id,
-             CAST(sum((idf_micro * 22 * tf * a)
+             CAST(sum((CAST(idf_micro AS HUGEINT) * 22 * tf * a)
                       // (10 * tf * a + 3 * a + 9000 * dl))
                   AS BIGINT) AS score_micro
       FROM post
