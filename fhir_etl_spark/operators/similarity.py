@@ -645,6 +645,18 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _ensure_scoring_width(df: DataFrame) -> DataFrame:
+    """Round-robin the frame up to the session's default parallelism if
+    it arrives narrower. Row-wise independent consumers only (scoring,
+    per-row argmin): repartition changes row placement, never values.
+    The partition probe is plan-time (no job)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 8,
@@ -692,6 +704,16 @@ def kmeans_assign(
     corpus = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
+    # The scoring join below is MAP-SIDE (broadcast k centroids, no
+    # exchange), so its parallelism equals the input's partition count —
+    # and a compact corpus file arrives as 1–2 partitions
+    # (maxPartitionBytes), serializing the n·k hot loop on one core.
+    # Measured at sf10-shape (round 10): 200k×k=1000 scoring on one task
+    # was the entire 298 s wall; one LINEAR shuffle of the corpus (n
+    # rows of (id, vec) — trivial next to the n·k scoring work) buys
+    # full cluster width. Wide deployments are unaffected (no-op when
+    # already at parallelism).
+    corpus = _ensure_scoring_width(corpus)
     # k seed rows, numbered 0..k-1 — TakeOrdered then a tiny sort; the
     # hash_sample order key makes the pick a seeded uniform sample while
     # keeping the exact same plan shape (no global sort either way)
@@ -733,20 +755,60 @@ def kmeans_assign(
             round_dist,
         )
 
+    # Argmin encoding (round-10 scale fix, measured at sf10-shape):
+    # min(struct(_d, _c)) is NOT hash-aggregable (struct buffers are
+    # immutable), so Spark planned a SortAggregate — a full sort of the
+    # n·k scored stream (200k×k=1000 → 200M rows) that was 124 s/task
+    # of the 216 s kmeans wall. Encoding the (distance, cluster) pair
+    # into ONE BIGINT makes the argmin a primitive min → HashAggregate
+    # with map-side partial combine, and the scoring join + partial agg
+    # fuse into one codegen stage (measured: 216 s → ~12 s).
+    #
+    # Exactness: _d is already rounded to round_dist dp, so
+    # m = round(_d · 10^round_dist) is EXACT (the scaled value sits
+    # within ~1e-7 of the integer m — never at a .5 boundary), and the
+    # decode m / 10^round_dist is the correctly-rounded double of
+    # m·10^-round_dist — the SAME double round(x, round_dist) produced
+    # (both are nearest-double of one rational), so outputs are
+    # bit-identical to the struct formulation and every replaying
+    # oracle stays green. Ties: equal m ⇒ min picks the smaller
+    # encoded value ⇒ the lower cluster id — the contract unchanged.
+    # Envelope: m·k + c needs m ≤ 2^63/k and exact decode needs
+    # m < 2^53 — distances up to 10^(15−round_dist) (~1e9 at 6 dp),
+    # far beyond any embedding norm.
+    enc_scale = 10 ** round_dist
+
     def _assign(df: DataFrame) -> DataFrame:
         # score and argmin WITHOUT carrying the vector: the join emits
         # n·k rows, and projecting _v through them moves n·k·dim
         # doubles through the pipeline (~100 GB at 200k×k=1000×64 —
         # the round-9 sf10 profile's missing minutes). With only
-        # (_id, _c, _d) projected, the join → partial-agg argmin fuses
+        # (_id, _enc) projected, the join → partial-agg argmin fuses
         # into one codegen stage that streams pairs and emits one row
         # per id per partition.
         scored = df.join(F.broadcast(cent)).select(
-            "_id", "_c", _dist2(F.col("_v"), F.col("_cv")).alias("_d")
+            "_id",
+            (
+                F.round(_dist2(F.col("_v"), F.col("_cv")) * enc_scale).cast("long")
+                * k
+                + F.col("_c")
+            ).alias("_enc"),
         )
-        return scored.groupBy("_id").agg(
-            F.min(F.struct("_d", "_c")).alias("_best")
-        ).select("_id", F.col("_best._c").alias("_c"), F.col("_best._d").alias("_d"))
+        # decode: integral div FIRST (m·k can exceed 2^53 — a double
+        # promotion before the division would corrupt low bits), then
+        # one exact long→double conversion and one correctly-rounded
+        # IEEE division
+        return (
+            scored.groupBy("_id")
+            .agg(F.min("_enc").alias("_e"))
+            .select(
+                "_id",
+                (F.col("_e") % k).cast("int").alias("_c"),
+                F.expr(
+                    f"CAST(_e div {k} AS DOUBLE) / {float(enc_scale)!r}"
+                ).alias("_d"),
+            )
+        )
 
     def _update(assigned: DataFrame) -> DataFrame:
         return (
@@ -777,7 +839,10 @@ def kmeans_assign(
             raise ValueError(
                 f"kmeans_assign: train_rows ({train_rows}) below k ({k})"
             )
-        train = (
+        # TakeOrderedAndProject lands on ONE partition — the train-round
+        # scoring (train_rows·k) would serialize exactly like the corpus
+        # case above; spread the bounded sample back out
+        train = _ensure_scoring_width(
             corpus.withColumn("_ord", seed_key)
             .orderBy("_ord", "_id")
             .limit(train_rows)
@@ -873,15 +938,31 @@ def _grouped_kmeans_sub(
             round_dist,
         )
 
+    # encoded argmin, same as kmeans_assign (round-10): min(struct) +
+    # first(_v) planned a SortAggregate over the mass×sub_k scored
+    # stream — exactly the degenerate-duplicate masses this path exists
+    # for are the big ones. A primitive min(BIGINT) hash-aggregates;
+    # _v rejoins by key afterwards (the mass is the bounded side).
+    enc_scale = 10 ** round_dist
+    vecs = members.select("_gid", "_id", "_v")
     assigned = None
     for _ in range(n_iterations):
         scored = members.join(cent, "_gid").select(
-            "_gid", "_id", "_v", "_sub", _dist2(F.col("_v"), F.col("_cv")).alias("_d")
+            "_gid",
+            "_id",
+            (
+                F.round(_dist2(F.col("_v"), F.col("_cv")) * enc_scale).cast("long")
+                * sub_k
+                + F.col("_sub")
+            ).alias("_enc"),
         )
         assigned = (
             scored.groupBy("_gid", "_id")
-            .agg(F.min(F.struct("_d", "_sub")).alias("_best"), F.first("_v").alias("_v"))
-            .select("_gid", "_id", "_v", F.col("_best._sub").alias("_sub"))
+            .agg(F.min("_enc").alias("_e"))
+            .select(
+                "_gid", "_id", (F.col("_e") % sub_k).cast("int").alias("_sub")
+            )
+            .join(vecs, ["_gid", "_id"])
         )
         cent = (
             assigned.select("_gid", "_sub", F.posexplode("_v").alias("_i", "_x"))
@@ -1093,6 +1174,17 @@ def semdedup_keep(
         else _dot(F.col("x._v"), F.col("y._v"))
     )
     sim = F.round(pair_dot / (F.col("x._n") * F.col("y._n")), 6)
+    # The threshold compare must stay OUT of the join condition: a
+    # `.where(sim >= τ)` here gets pushed INTO the SMJ condition, and
+    # join-condition evaluation runs the 64-term dot outside
+    # whole-stage codegen — measured at sf10-shape (round 10) as 140 s
+    # of the 203 s wall (~220 µs/pair, interpreter speed). Keeping the
+    # join condition to the cheap key+rank compares and computing sim
+    # in the PROJECTION puts the dot back into codegen; the
+    # "dropped ⇔ ∃ higher-priority mate with sim ≥ τ" rule is exactly
+    # "max(sim) ≥ τ" — a primitive-max HashAggregate (map-side
+    # partials) instead of a distinct. Same Σc² pair count, same
+    # verdicts, rounded sims compared identically.
     dropped = (
         x.join(
             y,
@@ -1101,9 +1193,11 @@ def semdedup_keep(
             & (F.col("x._pb") == F.col("y._pb"))
             & (F.col("y._rk") < F.col("x._rk")),
         )
-        .where(sim >= threshold)
-        .select(F.col(f"x.{id_col}").alias(id_col))
-        .distinct()
+        .select(F.col(f"x.{id_col}").alias(id_col), sim.alias("_sim"))
+        .groupBy(id_col)
+        .agg(F.max("_sim").alias("_msim"))
+        .where(F.col("_msim") >= threshold)
+        .select(id_col)
         .withColumn("_dropped", F.lit(True))
     )
     return (

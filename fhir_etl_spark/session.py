@@ -84,6 +84,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # HotSpot refuses to JIT methods over 8000 bytecodes
+        # (-XX:-DontCompileHugeMethods is off by default), so a fused
+        # whole-stage method between 8 KB and Spark's default 64 KB
+        # limit compiles fine under Janino and then runs in the JVM
+        # BYTECODE INTERPRETER — measured in round 10 on SemDeDup's
+        # pair scan (SMJ + 64-term dot + partial max fused into one
+        # method): codegen ON 92.6 s vs codegen OFF 3.2 s at
+        # sf10-shape. 8000 makes Spark fall back to its (JIT-friendly,
+        # per-expression) interpreted path for exactly those stages;
+        # every normal stage keeps whole-stage codegen.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         # local mode = driver-only JVM; leave headroom under the 128 GiB box
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

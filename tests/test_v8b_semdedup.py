@@ -131,3 +131,44 @@ def test_v8b_scaled_k_engages_above_floor(spark):
     # same blob to leave a few clusters empty, but far below no-dedup
     assert kept <= 2 * k, f"kept {kept} of 1800 with k={k}"
     assert math.inf > kept >= 1
+
+
+def test_kmeans_argmin_is_hash_aggregable(spark, sf_dir):
+    """Round-10 scale fix, plan-pinned: the per-id argmin must plan as
+    a HashAggregate over the encoded BIGINT, never a SortAggregate over
+    min(struct) — the struct form isn't hash-aggregable and Spark's
+    fallback SORTS the whole n·k scored stream (measured at sf10-shape:
+    124 s/task of a 216 s wall)."""
+    from fhir_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")
+    plan = (
+        kmeans_assign(emb, k=8, n_iterations=2, dim=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_semdedup_pair_scan_dot_stays_out_of_join_condition(spark, sf_dir):
+    """Round-10 scale fix, plan-pinned: the 64-term pair cosine must sit
+    in a PROJECTION above the pair join, not in the join condition —
+    condition-side evaluation runs outside whole-stage codegen (measured
+    140 s of a 203 s wall at sf10-shape). The SMJ/BHJ condition must
+    stay the cheap key + rank compares."""
+    from fhir_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")
+    plan = semdedup_keep(
+        emb, k=8, n_iterations=2, threshold=0.35, dim=64
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every join node's condition line must be free of element_at (the
+    # dot's signature); the dot lives in Project/Aggregate nodes
+    for line in plan.splitlines():
+        if re.search(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", line):
+            assert "element_at" not in line, line[:200]
+    assert "max(_sim" in plan  # the any-mate rule is the max aggregate

@@ -38,10 +38,11 @@ QUERIES = [
     "d10_substring_dedup",
     "d12_lsh_bucket_keepers",
     # r10: v8b (deployment sizing policy — k ∝ n/200, train-on-sample)
-    # REPLACES v8 in the measured set. v8's 546 s stands from
-    # BENCH_sf10_r09.json as the priced fixed-k reference; re-timing the
-    # known-quadratic path every round buys ~20 min of wall for no new
-    # information, while v8b is the shape deployments actually run.
+    # joins the measured set; v8 stays as the priced fixed-k reference,
+    # re-measured this round because the round-10 argmin/codegen fixes
+    # (HashAggregate encoding, hugeMethodLimit, pair-scan projection)
+    # collapsed its 546 s profile too.
+    "v8_semdedup",
     "v8b_semdedup_scaled_k",
     "v9_int8_quantized_ann",
     "v12_ivfpq_ann",
