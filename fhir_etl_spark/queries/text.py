@@ -1265,3 +1265,159 @@ def t23_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_T23_QUERIES), "query_id int, query string"
     )
     return bm25_topk(postings, dfreq, stats, queries, k=10)
+
+
+# --- t24: HTML main-content extraction --------------------------------
+# The page decoration is ONE shared spec rendered into both engines:
+# each piece is a literal, the doc id, or the document text with
+# sentence breaks turned into paragraph boundaries. The decoration
+# exists so the extractor faces real boilerplate shapes — a link-only
+# nav bar, script/style/comment noise, a link-dense related list, a
+# mixed footer — wrapped around the fixture text (the repo's t5b
+# decorate-then-operate oracle pattern).
+_T24_PIECES: tuple[tuple[str, str | None], ...] = (
+    ("lit", "<html><head><title>Doc "),
+    ("id", None),
+    ("lit", '</title><script type="text/javascript">var t = "'),
+    ("id", None),
+    (
+        "lit",
+        '";</script><style>.nav{color:#036}</style></head><body>'
+        '<div class="nav"><a href="/">Home</a> <a href="/topics">All '
+        'topics</a> <a href="/login">Sign in</a></div><!-- build ',
+    ),
+    ("id", None),
+    ("lit", ' --><div id="main"><h1>Document '),
+    ("id", None),
+    ("lit", "</h1><p>"),
+    ("text", None),
+    (
+        "lit",
+        '</p></div><div class="related"><ul><li><a href="/r/1">Related '
+        'item to click</a></li><li><a href="/r/2">More related reading '
+        'here</a></li></ul></div><div class="footer"><a href="/tos">'
+        'Terms of use</a> <a href="/privacy">Privacy</a> Copyright 2020 '
+        "corpus.local</div></body></html>",
+    ),
+)
+
+
+def _t24_page_col() -> F.Column:
+    parts = []
+    for kind, val in _T24_PIECES:
+        if kind == "lit":
+            parts.append(F.lit(val))
+        elif kind == "id":
+            parts.append(F.col("doc_id").cast("string"))
+        else:
+            parts.append(F.replace(F.col("text"), F.lit(". "), F.lit(".</p><p>")))
+    return F.concat(*parts)
+
+
+def _t24_page_sql() -> str:
+    parts = []
+    for kind, val in _T24_PIECES:
+        if kind == "lit":
+            parts.append("'" + val + "'")
+        elif kind == "id":
+            parts.append("CAST(doc_id AS VARCHAR)")
+        else:
+            parts.append("replace(text, '. ', '.</p><p>')")
+    return " || ".join(parts)
+
+
+def _t24_oracle() -> str:
+    from fhir_etl_spark.operators.html import (
+        ANCHOR_RE,
+        BLOCK_SPLIT_RE,
+        COMMENT_RE,
+        ENTITY_MAP,
+        SCRIPT_RE,
+        STYLE_RE,
+        TAG_RE,
+        WS_RE,
+    )
+
+    vis = (
+        "trim(regexp_replace(regexp_replace({src}, '" + TAG_RE + "', ' ', 'g'), '"
+        + WS_RE + "', ' ', 'g'))"
+    )
+    # coalesce: DuckDB's array_to_string is string_agg-like — an EMPTY
+    # list yields NULL where Spark's array_join yields '' (measured)
+    unescape = "coalesce(array_to_string(list_transform(k, s -> s.txt), chr(10)), '')"
+    for ent, ch in ENTITY_MAP:
+        unescape = (
+            "replace(" + unescape + ", '" + ent + "', '" + ch.replace("'", "''") + "')"
+        )
+    return f"""
+    WITH page AS (
+      SELECT doc_id, {_t24_page_sql()} AS html FROM documents
+    ), blocks AS (
+      SELECT doc_id,
+             string_split_regex(
+               regexp_replace(regexp_replace(regexp_replace(html,
+                 '{SCRIPT_RE}', ' ', 'g'),
+                 '{STYLE_RE}', ' ', 'g'),
+                 '{COMMENT_RE}', ' ', 'g'),
+               '{BLOCK_SPLIT_RE}') AS bl
+      FROM page
+    ), bt AS (
+      SELECT doc_id,
+             list_transform(bl, b -> struct_pack(
+               txt := {vis.format(src="b")},
+               atxt := {vis.format(
+                 src="coalesce(array_to_string(regexp_extract_all(b, '"
+                 + ANCHOR_RE + "', 1), ' '), '')"
+               )}
+             )) AS bt
+      FROM blocks
+    ), sc AS (
+      SELECT doc_id,
+             list_transform(bt, s -> struct_pack(
+               txt := s.txt,
+               words := CASE WHEN s.txt = '' THEN CAST(0 AS BIGINT)
+                             ELSE len(string_split(s.txt, ' ')) END,
+               lwords := CASE WHEN s.atxt = '' THEN CAST(0 AS BIGINT)
+                              ELSE len(string_split(s.atxt, ' ')) END
+             )) AS sc
+      FROM bt
+    ), kept AS (
+      SELECT doc_id, sc,
+             list_filter(sc, s -> s.words >= 5
+                                  AND 100 * s.lwords <= 30 * s.words) AS k
+      FROM sc
+    )
+    SELECT doc_id,
+           {unescape} AS main_text,
+           CAST(len(list_filter(sc, s -> s.words > 0)) AS BIGINT) AS n_blocks,
+           CAST(len(k) AS BIGINT) AS n_kept,
+           CAST(coalesce(list_sum(list_transform(k, s -> s.words)), 0)
+                AS BIGINT) AS n_words
+    FROM kept
+    """
+
+
+@query(
+    "t24_html_extract",
+    oracle=_t24_oracle(),
+    tags=("text", "html", "pipeline"),
+)
+def t24_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (jusText/Kohlschütter simplified to
+    exact integer rules — Pomikálek 2011, Kohlschütter 2010): decorate
+    each fixture document into a full page (nav bar, script/style/
+    comment noise, paragraphized body, link-dense related list, mixed
+    footer), then strip invisible containers, split on block tags, and
+    keep blocks with ≥5 visible words and ≤30% anchor-word share. The
+    oracle replays decoration + extraction verbatim (shared regex
+    constants, both engines compile byte-identical patterns), so a
+    wrong split, count, or keep verdict value-mismatches. Map-only pure
+    codegen — the 100 TB cost is the page scan; see
+    operators/html.extract_main_content."""
+    from fhir_etl_spark.operators.html import extract_main_content
+
+    documents = load_tables(spark, sf_dir, "documents")
+    page = documents.select("doc_id", _t24_page_col().alias("html"))
+    return extract_main_content(
+        page, html_col="html", id_col="doc_id", min_words=5, link_pct=30
+    )
