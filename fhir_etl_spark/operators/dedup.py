@@ -1008,6 +1008,37 @@ def suffix_array_dedup(
         raise ValueError(
             f"min_span_tokens ({min_span_tokens}) below min_len ({min_len})"
         )
+    toked, depths = suffix_duplication_depths(
+        documents, id_col=id_col, text_col=text_col, max_levels=max_levels
+    )
+    intervals = depths.filter(F.col("_d") >= min_len).select(
+        "_id",
+        F.col("_p").alias("_s"),
+        (F.col("_p") + F.col("_d") - 1).alias("_e"),
+    )
+    return _remove_spans_rebuild(toked, intervals, min_span_tokens, id_col)
+
+
+def suffix_duplication_depths(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_levels: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """The suffix-array build itself → ``(toked, depths)``.
+
+    - ``toked``: (_id, _t) — the tokenized corpus (lazy checkpoint);
+    - ``depths``: (_id, _p, _d) — for every suffix (document, 0-based
+      token position), the length of the LONGEST prefix that occurs ≥ 2
+      times anywhere in the corpus (the classic SA identity
+      d(s) = max(LCP(s, SA-prev), LCP(s, SA-next)); positions with no
+      duplicated prefix may be absent — treat missing as 0).
+
+    ``depths`` is the answer-every-threshold artifact: ExactSubstr at
+    ANY ``min_len`` is a filter over it, which is what the d13p store
+    persists (suffix_array_build_or_load) so the O(n log L) build runs
+    once per corpus. Build steps documented in
+    :func:`suffix_array_dedup`."""
     from fhir_etl_spark.operators.ranking import distributed_dense_rank
 
     toked = documents.select(
@@ -1016,10 +1047,10 @@ def suffix_array_dedup(
     suf = toked.select("_id", F.posexplode("_t").alias("_p", "_w"))
     max_len = toked.agg(F.max(F.size("_t"))).first()[0] or 0
     if max_len == 0:
-        return _remove_spans_rebuild(
-            toked, suf.select("_id", "_p", "_p").toDF("_id", "_s", "_e").limit(0),
-            min_span_tokens, id_col,
-        )
+        empty = suf.select(
+            "_id", "_p", F.lit(0).cast("int").alias("_d")
+        ).limit(0)
+        return toked, empty
 
     # rank tables arrive MATERIALIZED (distributed_dense_rank eager-
     # checkpoints internally), so the level selects below are cheap
@@ -1111,7 +1142,139 @@ def suffix_array_dedup(
         .groupBy("_id", "_p")
         .agg(F.max("_lcp").alias("_d"))
     )
-    intervals = d_per_suffix.filter(F.col("_d") >= min_len).select(
+    return toked, d_per_suffix
+
+
+# --- d13p: persisted suffix array (round 10, VERDICT r09 #5) -----------
+# The build above is the expensive artifact (O(n log L) shuffles, ~9
+# ranking rounds) and its selling point is answer-EVERY-threshold — but
+# each invocation rebuilt it. The ann_store pattern fits exactly: commit
+# the depths table to a snapshot-versioned store keyed by a CONTENT
+# fingerprint of the corpus plus the build parameters; any later
+# min_len is then a filter + the reassembly tail, with ZERO doubling
+# rounds executed (plan-pinned in tests — no rangepartitioning node).
+
+
+def default_sa_store_root() -> str:
+    """Repo-local suffix-array warehouse (overridable via
+    SPARK_GRAFT_SA_STORE); resolved from the package location so the
+    driver-contract invocation from any CWD hits the same cache."""
+    import os
+    from pathlib import Path
+
+    env = os.environ.get("SPARK_GRAFT_SA_STORE")
+    if env:
+        return env
+    return str(Path(__file__).resolve().parents[2] / "spark-warehouse" / "sa_store")
+
+
+def corpus_text_fingerprint(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Order-independent content identity of an (id, text) corpus in ONE
+    aggregate scan: count + wrapped sum + xor of per-row xxhash64. Used
+    as the store key — a changed/added/removed document changes the
+    fingerprint and forces a rebuild. (ann_store fingerprints FILES;
+    here the corpus is an arbitrary DataFrame, so identity must come
+    from content.) Two INDEPENDENT xor folds, not a sum: xor never
+    overflows (a long sum raises under ANSI mode — Spark 4's default),
+    and the second fold runs over a re-hashed value so the pair of
+    64-bit digests doesn't share xor's cancellation structure."""
+    r = (
+        documents.select(
+            F.xxhash64(
+                F.col(id_col).cast("string"), F.col(text_col)
+            ).alias("_h")
+        )
+        .withColumn("_h2", F.xxhash64(F.lit(1), F.col("_h")))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(_h)").alias("x1"),
+            F.expr("bit_xor(_h2)").alias("x2"),
+        )
+        .first()
+    )
+    mask = (1 << 64) - 1
+    return f"{r['n']:x}-{(r['x1'] or 0) & mask:016x}-{(r['x2'] or 0) & mask:016x}"
+
+
+def suffix_array_build_or_load(
+    spark,
+    documents: DataFrame,
+    store_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_levels: int = 32,
+    fingerprint: str | None = None,
+) -> DataFrame:
+    """Return this corpus's depths table — loaded from the store when
+    the (fingerprint, params) key matches, built and committed
+    otherwise. A meta twin table cross-checks the stored key against
+    the requested one (defense against a hand-mangled store; the
+    ann_store convention). Save races are benign: versioned commits are
+    atomic and the build is deterministic, so the loser just reads the
+    winner's identical table."""
+    import hashlib
+    import json
+    import os
+
+    from fhir_etl_spark.sinks.versioned import (
+        ConcurrentWriteError,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    root = store_dir or default_sa_store_root()
+    fp = fingerprint or corpus_text_fingerprint(documents, id_col, text_col)
+    params = {"max_levels": max_levels, "tokenizer": "ws-v1"}
+    key_src = json.dumps({"fp": fp, "params": params}, sort_keys=True)
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
+    table = os.path.join(root, f"sa-{key}")
+    meta_table = os.path.join(root, f"sa-{key}-meta")
+    try:
+        meta_rows = read_snapshot(spark, meta_table).collect()
+        if len(meta_rows) == 1 and meta_rows[0]["key_src"] == key_src:
+            return read_snapshot(spark, table)
+        # key collision or mangled store: fall through to rebuild
+    except FileNotFoundError:
+        pass
+    _, depths = suffix_duplication_depths(
+        documents, id_col=id_col, text_col=text_col, max_levels=max_levels
+    )
+    try:
+        write_snapshot(depths, table, mode="overwrite", max_retries=2)
+        meta = spark.createDataFrame([(key_src,)], "key_src string").coalesce(1)
+        write_snapshot(meta, meta_table, mode="overwrite", max_retries=2)
+    except ConcurrentWriteError:
+        pass  # a racer committed the same deterministic build
+    return read_snapshot(spark, table)
+
+
+def suffix_array_dedup_from_store(
+    spark,
+    documents: DataFrame,
+    depths: DataFrame,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """ExactSubstr at ``min_len`` from a PERSISTED depths table — the
+    query-only path: one filter over the store + the interval-merge /
+    reassembly tail. No token ranking, no prefix doubling, no LCP walk
+    (plan-pinned: zero rangepartitioning exchanges). Same output
+    contract as :func:`suffix_array_dedup`, provably identical rows
+    (the depths ARE that build's intermediate)."""
+    if min_span_tokens is None:
+        min_span_tokens = min_len
+    if min_span_tokens < min_len:
+        raise ValueError(
+            f"min_span_tokens ({min_span_tokens}) below min_len ({min_len})"
+        )
+    toked = documents.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    ).localCheckpoint(eager=False)
+    intervals = depths.filter(F.col("_d") >= min_len).select(
         "_id",
         F.col("_p").alias("_s"),
         (F.col("_p") + F.col("_d") - 1).alias("_e"),

@@ -448,21 +448,25 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EXACTSUBSTR_ORACLE = """
+def _exactsubstr_oracle(k: int) -> str:
+    """The k-gram ExactSubstr replay, parameterized by gram width — the
+    value oracle for d10 (k=8), d13 (same), and d13p (k=6: the persisted
+    depths table answering a DIFFERENT threshold with no rebuild)."""
+    return f"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
       FROM documents
     ), grams AS (
-      SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g
-      FROM toks, unnest(generate_series(1, len(t) - 7)) AS s(i)
-      WHERE len(t) >= 8
+      SELECT doc_id, i, array_to_string(t[i:i+{k - 1}], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(t) - {k - 1})) AS s(i)
+      WHERE len(t) >= {k}
     ), dups AS (
       SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
     ), cov AS (
       SELECT DISTINCT doc_id, p
       FROM (SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM dups)),
-           unnest(generate_series(i, i + 7)) AS c(p)
+           unnest(generate_series(i, i + {k - 1})) AS c(p)
     ), kept AS (
       SELECT toks.doc_id, u.p, t[u.p] AS w
       FROM toks, unnest(generate_series(1, len(t))) AS u(p)
@@ -479,6 +483,9 @@ _EXACTSUBSTR_ORACLE = """
            coalesce(clean_text, '') AS clean_text
     FROM toks LEFT JOIN reb ON toks.doc_id = reb.doc_id
     """
+
+
+_EXACTSUBSTR_ORACLE = _exactsubstr_oracle(8)
 
 
 @query(
@@ -720,3 +727,29 @@ def g6_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return k_core(pairs, k=3, max_rounds=16)
+
+
+@query(
+    "d13p_suffix_array_store",
+    oracle=_exactsubstr_oracle(6),
+    tags=("dedup", "text", "suffix-array", "store"),
+)
+def d13p_suffix_array_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr answered from the PERSISTED suffix array (round-10:
+    the d13 build committed once per corpus to a snapshot-versioned
+    store keyed by content fingerprint — the ann_store pattern), at a
+    DIFFERENT threshold than d13 (min_len=6 vs 8): the oracle replays
+    the 6-gram pipeline from the raw corpus, so a stale store, a wrong
+    fingerprint hit, or a depths-table corruption all value-mismatch.
+    The query-only path is a filter over the stored depths + the
+    interval-merge/reassembly tail — ZERO prefix-doubling rounds
+    (plan-pinned in tests/test_suffix_array_store.py). See
+    operators/dedup.suffix_array_build_or_load."""
+    from fhir_etl_spark.operators.dedup import (
+        suffix_array_build_or_load,
+        suffix_array_dedup_from_store,
+    )
+
+    documents = load_tables(spark, sf_dir, "documents")
+    depths = suffix_array_build_or_load(spark, documents)
+    return suffix_array_dedup_from_store(spark, documents, depths, min_len=6)
