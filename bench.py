@@ -163,6 +163,8 @@ HEADLINE = [
     # depths filter + reassembly; the build runs once per corpus into
     # the fingerprint-keyed store — warmed below like the ANN models)
     "d13p_suffix_array_store",
+    # multi-class classifier head (5 per-class literal folds + argmax)
+    "t22b_multiclass_classifier",
 ]
 
 
@@ -262,6 +264,9 @@ R03_FLOOR = {
     # reassembly — vs the 19.9 s build floor above, the measured value
     # of persisting the build (store warmed untimed, like v11/v12)
     "d13p_suffix_array_store": 1.196,
+    # 5 frozen-literal folds over one gram array + argmax chain;
+    # measured under loadavg ~13 (conservative — quiet runs undercut)
+    "t22b_multiclass_classifier": 4.503,
     # v1's floor stays 0.507: the session's selectExpr dot-construction
     # fix brought it back under the bar (0.72 at loadavg ~2) after the
     # py4j-latency inflation the r08 continuation runs recorded.

@@ -1421,3 +1421,77 @@ def t24_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_content(
         page, html_col="html", id_col="doc_id", min_words=5, link_pct=30
     )
+
+
+# --- t22b: multi-class classifier inference ---------------------------
+def _t22b_oracle() -> str:
+    from fhir_etl_spark.functions import ft_weights_mc as fmc
+
+    c = len(fmc.LABELS)
+    w_lists = ",\n         ".join(
+        "[" + ", ".join(str(v) for v in fmc.CLASS_W_MICRO[j]) + "] AS W" + str(j)
+        for j in range(c)
+    )
+    scores = ",\n             ".join(
+        f"CAST({fmc.CLASS_BIAS_MICRO[j]} AS BIGINT) * len(g)"
+        f" + CAST(coalesce(list_sum(list_transform(g, x ->"
+        f" W{j}[1 + CAST(CAST('0x' || substr(md5('{fmc.SALT}' || x), 1, 8)"
+        f" AS UBIGINT) % {fmc.N_BUCKETS} AS INT)])), 0) AS BIGINT)"
+        f" AS score_{fmc.LABELS[j]}"
+        for j in range(c)
+    )
+    arms = []
+    for j in range(c - 1):
+        cond = " AND ".join(
+            f"score_{fmc.LABELS[j]} >= score_{fmc.LABELS[m]}"
+            for m in range(j + 1, c)
+        )
+        arms.append(f"WHEN {cond} THEN '{fmc.LABELS[j]}'")
+    case = "CASE " + " ".join(arms) + f" ELSE '{fmc.LABELS[c - 1]}' END"
+    all_scores = ", ".join(f"score_{l}" for l in fmc.LABELS)
+    score_cols = ",\n           ".join(f"score_{l}" for l in fmc.LABELS)
+    return f"""
+    WITH w AS (SELECT {w_lists}),
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS g
+      FROM toks
+    ), scored AS (
+      SELECT doc_id,
+             CAST(len(g) AS BIGINT) AS n_grams,
+             {scores}
+      FROM grams CROSS JOIN w
+    )
+    SELECT doc_id, n_grams,
+           {score_cols},
+           {case} AS label,
+           list_sort([{all_scores}], 'DESC')[1]
+             - list_sort([{all_scores}], 'DESC')[2] AS margin_micro
+    FROM scored
+    """
+
+
+@query(
+    "t22b_multiclass_classifier",
+    oracle=_t22b_oracle(),
+    tags=("text", "classifier"),
+)
+def t22b_multiclass_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class classifier INFERENCE (the fastText label head,
+    Joulin 2016; VERDICT r09 gap #2): a frozen softmax-regression model
+    over hashed word 1+2-grams scores every document against 5 language
+    labels; argmax (first-max tie-break) labels it, top-minus-runner-up
+    is the decision margin. Trained offline by tools/train_t22b.py and
+    frozen as per-class integer-micro literals, so the plan is C
+    map-only codegen folds over ONE materialized gram array — no join,
+    no shuffle, no Python — and the oracle replays all five scores, the
+    argmax chain, and the margin bit-exactly (BIGINT end to end)."""
+    from fhir_etl_spark.functions import ft_weights_mc as fmc
+    from fhir_etl_spark.operators.classifier import multiclass_classifier_scores
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return multiclass_classifier_scores(
+        documents, fmc.CLASS_W_MICRO, fmc.CLASS_BIAS_MICRO,
+        salt=fmc.SALT, labels=fmc.LABELS,
+    )

@@ -94,3 +94,135 @@ def test_empty_weight_table_raises(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="empty weight table"):
         linear_classifier_scores(df, [], bias_micro=0, salt="s")
+
+
+# --- t22b multi-class head (round 10) ----------------------------------
+
+
+def test_multiclass_hand_computed_scores_and_argmax(spark):
+    from fhir_etl_spark.operators.classifier import multiclass_classifier_scores
+
+    w = [[10, -20, 30, -40], [-5, 15, -25, 35], [1, 2, 3, 4]]
+    b = [5, -3, 0]
+    labels = ("x", "y", "z")
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    got = multiclass_classifier_scores(
+        df, w, b, salt="s", labels=labels
+    ).collect()[0]
+    grams = ["a", "b", "a b"]
+    want = [
+        b[j] * 3 + sum(w[j][_bucket(g, "s", 4)] for g in grams)
+        for j in range(3)
+    ]
+    assert got["n_grams"] == 3
+    assert [got["score_x"], got["score_y"], got["score_z"]] == want
+    top = max(want)
+    assert got["label"] == labels[want.index(top)]  # first max wins
+    assert got["margin_micro"] == top - sorted(want, reverse=True)[1]
+
+
+def test_multiclass_tie_breaks_to_earliest_label(spark):
+    from fhir_etl_spark.operators.classifier import multiclass_classifier_scores
+
+    # identical weight tables ⇒ all scores equal ⇒ first label wins
+    w = [[7, 7], [7, 7], [7, 7]]
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    got = multiclass_classifier_scores(
+        df, w, [0, 0, 0], salt="s", labels=("first", "mid", "last")
+    ).collect()[0]
+    assert got["label"] == "first"
+    assert got["margin_micro"] == 0
+
+
+def test_multiclass_null_text_is_loud_and_empty_is_zero(spark):
+    import pytest
+
+    from fhir_etl_spark.operators.classifier import multiclass_classifier_scores
+
+    w = [[1, 2], [3, 4]]
+    bad = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL text"):
+        multiclass_classifier_scores(
+            bad, w, [0, 0], salt="s", labels=("a", "b")
+        ).collect()
+    ok = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    r = multiclass_classifier_scores(
+        ok, w, [10, -10], salt="s", labels=("a", "b")
+    ).collect()[0]
+    assert r["n_grams"] == 0 and r["score_a"] == 0 and r["score_b"] == 0
+    assert r["label"] == "a"  # zero tie → earliest
+
+
+def test_multiclass_validation_errors(spark):
+    import pytest
+
+    from fhir_etl_spark.operators.classifier import multiclass_classifier_scores
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match=">= 2 labels"):
+        multiclass_classifier_scores(df, [[1]], [0], salt="s", labels=("only",))
+    with pytest.raises(ValueError, match="length mismatch"):
+        multiclass_classifier_scores(
+            df, [[1], [2]], [0], salt="s", labels=("a", "b")
+        )
+    with pytest.raises(ValueError, match="ragged"):
+        multiclass_classifier_scores(
+            df, [[1, 2], [3]], [0, 0], salt="s", labels=("a", "b")
+        )
+
+
+def test_t22b_frozen_model_parity_with_trainer(spark, sf_dir):
+    """Train-serve parity: the offline trainer's numpy featurize+argmax
+    must agree with the operator's label on real fixture docs (first
+    20 by id) — the multi-class twin of the binary parity test."""
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from train_t22 import featurize
+
+    from fhir_etl_spark.functions import ft_weights_mc as fmc
+    from fhir_etl_spark.queries import all_queries
+    from fhir_etl_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents").orderBy("doc_id").limit(20)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {
+        r["doc_id"]: r["label"]
+        for r in all_queries()["t22b_multiclass_classifier"]
+        .fn(spark, sf_dir)
+        .collect()
+        if r["doc_id"] in texts
+    }
+    W = np.array(fmc.CLASS_W_MICRO, dtype=float).T / 1e6  # B × C
+    b = np.array(fmc.CLASS_BIAS_MICRO, dtype=float) / 1e6
+    for doc_id, text in texts.items():
+        z = featurize(text) @ W + b
+        # trainer scores are mean-pooled; the operator's are ×N — the
+        # argmax is invariant, ties broken to the earliest label both ways
+        best = float(z.max())
+        want = fmc.LABELS[int(np.argmax(z))]
+        # guard against float-tie ambiguity in the parity replay
+        if sum(1 for v in z if abs(v - best) < 1e-12) == 1:
+            assert got[doc_id] == want, doc_id
+
+
+def test_t22b_plan_is_map_only_jvm(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.plan_audit import audit
+
+    from fhir_etl_spark.queries import all_queries
+
+    a = audit(
+        all_queries()["t22b_multiclass_classifier"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert a["shuffles"] == 0
+    assert a["bcast"] == 0
+    assert a["python"] == "no"
