@@ -247,9 +247,12 @@ R03_FLOOR = {
     "t22_quality_classifier": 1.072,
     "t23_bm25_topk": 1.246,
     "t5b_nfkc_fold": 0.307,
-    # d13's wall is ~8 doubling rounds of rank jobs + the LCP walk —
-    # driver-latency dominated at sf0.1 (like g6), tracks host load
-    "d13_suffix_array_dedup": 19.885,
+    # d13's wall is ~7 doubling rounds of rank jobs + the LCP walk —
+    # driver-latency dominated at sf0.1 (like g6), tracks host load.
+    # r10 trim (width-2 base skips the vocabulary-rank round; the
+    # uniqueness probe folded into the rank builder's offset collect):
+    # 19.885 -> 17.215 measured at loadavg ~2.3
+    "d13_suffix_array_dedup": 17.215,
     # r10 first appearance, measured at loadavg ~2.4 after the round's
     # scale fixes (encoded HashAggregate argmin, pair-dot in projection,
     # hugeMethodLimit). At sf0.1's 1500 vectors the policy resolves to

@@ -29,6 +29,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def distributed_dense_rank_with_count(
+    df: DataFrame, key_cols: list[str], out_col: str = "rank"
+) -> tuple[DataFrame, int]:
+    """:func:`distributed_dense_rank` plus the TOTAL distinct-key count
+    — free: the builder already collects per-partition distinct counts
+    for the prefix offsets, and their sum IS the global count. Callers
+    that loop until ranks are unique (prefix doubling's early exit) can
+    compare it against the row count instead of paying one extra
+    count/countDistinct aggregation job per round."""
+    return _dense_rank_impl(df, key_cols, out_col)
+
+
 def distributed_dense_rank(
     df: DataFrame, key_cols: list[str], out_col: str = "rank"
 ) -> DataFrame:
@@ -36,6 +48,12 @@ def distributed_dense_rank(
     key tuple under ascending NULLS FIRST order, without ever moving
     the dataset through one partition. Deterministic for any input
     partitioning (ranks depend only on key values)."""
+    return _dense_rank_impl(df, key_cols, out_col)[0]
+
+
+def _dense_rank_impl(
+    df: DataFrame, key_cols: list[str], out_col: str = "rank"
+) -> tuple[DataFrame, int]:
     keys = [F.col(c) for c in key_cols]
     parted = df.repartitionByRange(*keys).withColumn(
         "_pid", F.spark_partition_id()
@@ -71,10 +89,11 @@ def distributed_dense_rank(
         offsets[pid] = acc
         acc += sizes[pid]
     if not offsets:
-        return df.withColumn(out_col, F.lit(0).cast("long")).limit(0)
+        return df.withColumn(out_col, F.lit(0).cast("long")).limit(0), 0
     off = F.when(F.col("_pid") == list(offsets)[0], F.lit(offsets[list(offsets)[0]]))
     for pid, o in list(offsets.items())[1:]:
         off = off.when(F.col("_pid") == pid, F.lit(o))
-    return local.withColumn(
+    ranked = local.withColumn(
         out_col, (off.cast("long") + F.col("_lrank")).alias(out_col)
     ).drop("_pid", "_lrank")
+    return ranked, acc
