@@ -165,6 +165,9 @@ HEADLINE = [
     "d13p_suffix_array_store",
     # multi-class classifier head (5 per-class literal folds + argmax)
     "t22b_multiclass_classifier",
+    # the composed web-curation recipe (decorate -> extract -> quality
+    # -> dedup as ONE plan; regressions anywhere in the chain surface)
+    "c2_web_curation_pipeline",
 ]
 
 
@@ -270,6 +273,9 @@ R03_FLOOR = {
     # 5 frozen-literal folds over one gram array + argmax chain;
     # measured under loadavg ~13 (conservative — quiet runs undercut)
     "t22b_multiclass_classifier": 4.503,
+    # extraction + scoring map-side, dedup groupBy + join-back; measured
+    # under loadavg ~17 (conservative)
+    "c2_web_curation_pipeline": 6.61,
     # v1's floor stays 0.507: the session's selectExpr dot-construction
     # fix brought it back under the bar (0.72 at loadavg ~2) after the
     # py4j-latency inflation the r08 continuation runs recorded.

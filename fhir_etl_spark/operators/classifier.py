@@ -158,20 +158,31 @@ def multiclass_classifier_scores(
             )
         ),
     ).otherwise(tokens(text_col))
-    g = df.withColumn("_toks", loud_toks).withColumn(
-        "_grams", hashed_grams("_toks", max_n=max_n)
+    # materialize the BUCKET array once: the md5 feature hash is the
+    # expensive per-gram op, and folding raw grams per class would
+    # re-hash every gram C times — bucketing first makes the hash cost
+    # class-independent (each class fold is then an int array walk)
+    g = (
+        df.withColumn("_toks", loud_toks)
+        .withColumn("_grams", hashed_grams("_toks", max_n=max_n))
+        .withColumn(
+            "_buckets",
+            F.transform(
+                "_grams",
+                lambda gr: (
+                    hash_bucket(gr, salt=salt, n_buckets=n_buckets) + 1
+                ).cast("int"),
+            ),
+        )
     )
     n = F.size("_grams").cast("long")
 
     def class_score(j: int) -> Column:
         w_arr = F.array(*[F.lit(int(v)).cast("long") for v in class_w_micro[j]])
         return F.lit(int(class_bias_micro[j])).cast("long") * n + F.aggregate(
-            "_grams",
+            "_buckets",
             F.lit(0).cast("long"),
-            lambda acc, gr: acc
-            + F.element_at(
-                w_arr, (hash_bucket(gr, salt=salt, n_buckets=n_buckets) + 1).cast("int")
-            ),
+            lambda acc, b: acc + F.element_at(w_arr, b),
         )
 
     scored = g.select(

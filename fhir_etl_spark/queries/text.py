@@ -1495,3 +1495,88 @@ def t22b_multiclass_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents, fmc.CLASS_W_MICRO, fmc.CLASS_BIAS_MICRO,
         salt=fmc.SALT, labels=fmc.LABELS,
     )
+
+
+# --- c2: the composed WEB curation pipeline ----------------------------
+def _c2_oracle() -> str:
+    # tokens/punct/stopwords over the EXTRACTED text (the t24 chain is
+    # nested as one subquery CTE; `kept` is referenced twice, so
+    # MATERIALIZED — the chained-CTE inlining lesson)
+    toks2 = (
+        "list_filter(string_split_regex(main_text,"
+        " '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
+    )
+    return f"""
+    WITH extracted AS MATERIALIZED ({_t24_oracle()}),
+    q AS (
+      SELECT doc_id, main_text, n_words,
+             (4*least(n_tok, 100)*nc*nt
+            + 300*(nc - least(5*n_punct, nc))*nt
+            + 300*least(5*n_stop, nt)*nc) / (1000*nc*nt) AS quality
+      FROM (
+        SELECT doc_id, main_text, n_words, n_tok, n_punct, n_stop,
+               greatest(n_chars, 1) AS nc, greatest(n_tok, 1) AS nt
+        FROM (
+          SELECT doc_id, main_text, n_words,
+                 len({toks2}) AS n_tok,
+                 length(main_text) AS n_chars,
+                 len(regexp_extract_all(main_text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS n_punct,
+                 len(list_filter({toks2},
+                      x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], x)))
+                      AS n_stop
+          FROM extracted
+        )
+      )
+    ), kept AS MATERIALIZED (
+      SELECT * FROM q WHERE quality >= 0.5 AND n_words >= 10
+    ), reps AS (
+      SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM (SELECT doc_id,
+                   md5(lower(trim(regexp_replace(main_text,
+                       '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS dg
+            FROM kept)
+      GROUP BY dg
+    )
+    SELECT r.doc_id, r.n_copies, k.n_words, k.quality
+    FROM reps r JOIN kept k USING (doc_id)
+    """
+
+
+@query(
+    "c2_web_curation_pipeline",
+    oracle=_c2_oracle(),
+    tags=("text", "pipeline", "html", "dedup"),
+)
+def c2_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed WEB curation recipe end to end — what a Common
+    Crawl pipeline actually runs, as ONE plan: raw page (the shared t24
+    decoration: nav/script/comment/footer boilerplate around the
+    fixture text) → main-content extraction (t24) → quality scoring
+    over the EXTRACTED prose (t2's integer-exact formula) → keep gate
+    (quality ≥ 0.5 AND ≥ 10 extracted words) → exact dedup on the
+    normalized extracted text (d1's min-id representative) → per-group
+    (doc_id, n_copies, n_words, quality). The oracle replays every
+    stage, so a regression ANYWHERE in the chain — a block mis-kept, a
+    quality drift, a digest change — value-mismatches here even if each
+    unit query still passes. Plan shape: extraction + scoring are one
+    map-only projection; the only exchanges are the dedup groupBy and
+    the representative join-back."""
+    from fhir_etl_spark.operators.dedup import content_digest
+    from fhir_etl_spark.operators.html import extract_main_content
+    from fhir_etl_spark.operators.text import quality_score
+
+    documents = load_tables(spark, sf_dir, "documents")
+    pages = documents.select("doc_id", _t24_page_col().alias("html"))
+    ex = extract_main_content(pages, min_words=5, link_pct=30)
+    q = ex.select(
+        "doc_id", "main_text", "n_words",
+        quality_score("main_text").alias("quality"),
+    )
+    kept = q.where((F.col("quality") >= 0.5) & (F.col("n_words") >= 10))
+    reps = (
+        kept.withColumn("_dg", content_digest(F.col("main_text")))
+        .groupBy("_dg")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .drop("_dg")
+    )
+    return reps.join(kept.select("doc_id", "n_words", "quality"), "doc_id")

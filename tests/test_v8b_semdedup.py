@@ -172,3 +172,19 @@ def test_semdedup_pair_scan_dot_stays_out_of_join_condition(spark, sf_dir):
         if re.search(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", line):
             assert "element_at" not in line, line[:200]
     assert "max(_sim" in plan  # the any-mate rule is the max aggregate
+
+
+def test_ensure_scoring_width_widens_narrow_inputs(spark):
+    """The map-side scoring join's parallelism = input partitions; a
+    compact corpus file arrives as 1–2 partitions and serializes the
+    n·k loop (round-10 sf10 finding). Narrow frames widen to default
+    parallelism; already-wide frames pass through untouched."""
+    from fhir_etl_spark.operators.similarity import _ensure_scoring_width
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    widened = _ensure_scoring_width(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    assert widened.count() == 1000
+    wide = spark.range(1000).repartition(target + 4)
+    assert _ensure_scoring_width(wide).rdd.getNumPartitions() == target + 4

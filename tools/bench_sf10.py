@@ -63,7 +63,13 @@ SF10_FLOOR: dict[str, float] = {
     "d6_dedup_clusters": 29.06,
     "d10_substring_dedup": 35.11,
     "d12_lsh_bucket_keepers": 26.73,
-    "v8_semdedup": 546.42,  # r09 reference measurement (not re-run; see QUERIES)
+    # r10 re-measurements after the argmin/codegen fixes: v8 546->360
+    # (the residual is the fixed-k cap-chunk pair scan — Σ block² with
+    # 10k blocks over the whole corpus, the priced cost of k=8 at 100×;
+    # v8b's policy is the fix), v8b first appearance at 44.06 (~linear:
+    # clusters ~200, pair scan Σc² ≈ 200·n).
+    "v8_semdedup": 360.05,
+    "v8b_semdedup_scaled_k": 44.06,
     "v9_int8_quantized_ann": 3.52,
     "v12_ivfpq_ann": 7.08,
     "t17_gopher_char_repetition": 9.5,
