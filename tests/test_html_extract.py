@@ -195,3 +195,44 @@ def test_warc_extract_clean_composed_pipeline(spark, sf_dir, tmp_path):
         F.col("main_text").rlike("<[a-zA-Z/]") | F.col("main_text").contains("var t =")
     )
     assert leaked.count() == 0
+
+
+def test_extract_is_streamable_and_equals_batch(spark, sf_dir, tmp_path):
+    """t24 is a pure stateless projection, so the SAME operator runs
+    unchanged under Structured Streaming — the §2.10 twin without a
+    twin module. Replaying the decorated pages through a file stream
+    must reproduce the batch extraction row-for-row."""
+    import uuid
+
+    from fhir_etl_spark.queries.text import _t24_page_col
+    from fhir_etl_spark.session import load_tables
+
+    pages = (
+        load_tables(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(30)
+        .select("doc_id", _t24_page_col().alias("html"))
+    )
+    src = str(tmp_path / "pages_src")
+    pages.coalesce(2).write.mode("overwrite").parquet(src)
+
+    batch = {
+        r["doc_id"]: (r["main_text"], r["n_blocks"], r["n_kept"], r["n_words"])
+        for r in extract_main_content(spark.read.parquet(src)).collect()
+    }
+    table = f"t24_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        extract_main_content(
+            spark.readStream.schema("doc_id long, html string").parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName(table)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["main_text"], r["n_blocks"], r["n_kept"], r["n_words"])
+        for r in spark.sql(f"SELECT * FROM {table}").collect()
+    }
+    assert got == batch and len(got) == 30
