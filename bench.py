@@ -192,13 +192,19 @@ R03_FLOOR = {
     "d10_substring_dedup": 2.318,
     "m6_jpeg_decode": 2.424, "s12_warc_scan": 0.89,
     "dq1_quality_checks": 0.61, "t16_url_canonicalize": 0.32,
-    "w8_rolling_zscore": 0.58, "g3_triangle_count": 2.163,
+    "w8_rolling_zscore": 0.58,
+    # g3 floor re-set 2.163 -> 2.777 with the r10 session-wide
+    # hugeMethodLimit=8000: one g3 stage sits in the 8-64 KB band where
+    # Spark's interpreted fallback runs ~12% behind the (un-JIT-able)
+    # generated code — priced in, like v9's unroll cost; the setting
+    # buys 2x on v9/d13/semdedup (A/B in SCALE.md round-10 notes)
+    "g3_triangle_count": 2.777,
     # v8's floor moved 3.83 -> 4.83 with the round-8 oversized-cluster
     # re-split: the cap probe (a bounded count over the checkpointed
     # clustering subtree) executes per build — the measured price of
     # never truncating the prune, on the same quiet run that set every
     # other floor
-    "v8_semdedup": 4.83, "s15_xlsx_scan": 0.96,
+    "v8_semdedup": 3.745, "s15_xlsx_scan": 0.96,
     "y3_hilbert_curve": 1.144,
     "x14_kmv_quantiles": 1.703,
     # r08 first-appearance floors (quiet host, best-of-2)
@@ -213,7 +219,7 @@ R03_FLOOR = {
     # tightened 1.90 -> 1.73 with the round-8 selectExpr conversion of
     # the quantize/dot construction (the py4j lesson; 1M smoke 18.7s
     # under loadavg 20, unchanged integers)
-    "v9_int8_quantized_ann": 1.73,
+    "v9_int8_quantized_ann": 0.873,
     "d12_lsh_bucket_keepers": 4.734,
     # r08 second-continuation first-appearance floors, measured at
     # loadavg ~2-4 (the host never quieted below 2 during this window;
@@ -255,7 +261,7 @@ R03_FLOOR = {
     # r10 trim (width-2 base skips the vocabulary-rank round; the
     # uniqueness probe folded into the rank builder's offset collect):
     # 19.885 -> 17.215 measured at loadavg ~2.3
-    "d13_suffix_array_dedup": 17.215,
+    "d13_suffix_array_dedup": 14.557,
     # r10 first appearance, measured at loadavg ~2.4 after the round's
     # scale fixes (encoded HashAggregate argmin, pair-dot in projection,
     # hugeMethodLimit). At sf0.1's 1500 vectors the policy resolves to
@@ -263,7 +269,7 @@ R03_FLOOR = {
     # unrolled-distance chain's FLAT driver codegen cost (the v9 floor
     # lesson) + the bounded n count — both amortize at scale
     # (sf10-shape: 29.6 s vs v8's r09 546 s, BENCH_sf10_r10.json)
-    "v8b_semdedup_scaled_k": 5.473,
+    "v8b_semdedup_scaled_k": 4.96,
     # map-only page scan (strip/split/count/keep, pure codegen)
     "t24_html_extract": 0.894,
     # the QUERY-ONLY suffix-array path: stored-depths filter +
@@ -272,10 +278,10 @@ R03_FLOOR = {
     "d13p_suffix_array_store": 1.196,
     # 5 frozen-literal folds over one gram array + argmax chain;
     # measured under loadavg ~13 (conservative — quiet runs undercut)
-    "t22b_multiclass_classifier": 4.503,
+    "t22b_multiclass_classifier": 3.012,
     # extraction + scoring map-side, dedup groupBy + join-back; measured
     # under loadavg ~17 (conservative)
-    "c2_web_curation_pipeline": 6.61,
+    "c2_web_curation_pipeline": 6.114,
     # v1's floor stays 0.507: the session's selectExpr dot-construction
     # fix brought it back under the bar (0.72 at loadavg ~2) after the
     # py4j-latency inflation the r08 continuation runs recorded.
