@@ -59,20 +59,21 @@ QUERIES = [
 # k proportional to n / target-cluster-size (an operator parameter), as
 # FAISS does; the flag here would fire only on a further regression.
 SF10_FLOOR: dict[str, float] = {
-    "q21_waiting_suppliers": 12.65,
-    "d6_dedup_clusters": 29.06,
-    "d10_substring_dedup": 35.11,
-    "d12_lsh_bucket_keepers": 26.73,
-    # r10 re-measurements after the argmin/codegen fixes: v8 546->360
-    # (the residual is the fixed-k cap-chunk pair scan — Σ block² with
-    # 10k blocks over the whole corpus, the priced cost of k=8 at 100×;
-    # v8b's policy is the fix), v8b first appearance at 44.06 (~linear:
-    # clusters ~200, pair scan Σc² ≈ 200·n).
-    "v8_semdedup": 360.05,
-    "v8b_semdedup_scaled_k": 44.06,
-    "v9_int8_quantized_ann": 3.52,
-    "v12_ivfpq_ann": 7.08,
-    "t17_gopher_char_repetition": 9.5,
+    "q21_waiting_suppliers": 12.65,  # clean r10 run: 13.15
+    "d6_dedup_clusters": 20.9,
+    "d10_substring_dedup": 25.1,
+    "d12_lsh_bucket_keepers": 24.21,
+    # r10 re-measurements after the argmin/codegen fixes (clean quiet
+    # run, BENCH_sf10_r10.json): v8 546 -> 329 (the residual is the
+    # fixed-k cap-chunk pair scan — Σ block² with 10k blocks over the
+    # whole corpus, the priced cost of k=8 at 100×; v8b's policy is the
+    # fix), v8b first appearance at 27.47 (~linear: clusters ~200, pair
+    # scan Σc² ≈ 200·n).
+    "v8_semdedup": 329.43,
+    "v8b_semdedup_scaled_k": 27.47,
+    "v9_int8_quantized_ann": 1.25,
+    "v12_ivfpq_ann": 5.99,
+    "t17_gopher_char_repetition": 8.47,
 }
 
 
