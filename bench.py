@@ -168,6 +168,8 @@ HEADLINE = [
     # the composed web-curation recipe (decorate -> extract -> quality
     # -> dedup as ONE plan; regressions anywhere in the chain surface)
     "c2_web_curation_pipeline",
+    # C4-style blocklist gate (exact-token + phrase tiers, literal list)
+    "t25_blocklist_gate",
 ]
 
 
@@ -282,6 +284,8 @@ R03_FLOOR = {
     # extraction + scoring map-side, dedup groupBy + join-back; measured
     # under loadavg ~17 (conservative)
     "c2_web_curation_pipeline": 6.114,
+    # map-only token-set intersect + contains chain
+    "t25_blocklist_gate": 0.517,
     # v1's floor stays 0.507: the session's selectExpr dot-construction
     # fix brought it back under the bar (0.72 at loadavg ~2) after the
     # py4j-latency inflation the r08 continuation runs recorded.

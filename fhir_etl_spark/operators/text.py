@@ -836,3 +836,72 @@ def nfkc_fold(text: Column | str) -> Column:
     for k, v in LIGATURES.items():
         c = F.replace(c, F.lit(k), F.lit(v))
     return F.translate(c, TRANSLATE_FROM, TRANSLATE_TO)
+
+
+def blocklist_flags(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    phrases: tuple[str, ...] = (),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist filtering (the C4 recipe's bad-word gate, Raffel 2020
+    §2.2: drop any page containing a listed term) →
+    (id, n_terms_hit, n_phrases_hit, blocked).
+
+    - ``terms``: single tokens, matched EXACTLY against the document's
+      lowercased token set (no substring surprises: 'class' never
+      matches a blocklisted 'ass') — ``array_intersect`` against a
+      literal array, so the count is DISTINCT terms hit;
+    - ``phrases``: multi-word entries, matched as lowercase substring
+      ``contains`` (the phrase crosses token boundaries by
+      construction);
+    - ``blocked`` ⇔ any hit of either kind.
+
+    Scale shape: map-only pure codegen — the blocklist rides into every
+    task as a literal array + a contains chain; no join, no shuffle, no
+    Python. Real blocklists are O(100–1000) entries, far below literal-
+    plan limits (the hilbert/v11 precedent). All counts BIGINT, so the
+    DuckDB oracle replays exactly."""
+    if not terms and not phrases:
+        raise ValueError("blocklist_flags: empty blocklist")
+    lterms = sorted({t.lower() for t in terms})
+    lphrases = sorted({p.lower() for p in phrases})
+    if any(" " in t for t in lterms):
+        raise ValueError(
+            "blocklist_flags: multi-word entries belong in `phrases`"
+        )
+    toks_lower = F.transform(tokens(_col(text_col)), lambda t: F.lower(t))
+    n_terms = (
+        F.size(
+            F.array_intersect(
+                toks_lower, F.array(*[F.lit(t) for t in lterms])
+            )
+        ).cast("long")
+        if lterms
+        else F.lit(0).cast("long")
+    )
+    low = F.lower(_col(text_col))
+    n_phrases = (
+        _sum_longs(
+            [
+                F.when(low.contains(p), F.lit(1)).otherwise(F.lit(0))
+                for p in lphrases
+            ]
+        )
+        if lphrases
+        else F.lit(0).cast("long")
+    )
+    return df.select(
+        F.col(id_col),
+        n_terms.alias("n_terms_hit"),
+        n_phrases.alias("n_phrases_hit"),
+        ((n_terms > 0) | (n_phrases > 0)).alias("blocked"),
+    )
+
+
+def _sum_longs(cols: list[Column]) -> Column:
+    out = cols[0].cast("long")
+    for c in cols[1:]:
+        out = out + c.cast("long")
+    return out

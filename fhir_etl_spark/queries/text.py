@@ -1580,3 +1580,43 @@ def c2_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_dg")
     )
     return reps.join(kept.select("doc_id", "n_words", "quality"), "doc_id")
+
+
+# --- t25: blocklist gate ------------------------------------------------
+_T25_TERMS = ("batch", "legacy", "slow")
+_T25_PHRASES = ("row scan", "full table sort")
+
+
+def _t25_oracle() -> str:
+    terms = "[" + ", ".join(f"'{t}'" for t in sorted(_T25_TERMS)) + "]"
+    phr = " + ".join(
+        f"(CASE WHEN contains(lower(text), '{p}') THEN 1 ELSE 0 END)"
+        for p in sorted(_T25_PHRASES)
+    )
+    return f"""
+    SELECT doc_id, n_terms_hit, n_phrases_hit,
+           (n_terms_hit > 0 OR n_phrases_hit > 0) AS blocked
+    FROM (
+      SELECT doc_id,
+             CAST(len(list_intersect(list_transform({_TOKS_SQL}, x -> lower(x)),
+                  {terms})) AS BIGINT) AS n_terms_hit,
+             CAST({phr} AS BIGINT) AS n_phrases_hit
+      FROM documents
+    )
+    """
+
+
+@query("t25_blocklist_gate", oracle=_t25_oracle(), tags=("text", "filter"))
+def t25_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gate (the C4 recipe's bad-word filter, Raffel 2020
+    §2.2): exact lowercased-token matches for single terms (DISTINCT
+    terms hit — no substring surprises) plus lowercase substring
+    matches for multi-word phrases; blocked ⇔ any hit. The list here is
+    drawn from the fixture vocabulary so both hit paths actually
+    exercise (real deployments pass their own list — it is an operator
+    parameter riding into tasks as a codegen literal; map-only, no
+    join, no shuffle). Oracle replays both counts and the gate."""
+    from fhir_etl_spark.operators.text import blocklist_flags
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return blocklist_flags(documents, terms=_T25_TERMS, phrases=_T25_PHRASES)

@@ -174,3 +174,60 @@ def test_classifier_empty_text_scores_zero(spark):
     assert got[0]["n_grams"] == 0
     assert got[0]["score_micro"] == 0
     assert got[0]["label"] == "other"
+
+
+# --- t25 blocklist gate (round-10 addition) -----------------------------
+
+
+def test_blocklist_token_exactness_no_substring_matches(spark):
+    """'class' must NOT match a blocklisted 'ass'-style term: single
+    terms match whole lowercased tokens only; phrases are the substring
+    tier."""
+    from fhir_etl_spark.operators.text import blocklist_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "the classic slowest approach"),   # no exact token hit
+            (2, "the SLOW batch path"),            # 2 distinct terms, cased
+            (3, "slow slow slow"),                 # 1 DISTINCT term
+            (4, "a full ROW SCAN happened here"),  # phrase, cased
+            (5, "clean document"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], r["n_phrases_hit"], r["blocked"])
+        for r in blocklist_flags(
+            df, terms=("slow", "batch"), phrases=("row scan",)
+        ).collect()
+    }
+    assert got[1] == (0, 0, False)
+    assert got[2] == (2, 0, True)
+    assert got[3] == (1, 0, True)
+    assert got[4] == (0, 1, True)
+    assert got[5] == (0, 0, False)
+
+
+def test_blocklist_validation(spark):
+    import pytest
+
+    from fhir_etl_spark.operators.text import blocklist_flags
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty blocklist"):
+        blocklist_flags(df, terms=())
+    with pytest.raises(ValueError, match="multi-word"):
+        blocklist_flags(df, terms=("two words",))
+
+
+def test_blocklist_plan_is_map_only(spark, sf_dir):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.plan_audit import audit
+
+    from fhir_etl_spark.queries import all_queries
+
+    a = audit(all_queries()["t25_blocklist_gate"].fn(spark, "/root/testdata/sf0.001"))
+    assert a["shuffles"] == 0 and a["bcast"] == 0 and a["python"] == "no"
