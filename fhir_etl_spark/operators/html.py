@@ -25,6 +25,14 @@ parallel. Every regex below is deliberately in the COMMON dialect of
 Java regex (Spark) and RE2 (DuckDB): no backreferences, no lookaround,
 explicit whitespace classes (RE2's ``\\s`` lacks ``\\x0b``), inline
 ``(?is)`` flags only.
+
+Known regex-tier limitation (shared by every regex extractor —
+jusText's own preprocessor included): a ``>`` INSIDE a quoted
+attribute value (``<div title="a > b">``) terminates the ``[^>]*`` tag
+match early, leaving the tail as visible text. Full HTML5 tokenization
+would need a real state machine; both engines replay the regex
+behavior identically, so the contract stays deterministic — the
+boilerplate classifier then usually drops the short junk block anyway.
 """
 
 from __future__ import annotations
