@@ -944,3 +944,61 @@ def test_binary_hamming_matches_sign_model(spark, vecs):
     for i, v in enumerate(vecs):
         want = sum((a > 0) != (b > 0) for a, b in zip(q0, v))
         assert got[i] == want, (i, got[i], want)
+
+
+# --- t24 extraction properties: arbitrary tag soup (round 10) --------------
+
+_TAGS = ["p", "div", "li", "br", "span", "b", "a", "script", "style", "h2"]
+_soup_piece = st.one_of(
+    st.sampled_from(
+        [f"<{t}>" for t in _TAGS]
+        + [f"</{t}>" for t in _TAGS]
+        + ['<a href="/x">', "<!-- c -->", "<script>var z=1;</script>"]
+    ),
+    st.text(
+        alphabet="abc defg hij \t\n&<",  # words, whitespace, loose & and <
+        min_size=0,
+        max_size=30,
+    ),
+)
+html_batches = st.lists(
+    st.lists(_soup_piece, min_size=0, max_size=25).map("".join),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pages=html_batches)
+def test_extract_invariants_on_arbitrary_tag_soup(spark, pages):
+    """Structural invariants that must hold for ANY input, including
+    unclosed/mismatched/nested tags: counts are consistent, the
+    extracted text contains no COMPLETE tags from the vocabulary, no
+    script payload survives, and n_words equals the whitespace word
+    count of main_text."""
+    from fhir_etl_spark.operators.html import extract_main_content
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(pages)], "doc_id long, html string"
+    )
+    rows = extract_main_content(df).collect()
+    assert len(rows) == len(pages)
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_blocks"]
+        words = [w for w in r["main_text"].split() if w]
+        # main_text words are newline/space-joined kept-block words.
+        # Counts are taken BEFORE entity unescape (by design — both
+        # engines count identically), and "&nbsp;" decodes to a space,
+        # so the equality is only asserted on entity-free outputs.
+        if "&" not in r["main_text"]:
+            assert r["n_words"] == len(words) or r["main_text"] == ""
+        if r["main_text"] == "":
+            assert r["n_words"] == 0 and r["n_kept"] == 0
+        low = r["main_text"].lower()
+        for t in _TAGS:
+            assert f"<{t}>" not in low and f"</{t}>" not in low
+        assert "var z=1" not in low
