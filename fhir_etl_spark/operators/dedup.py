@@ -1313,3 +1313,92 @@ def suffix_array_dedup_from_store(
         (F.col("_p") + F.col("_d") - 1).alias("_e"),
     )
     return _remove_spans_rebuild(toked, intervals, min_span_tokens, id_col)
+
+
+def doc_lines(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per newline-split line of ``text_col`` →
+    ``(id_col, pos, line)``, position-preserving (0-based).
+
+    ``split`` with limit -1 keeps trailing empty strings (Java semantics),
+    matching DuckDB's ``string_split`` — so a text ending in a newline
+    yields the same trailing-empty line on both engines.
+    """
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+
+
+def duplicated_line_digests(
+    lines: DataFrame, id_col: str = "doc_id", min_doc_freq: int = 2
+) -> DataFrame:
+    """Digests of lines appearing in ≥ ``min_doc_freq`` DISTINCT documents
+    → one-column ``(_line_d)``. Two-phase count-distinct on the digest —
+    the shuffle carries (digest, doc_id) pairs, never line text; the
+    result is the (small) boilerplate set, not the corpus."""
+    return (
+        lines.groupBy("_line_d")
+        .agg(F.countDistinct(id_col).alias("_doc_freq"))
+        .filter(F.col("_doc_freq") >= min_doc_freq)
+        .select("_line_d")
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Cross-document line-level deduplication (the RefinedWeb/MassiveText
+    line-dedup stage, Penedo 2023 §3.2; CCNet's paragraph-hash dedup,
+    Wenzek 2020 §2): drop EVERY occurrence of any line whose normalized
+    content (lowercase, whitespace-collapsed — :func:`content_digest`)
+    appears in ≥ ``min_doc_freq`` distinct documents, then reassemble each
+    document from its surviving lines in original order.
+
+    Returns ``(id_col, clean_text, n_lines, n_kept)`` — one row per input
+    document (a document whose every line was boilerplate survives with
+    ``clean_text = ''``, ``n_kept = 0``), so the operator composes with
+    downstream gates that count removals.
+
+    Scale shape (100 TB): three exchanges, none carrying raw text twice —
+    (1) the line stream aggregates (digest → distinct-doc count) with
+    map-side partial aggregation; (2) the filtered boilerplate-digest set
+    anti-joins back onto the line stream keyed on the digest (the dup set
+    is ≪ corpus — it is exactly the boilerplate; AQE broadcasts it when it
+    fits); (3) surviving lines group back to documents on ``id_col``.
+    Within-document repeats (doc_freq = 1) are KEPT — the stage removes
+    cross-document boilerplate, not intra-document repetition (that is
+    t17/t7's job). Replaces nothing in the reference (no line ops there);
+    closest kin is exact_dedup (document-level, same digest policy).
+    """
+    if min_doc_freq < 2:
+        raise ValueError(f"min_doc_freq must be ≥ 2, got {min_doc_freq}")
+    lines = doc_lines(df, id_col=id_col, text_col=text_col).withColumn(
+        "_line_d", content_digest(F.col("line"))
+    )
+    dup = duplicated_line_digests(lines, id_col=id_col, min_doc_freq=min_doc_freq)
+    kept = lines.join(dup, "_line_d", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n", -1)).cast("long").alias("n_lines"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -1206,10 +1206,12 @@ _T23_Q_SQL = ", ".join(f"({i}, '{t}')" for i, t in _T23_QUERIES)
 _T23_QTOKS = _TOKS_SQL.replace("text", "qtext")
 
 
-@query(
-    "t23_bm25_topk",
-    oracle=f"""
-    WITH q(qid, qtext) AS (VALUES {_T23_Q_SQL}),
+def _bm25_oracle_sql(q_sql: str, k: int) -> str:
+    """The BM25 CTE chain replayed from the RAW corpus (shared by t23 and
+    the persisted-index twin t23p — replaying from raw is what makes a
+    stale store value-mismatch)."""
+    return f"""
+    WITH q(qid, qtext) AS (VALUES {q_sql}),
     toks AS MATERIALIZED (
       SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
     ), dl AS MATERIALIZED (
@@ -1244,8 +1246,13 @@ _T23_QTOKS = _TOKS_SQL.replace("text", "qtext")
       SELECT *, CAST(row_number() OVER (
                PARTITION BY qid ORDER BY score_micro DESC, doc_id)
              AS INT) AS rank
-      FROM scored) WHERE rank <= 10
-    """,
+      FROM scored) WHERE rank <= {k}
+    """
+
+
+@query(
+    "t23_bm25_topk",
+    oracle=_bm25_oracle_sql(_T23_Q_SQL, 10),
     tags=("text", "retrieval"),
 )
 def t23_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1620,3 +1627,201 @@ def t25_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_tables(spark, sf_dir, "documents")
     return blocklist_flags(documents, terms=_T25_TERMS, phrases=_T25_PHRASES)
+
+
+# --- t26: cross-document line-level dedup -------------------------------
+# Decoration: the fixture text is single-line, so each document becomes a
+# multi-line "page" — a shared cookie-banner header (duplicated across ALL
+# docs), a per-source tag line (duplicated across each source group), the
+# content chunked 12 tokens per line (mostly unique), and a shared footer.
+# The line-dedup stage must strip header/footer/source lines everywhere
+# while keeping the content lines.
+_T26_HEADER = "please accept cookies to continue reading this page"
+_T26_FOOTER = "copyright 2020 corpus local all rights reserved"
+_T26_TPL = 12  # tokens per content line
+
+
+def _t26_page_col() -> F.Column:
+    from fhir_etl_spark.operators.text import tokens
+
+    t = tokens(F.col("text"))
+    n_lines = ((F.size(t) + (_T26_TPL - 1)) / _T26_TPL).cast("int")
+    content = F.when(
+        F.size(t) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(t, i * _T26_TPL + 1, _T26_TPL), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat_ws(
+        "\n",
+        F.concat(
+            F.array(
+                F.lit(_T26_HEADER),
+                F.concat(F.lit("source: "), F.col("source")),
+            ),
+            content,
+            F.array(F.lit(_T26_FOOTER)),
+        ),
+    )
+
+
+def _t26_page_sql() -> str:
+    k = _T26_TPL
+    return f"""
+      SELECT doc_id,
+             '{_T26_HEADER}' || chr(10) || 'source: ' || source || chr(10) ||
+             array_to_string(list_transform(range(0, (len(t) + {k - 1}) // {k}),
+                 i -> array_to_string(t[i * {k} + 1 : i * {k} + {k}], ' ')),
+                 chr(10)) ||
+             chr(10) || '{_T26_FOOTER}' AS text
+      FROM (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents)
+    """
+
+
+def _t26_oracle() -> str:
+    norm = "md5(lower(trim(regexp_replace(line, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))"
+    return f"""
+    WITH page AS ({_t26_page_sql()}),
+    ln AS (
+      SELECT doc_id, i AS pos, ls[i] AS line, {norm.replace("line", "ls[i]")} AS d
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM page),
+           unnest(generate_series(1, len(ls))) AS g(i)
+    ), dup AS (
+      SELECT d FROM ln GROUP BY d HAVING count(DISTINCT doc_id) >= 2
+    ), agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM ln ANTI JOIN dup USING (d)
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(len(string_split(p.text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+    FROM page p LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@query("t26_line_dedup", oracle=_t26_oracle(), tags=("text", "dedup", "pipeline"))
+def t26_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line-level dedup (RefinedWeb line-dedup, Penedo
+    2023 §3.2; CCNet paragraph-hash dedup, Wenzek 2020 §2) — the
+    curation stage between HTML extraction and document-level dedup that
+    strips boilerplate LINES (cookie banners, nav, footers) appearing in
+    ≥2 distinct documents while keeping each document's unique prose.
+    The decoration plants exactly that structure (shared header/footer,
+    per-source tag line, 12-token content lines); the oracle replays
+    decoration + digest + doc-frequency + reassembly, so a wrong digest,
+    a kept boilerplate line, or an order-scrambled reassembly
+    value-mismatches. Scale shape in operators/dedup.line_dedup: three
+    keyed exchanges (digest agg, digest anti join, doc reassembly), raw
+    text never shuffled twice."""
+    from fhir_etl_spark.operators.dedup import line_dedup
+
+    documents = load_tables(spark, sf_dir, "documents")
+    pages = documents.select("doc_id", _t26_page_col().alias("text"))
+    return line_dedup(pages, min_doc_freq=2)
+
+
+# --- t23p: BM25 from the PERSISTED index --------------------------------
+# A DIFFERENT query set and k than t23, and an oracle replayed from the
+# RAW corpus — so a stale or mangled store value-mismatches instead of
+# silently serving (the d13p staleness discipline).
+_T23P_QUERIES = (
+    (1, "window group sort"),
+    (2, "batch row hash"),
+    (3, "stream join key"),
+)
+_T23P_Q_SQL = ", ".join(f"({i}, '{t}')" for i, t in _T23P_QUERIES)
+
+
+@query(
+    "t23p_bm25_store",
+    oracle=_bm25_oracle_sql(_T23P_Q_SQL, 5),
+    tags=("text", "retrieval", "store"),
+)
+def t23p_bm25_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval from the PERSISTED inverted index
+    (operators/retrieval.bm25_build_or_load — the ann_store pattern
+    applied to t23): the tokenize + postings/dfreq/stats build runs once
+    per (corpus fingerprint, tokenizer recipe) into snapshot-versioned
+    tables; this query is the SERVE path — load the term-keyed postings
+    scan, broadcast the query terms into it, WindowGroupLimit top-5.
+    At 100 TB the index is written once and queried per retrieval batch
+    with zero corpus-shaped work. Oracle replays from the raw corpus,
+    so a stale store value-mismatches."""
+    from fhir_etl_spark.operators.retrieval import bm25_build_or_load, bm25_topk
+
+    documents = load_tables(spark, sf_dir, "documents")
+    postings, dfreq, stats = bm25_build_or_load(spark, documents)
+    queries = spark.createDataFrame(
+        list(_T23P_QUERIES), "query_id int, query string"
+    )
+    return bm25_topk(postings, dfreq, stats, queries, k=5)
+
+
+# --- c3: the composed LINE-curation pipeline ----------------------------
+def _c3_oracle() -> str:
+    toks_clean = (
+        "list_filter(string_split_regex(clean_text,"
+        " '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
+    )
+    return f"""
+    WITH t26 AS MATERIALIZED ({_t26_oracle()}),
+    q AS (
+      SELECT doc_id, n_lines, n_kept, n_tok AS n_tokens,
+             (4*least(n_tok, 100)*nc*nt
+            + 300*(nc - least(5*n_punct, nc))*nt
+            + 300*least(5*n_stop, nt)*nc) / (1000*nc*nt) AS quality
+      FROM (
+        SELECT doc_id, n_lines, n_kept, n_tok, n_punct, n_stop,
+               greatest(n_chars, 1) AS nc, greatest(n_tok, 1) AS nt
+        FROM (
+          SELECT doc_id, n_lines, n_kept,
+                 len({toks_clean}) AS n_tok,
+                 length(clean_text) AS n_chars,
+                 len(regexp_extract_all(clean_text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS n_punct,
+                 len(list_filter({toks_clean},
+                      x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], x)))
+                      AS n_stop
+          FROM t26
+        )
+      )
+    )
+    SELECT doc_id, n_lines, n_kept, CAST(n_tokens AS BIGINT) AS n_tokens, quality
+    FROM q WHERE quality >= 0.5 AND n_tokens >= 20
+    """
+
+
+@query(
+    "c3_line_curation_pipeline",
+    oracle=_c3_oracle(),
+    tags=("text", "pipeline", "dedup"),
+)
+def c3_line_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet/RefinedWeb page-curation recipe as ONE plan: raw
+    multi-line page (the t26 decoration — boilerplate header/footer +
+    source tag around chunked prose) → cross-document line dedup (t26's
+    operator strips the boilerplate lines) → t2 quality scored over the
+    CLEANED text (the order matters: scoring the raw page would count
+    boilerplate tokens) → keep gate (quality ≥ 0.5 AND ≥ 20 surviving
+    tokens). The oracle replays every stage, so a kept boilerplate
+    line, a reassembly scramble, or a quality drift value-mismatches
+    here even while each unit query passes. Plan shape: line dedup's
+    three keyed exchanges + a map-only scoring projection — the gate
+    adds zero exchanges."""
+    from fhir_etl_spark.operators.dedup import line_dedup
+    from fhir_etl_spark.operators.text import quality_score, token_count
+
+    documents = load_tables(spark, sf_dir, "documents")
+    pages = documents.select("doc_id", _t26_page_col().alias("text"))
+    cleaned = line_dedup(pages, min_doc_freq=2)
+    scored = cleaned.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        token_count("clean_text").cast("long").alias("n_tokens"),
+        quality_score("clean_text").alias("quality"),
+    )
+    return scored.where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
