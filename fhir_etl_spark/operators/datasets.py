@@ -515,3 +515,48 @@ def token_budget_mix(
             "desired_tokens - allocated_tokens AS deficit_tokens",
         )
     )
+
+
+def cluster_cap_sample(
+    clusters: DataFrame,
+    quality: DataFrame,
+    per_cluster: int,
+    cluster_col: str = "cluster_id",
+    id_col: str = "vec_id",
+    quality_id_col: str = "doc_id",
+    quality_col: str = "quality",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Cluster-capped diversity sampling (the DataComp/SemDeDup-family
+    curation move: cluster the corpus in embedding space, then cap each
+    cluster's contribution, keeping its highest-quality members) — the
+    semantic analogue of :func:`quota_cap`'s per-SOURCE cap. Dense
+    near-duplicate regions collapse to their ``per_cluster`` best docs;
+    sparse/diverse regions survive whole.
+
+    ``clusters`` is (id, cluster) — e.g. similarity.kmeans_assign's
+    output; ``quality`` is (id, score) — e.g. text.quality_score.
+    Selection is (quality DESC, id ASC) per cluster: deterministic under
+    any partitioning, append-monotone (a new doc displaces at most the
+    rank-``per_cluster`` member of its own cluster).
+
+    Scale shape: one key-shuffled join (both sides id-keyed; neither is
+    corpus-wide text — ids + scalars only) and one rank-≤-k window that
+    compiles to WindowGroupLimit (map tasks pre-prune to their local
+    top-k per cluster before the exchange, so a degenerate mega-cluster
+    costs bounded shuffle volume).
+    """
+    if per_cluster < 1:
+        raise ValueError(f"per_cluster must be ≥ 1, got {per_cluster}")
+    from pyspark.sql import Window
+
+    joined = clusters.join(
+        quality, clusters[id_col] == quality[quality_id_col]
+    ).select(clusters[id_col], clusters[cluster_col], quality[quality_col])
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return (
+        joined.withColumn(pos_col, F.row_number().over(w).cast("int"))
+        .where(F.col(pos_col) <= per_cluster)
+    )

@@ -417,3 +417,73 @@ def ds11_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     weights = {s: int(s[3:]) + 1 for s in sorted(sources)}
     return token_budget_mix(documents, weights, token_budget=100_000)
+
+
+def _ds12_oracle() -> str:
+    # the v7 Lloyd's chain as a CTE + the t2 quality formula + the cap
+    # window — every stage replayed (imports keep the kmeans CTEs and
+    # tokenizer SQL bit-synced with the v7/t2 oracles)
+    from fhir_etl_spark.queries.similarity import _V7_ORACLE
+    from fhir_etl_spark.queries.text import _TOKS_SQL
+
+    return f"""
+    WITH v7 AS ({_V7_ORACLE}),
+    q AS (
+      SELECT doc_id,
+             (4*least(n_tok, 100)*nc*nt
+            + 300*(nc - least(5*n_punct, nc))*nt
+            + 300*least(5*n_stop, nt)*nc) / (1000*nc*nt) AS quality
+      FROM (
+        SELECT doc_id, n_tok, n_punct, n_stop,
+               greatest(n_chars, 1) AS nc, greatest(n_tok, 1) AS nt
+        FROM (
+          SELECT doc_id,
+                 len({_TOKS_SQL}) AS n_tok,
+                 length(text) AS n_chars,
+                 len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS n_punct,
+                 len(list_filter({_TOKS_SQL},
+                      x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], x)))
+                      AS n_stop
+          FROM documents
+        )
+      )
+    ), j AS (
+      SELECT v7.vec_id, v7.cluster_id, q.quality
+      FROM v7 JOIN q ON q.doc_id = v7.vec_id
+    )
+    SELECT vec_id, cluster_id, quality, pos FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY cluster_id ORDER BY quality DESC, vec_id)
+             AS INT) AS pos
+      FROM j) WHERE pos <= 40
+    """
+
+
+@query(
+    "ds12_cluster_cap_sample",
+    oracle=_ds12_oracle(),
+    tags=("datasets", "sample", "clustering"),
+)
+def ds12_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-capped diversity sampling (DataComp-style: k-means in
+    embedding space, keep each cluster's top-40 by the t2 quality
+    score): dense semantic regions — near-duplicate masses — collapse
+    to their best members while sparse regions survive whole; the
+    curation move BETWEEN SemDeDup (v8: drop ε-close mates) and raw
+    quality filtering (t2 alone ignores diversity). Composition of
+    kmeans_assign (broadcast centroids, corpus never shuffles to
+    score), one id-keyed scalar join, and a rank-≤-k window that
+    compiles to WindowGroupLimit (map-side pre-prune — a degenerate
+    mega-cluster costs bounded shuffle). Oracle replays Lloyd's chain
+    (v7's exact CTEs), the quality division, and the cap window."""
+    from fhir_etl_spark.operators.datasets import cluster_cap_sample
+    from fhir_etl_spark.operators.similarity import kmeans_assign
+    from fhir_etl_spark.operators.text import quality_score
+
+    embeddings, documents = (
+        load_tables(spark, sf_dir, "embeddings"),
+        load_tables(spark, sf_dir, "documents"),
+    )
+    clusters = kmeans_assign(embeddings, k=8, n_iterations=2)
+    quality = documents.select("doc_id", quality_score("text").alias("quality"))
+    return cluster_cap_sample(clusters, quality, per_cluster=40)
