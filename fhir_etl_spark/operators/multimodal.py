@@ -1348,3 +1348,59 @@ def extract_exif(df: DataFrame, bytes_col: str = "media", out_col: str = "exif")
             yield out
 
     return df.mapInPandas(batches, out_schema)
+
+
+PDF_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def pdf_text(
+    df: DataFrame, bytes_col: str = "media", out_col: str = "doc"
+) -> DataFrame:
+    """PDF → text extraction via the from-spec codec (functions/pdf.py:
+    tolerant obj-span scan, page-tree walk, FlateDecode, the BT…ET
+    text-operator subset). Output struct: (n_pages, text — pages joined
+    by '\\n', n_chars, error). Per-document failures (non-PDF bytes,
+    broken page trees, unsupported filters, zlib corruption) land in
+    ``error`` instead of failing the batch — at corpus scale an
+    extraction job must survive bad files. Encoding caveat (stated in
+    functions/pdf.py): bytes map through latin-1 — exact for ASCII/
+    Type1 content; CID-keyed fonts would need CMap tables (the
+    standard gap for from-scratch extractors, surfaced per-row as
+    extracted garbage, not a crash).
+
+    Scale shape: Arrow-batched mapInPandas, map-only — per-document
+    work, no shuffle; the binary column never leaves its partition.
+    """
+    from fhir_etl_spark.functions.pdf import extract_pdf_text
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, PDF_DOC_SCHEMA)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for data in pdf[bytes_col]:
+                if data is None:
+                    out.append(None)
+                    continue
+                try:
+                    pages = extract_pdf_text(bytes(data))
+                    text = "\n".join(pages)
+                    out.append(
+                        {"n_pages": len(pages), "text": text,
+                         "n_chars": len(text), "error": None}
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-row contract
+                    out.append(
+                        {"n_pages": None, "text": None, "n_chars": None,
+                         "error": f"{type(exc).__name__}: {exc}"}
+                    )
+            yield pdf.assign(**{out_col: out})
+
+    return df.mapInPandas(batches, out_schema)

@@ -1144,3 +1144,100 @@ def m15_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exif.pixel_x").alias("pixel_x"),
         F.col("exif.pixel_y").alias("pixel_y"),
     )
+
+
+# --- m16: PDF text extraction -------------------------------------------
+# Decoration: each document is typeset into a REAL multi-page PDF —
+# tokens chunked 8 per line, 4 content lines per page under a per-page
+# header that exercises the literal-string escape set ((), backslash,
+# quotes) — via the from-spec writer, then extracted back by the
+# production operator. Lossless layout → the oracle recomputes the
+# expected text, page count, and char count from documents.text alone;
+# a wrong escape decode, page-tree walk, inflate, or line heuristic
+# value-mismatches.
+_M16_TPL = 8  # tokens per line
+_M16_LPP = 4  # content lines per page
+
+
+def _m16_header(p: int) -> str:
+    return f'page {p} (c) \\ "q"'
+
+
+@query(
+    "m16_pdf_text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), dims AS (
+      SELECT doc_id, t, (len(t) + {_M16_TPL - 1}) // {_M16_TPL} AS nl FROM toks
+    ), lns AS (
+      SELECT doc_id, nl,
+             list_transform(range(0, nl),
+               i -> array_to_string(t[i*{_M16_TPL}+1 : i*{_M16_TPL}+{_M16_TPL}], ' ')) AS ls
+      FROM dims
+    ), pg AS (
+      SELECT doc_id, (nl + {_M16_LPP - 1}) // {_M16_LPP} AS np,
+             array_to_string(list_transform(range(0, (nl + {_M16_LPP - 1}) // {_M16_LPP}),
+               p -> 'page ' || CAST(p AS VARCHAR) || ' (c) \\ "q"' || chr(10) ||
+                    array_to_string(ls[p*{_M16_LPP}+1 : p*{_M16_LPP}+{_M16_LPP}], chr(10))),
+               chr(10)) AS text
+      FROM lns
+    )
+    SELECT doc_id, CAST(np AS INT) AS n_pages, text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(NULL AS VARCHAR) AS error
+    FROM pg
+    """,
+    tags=("multimodal", "codec", "text"),
+)
+def m16_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction, value-checked end to end: documents typeset
+    into real multi-page FlateDecode'd PDFs (from-spec writer,
+    functions/pdf.py), extracted by the production operator
+    (operators/multimodal.pdf_text: tolerant obj scan → page-tree walk
+    → inflate → BT…ET text-operator run), reduced to (n_pages, text,
+    n_chars). The per-page header line exercises the §7.3.4 escape set
+    through BOTH codec halves. Map-only plan: two Arrow python stages,
+    binary never shuffles — the 100 TB shape of every PDF-ingestion
+    job."""
+    import re as _re
+
+    from fhir_etl_spark.operators.multimodal import pdf_text
+
+    documents = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+
+    out_fields = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fhir_etl_spark.functions.pdf import encode_pdf
+
+        ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in it:
+            blobs = []
+            for text in pdf["text"]:
+                toks = [x for x in ws.split(text) if x != ""]
+                lines = [
+                    " ".join(toks[i : i + _M16_TPL])
+                    for i in range(0, len(toks), _M16_TPL)
+                ]
+                pages = [
+                    [_m16_header(p)] + lines[p * _M16_LPP : (p + 1) * _M16_LPP]
+                    for p in range((len(lines) + _M16_LPP - 1) // _M16_LPP)
+                ]
+                blobs.append(encode_pdf(pages))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = documents.mapInPandas(build, out_fields)
+    extracted = pdf_text(media, bytes_col="media")
+    return extracted.select(
+        "doc_id",
+        F.col("doc.n_pages").alias("n_pages"),
+        F.col("doc.text").alias("text"),
+        F.col("doc.n_chars").alias("n_chars"),
+        F.col("doc.error").alias("error"),
+    )
