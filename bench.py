@@ -185,6 +185,9 @@ HEADLINE = [
     # the composed LINE-curation recipe (decorate -> line dedup ->
     # quality over CLEANED text -> gate, one plan)
     "c3_line_curation_pipeline",
+    # feature-hashing embeddings + cosine top-k (64 integer folds over
+    # one materialized (bucket,sign) array; TakeOrderedAndProject)
+    "v14_hashed_embedding_topk",
 ]
 
 
@@ -316,6 +319,11 @@ R03_FLOOR = {
     "m16_pdf_text": 3.178,
     # t26's three exchanges + map-only scoring/gate (quiet run)
     "c3_line_curation_pipeline": 2.275,
+    # dim=64 fold construction: the wall at sf0.1 is mostly FLAT driver
+    # plan-build of the 64-fold array (the v9/v11 codegen-cost lesson —
+    # warm re-execution is ~0.3 s); amortizes at scale (200k-doc smoke:
+    # 6.8k docs/s end to end). Measured under loadavg ~6.
+    "v14_hashed_embedding_topk": 5.817,
     # v1's floor stays 0.507: the session's selectExpr dot-construction
     # fix brought it back under the bar (0.72 at loadavg ~2) after the
     # py4j-latency inflation the r08 continuation runs recorded.

@@ -2043,3 +2043,132 @@ def binary_hamming_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    salt: str = "he1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_n: int = 2,
+) -> DataFrame:
+    """Feature-hashing document embeddings (Weinberger 2009, *Feature
+    Hashing for Large Scale Multitask Learning*; the fastText
+    sentence-vector construction without pretrained vectors): each word
+    1..max_n-gram hashes to a bucket in [0, dim) and an independent ±1
+    sign; the embedding is the per-bucket signed count. The signed hash
+    makes bucket collisions cancel in expectation (the paper's unbiased-
+    inner-product property), so cosine over these vectors approximates
+    n-gram Jaccard affinity — the zero-model embedding a pipeline uses
+    BEFORE a trained encoder exists (bootstrap dedup/retrieval, v1–v13
+    all compose with it).
+
+    Output: (id_col, n_grams, emb array<long>) — integer-exact, so every
+    downstream dot/norm is BIGINT and cross-engine replayable.
+
+    Scale shape: map-only codegen — one md5 per gram materialized ONCE
+    into (bucket, sign) arrays, then ``dim`` integer folds; no explode,
+    no shuffle, no Python. The classic alternative (explode + groupBy
+    (doc, bucket) + pivot) shuffles the whole gram stream; at 100 TB the
+    fold shape wins exactly like the t22/t22b classifier heads."""
+    from fhir_etl_spark.operators.classifier import hashed_grams
+    from fhir_etl_spark.operators.datasets import hash_bucket
+    from fhir_etl_spark.operators.text import tokens
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    loud_toks = F.when(
+        F.col(text_col).isNull(),
+        F.raise_error(
+            F.lit("hashed_embedding: NULL text — filter unembeddable rows first")
+        ),
+    ).otherwise(tokens(text_col))
+    g = (
+        df.withColumn("_toks", loud_toks)
+        .withColumn("_grams", hashed_grams("_toks", max_n=max_n))
+        .withColumn(
+            "_b",
+            F.transform(
+                "_grams",
+                lambda gr: hash_bucket(gr, salt=salt, n_buckets=dim).cast("int"),
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.transform(
+                "_grams",
+                lambda gr: (
+                    hash_bucket(gr, salt=salt + "#s", n_buckets=2) * 2 - 1
+                ).cast("long"),
+            ),
+        )
+        .withColumn(
+            "_bs",
+            F.zip_with("_b", "_s", lambda b, s: F.struct(b.alias("b"), s.alias("s"))),
+        )
+    )
+    def _bucket_fold(i: int) -> Column:
+        # closure factory, NOT a default arg: pyspark counts lambda
+        # parameters, and `lambda acc, p, i=i` reads as a 3-arg lambda
+        # to a 2-arg higher-order function
+        return F.aggregate(
+            "_bs",
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.when(p["b"] == i, p["s"]).otherwise(F.lit(0).cast("long")),
+        )
+
+    emb = F.array(*[_bucket_fold(i) for i in range(dim)])
+    # lineage barrier (the shingles-materialization lesson, measured
+    # 20× here): downstream consumers reference `emb` many times
+    # (element_at per query bucket, the l2sq fold), and without a
+    # barrier the optimizer re-expands the dim-fold array — and its md5
+    # gram hashing — into EVERY reference (90 s → 4.7 s at sf0.001).
+    # The checkpoint caches (id, n_grams, dim longs) ≈ 0.5% of corpus
+    # bytes — exactly what a deployment persists as its embedding table.
+    return g.select(
+        id_col,
+        F.size("_grams").cast("long").alias("n_grams"),
+        emb.alias("emb"),
+    ).localCheckpoint(eager=False)
+
+
+def hashed_embedding_topk(
+    emb_df: DataFrame,
+    query_vec: list[int],
+    k: int = 10,
+    id_col: str = "doc_id",
+    emb_col: str = "emb",
+) -> DataFrame:
+    """Cosine top-k of a literal hashed-embedding query vector against a
+    :func:`hashed_embedding` corpus → (id, dot, l2sq, cos), cos DESC
+    with id tie-break. Integer dot/norms (BIGINT end to end), then ONE
+    float step — dot / sqrt(l2sq·|q|²) over exactly-representable
+    integers (products ≪ 2⁵³), correctly-rounded IEEE on both engines,
+    so the oracle is bit-exact (the t2 single-division argument).
+    Zero-norm documents (every signed count cancelled) have no cosine
+    and are excluded. Scale: map-only projection + TakeOrderedAndProject
+    — the query rides as a codegen literal; the corpus never shuffles."""
+    q2 = sum(v * v for v in query_vec)
+    if q2 == 0:
+        raise ValueError("hashed_embedding_topk: zero query vector")
+    e = F.col(emb_col)
+    dot = None
+    for i, v in enumerate(query_vec):
+        if v == 0:
+            continue
+        term = F.element_at(e, i + 1) * F.lit(int(v)).cast("long")
+        dot = term if dot is None else dot + term
+    l2sq = F.aggregate(e, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    scored = emb_df.select(
+        id_col,
+        dot.alias("dot"),
+        l2sq.alias("l2sq"),
+    ).where(F.col("l2sq") > 0)
+    cos = F.col("dot") / F.sqrt((F.col("l2sq") * F.lit(int(q2)).cast("long")).cast("double"))
+    return (
+        scored.withColumn("cos", cos)
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )

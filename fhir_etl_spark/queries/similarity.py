@@ -943,3 +943,99 @@ def v13_binary_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return binary_hamming_topk(embeddings, queries, k=5, dim=64)
+
+
+# --- v14: feature-hashing embeddings + cosine retrieval ------------------
+# The zero-model embedding (Weinberger 2009 feature hashing / fastText
+# sentence vectors without pretrained weights): hashed signed n-gram
+# counts as array<long>, then integer dot / norm + ONE correctly-rounded
+# float step for the cosine. The query vector is computed at module load
+# by the PYTHON twin of operators/datasets.hash_bucket from a literal
+# query string, and rides into BOTH engines as the same literal.
+_V14_DIM = 64
+_V14_SALT = "he1"
+_V14_QUERY_TEXT = "spark table scan stream merge window sort"
+
+
+def _v14_bucket(gram: str, salt: str, n: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5((salt + gram).encode()).hexdigest()[:8], 16) % n
+
+
+def _v14_query_vec() -> list[int]:
+    toks = _V14_QUERY_TEXT.split(" ")
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    q = [0] * _V14_DIM
+    for g in grams:
+        sign = _v14_bucket(g, _V14_SALT + "#s", 2) * 2 - 1
+        q[_v14_bucket(g, _V14_SALT, _V14_DIM)] += sign
+    return q
+
+
+_V14_Q = _v14_query_vec()
+_V14_Q2 = sum(v * v for v in _V14_Q)
+_V14_Q_SQL = ", ".join(
+    f"({i + 1}, {v})" for i, v in enumerate(_V14_Q) if v != 0
+)
+
+
+def _v14_oracle() -> str:
+    from fhir_etl_spark.queries.text import _TOKS_SQL
+
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS g
+      FROM toks
+    ), pairs AS (
+      SELECT doc_id,
+             1 + CAST(CAST('0x' || substr(md5('{_V14_SALT}' || gr), 1, 8)
+                 AS UBIGINT) % {_V14_DIM} AS INT) AS b,
+             CAST(CAST('0x' || substr(md5('{_V14_SALT}#s' || gr), 1, 8)
+                 AS UBIGINT) % 2 AS BIGINT) * 2 - 1 AS s
+      FROM grams, unnest(g) AS u(gr)
+    ), emb AS (
+      SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v FROM pairs GROUP BY doc_id, b
+    ), q(b, qv) AS (VALUES {_V14_Q_SQL}),
+    scored AS (
+      SELECT e.doc_id,
+             CAST(coalesce(sum(e.v * q.qv), 0) AS BIGINT) AS dot,
+             CAST(sum(e.v * e.v) AS BIGINT) AS l2sq
+      FROM emb e LEFT JOIN q USING (b)
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id, dot, l2sq,
+           dot / sqrt(CAST(l2sq * {_V14_Q2} AS DOUBLE)) AS cos
+    FROM scored WHERE l2sq > 0
+    ORDER BY cos DESC, doc_id LIMIT 10
+    """
+
+
+@query(
+    "v14_hashed_embedding_topk",
+    oracle=_v14_oracle(),
+    tags=("similarity", "text", "embedding"),
+)
+def v14_hashed_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embeddings + cosine retrieval — where embeddings
+    COME FROM before a trained encoder exists (Weinberger 2009; the
+    fastText sentence-vector construction): signed hashed 1+2-gram
+    counts per document (map-only codegen: one md5 per gram, dim=64
+    integer folds, no explode/shuffle/Python), then integer dot/norms
+    against a literal query vector and one correctly-rounded float step
+    for the cosine (the t2 single-division argument → bit-exact
+    oracle). Top-10 via TakeOrderedAndProject. Composes with every
+    v-tier consumer (v1 brute force, v5 banding, v9 quantization) as
+    the corpus bootstrap embedding."""
+    from fhir_etl_spark.operators.similarity import (
+        hashed_embedding,
+        hashed_embedding_topk,
+    )
+
+    documents = load_tables(spark, sf_dir, "documents")
+    emb = hashed_embedding(
+        documents, dim=_V14_DIM, salt=_V14_SALT, max_n=2
+    )
+    return hashed_embedding_topk(emb, _V14_Q, k=10)

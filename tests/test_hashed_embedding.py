@@ -1,0 +1,101 @@
+"""v14 — feature-hashing embeddings (operators/similarity.
+hashed_embedding / hashed_embedding_topk): the zero-model embedding
+(Weinberger 2009) and its integer-exact cosine retrieval."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from fhir_etl_spark.operators.similarity import (
+    hashed_embedding,
+    hashed_embedding_topk,
+)
+
+DIM, SALT = 64, "he1"
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _bucket(gram: str, salt: str, n: int) -> int:
+    return int(hashlib.md5((salt + gram).encode()).hexdigest()[:8], 16) % n
+
+
+def _py_embed(text: str) -> list[int]:
+    toks = [t for t in _WS.split(text) if t]
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    v = [0] * DIM
+    for g in grams:
+        v[_bucket(g, SALT, DIM)] += _bucket(g, SALT + "#s", 2) * 2 - 1
+    return v
+
+
+def test_embedding_matches_python_twin(spark):
+    texts = [
+        "spark table scan stream merge window sort",
+        "the quick brown fox jumps over the lazy dog",
+        "one",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in hashed_embedding(df, dim=DIM, salt=SALT).collect()}
+    for i, text in enumerate(texts):
+        assert list(out[i]["emb"]) == _py_embed(text), f"doc {i}"
+        toks = text.split(" ")
+        assert out[i]["n_grams"] == len(toks) + max(0, len(toks) - 1)
+
+
+def test_identical_docs_identical_embeddings_cosine_1(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "utterly different words here")],
+        "doc_id long, text string",
+    )
+    emb = hashed_embedding(df, dim=DIM, salt=SALT)
+    q = _py_embed("alpha beta gamma delta")
+    top = hashed_embedding_topk(emb, q, k=3).collect()
+    assert [r["doc_id"] for r in top[:2]] == [1, 2]  # exact matches first
+    assert top[0]["cos"] == pytest.approx(1.0)
+    assert top[0]["cos"] == top[1]["cos"]  # identical text, identical vector
+    assert top[2]["cos"] < top[0]["cos"]
+
+
+def test_zero_norm_docs_excluded(spark):
+    # craft a doc whose every signed count cancels: two tokens hashing
+    # to the same bucket with opposite signs is corpus-luck, so instead
+    # drive the operator and assert the l2sq>0 contract via an empty doc
+    df = spark.createDataFrame(
+        [(1, ""), (2, "real content words")], "doc_id long, text string"
+    )
+    emb = hashed_embedding(df, dim=DIM, salt=SALT)
+    rows = {r["doc_id"]: r for r in emb.collect()}
+    assert rows[1]["n_grams"] == 0 and all(v == 0 for v in rows[1]["emb"])
+    top = hashed_embedding_topk(emb, _py_embed("real content words"), k=5).collect()
+    assert [r["doc_id"] for r in top] == [2]  # zero-vector doc 1 excluded
+
+
+def test_null_text_raises_loudly(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL text"):
+        hashed_embedding(df).collect()
+
+
+def test_param_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="dim"):
+        hashed_embedding(df, dim=0)
+    with pytest.raises(ValueError, match="zero query"):
+        hashed_embedding_topk(hashed_embedding(df), [0] * DIM)
+
+
+def test_topk_plan_is_take_ordered_no_exchange(spark):
+    df = spark.createDataFrame(
+        [(i, f"word{i} filler text") for i in range(20)],
+        "doc_id long, text string",
+    )
+    emb = hashed_embedding(df, dim=DIM, salt=SALT)
+    out = hashed_embedding_topk(emb, _py_embed("word3 filler text"), k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # scan -> project -> top-k, no shuffle

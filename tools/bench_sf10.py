@@ -47,6 +47,11 @@ QUERIES = [
     "v9_int8_quantized_ann",
     "v12_ivfpq_ann",
     "t17_gopher_char_repetition",
+    # r10 session 2: cross-document line dedup joins the measured set —
+    # its doc-frequency aggregation and digest anti join are exactly the
+    # shapes that go super-linear if the partial agg or the join side
+    # ordering regresses (the whole line stream would shuffle raw text).
+    "t26_line_dedup",
 ]
 
 # First-appearance floors = the round-9 measurement run's bests (best-of-N

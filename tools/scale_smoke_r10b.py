@@ -14,7 +14,7 @@ formulation.
   must WindowGroupLimit (map-side pre-prune), never a full sort.
 
 Usage: python tools/scale_smoke_r10b.py [smoke ...]
-  smokes: t26 m16 ds12   (default: all)
+  smokes: t26 m16 ds12 v14   (default: all)
 """
 
 from __future__ import annotations
@@ -144,7 +144,32 @@ def smoke_ds12(spark) -> None:
     assert 0 < cnt <= 64 * 500
 
 
-SMOKES = {"t26": smoke_t26, "m16": smoke_m16, "ds12": smoke_ds12}
+def smoke_v14(spark) -> None:
+    from fhir_etl_spark.operators.similarity import (
+        hashed_embedding,
+        hashed_embedding_topk,
+    )
+    from fhir_etl_spark.queries.similarity import _V14_Q
+
+    n = 200_000
+    docs = synth_docs(spark, n, tokens_per_doc=40)
+    t0 = time.time()
+    emb = hashed_embedding(docs)
+    top = hashed_embedding_topk(emb, _V14_Q, k=10).collect()
+    dt = time.time() - t0
+    print(
+        f"v14: {n} docs embed(dim=64)+topk in {dt:.1f}s "
+        f"({n / dt / 1e3:.1f}k docs/s); top={len(top)}"
+    )
+    assert len(top) == 10
+
+
+SMOKES = {
+    "t26": smoke_t26,
+    "m16": smoke_m16,
+    "ds12": smoke_ds12,
+    "v14": smoke_v14,
+}
 
 
 def main() -> None:
