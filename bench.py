@@ -188,6 +188,9 @@ HEADLINE = [
     # feature-hashing embeddings + cosine top-k (64 integer folds over
     # one materialized (bucket,sign) array; TakeOrderedAndProject)
     "v14_hashed_embedding_topk",
+    # the fuzzy-dedup canonicalization recipe (d3 pairs -> d6 CC ->
+    # best-quality keeper per cluster + singleton union, one plan)
+    "c4_fuzzy_dedup_pipeline",
 ]
 
 
@@ -324,6 +327,9 @@ R03_FLOOR = {
     # warm re-execution is ~0.3 s); amortizes at scale (200k-doc smoke:
     # 6.8k docs/s end to end). Measured under loadavg ~6.
     "v14_hashed_embedding_topk": 5.817,
+    # pair mining + CC dominate (the d6 subtree) + winner window +
+    # singleton anti join; measured at loadavg ~1-4
+    "c4_fuzzy_dedup_pipeline": 4.581,
     # v1's floor stays 0.507: the session's selectExpr dot-construction
     # fix brought it back under the bar (0.72 at loadavg ~2) after the
     # py4j-latency inflation the r08 continuation runs recorded.

@@ -753,3 +753,95 @@ def d13p_suffix_array_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_tables(spark, sf_dir, "documents")
     depths = suffix_array_build_or_load(spark, documents)
     return suffix_array_dedup_from_store(spark, documents, depths, min_len=6)
+
+
+# --- c4: the fuzzy-dedup canonicalization pipeline -----------------------
+def _c4_oracle() -> str:
+    from fhir_etl_spark.queries.registry import get_query
+
+    d6_sql = get_query("d6_dedup_clusters").oracle
+    toks = (
+        "list_filter(string_split_regex(text,"
+        " '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
+    )
+    return f"""
+    WITH clusters AS MATERIALIZED ({d6_sql}),
+    q AS MATERIALIZED (
+      SELECT doc_id,
+             (4*least(n_tok, 100)*nc*nt
+            + 300*(nc - least(5*n_punct, nc))*nt
+            + 300*least(5*n_stop, nt)*nc) / (1000*nc*nt) AS quality
+      FROM (
+        SELECT doc_id, n_tok, n_punct, n_stop,
+               greatest(n_chars, 1) AS nc, greatest(n_tok, 1) AS nt
+        FROM (
+          SELECT doc_id,
+                 len({toks}) AS n_tok,
+                 length(text) AS n_chars,
+                 len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS n_punct,
+                 len(list_filter({toks},
+                      x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], x)))
+                      AS n_stop
+          FROM documents
+        )
+      )
+    ), winners AS (
+      SELECT doc_id, CAST(cnt AS BIGINT) AS cluster_size, quality FROM (
+        SELECT c.doc_id, m.quality,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY m.quality DESC, c.doc_id) AS rn,
+               count(*) OVER (PARTITION BY c.cluster_id) AS cnt
+        FROM clusters c JOIN q m ON m.doc_id = c.doc_id
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, cluster_size, quality FROM winners
+    UNION ALL
+    SELECT q.doc_id, CAST(1 AS BIGINT) AS cluster_size, q.quality
+    FROM q ANTI JOIN clusters USING (doc_id)
+    """
+
+
+@query(
+    "c4_fuzzy_dedup_pipeline",
+    oracle=_c4_oracle(),
+    tags=("dedup", "pipeline", "graph"),
+)
+def c4_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup canonicalization recipe end to end (the
+    SlimPajama/RefinedWeb near-dup stage as ONE plan): exact-Jaccard
+    near-dup pairs (d3) → connected components (d6) → keep the
+    HIGHEST-QUALITY member of each duplicate cluster (t2 score,
+    doc-id tie-break) → union the untouched singletons. Output one row
+    per SURVIVING document: (doc_id, cluster_size, quality) —
+    cluster_size 1 marks docs that matched nothing. The oracle replays
+    pair mining, the recursive-CTE closure, scoring, and the winner
+    window, so a wrong component, a lost singleton, or a wrong keeper
+    value-mismatches. Scale: the pair/CC stages only ever touch docs
+    that matched something (≪ corpus); the winner window partitions by
+    cluster (WindowGroupLimit shape); the singleton path is one anti
+    join on the (small) clustered-id set."""
+    from pyspark.sql import Window
+
+    from fhir_etl_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    from fhir_etl_spark.operators.text import quality_score
+
+    documents = load_tables(spark, sf_dir, "documents")
+    clusters = dedup_clusters(ngram_jaccard_pairs(documents, threshold=0.5))
+    quality = documents.select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+    members = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    winners = (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc).cast("long"))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "cluster_size", "quality")
+    )
+    singletons = quality.join(
+        clusters.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.lit(1).cast("long").alias("cluster_size"), "quality")
+    return winners.unionByName(singletons)
