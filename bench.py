@@ -301,35 +301,36 @@ R03_FLOOR = {
     "d13p_suffix_array_store": 1.196,
     # 5 frozen-literal folds over one gram array + argmax chain;
     # measured under loadavg ~13 (conservative — quiet runs undercut)
-    "t22b_multiclass_classifier": 3.012,
+    "t22b_multiclass_classifier": 2.726,
     # extraction + scoring map-side, dedup groupBy + join-back; measured
     # under loadavg ~17 (conservative)
     "c2_web_curation_pipeline": 6.114,
     # map-only token-set intersect + contains chain
     "t25_blocklist_gate": 0.517,
     # three keyed exchanges (line-digest agg, digest anti join, doc
-    # reassembly); measured under loadavg ~11 (conservative)
-    "t26_line_dedup": 2.568,
+    # reassembly); session floors below re-tightened from the quiet
+    # full-bench run (loadavg ~2) that closed the session
+    "t26_line_dedup": 1.924,
     # the SERVE path of the persisted BM25 index (postings-scan join +
     # top-k window; store warmed untimed like v11/v12/d13p) — vs t23's
     # 1.25 s build-per-invocation floor
-    "t23p_bm25_store": 1.475,
+    "t23p_bm25_store": 0.834,
     # kmeans (2 Lloyd rounds, broadcast centroids) + scalar join +
     # WindowGroupLimit cap; measured under loadavg ~6.8 (conservative)
-    "ds12_cluster_cap_sample": 2.340,
+    "ds12_cluster_cap_sample": 1.461,
     # typeset + extract round trip (two Arrow python stages, map-only);
     # measured under loadavg ~3.6
-    "m16_pdf_text": 3.178,
+    "m16_pdf_text": 2.422,
     # t26's three exchanges + map-only scoring/gate (quiet run)
-    "c3_line_curation_pipeline": 2.275,
+    "c3_line_curation_pipeline": 1.903,
     # dim=64 fold construction: the wall at sf0.1 is mostly FLAT driver
     # plan-build of the 64-fold array (the v9/v11 codegen-cost lesson —
     # warm re-execution is ~0.3 s); amortizes at scale (200k-doc smoke:
     # 6.8k docs/s end to end). Measured under loadavg ~6.
-    "v14_hashed_embedding_topk": 5.817,
+    "v14_hashed_embedding_topk": 5.014,
     # pair mining + CC dominate (the d6 subtree) + winner window +
     # singleton anti join; measured at loadavg ~1-4
-    "c4_fuzzy_dedup_pipeline": 4.581,
+    "c4_fuzzy_dedup_pipeline": 3.563,
     # v1's floor stays 0.507: the session's selectExpr dot-construction
     # fix brought it back under the bar (0.72 at loadavg ~2) after the
     # py4j-latency inflation the r08 continuation runs recorded.

@@ -352,6 +352,12 @@ def _page_content_text(content: bytes) -> str:
     stack: list = []
     lines: list[str] = [""]
     in_text = False
+    # `shown` = some show op already ran on this page: positioning ops
+    # BEFORE the first show (the initial Td every writer emits) must not
+    # open a blank line, while the same ops BETWEEN shows — even shows
+    # of EMPTY strings — are genuine line breaks (property-fuzz caught
+    # the empty-show case: page ['', ''] must round-trip to '\n').
+    shown = False
     while True:
         tok = lex.next_token()
         if tok is None:
@@ -376,18 +382,21 @@ def _page_content_text(content: bytes) -> str:
         elif in_text:
             if op == "Tj" and stack:
                 lines[-1] += str(stack[-1])
-            elif op == "'" and stack:
-                lines.append(str(stack[-1]))
-            elif op == '"' and stack:
-                lines.append(str(stack[-1]))
+                shown = True
+            elif op in ("'", '"') and stack:
+                # implicit T* then show
+                if shown:
+                    lines.append(str(stack[-1]))
+                else:
+                    lines[-1] += str(stack[-1])
+                shown = True
             elif op == "TJ" and stack and isinstance(stack[-1], list):
                 lines[-1] += "".join(x for x in stack[-1] if isinstance(x, str))
+                shown = True
             elif op in ("T*", "Td", "TD", "Tm"):
-                if lines[-1] != "" or len(lines) > 1:
+                if shown:
                     lines.append("")
         stack.clear()
-    while lines and lines[-1] == "":
-        lines.pop()
     return "\n".join(lines)
 
 
