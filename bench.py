@@ -191,6 +191,11 @@ HEADLINE = [
     # the fuzzy-dedup canonicalization recipe (d3 pairs -> d6 CC ->
     # best-quality keeper per cluster + singleton union, one plan)
     "c4_fuzzy_dedup_pipeline",
+    # additive parquet schema evolution (two file generations, explicit
+    # evolved-schema read NULL-fills the old footers)
+    "s18_schema_evolution",
+    # sentence segmentation (map-only extract + posexplode grain change)
+    "t27_sentence_split",
 ]
 
 
@@ -331,6 +336,11 @@ R03_FLOOR = {
     # pair mining + CC dominate (the d6 subtree) + winner window +
     # singleton anti join; measured at loadavg ~1-4
     "c4_fuzzy_dedup_pipeline": 3.563,
+    # two parquet writes + the explicit-schema read-back
+    "s18_schema_evolution": 1.215,
+    # map-only decorate+extract+posexplode (the 5.0 s first cut was the
+    # unmaterialized-tokens trap: element_at re-tokenized per element)
+    "t27_sentence_split": 1.297,
     # v1's floor stays 0.507: the session's selectExpr dot-construction
     # fix brought it back under the bar (0.72 at loadavg ~2) after the
     # py4j-latency inflation the r08 continuation runs recorded.

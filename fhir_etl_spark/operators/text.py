@@ -905,3 +905,44 @@ def _sum_longs(cols: list[Column]) -> Column:
     for c in cols[1:]:
         out = out + c.cast("long")
     return out
+
+
+SENTENCE_PATTERN = r"[^.!?]+[.!?]+|[^.!?]+"
+
+
+def sentence_split(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rule-based sentence segmentation → one row per sentence:
+    ``(id_col, sent_id, sentence, n_tokens)``, position-preserving
+    (0-based), terminator kept with its sentence, unterminated trailing
+    text kept as a final sentence, whitespace-only segments dropped
+    AFTER numbering (both engines replay the same rule).
+
+    The pattern is deliberately lookaround-free (``[^.!?]+[.!?]+`` with
+    a bare-tail alternative) so Java regex and RE2 compile the same
+    automaton — the repo-wide Java/RE2 parity rule; a lookbehind split
+    (``(?<=[.!?])\\s+``) would be un-oracle-able. Known rule-based
+    limitation, stated: abbreviations split ("e.g. x" → three
+    sentences) — production splitters carry abbreviation lists, which
+    are an additive post-filter over this exact output, not a different
+    plan shape.
+
+    Scale: map-only extract + one posexplode — the grain-change step
+    between document-level curation and sentence-level dedup/packing;
+    the sentence stream shuffles only if the CONSUMER groups it.
+    """
+    sents = F.regexp_extract_all(_col(text_col), F.lit(SENTENCE_PATTERN), 0)
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(sents).alias("sent_id", "_raw"),
+        )
+        .select(
+            id_col,
+            F.col("sent_id").cast("int"),
+            F.trim(F.col("_raw")).alias("sentence"),
+        )
+        .where(F.col("sentence") != "")
+        .withColumn("n_tokens", token_count("sentence").cast("long"))
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from fhir_etl_spark.queries.registry import query
 from fhir_etl_spark.session import load_tables
@@ -618,3 +619,58 @@ def s17_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{out_dir}/*.arrow",
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
+
+
+@query(
+    "s18_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    tags=("source", "schema", "lakehouse"),
+)
+def s18_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution across parquet file generations — the
+    lakehouse behavior every long-lived 100 TB table exhibits: an old
+    file generation written WITHOUT a column coexists with a new
+    generation that has it, and a read under the EVOLVED schema
+    NULL-fills the missing column from old footers. Deliberately uses
+    an explicit ``spark.read.schema(evolved)`` — the scale-sane path —
+    not ``mergeSchema=true``, which reconciles schemas by reading EVERY
+    file footer up front (a full-listing scan per query at petabyte
+    file counts; the explicit schema costs nothing and is what a table
+    catalog provides). The oracle replays both generations with the
+    NULL fill, so a dropped generation, a mis-typed fill, or a
+    column-order mangle value-mismatches. Same additive-only contract
+    as sinks/versioned's schema check — renames/drops need a rewrite,
+    not evolution."""
+    import atexit
+    import os
+    import shutil
+
+    orders = load_tables(spark, sf_dir, "orders")
+    out_dir = (
+        "/tmp/fhir_etl_spark_evolve/"
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    # generation 1: the original two-column schema
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(out_dir)
+    # generation 2: the schema gained a column; appended files carry it
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("append").parquet(out_dir)
+    evolved = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    return spark.read.schema(evolved).parquet(out_dir)

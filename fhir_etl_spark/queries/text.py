@@ -1825,3 +1825,74 @@ def c3_line_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("clean_text").alias("quality"),
     )
     return scored.where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
+
+
+# --- t27: sentence segmentation ------------------------------------------
+# Decoration: the fixture text carries no punctuation, so terminators
+# are planted deterministically — every 9th token ends '.', every 27th
+# '?' (both engines build the identical decorated string).
+def _t27_decorated_sql() -> str:
+    return f"""
+      SELECT doc_id,
+             array_to_string(list_transform(range(1, len(t) + 1),
+               i -> t[i] || CASE WHEN i % 27 = 0 THEN '?'
+                                 WHEN i % 9 = 0 THEN '.'
+                                 ELSE '' END), ' ') AS text
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    """
+
+
+def _t27_decorated_col(toks_col: str = "_toks") -> F.Column:
+    # takes a MATERIALIZED token column: the element_at lambda re-runs
+    # its child per element, so an inline tokens(text) child would
+    # re-tokenize the document once per token (the shingles lesson)
+    t = F.col(toks_col)
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t)),
+            lambda i: F.concat(
+                F.element_at(t, i),
+                F.when(i % 27 == 0, "?").when(i % 9 == 0, ".").otherwise(""),
+            ),
+        ),
+        " ",
+    )
+
+
+@query(
+    "t27_sentence_split",
+    oracle=f"""
+    WITH decorated AS ({_t27_decorated_sql()}),
+    sents AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+') AS ss
+      FROM decorated
+    ), ex AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS sent_id, trim(ss[i]) AS sentence
+      FROM sents, unnest(generate_series(1, len(ss))) AS g(i)
+    )
+    SELECT doc_id, sent_id, sentence,
+           CAST(len(list_filter(string_split_regex(sentence,
+                '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM ex WHERE sentence <> ''
+    """,
+    tags=("text", "segmentation"),
+)
+def t27_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (the grain-change step between document
+    curation and sentence-level dedup/packing/alignment): plant
+    terminators deterministically in the fixture text, split on the
+    lookaround-free sentence pattern (terminator kept, trailing
+    unterminated text kept, whitespace-only segments dropped), emit
+    (doc_id, sent_id, sentence, n_tokens). The oracle replays
+    decoration + extraction + numbering + token counts — a boundary
+    off-by-one, a dropped tail, or a numbering shift after the empty
+    filter value-mismatches. Map-only extract + one posexplode; see
+    operators/text.sentence_split for the abbreviation caveat."""
+    from fhir_etl_spark.operators.text import sentence_split, tokens
+
+    documents = load_tables(spark, sf_dir, "documents")
+    decorated = documents.withColumn("_toks", tokens("text")).select(
+        "doc_id", _t27_decorated_col().alias("text")
+    )
+    return sentence_split(decorated)
