@@ -75,6 +75,11 @@ QUERIES = [
     # that dominates these literal-heavy plans)
     "v11_pq_ann",
     "v12_ivfpq_ann",
+    # r10 session 2: t26 line dedup at BOTH shape tiers (here 10x, the
+    # sf10 tier 100x) - two points on the same curve turn "linear by
+    # construction" into a measured slope (shuffle bytes should scale
+    # ~10x between the tiers for 10x data).
+    "t26_line_dedup",
 ]
 
 # Wall-time floors (seconds) at the sf1 shape, set from the round-7
@@ -110,6 +115,14 @@ SF1_FLOOR = {
     # only exchange is the rank-k window over k rows per query)
     "v11_pq_ann": 4.93,
     "v12_ivfpq_ann": 5.81,
+    # r10 session-2 first appearance: 50k decorated pages, 32.0 MB
+    # shuffle read=write. Against the sf10 tier's 8.12 s / 562 MB the
+    # byte ratio is 17.6x for 10x data - NOT a pair fan-out (that would
+    # be ~100x): the two tiers perturb with different strides (5 here,
+    # 3 at sf10, the d6 quadratic-pair lesson), so sf10's decorated
+    # lines carry systematically more replica-unique content; within
+    # one tier the bytes are the near-deterministic instrument.
+    "t26_line_dedup": 2.34,
 }
 
 
