@@ -71,9 +71,11 @@ def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
     Helvetica font, one page + FlateDecode'd content stream per entry of
     ``pages`` (each entry = that page's text lines, drawn with
     ``BT … Tf/TL/Td, Tj + T* … ET``). Valid per spec: correct xref
-    offsets, /Length on every stream, %%EOF trailer."""
-    if not pages or any(not isinstance(p, list) for p in pages):
-        raise ValueError("encode_pdf: pages must be a non-empty list of line-lists")
+    offsets, /Length on every stream, %%EOF trailer. ``pages=[]`` is
+    legal (ADVICE r10: a token-less document typesets to an empty page
+    tree — /Kids [] /Count 0 — and extracts back to zero pages)."""
+    if not isinstance(pages, list) or any(not isinstance(p, list) for p in pages):
+        raise ValueError("encode_pdf: pages must be a list of line-lists")
     n = len(pages)
     font_num = 3 + 2 * n
     objects: dict[int, bytes] = {
@@ -210,7 +212,9 @@ class _Lexer:
                     out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t",
                             0x62: b"\b", 0x66: b"\f"}[e]
                     self.pos += 1
-                elif e in b"0123456789":
+                elif e in b"01234567":
+                    # §7.3.4: only 0-7 open an octal escape; \8 and \9
+                    # are unknown escapes → the char itself (ADVICE r10)
                     oct_digits = bytearray()
                     while len(oct_digits) < 3 and self.pos < n and d[self.pos] in b"01234567":
                         oct_digits.append(d[self.pos])
@@ -412,16 +416,104 @@ def _walk_pages(objects: dict[int, bytes], node) -> list[dict]:
     return [node]
 
 
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def _object_span(data: bytes, off: int) -> tuple[int, bytes] | None:
+    """Parse the object starting at byte ``off`` delimited by its OWN
+    structure — the stream payload is skipped via /Length (or the
+    ``endstream`` marker) before the ``endobj`` search — so payload
+    bytes that merely look like ``endobj`` cannot truncate the span."""
+    m = _OBJ_HEAD_RE.match(data, off)
+    if not m:
+        return None
+    body_start = m.end()
+    sm = _STREAM_RE.search(data, body_start)
+    em = data.find(b"endobj", body_start)
+    if sm is not None and (em == -1 or sm.start() < em):
+        head = _object_value(data[body_start : sm.start()])
+        length = head.get("Length") if isinstance(head, dict) else None
+        if isinstance(length, (int, float)) and length >= 0:
+            pay_end = sm.end() + int(length)
+        else:  # indirect/absent /Length: scan for the marker instead
+            es = data.find(b"endstream", sm.end())
+            pay_end = es if es != -1 else len(data)
+        em = data.find(b"endobj", pay_end)
+    end = em if em != -1 else len(data)
+    return int(m.group(1)), data[body_start:end]
+
+
+def _parse_objects_xref(data: bytes) -> dict[int, bytes]:
+    """Object index from the cross-reference table (§7.5) — the
+    fallback when the tolerant ``N G obj … endobj`` regex scan mis-spans
+    an object because a stream payload contains the ``endobj`` or
+    ``N G obj`` byte patterns (ADVICE r10): offsets come from the last
+    ``startxref``; each object is then span-delimited by its own
+    /Length. Returns ``{}`` when no classic xref table is walkable
+    (xref-stream PDFs), letting the caller surface the original error."""
+    at = data.rfind(b"startxref")
+    if at == -1:
+        return {}
+    m = re.match(rb"startxref\s+(\d+)", data[at:])
+    if not m:
+        return {}
+    xref_at = int(m.group(1))
+    if not 0 <= xref_at < len(data):
+        return {}
+    m = re.match(rb"\s*xref\b", data[xref_at:])
+    if not m:
+        return {}
+    pos = xref_at + m.end()
+    offsets: dict[int, int] = {}
+    while True:
+        sub = re.match(rb"\s*(\d+)\s+(\d+)\s*\r?\n", data[pos:])
+        if not sub:
+            break
+        start, count = int(sub.group(1)), int(sub.group(2))
+        pos += sub.end()
+        for i in range(count):
+            ent = re.match(rb"\s*(\d{10})\s+(\d{5})\s+([nf])", data[pos:])
+            if not ent:
+                return {}
+            if ent.group(3) == b"n" and start + i > 0:
+                offsets[start + i] = int(ent.group(1))
+            pos += ent.end()
+    objects: dict[int, bytes] = {}
+    for num, off in offsets.items():
+        span = _object_span(data, off)
+        if span is not None and span[0] == num:
+            objects[num] = span[1]
+    return objects
+
+
 def extract_pdf_text(data: bytes) -> list[str]:
     """PDF bytes → per-page extracted text (one string per page, lines
     joined by ``\\n``). Raises ValueError on anything unwalkable —
     callers (operators/multimodal.pdf_text) convert that into the
-    per-row error field."""
+    per-row error field. A document the tolerant object scan cannot
+    walk (or whose streams fail to inflate — the truncated-span
+    signature) is retried once from the xref-table object index before
+    the error surfaces (ADVICE r10)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
     objects = _parse_objects(data)
-    if not objects:
-        raise ValueError("no indirect objects found")
+    try:
+        if not objects:
+            raise ValueError("no indirect objects found")
+        return _extract_pages(data, objects)
+    except (ValueError, zlib.error) as exc:
+        fallback = _parse_objects_xref(data)
+        if not fallback or fallback == objects:
+            if isinstance(exc, zlib.error):
+                raise ValueError(f"stream inflate failed: {exc}") from exc
+            raise
+        try:
+            return _extract_pages(data, fallback)
+        except zlib.error as exc2:
+            raise ValueError(f"stream inflate failed: {exc2}") from exc2
+
+
+def _extract_pages(data: bytes, objects: dict[int, bytes]) -> list[str]:
     root = None
     tm = re.search(rb"trailer(.*?)(?:startxref|\Z)", data, re.DOTALL)
     if tm:

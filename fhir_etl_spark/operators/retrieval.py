@@ -189,9 +189,18 @@ def bm25_build_or_load(
     tokenizer recipe) and commits (postings, dfreq, stats) as
     snapshot-versioned tables; every later caller loads the tables and
     goes straight to query scoring (broadcast terms into the postings
-    SCAN — zero corpus-shaped work). At 100 TB this is the difference
-    between re-tokenizing the corpus per retrieval batch and reading a
-    term-keyed index.
+    SCAN). At 100 TB this is the difference between re-tokenizing the
+    corpus per retrieval batch and reading a term-keyed index.
+
+    Serve-path cost contract (ADVICE r10): with ``fingerprint=None``
+    this function RE-SCANS the corpus once per call to compute the
+    content fingerprint — that is the freshness check, not index work,
+    but it is still corpus-shaped I/O. A production serve path that
+    already knows its corpus version should pass ``fingerprint=`` (the
+    value persisted at build/publish time); then the serve plan is
+    exactly one meta-row read + the postings scan, with zero
+    corpus-shaped work. The registry query t23p deliberately keeps the
+    rescan so a mutated corpus value-mismatches its oracle.
 
     Commit protocol: the three data tables commit first, the meta row
     LAST — readers trust the store only when the meta key matches, so a

@@ -1179,11 +1179,14 @@ def _m16_header(p: int) -> str:
                i -> array_to_string(t[i*{_M16_TPL}+1 : i*{_M16_TPL}+{_M16_TPL}], ' ')) AS ls
       FROM dims
     ), pg AS (
+      -- coalesce: a token-less doc has zero pages; DuckDB's
+      -- array_to_string yields NULL on the empty list where the engine
+      -- extracts '' from the empty page tree (ADVICE r10)
       SELECT doc_id, (nl + {_M16_LPP - 1}) // {_M16_LPP} AS np,
-             array_to_string(list_transform(range(0, (nl + {_M16_LPP - 1}) // {_M16_LPP}),
+             coalesce(array_to_string(list_transform(range(0, (nl + {_M16_LPP - 1}) // {_M16_LPP}),
                p -> 'page ' || CAST(p AS VARCHAR) || ' (c) \\ "q"' || chr(10) ||
                     array_to_string(ls[p*{_M16_LPP}+1 : p*{_M16_LPP}+{_M16_LPP}], chr(10))),
-               chr(10)) AS text
+               chr(10)), '') AS text
       FROM lns
     )
     SELECT doc_id, CAST(np AS INT) AS n_pages, text,

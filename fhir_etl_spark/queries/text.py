@@ -1333,7 +1333,11 @@ def _t24_page_sql() -> str:
     return " || ".join(parts)
 
 
-def _t24_oracle() -> str:
+def t24_extract_sql(page_select_sql: str) -> str:
+    """The t24 HTML-extraction DuckDB replay, parameterized by the page
+    source (``page_select_sql`` must yield ``(doc_id, html)``) so
+    composed pipelines (c5) can run the identical extraction over their
+    own decorated pages — one extraction spec, not two copies."""
     from fhir_etl_spark.operators.html import (
         ANCHOR_RE,
         BLOCK_SPLIT_RE,
@@ -1358,7 +1362,7 @@ def _t24_oracle() -> str:
         )
     return f"""
     WITH page AS (
-      SELECT doc_id, {_t24_page_sql()} AS html FROM documents
+      {page_select_sql}
     ), blocks AS (
       SELECT doc_id,
              string_split_regex(
@@ -1402,6 +1406,12 @@ def _t24_oracle() -> str:
                 AS BIGINT) AS n_words
     FROM kept
     """
+
+
+def _t24_oracle() -> str:
+    return t24_extract_sql(
+        f"SELECT doc_id, {_t24_page_sql()} AS html FROM documents"
+    )
 
 
 @query(
@@ -1667,14 +1677,19 @@ def _t26_page_col() -> F.Column:
 
 
 def _t26_page_sql() -> str:
+    # One array_to_string over the FULL line list (header + source +
+    # content + footer) — the exact twin of the Spark concat_ws over
+    # the concatenated arrays, so a token-less document yields NO empty
+    # content line on either engine (ADVICE r10: the previous
+    # ...||chr(10)||''||chr(10)... form emitted one).
     k = _T26_TPL
     return f"""
       SELECT doc_id,
-             '{_T26_HEADER}' || chr(10) || 'source: ' || source || chr(10) ||
-             array_to_string(list_transform(range(0, (len(t) + {k - 1}) // {k}),
-                 i -> array_to_string(t[i * {k} + 1 : i * {k} + {k}], ' ')),
-                 chr(10)) ||
-             chr(10) || '{_T26_FOOTER}' AS text
+             array_to_string(
+               ['{_T26_HEADER}', 'source: ' || source]
+               || list_transform(range(0, (len(t) + {k - 1}) // {k}),
+                    i -> array_to_string(t[i * {k} + 1 : i * {k} + {k}], ' '))
+               || ['{_T26_FOOTER}'], chr(10)) AS text
       FROM (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents)
     """
 

@@ -96,8 +96,8 @@ def test_error_paths_raise_value_error():
 
 
 def test_encode_validates_pages():
-    with pytest.raises(ValueError, match="pages"):
-        encode_pdf([])
+    # pages=[] became legal in round 11 (ADVICE r10: token-less docs
+    # typeset to an empty page tree) — see test_advice_r11.py
     with pytest.raises(ValueError, match="pages"):
         encode_pdf(["not a list of lists"])  # type: ignore[list-item]
 

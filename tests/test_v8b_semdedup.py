@@ -188,3 +188,22 @@ def test_ensure_scoring_width_widens_narrow_inputs(spark):
     assert widened.count() == 1000
     wide = spark.range(1000).repartition(target + 4)
     assert _ensure_scoring_width(wide).rdd.getNumPartitions() == target + 4
+
+
+def test_scaled_params_is_the_documented_entry_path():
+    """VERDICT r10 #5 (the v8 foot-gun): a user who reads either
+    surface — the v8 registry docstring or the operator docstring —
+    must be routed to the scaled-k policy, and v8b must actually go
+    through the policy helper (one fact, not two copies of a formula).
+    """
+    import inspect
+
+    from fhir_etl_spark.operators.similarity import semdedup_keep
+    from fhir_etl_spark.queries.registry import get_query
+
+    v8_doc = get_query("v8_semdedup").fn.__doc__
+    assert "v8b_semdedup_scaled_k" in v8_doc
+    assert "semdedup_scaled_params" in v8_doc or "scaled" in v8_doc
+    assert "semdedup_scaled_params" in semdedup_keep.__doc__
+    v8b_src = inspect.getsource(get_query("v8b_semdedup_scaled_k").fn)
+    assert "semdedup_scaled_params" in v8b_src
