@@ -8,6 +8,7 @@ operator IDs they exercise so the judge can check coverage line by line.
 
 from fhir_etl_spark.queries import (  # noqa: F401  (import = register)
     analytics,
+    capstone,
     dedup,
     events,
     functions,
