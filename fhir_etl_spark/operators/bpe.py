@@ -139,3 +139,97 @@ def bpe_encode(
     for left, right, _ in merges:
         word_syms = F.transform(word_syms, _apply(left, right))
     return df.withColumn(out_col, F.flatten(word_syms))
+
+
+def default_bpe_store_root() -> str:
+    """Repo-local BPE merge-table warehouse (overridable via
+    SPARK_GRAFT_BPE_STORE); resolved from the package location so the
+    driver-contract invocation from any CWD hits the same cache."""
+    import os
+    from pathlib import Path
+
+    env = os.environ.get("SPARK_GRAFT_BPE_STORE")
+    if env:
+        return env
+    return str(
+        Path(__file__).resolve().parents[2] / "spark-warehouse" / "bpe_merges"
+    )
+
+
+def bpe_build_or_load(
+    spark,
+    documents: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    store_dir: str | None = None,
+    fingerprint: str | None = None,
+) -> list[tuple[str, str, int]]:
+    """``bpe_train`` behind a fingerprint-keyed PERSISTED store (the
+    ann_store / d13p / t23p pattern — VERDICT r10 #2): training — the
+    corpus word count plus one driver-action argmax per merge — runs
+    ONCE per (corpus content, recipe) and commits the ordered merge
+    list as a snapshot-versioned table; every later caller loads the
+    (tiny) table and goes straight to :func:`bpe_encode`, whose plan is
+    a map-only codegen fold — ZERO training rounds, zero corpus-shaped
+    aggregation. At 100 TB this is the difference between retraining
+    the tokenizer per job and encoding under a frozen vocabulary (what
+    ds11's token budgets assume in production).
+
+    Serve-path cost contract (same as bm25_build_or_load): with
+    ``fingerprint=None`` the corpus is re-scanned once per call for the
+    freshness fingerprint; a production serve path that knows its
+    corpus version passes ``fingerprint=`` and does zero corpus-shaped
+    work. Commit protocol: merges table first, meta row LAST — a crash
+    mid-publish leaves no meta and the next caller rebuilds; a racer
+    committing the same deterministic build is benign.
+    """
+    import hashlib
+    import json
+    import os
+
+    from fhir_etl_spark.operators.dedup import corpus_text_fingerprint
+    from fhir_etl_spark.sinks.versioned import (
+        ConcurrentWriteError,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    root = store_dir or default_bpe_store_root()
+    fp = fingerprint or corpus_text_fingerprint(documents, id_col, text_col)
+    params = {
+        "n_merges": n_merges,
+        "lowercase": lowercase,
+        "layout": "bpe-v1",
+    }
+    key_src = json.dumps({"fp": fp, "params": params}, sort_keys=True)
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
+    base = os.path.join(root, f"bpe-{key}")
+
+    def _read_merges() -> list[tuple[str, str, int]]:
+        rows = read_snapshot(spark, f"{base}-merges").collect()
+        ordered = sorted(rows, key=lambda r: r["rank"])
+        return [(r["left"], r["right"], int(r["weight"])) for r in ordered]
+
+    try:
+        meta_rows = read_snapshot(spark, f"{base}-meta").collect()
+        if len(meta_rows) == 1 and meta_rows[0]["key_src"] == key_src:
+            return _read_merges()
+        # key collision or mangled store: fall through to rebuild
+    except FileNotFoundError:
+        pass
+    merges = bpe_train(
+        documents, n_merges=n_merges, text_col=text_col, lowercase=lowercase
+    )
+    table = spark.createDataFrame(
+        [(i, l, r, int(c)) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, weight long",
+    ).coalesce(1)
+    try:
+        write_snapshot(table, f"{base}-merges", mode="overwrite", max_retries=2)
+        meta = spark.createDataFrame([(key_src,)], "key_src string").coalesce(1)
+        write_snapshot(meta, f"{base}-meta", mode="overwrite", max_retries=2)
+    except ConcurrentWriteError:
+        pass  # a racer committed the same deterministic build
+    return _read_merges()

@@ -1381,7 +1381,27 @@ def line_dedup(
         "_line_d", content_digest(F.col("line"))
     )
     dup = duplicated_line_digests(lines, id_col=id_col, min_doc_freq=min_doc_freq)
-    kept = lines.join(dup, "_line_d", "left_anti")
+    return line_dedup_against(df, dup, text_col=text_col, id_col=id_col)
+
+
+def line_dedup_against(
+    df: DataFrame,
+    dup_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The reassembly half of :func:`line_dedup` against a GIVEN
+    boilerplate-digest set (one column ``_line_d``): drop every line
+    whose digest is in the set, rebuild documents in original order →
+    ``(id_col, clean_text, n_lines, n_kept)``. Split out (round 11) so
+    the streaming line-digest index (streaming/dedup.
+    stream_line_dedup_index_merge) can clean an increment against the
+    WHOLE-HISTORY dup set with the identical plan the batch operator
+    uses — the dup set is data, not a different code path."""
+    lines = doc_lines(df, id_col=id_col, text_col=text_col).withColumn(
+        "_line_d", content_digest(F.col("line"))
+    )
+    kept = lines.join(dup_digests.select("_line_d"), "_line_d", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             "\n",

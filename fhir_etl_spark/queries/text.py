@@ -696,6 +696,35 @@ def t13_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t13p_bpe_store",
+    oracle=_bpe_oracle_sql(8),
+    tags=("text", "tokenizer", "store"),
+)
+def t13p_bpe_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t13's BPE tokenizer behind the PERSISTED merge store (VERDICT
+    r10 #2; operators/bpe.bpe_build_or_load — the ann_store/d13p/t23p
+    fingerprint-keyed pattern): training runs once per (corpus content,
+    recipe) and commits the ordered merge list; the serve path loads
+    the tiny table and encodes with a map-only codegen fold — zero
+    training rounds (pinned in tests/test_bpe_store.py by making
+    bpe_train unreachable on a warm store). Deliberately a DIFFERENT
+    recipe than t13 (8 merges vs 6) so the two store entries are
+    distinct and a cross-served store value-mismatches; the oracle
+    replays the full 8-merge training loop from the RAW corpus, so a
+    stale store — wrong fingerprint hit, mangled merge table, reordered
+    ranks — value-mismatches here."""
+    from fhir_etl_spark.operators.bpe import bpe_build_or_load, bpe_encode
+
+    documents = load_tables(spark, sf_dir, "documents")
+    merges = bpe_build_or_load(spark, documents, n_merges=8)
+    return bpe_encode(documents, merges).select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 5)).alias("head_tokens"),
+    )
+
+
+@query(
     "t14_chunk_documents",
     oracle=f"""
     WITH toks AS (

@@ -148,22 +148,21 @@ def _stamp_merge_epoch(table_path: str, epoch_id: int) -> None:
     os.replace(tmp, os.path.join(table_path, _MERGE_LEDGER))
 
 
-def merge_band_index_epoch(
+def merge_index_epoch(
     spark: SparkSession,
     table_path: str,
     idx: DataFrame,
     epoch_id: int,
-    id_col: str = "doc_id",
+    keys: list[str],
 ) -> None:
-    """One epoch's MERGE fold: upsert this batch's index rows into the
-    versioned index table — ``MERGE ON (id, band, bucket) WHEN NOT
+    """One epoch's MERGE fold for any set-union-fact index: upsert this
+    batch's rows into the versioned table — ``MERGE ON (keys) WHEN NOT
     MATCHED THEN INSERT`` semantics, realized as an anti join against
     the current snapshot followed by an APPEND commit of only the
     genuinely-new rows (sinks/versioned — atomic manifests, snapshot
-    isolation for concurrent readers). Contrast with the local
-    parquet-swap tier (:func:`stream_lsh_dedup_index`): state is never
-    rewritten — each micro-batch's commit is O(batch), not O(corpus),
-    which is what survives a 100 TB corpus life.
+    isolation for concurrent readers). State is never rewritten — each
+    micro-batch's commit is O(batch), not O(corpus), which is what
+    survives a 100 TB corpus life.
 
     Exactly-once under replay, twice over: the epoch ledger (stamped
     AFTER the commit) short-circuits known-absorbed epochs, and the
@@ -178,7 +177,7 @@ def merge_band_index_epoch(
         return  # ledger fast path: replayed epoch, already absorbed
     try:
         cur = read_snapshot(spark, table_path)
-        delta = idx.join(cur, on=[id_col, "band", "bucket"], how="left_anti")
+        delta = idx.join(cur, on=keys, how="left_anti")
     except FileNotFoundError:
         delta = idx
     # materialize once: the commit below and the emptiness probe must
@@ -187,6 +186,20 @@ def merge_band_index_epoch(
     if not delta.isEmpty():
         write_snapshot(delta, table_path, mode="append", max_retries=2)
     _stamp_merge_epoch(table_path, epoch_id)
+
+
+def merge_band_index_epoch(
+    spark: SparkSession,
+    table_path: str,
+    idx: DataFrame,
+    epoch_id: int,
+    id_col: str = "doc_id",
+) -> None:
+    """The banded-LSH instantiation of :func:`merge_index_epoch`:
+    MERGE ON (id, band, bucket)."""
+    merge_index_epoch(
+        spark, table_path, idx, epoch_id, keys=[id_col, "band", "bucket"]
+    )
 
 
 def stream_lsh_dedup_index_merge(
@@ -239,3 +252,115 @@ def read_dedup_verdicts_merge(
     from fhir_etl_spark.sinks.versioned import read_snapshot
 
     return lsh_bucket_keepers(read_snapshot(spark, table_path), id_col)
+
+
+# --- streaming line-digest index (the t26 twin — VERDICT r10 #3) ---------
+#
+# Line-level boilerplate removal over a corpus that arrives
+# incrementally: the state is the (line digest, doc id) posting set —
+# set-union facts exactly like the banded index, so the same MERGE fold
+# gives exactly-once commits and whole-history reads. A new crawl
+# increment folds its distinct (digest, id) pairs in O(batch); the
+# boilerplate verdict (digest seen in ≥ min_doc_freq DISTINCT docs) and
+# the document cleaning both read one pinned snapshot, and cleaning an
+# increment against the WHOLE history reuses the batch operator's
+# reassembly plan verbatim (operators/dedup.line_dedup_against).
+
+
+def line_digest_index(
+    batch_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One batch's contribution to the line-digest index: DISTINCT
+    ``(_line_d, id)`` pairs (within-document repeats collapse — the
+    boilerplate rule counts documents, not occurrences)."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.operators.dedup import content_digest, doc_lines
+
+    return (
+        doc_lines(batch_df, id_col=id_col, text_col=text_col)
+        .select(
+            content_digest(F.col("line")).alias("_line_d"), F.col(id_col)
+        )
+        .distinct()
+    )
+
+
+def stream_line_dedup_index_merge(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    table_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+):
+    """Maintain the (line digest, doc id) index table from a streaming
+    DataFrame of documents via the MERGE fold — each micro-batch
+    upserts only its genuinely-new pairs (O(batch) commits, snapshot
+    isolation, exactly-once under replay; see :func:`merge_index_epoch`).
+    Returns the started query (availableNow trigger — drop it for
+    continuous deployment)."""
+    if checkpoint is None:
+        checkpoint = f"{table_path}.checkpoint"
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = line_digest_index(batch_df, id_col, text_col)
+        merge_index_epoch(
+            spark, table_path, idx, epoch_id, keys=["_line_d", id_col]
+        )
+
+    return (
+        docs_stream.writeStream.outputMode("update")
+        .foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_line_boilerplate_merge(
+    spark: SparkSession,
+    table_path: str,
+    id_col: str = "doc_id",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """The boilerplate-digest set off the maintained index — digests
+    seen in ≥ ``min_doc_freq`` DISTINCT documents across EVERYTHING
+    streamed so far, read through one pinned snapshot. Matches batch
+    ``duplicated_line_digests`` over the union of all increments."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.sinks.versioned import read_snapshot
+
+    if min_doc_freq < 2:
+        raise ValueError(f"min_doc_freq must be ≥ 2, got {min_doc_freq}")
+    idx = read_snapshot(spark, table_path)
+    return (
+        idx.groupBy("_line_d")
+        .agg(F.countDistinct(id_col).alias("_doc_freq"))
+        .filter(F.col("_doc_freq") >= min_doc_freq)
+        .select("_line_d")
+    )
+
+
+def stream_clean_documents_merge(
+    spark: SparkSession,
+    table_path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Clean a document set against the WHOLE-HISTORY boilerplate set —
+    the read side of the streaming line-dedup index, built from the
+    batch operator's own reassembly (operators/dedup.line_dedup_against)
+    so stream-cleaning and batch line_dedup are the same plan fed a
+    different dup set. → ``(id, clean_text, n_lines, n_kept)``."""
+    from fhir_etl_spark.operators.dedup import line_dedup_against
+
+    dup = read_line_boilerplate_merge(
+        spark, table_path, id_col=id_col, min_doc_freq=min_doc_freq
+    )
+    return line_dedup_against(docs, dup, text_col=text_col, id_col=id_col)
