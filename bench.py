@@ -196,6 +196,13 @@ HEADLINE = [
     "s18_schema_evolution",
     # sentence segmentation (map-only extract + posexplode grain change)
     "t27_sentence_split",
+    # r11: the capstone curation recipe end to end (WARC export+scan ->
+    # extract -> line dedup -> fuzzy dedup -> decontaminate -> gate ->
+    # pack -> shard, one plan; the WARC staging is part of the cost)
+    "c5_capstone_curation",
+    # r11: persisted-BPE serve path (fingerprint scan + store read +
+    # map-only encode; the training ran once, warmed below)
+    "t13p_bpe_store",
 ]
 
 
@@ -436,6 +443,7 @@ def main() -> None:
         "v12_ivfpq_ann",
         "d13p_suffix_array_store",
         "t23p_bm25_store",
+        "t13p_bpe_store",
     ):
         registry[_warm].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"

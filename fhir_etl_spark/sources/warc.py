@@ -86,20 +86,36 @@ def iter_warc_records(stream: io.BufferedIOBase):
         yield headers, payload
 
 
+_GZ_CHUNK = 1 << 18  # 256 KiB
+
+
 def _gzip_members(data: bytes):
     """Decompress concatenated gzip members (the Common Crawl layout):
-    yields one bytes object per member."""
+    yields one bytes object per member.
+
+    Feeds the decompressor BOUNDED chunks off a memoryview instead of
+    the whole remaining buffer: the previous ``d.decompress(data[pos:])``
+    form copied the entire file tail per member (the slice plus zlib's
+    ``unused_data`` echo), making an N-member archive O(N·filesize) —
+    measured 9.5 s for 20k members and minutes at crawl-dump member
+    counts (round-11 c5 smoke). This form is O(total bytes)."""
+    view = memoryview(data)
+    n = len(data)
     pos = 0
-    while pos < len(data):
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
-        out = d.decompress(data[pos:])
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC")
-        yield out
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
+        out = bytearray()
+        start = pos
+        while not d.eof:
+            if pos >= n:
+                raise ValueError("truncated gzip member in WARC")
+            chunk = view[pos : pos + _GZ_CHUNK]
+            out += d.decompress(chunk)
+            pos += len(chunk)
+        pos -= len(d.unused_data)  # rewind the final chunk's surplus
+        if pos <= start:
             raise ValueError("empty gzip member in WARC")
-        pos += consumed
+        yield bytes(out)
 
 
 def read_warc_bytes(data: bytes):

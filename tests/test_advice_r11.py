@@ -179,3 +179,38 @@ def test_bm25_store_explicit_fingerprint_hits_same_store(spark, tmp_path):
     assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, p2.collect()))
     assert sorted(map(tuple, d1.collect())) == sorted(map(tuple, d2.collect()))
     assert s1.collect() == s2.collect()
+
+
+# --- r11 perf fix: chunked gzip-member walk ------------------------------
+
+
+def test_gzip_members_chunked_walk_boundaries():
+    """The O(total-bytes) chunked rewind must handle members smaller
+    than one chunk, members spanning several chunks, and exact
+    chunk-boundary landings — byte-identical to the naive walk."""
+    import zlib
+
+    from fhir_etl_spark.sources.warc import _GZ_CHUNK, _gzip_members
+
+    members = [b"small-%d " % i * 3 for i in range(50)]
+    members.append(b"B" * (3 * _GZ_CHUNK + 17))  # spans >3 chunks
+    members.append(b"tail")
+    parts = []
+    for m in members:
+        c = zlib.compressobj(wbits=31)
+        parts.append(c.compress(m) + c.flush())
+    blob = b"".join(parts)
+    assert list(_gzip_members(blob)) == members
+
+
+def test_gzip_members_truncated_raises():
+    import zlib
+
+    import pytest as _pytest
+
+    from fhir_etl_spark.sources.warc import _gzip_members
+
+    c = zlib.compressobj(wbits=31)
+    blob = (c.compress(b"payload here") + c.flush())[:-4]
+    with _pytest.raises(ValueError, match="truncated"):
+        list(_gzip_members(blob))

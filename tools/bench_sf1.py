@@ -80,7 +80,24 @@ QUERIES = [
     # construction" into a measured slope (shuffle bytes should scale
     # ~10x between the tiers for 10x data).
     "t26_line_dedup",
+    # r11 (VERDICT r10 #6 + #1): second scale points for the remaining
+    # top-cost operators — the composed pipelines (c2 extraction+dedup,
+    # c4 fuzzy dedup, c5 the full capstone recipe), cluster-capped
+    # sampling (ds12, over the embeddings table — UNSCALED at this
+    # tier, scaled at sf10), feature-hash embeddings (v14 — wall is
+    # plan build, so the slope should be FLAT), and the two persisted
+    # stores' warm serve paths (t23p/t13p — the corpus-shaped part of a
+    # warm serve is the fingerprint freshness scan).
+    "c2_web_curation_pipeline",
+    "c4_fuzzy_dedup_pipeline",
+    "c5_capstone_curation",
+    "ds12_cluster_cap_sample",
+    "v14_hashed_embedding_topk",
+    "t23p_bm25_store",
+    "t13p_bpe_store",
 ]
+
+WARM_STORES = ("t23p_bm25_store", "t13p_bpe_store")
 
 # Wall-time floors (seconds) at the sf1 shape, set from the round-7
 # measurement run (best-of-2 on this VM; sf0.1 wall for comparison shows
@@ -287,6 +304,7 @@ def run_shape_bench(
     rotate_embeddings: bool = False,
     perturb_stride: int = 5,
     app_name: str = "bench_sf1",
+    warm: tuple[str, ...] = (),
 ) -> None:
     """The shared build + measure + report loop (sf1 and sf10 tiers).
 
@@ -327,6 +345,15 @@ def run_shape_bench(
     registry["q1_pricing_summary"].fn(spark, cache).write.format("noop").mode(
         "overwrite"
     ).save()
+
+    # store-backed queries (persisted BM25/BPE/ann models): one untimed
+    # execution makes the cache state deterministic — both timed samples
+    # below then measure the WARM serve path, not a first-ever build
+    # (the bench.py ADVICE-r09 convention, applied to the shape tiers)
+    for name in warm:
+        registry[name].fn(spark, cache).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     out: dict[str, dict[str, float]] = {}
     regressions: dict[str, float] = {}
@@ -381,6 +408,7 @@ def main() -> None:
     run_shape_bench(
         QUERIES, SF1_FLOOR, CACHE,
         metric="sf1_shape_wall_and_shuffle", sf_equiv=1.0, replicas=REPLICAS,
+        warm=WARM_STORES,
     )
 
 

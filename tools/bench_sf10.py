@@ -27,7 +27,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bench_sf1 import REPO, run_shape_bench  # noqa: E402
+from bench_sf1 import REPO, WARM_STORES, run_shape_bench  # noqa: E402
 
 CACHE = os.path.join(REPO, ".scale_cache", "sf10")
 REPLICAS = 100
@@ -52,6 +52,21 @@ QUERIES = [
     # shapes that go super-linear if the partial agg or the join side
     # ordering regresses (the whole line stream would shuffle raw text).
     "t26_line_dedup",
+    # r11 (VERDICT r10 #6 + #1): the composed-pipeline tier and the
+    # remaining top-cost operators get their 100x point — c5 is the
+    # capstone recipe end to end (WARC staging included: the export +
+    # read-back is part of what the recipe costs); ds12 runs over the
+    # rotation-grown embeddings here (a real 100x corpus, unlike sf1's
+    # byte-copied table); v14's wall should stay FLAT (plan build);
+    # t23p/t13p measure the warm store serve path (fingerprint scan +
+    # store read — the build ran once, untimed).
+    "c2_web_curation_pipeline",
+    "c4_fuzzy_dedup_pipeline",
+    "c5_capstone_curation",
+    "ds12_cluster_cap_sample",
+    "v14_hashed_embedding_topk",
+    "t23p_bm25_store",
+    "t13p_bpe_store",
 ]
 
 # First-appearance floors = the round-9 measurement run's bests (best-of-N
@@ -107,6 +122,7 @@ def main() -> None:
         # (measured: d6's pair stage ran 20+ min before this change)
         perturb_stride=3,
         app_name="bench_sf10",
+        warm=WARM_STORES,
     )
 
 
