@@ -112,6 +112,11 @@ def bpe_train(
     return merges
 
 
+_SEP = "\x1f"  # ASCII unit separator: not a token character in any corpus
+# this engine tokenizes (whitespace-split text); the oracle twin makes
+# the same no-separator-in-text assumption with '|'
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str, int]],
@@ -121,24 +126,54 @@ def bpe_encode(
 ) -> DataFrame:
     """Apply a trained merge list to tokenize ``text_col`` →
     ``array<string>`` of BPE symbols (per-word, with the end-of-word
-    sentinel folded into the final symbol of each word). Pure codegen:
-    one `transform` per word and one `aggregate` fold per merge."""
+    sentinel folded into the final symbol of each word). Pure codegen,
+    map-only, zero shuffle.
+
+    Implementation (round 11): the WRAPPED-SEPARATOR REPLACE form the
+    t13 oracle already uses — each word renders once as
+    ``␟c1␟␟c2␟␟…␟␟</w>␟``, the whole document joins into one string,
+    and each merge is ONE literal ``replace(␟l␟␟r␟ → ␟lr␟)`` pass:
+    a non-overlapping left-to-right scan that resumes after each
+    replacement is exactly the greedy merge fold (merged symbols can't
+    re-match; adjacent matches can — the boundaries share no
+    characters). Word joins carry FOUR separators, so no merge pattern
+    (exactly two separators between symbols) can span a word boundary.
+    This replaces the previous per-element ``aggregate`` fold, whose
+    slice+concat per element made encoding O(word_len²) per merge —
+    measured 16–21 s for 50k docs at the sf1 shape; the replace chain
+    is linear in document length per merge (measured ~20× faster)."""
     text = F.col(text_col)
     if lowercase:
         text = F.lower(text)
-    word_syms = F.transform(
-        F.filter(F.split(text, r"\s+"), lambda w: w != ""),
-        lambda w: F.concat(F.split(w, ""), F.array(F.lit(END_OF_WORD))),
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    word_repr = F.transform(
+        words,
+        lambda w: F.concat(
+            F.lit(_SEP),
+            F.array_join(
+                F.concat(F.split(w, ""), F.array(F.lit(END_OF_WORD))),
+                _SEP + _SEP,
+            ),
+            F.lit(_SEP),
+        ),
     )
-    def _apply(left: str, right: str):
-        # closure factory, NOT default-arg capture: Spark reads a
-        # lambda's parameter count as the HOF arity, and default args
-        # count as parameters
-        return lambda syms: _merge_pair_expr(syms, left, right)
-
+    doc = F.array_join(word_repr, _SEP + _SEP)
     for left, right, _ in merges:
-        word_syms = F.transform(word_syms, _apply(left, right))
-    return df.withColumn(out_col, F.flatten(word_syms))
+        doc = F.replace(
+            doc,
+            F.lit(f"{_SEP}{left}{_SEP}{_SEP}{right}{_SEP}"),
+            F.lit(f"{_SEP}{left}{right}{_SEP}"),
+        )
+    # strip the outer separators, split on the double separator, drop
+    # the empty artifacts of the 4-separator word boundaries
+    inner = doc.substr(F.lit(2), F.length(doc) - F.lit(2))
+    syms = F.filter(F.split(inner, _SEP + _SEP), lambda s: s != "")
+    return df.withColumn(
+        out_col,
+        F.when(F.size(words) == 0, F.array().cast("array<string>")).otherwise(
+            syms
+        ),
+    )
 
 
 def default_bpe_store_root() -> str:
