@@ -431,13 +431,18 @@ def token_budget_mix(
     max_epochs_micro: int = 3_000_000,
     source_col: str = "source",
     text_col: str = "text",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Training-mixture token allocation (the GPT-3/Llama-style mixture
     table, solved the way a 100 TB pipeline has to: from aggregate
     counts, exactly): given integer mixture ``weights`` per source and a
     total ``token_budget``, compute per source
 
-    - ``available_tokens`` — the corpus's whitespace tokens in that source,
+    - ``available_tokens`` — the corpus's whitespace tokens in that source
+      (or, with ``count_col``, the sum of a precomputed per-row token
+      count — e.g. exact BPE counts under a frozen vocab, the ds13 path:
+      budget decisions priced in the tokens the TRAINER will actually
+      see, not a whitespace proxy),
     - ``desired_tokens = (budget · w_s) DIV Σw`` — the target share,
     - ``epochs_micro = (desired · 10⁶) DIV available`` — how many passes
       over the source the target implies, CAPPED at ``max_epochs_micro``
@@ -462,9 +467,10 @@ def token_budget_mix(
         raise ValueError("token_budget_mix: weights must sum to a positive total")
     from fhir_etl_spark.operators.text import token_count
 
+    per_row = F.col(count_col) if count_col is not None else token_count(text_col)
     avail = (
         df.groupBy(F.col(source_col).alias("source"))
-        .agg(F.sum(token_count(text_col)).alias("available_tokens"))
+        .agg(F.sum(per_row).cast("long").alias("available_tokens"))
     )
     arms = " ".join(
         f"WHEN '{s}' THEN CAST({w} AS BIGINT)" for s, w in sorted(weights.items())

@@ -419,6 +419,88 @@ def ds11_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mix(documents, weights, token_budget=100_000)
 
 
+def _ds13_oracle() -> str:
+    # the t13p training-replay chain (8 merges — the SAME store entry
+    # t13p commits, so a stale/mangled merge table value-mismatches
+    # here too) feeding the ds11 integer-DIV arithmetic on EXACT BPE
+    # counts; budget deliberately differs from ds11 (200k vs 100k)
+    from fhir_etl_spark.queries.text import _bpe_cte_chain
+
+    return (
+        _bpe_cte_chain(8)
+        + """, counts AS MATERIALIZED (
+      SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_bpe
+      FROM enc GROUP BY doc_id
+    ), avail AS MATERIALIZED (
+      SELECT d.source,
+             CAST(sum(coalesce(c.n_bpe, 0)) AS BIGINT) AS available_tokens
+      FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+      GROUP BY d.source
+    ), wt AS MATERIALIZED (
+      SELECT source, available_tokens,
+             CAST(CAST(substr(source, 4) AS INT) + 1 AS BIGINT) AS weight
+      FROM avail
+    ), tw AS (
+      SELECT CAST(sum(weight) AS BIGINT) AS total FROM wt
+    ), des AS (
+      SELECT source, available_tokens, weight,
+             (CAST(200000 AS BIGINT) * weight) // tw.total AS desired_tokens
+      FROM wt CROSS JOIN tw
+    ), ep AS (
+      SELECT *, least((desired_tokens * CAST(1000000 AS BIGINT))
+                        // available_tokens,
+                      CAST(3000000 AS BIGINT)) AS epochs_micro
+      FROM des
+    ), alloc AS (
+      SELECT *, least(desired_tokens,
+                      (available_tokens * epochs_micro)
+                        // CAST(1000000 AS BIGINT)) AS allocated_tokens
+      FROM ep
+    )
+    SELECT source, available_tokens, weight, desired_tokens, epochs_micro,
+           allocated_tokens,
+           desired_tokens - allocated_tokens AS deficit_tokens
+    FROM alloc
+    """
+    )
+
+
+@query(
+    "ds13_bpe_token_budget",
+    oracle=_ds13_oracle(),
+    tags=("datasets", "mixture", "tokenizer", "store"),
+)
+def ds13_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ds11's mixture allocation priced in EXACT tokenizer tokens
+    (VERDICT r10: "token-exact counting under a frozen vocab is what
+    ds11's budget allocation needs in production"): the persisted
+    8-merge BPE vocabulary (the same fingerprint-keyed store entry
+    t13p commits — train once, budget forever) encodes every document
+    map-only, and the per-source available_tokens are the sums the
+    TRAINER will actually see, not a whitespace proxy. Same BIGINT
+    integer-DIV arithmetic as ds11 with a 200k budget; the oracle
+    replays the full 8-merge training loop AND every division, so a
+    stale store, a wrong merge, or a mis-count anywhere in the encode
+    path value-mismatches. Scale shape: the encode is zero-shuffle
+    codegen; the budget table is one partial-agg exchange over
+    (source, count) pairs — never text."""
+    from fhir_etl_spark.operators.bpe import bpe_build_or_load, bpe_encode
+    from fhir_etl_spark.operators.datasets import token_budget_mix
+
+    documents = load_tables(spark, sf_dir, "documents")
+    merges = bpe_build_or_load(spark, documents, n_merges=8)
+    counted = bpe_encode(documents, merges).select(
+        "source", F.size("bpe_tokens").cast("long").alias("n_bpe")
+    )
+    sources = [
+        r["source"] for r in documents.select("source").distinct().collect()
+    ]
+    weights = {s: int(s[3:]) + 1 for s in sorted(sources)}
+    return token_budget_mix(
+        counted, weights, token_budget=200_000, count_col="n_bpe"
+    )
+
+
 def _ds12_oracle() -> str:
     # the v7 Lloyd's chain as a CTE + the t2 quality formula + the cap
     # window — every stage replayed (imports keep the kmeans CTEs and

@@ -1045,3 +1045,202 @@ def v14_hashed_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents, dim=_V14_DIM, salt=_V14_SALT, max_n=2
     )
     return hashed_embedding_topk(emb, _V14_Q, k=10)
+
+
+def _hashed_query_vec(
+    text: str, dim: int = _V14_DIM, salt: str = _V14_SALT
+) -> list[int]:
+    """Python twin of operators/similarity.hashed_embedding for a literal
+    query string (1+2-grams, signed md5 buckets) — the vector rides into
+    BOTH engines as the same literal (the v14 pattern, generalized to
+    any query text for v16's dense arm)."""
+    toks = text.split(" ")
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    q = [0] * dim
+    for g in grams:
+        sign = _v14_bucket(g, salt + "#s", 2) * 2 - 1
+        q[_v14_bucket(g, salt, dim)] += sign
+    return q
+
+
+# --- v16 oracle: RRF hybrid fusion replayed in DuckDB ----------------------
+# The sparse arm nests the full t23 BM25 replay as one CTE (the c2/c5
+# stage-nesting pattern); the dense arm generalizes the v14 hashed-
+# embedding chain to one (qid, bucket, value) VALUES table; fusion is
+# two correctly-rounded divisions + one IEEE add per (query, doc) —
+# bit-identical doubles — floored into integer nanos (floor(x+0.5), the
+# int8_quantize half-up trick, because round() is half-even in DuckDB
+# and half-up in Spark).
+def _v16_oracle(pool: int = 20, k: int = 10, rrf_k: int = 60) -> str:
+    from fhir_etl_spark.queries.text import (
+        _T23_Q_SQL,
+        _T23_QUERIES,
+        _TOKS_SQL,
+        _bm25_oracle_sql,
+    )
+
+    qv_rows, q2_rows = [], []
+    for qid, qtext in _T23_QUERIES:
+        vec = _hashed_query_vec(qtext)
+        q2 = sum(v * v for v in vec)
+        assert q2 > 0, f"v16: query {qid!r} hashed to a zero vector"
+        q2_rows.append(f"({qid}, {q2})")
+        qv_rows.extend(
+            f"({qid}, {b + 1}, {v})" for b, v in enumerate(vec) if v != 0
+        )
+    return f"""
+    WITH sparse AS MATERIALIZED ({_bm25_oracle_sql(_T23_Q_SQL, pool)}),
+    dtoks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS g
+      FROM dtoks
+    ), pairs AS (
+      SELECT doc_id,
+             1 + CAST(CAST('0x' || substr(md5('{_V14_SALT}' || gr), 1, 8)
+                 AS UBIGINT) % {_V14_DIM} AS INT) AS b,
+             CAST(CAST('0x' || substr(md5('{_V14_SALT}#s' || gr), 1, 8)
+                 AS UBIGINT) % 2 AS BIGINT) * 2 - 1 AS s
+      FROM grams, unnest(g) AS u(gr)
+    ), emb AS (
+      SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v FROM pairs GROUP BY doc_id, b
+    ), l2 AS (
+      SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS l2sq FROM emb GROUP BY doc_id
+    ), qv(qid, b, val) AS (VALUES {", ".join(qv_rows)}),
+    q2(qid, q2) AS (VALUES {", ".join(q2_rows)}),
+    dots AS (
+      SELECT q.qid, e.doc_id, CAST(sum(e.v * q.val) AS BIGINT) AS dot
+      FROM emb e JOIN qv q USING (b) GROUP BY q.qid, e.doc_id
+    ), dense_scored AS (
+      SELECT q2.qid, l2.doc_id,
+             coalesce(d.dot, 0) / sqrt(CAST(l2.l2sq * q2.q2 AS DOUBLE)) AS cos
+      FROM l2 CROSS JOIN q2
+      LEFT JOIN dots d ON d.qid = q2.qid AND d.doc_id = l2.doc_id
+      WHERE l2.l2sq > 0
+    ), dense AS (
+      SELECT qid AS query_id, doc_id, rnk AS dense_rank FROM (
+        SELECT qid, doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY qid ORDER BY cos DESC, doc_id) AS INT) AS rnk
+        FROM dense_scored
+      ) WHERE rnk <= {pool}
+    ), fused AS (
+      SELECT coalesce(s.query_id, d.query_id) AS query_id,
+             coalesce(s.doc_id, d.doc_id) AS doc_id,
+             s.rank AS bm25_rank, d.dense_rank,
+             CAST(floor((coalesce(CAST(1 AS DOUBLE) / ({rrf_k} + s.rank), 0)
+                       + coalesce(CAST(1 AS DOUBLE) / ({rrf_k} + d.dense_rank), 0))
+                        * 1e9 + 0.5) AS BIGINT) AS rrf_nano
+      FROM sparse s FULL OUTER JOIN dense d
+        ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, bm25_rank, dense_rank, rrf_nano, fused_rank FROM (
+      SELECT fused.*,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_nano DESC, doc_id) AS INT) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {k}
+    """
+
+
+@query(
+    "v16_rrf_hybrid",
+    oracle=_v16_oracle(),
+    tags=("similarity", "retrieval", "text"),
+)
+def v16_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack 2009): the
+    BM25 sparse arm (t23's inverted index, integer-micro scores) and the
+    hashed-embedding dense arm (v14's zero-model vectors, one
+    correctly-rounded cosine) each rank a pool of 20 per query; fusion
+    scores ``Σ 1/(60 + rank)`` over the arms that retrieved the doc —
+    the standard production answer to "lexical match OR semantic match
+    should surface it". All three t23 query texts run both arms.
+
+    Exactness: each RRF term is one correctly-rounded IEEE division and
+    the sum one IEEE add — bit-identical doubles — floored to integer
+    nanos (half-up floor, the engine-stable rounding). Scale shape: the
+    sparse arm is t23's broadcast-postings scan; the dense arm is ONE
+    map-only projection computing all query dots (the queries ride as
+    codegen literals) + one rank-pool window (WindowGroupLimit); fusion
+    joins two ≤ pool·|queries|-row sides — corpus text never shuffles."""
+    from pyspark.sql import Window
+
+    from fhir_etl_spark.operators.retrieval import bm25_index, bm25_topk
+    from fhir_etl_spark.operators.similarity import hashed_embedding
+    from fhir_etl_spark.queries.text import _T23_QUERIES
+
+    pool, k, rrf_k = 20, 10, 60
+    documents = load_tables(spark, sf_dir, "documents")
+
+    postings, dfreq, stats = bm25_index(documents)
+    queries = spark.createDataFrame(
+        list(_T23_QUERIES), "query_id int, query string"
+    )
+    sparse = bm25_topk(postings, dfreq, stats, queries, k=pool).select(
+        "query_id", "doc_id", F.col("rank").cast("int").alias("bm25_rank")
+    )
+
+    emb = hashed_embedding(documents, dim=_V14_DIM, salt=_V14_SALT, max_n=2)
+    entries = []
+    for qid, qtext in _T23_QUERIES:
+        vec = _hashed_query_vec(qtext)
+        dot = None
+        for i, v in enumerate(vec):
+            if v == 0:
+                continue
+            term = F.element_at("emb", i + 1) * F.lit(int(v)).cast("long")
+            dot = term if dot is None else dot + term
+        entries.append(
+            F.struct(
+                F.lit(qid).cast("int").alias("query_id"),
+                dot.alias("dot"),
+                F.lit(sum(v * v for v in vec)).cast("long").alias("q2"),
+            )
+        )
+    l2sq = F.aggregate(
+        F.col("emb"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    scored = (
+        emb.select("doc_id", l2sq.alias("l2sq"), F.explode(F.array(*entries)).alias("s"))
+        .filter(F.col("l2sq") > 0)
+        .select(
+            F.col("s.query_id").alias("query_id"),
+            "doc_id",
+            (
+                F.col("s.dot")
+                / F.sqrt((F.col("l2sq") * F.col("s.q2")).cast("double"))
+            ).alias("cos"),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("doc_id"))
+    dense = (
+        scored.withColumn("dense_rank", F.row_number().over(wd).cast("int"))
+        .filter(F.col("dense_rank") <= pool)
+        .select("query_id", "doc_id", "dense_rank")
+    )
+
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer")
+    rrf = (
+        F.coalesce(
+            F.lit(1.0) / (F.col("bm25_rank") + F.lit(rrf_k)).cast("double"),
+            F.lit(0.0),
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.col("dense_rank") + F.lit(rrf_k)).cast("double"),
+            F.lit(0.0),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_nano"), F.col("doc_id")
+    )
+    return (
+        fused.withColumn(
+            "rrf_nano", F.floor(rrf * F.lit(1e9) + F.lit(0.5)).cast("long")
+        )
+        .withColumn("fused_rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            "query_id", "doc_id", "bm25_rank", "dense_rank", "rrf_nano", "fused_rank"
+        )
+    )

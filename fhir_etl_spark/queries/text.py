@@ -585,12 +585,11 @@ def t17_gopher_char_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(n_merges: int = 6) -> str:
-    """Generate a DuckDB oracle that replays BPE TRAINING AND ENCODING
-    end-to-end (VERDICT r07 #3, upgraded: the learned merges differ per
-    SF, so freezing them as literals would only oracle one SF — this
-    replays the argmax loop itself, so the oracle is value-exact at any
-    SF).
+def _bpe_cte_chain(n_merges: int) -> str:
+    """The shared WITH-chain replaying BPE training + per-doc encoding
+    through the ``enc`` CTE (doc_id, word position, symbol list) — the
+    common prefix of the t13/t13p oracles and ds13's token-budget
+    oracle. See :func:`_bpe_oracle_sql` for the technique notes.
 
     Technique: each word's symbol array is represented as a
     ``|``-wrapped string (``|t||h||e||</w>|``; the corpus contains no
@@ -653,7 +652,21 @@ def _bpe_oracle_sql(n_merges: int = 6) -> str:
       SELECT dw.doc_id, dw.j,
              string_split(substr(wf.repr, 2, len(wf.repr) - 2), '||') AS syms
       FROM doc_words dw JOIN w{n_merges} wf ON dw.w = wf.w
-    ), agg AS MATERIALIZED (
+    )"""
+    )
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(n_merges: int = 6) -> str:
+    """The full t13/t13p oracle: DuckDB replays BPE TRAINING AND
+    ENCODING end-to-end (VERDICT r07 #3, upgraded: the learned merges
+    differ per SF, so freezing them as literals would only oracle one
+    SF — this replays the argmax loop itself via :func:`_bpe_cte_chain`,
+    so the oracle is value-exact at any SF), then aggregates per-doc
+    token counts and head symbols."""
+    return (
+        _bpe_cte_chain(n_merges)
+        + """, agg AS MATERIALIZED (
       SELECT doc_id,
              CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens,
              array_to_string(flatten(list(syms ORDER BY j))[1:5], ' ') AS head_tokens
@@ -664,7 +677,6 @@ def _bpe_oracle_sql(n_merges: int = 6) -> str:
            coalesce(agg.head_tokens, '') AS head_tokens
     FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"""
     )
-    return "".join(parts)
 
 
 @query("t13_bpe_tokenize", oracle=_bpe_oracle_sql(6), tags=("text", "tokenizer"))

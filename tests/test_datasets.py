@@ -279,6 +279,40 @@ class TestTokenBudgetMix:
         assert (b["desired_tokens"], b["epochs_micro"],
                 b["allocated_tokens"], b["deficit_tokens"]) == (30, 3_000_000, 6, 24)
 
+    def test_count_col_overrides_whitespace_proxy(self, spark):
+        # ds13 path: a precomputed per-row token count (e.g. exact BPE
+        # counts under a frozen vocab) replaces the whitespace proxy —
+        # same arithmetic, different available_tokens basis
+        from fhir_etl_spark.operators.datasets import token_budget_mix
+
+        df = spark.createDataFrame(
+            [
+                (1, "web", "a b c d e f g h i j", 25),
+                (2, "web", "a b c d e f g h i j", 15),  # web: 40 exact
+                (3, "books", "x y", 4),                 # books: 4 exact
+            ],
+            "doc_id long, source string, text string, n_bpe long",
+        )
+        out = {
+            r["source"]: r
+            for r in token_budget_mix(
+                df, {"web": 1, "books": 3}, token_budget=40, count_col="n_bpe"
+            ).collect()
+        }
+        # web: available 40 (not 20), desired 10, epochs 250000,
+        #      allocated min(10, 40*250000//1e6=10)=10
+        assert (out["web"]["available_tokens"], out["web"]["epochs_micro"]) == (
+            40,
+            250_000,
+        )
+        # books: available 4, desired 30, epochs capped 3e6,
+        #        allocated min(30, 4*3)=12, deficit 18
+        assert (
+            out["books"]["available_tokens"],
+            out["books"]["allocated_tokens"],
+            out["books"]["deficit_tokens"],
+        ) == (4, 12, 18)
+
     def test_unknown_source_raises_loudly(self, spark):
         from fhir_etl_spark.operators.datasets import token_budget_mix
 
