@@ -26,8 +26,11 @@ Stages, in the order a Common Crawl curation run executes them:
 5. **Decontamination** (d11): survivors sharing any 3-gram shingle with
    the benchmark slice (doc_id % 97 == 0) are dropped, as is the
    benchmark slice itself. Bloom-prefiltered map-side, exact verify.
-6. **Quality gate** (t22): the frozen fastText-style classifier scores
-   the cleaned text; only positive-margin ('en') documents pass.
+6. **Quality gate** (t2, the c2 gate): integer-exact heuristic quality
+   ≥ 0.5 and ≥ 10 tokens over the cleaned text. (The frozen t22 head is
+   deliberately NOT the gate: it collapses to always-negative on the
+   shared-vocabulary synthetic corpus — see functions/ft_weights.py —
+   and would silently empty the pipeline at every SF.)
 7. **Sequence packing** (ds5): first-fit into 2048-token sequences, 8
    packing shards (per-shard deterministic hash order).
 8. **Shard shuffle** (ds4): the packed SEQUENCES are reshuffled into 8
@@ -192,9 +195,6 @@ _STOPWORDS = "['the','a','of','and','to','in','is','that','for','it']"
 
 
 def _c5_oracle() -> str:
-    from fhir_etl_spark.functions import ft_weights as fw
-
-    w_sql = "[" + ", ".join(str(v) for v in fw.W_MICRO) + "]"
     extract = t24_extract_sql(
         f"SELECT doc_id, {_c5_page_sql()} AS html FROM documents"
     )
@@ -284,22 +284,12 @@ def _c5_oracle() -> str:
     ), decon AS (
       SELECT doc_id FROM survivors
       WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
-    ), w AS (SELECT {w_sql} AS W),
-    gate AS MATERIALIZED (
-      SELECT doc_id FROM (
-        SELECT doc_id,
-               CAST({fw.BIAS_MICRO} AS BIGINT) * len(g)
-               + CAST(coalesce(list_sum(list_transform(g, x ->
-                   W[1 + CAST(CAST('0x' || substr(md5('{fw.SALT}' || x), 1, 8)
-                              AS UBIGINT) % {len(fw.W_MICRO)} AS INT)])), 0)
-                 AS BIGINT) AS score_micro
-        FROM (
-          SELECT cd.doc_id,
-                 t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS g
-          FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM cleaned) cd
-          JOIN decon USING (doc_id)
-        ) CROSS JOIN w
-      ) WHERE score_micro > 0
+    ), gate AS MATERIALIZED (
+      SELECT q.doc_id FROM q
+      JOIN decon USING (doc_id)
+      JOIN (SELECT doc_id, len({_TOKS_SQL}) AS n_words FROM cleaned) nw
+        ON nw.doc_id = q.doc_id
+      WHERE q.quality >= 0.5 AND nw.n_words >= 10
     ), packed AS MATERIALIZED (
       WITH RECURSIVE pb AS (
         SELECT doc_id, shard, n_tokens,
@@ -369,8 +359,6 @@ def c5_capstone_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone: WARC → extract → line dedup → fuzzy dedup →
     decontaminate → quality gate → pack → shard, as ONE plan (module
     docstring has the full stage map and the 100 TB shape argument)."""
-    from fhir_etl_spark.functions import ft_weights as fw
-    from fhir_etl_spark.operators.classifier import linear_classifier_scores
     from fhir_etl_spark.operators.contamination import bloom_decontaminate
     from fhir_etl_spark.operators.dedup import (
         dedup_clusters,
@@ -392,16 +380,29 @@ def c5_capstone_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2. HTML main-content extraction
     ex = extract_main_content(crawled, html_col="html", min_words=5, link_pct=30)
 
-    # 3. cross-document line dedup over the extracted prose
-    cleaned = line_dedup(
-        ex.select("doc_id", F.col("main_text").alias("text")), min_doc_freq=2
-    ).select("doc_id", F.col("clean_text").alias("text"))
+    # 3. cross-document line dedup over the extracted prose. The lazy
+    # localCheckpoint is load-bearing: `cleaned` feeds FOUR consumers
+    # (keeper quality, pair mining, the decontamination corpus AND
+    # benchmark) and without the barrier each one re-executes the
+    # WARC-scan → extract → line-dedup prefix (measured 173 s → 33 s at
+    # sf0.1 from the three barriers in this function — the v14 lineage
+    # lesson; a deployment would persist the cleaned corpus anyway).
+    cleaned = (
+        line_dedup(
+            ex.select("doc_id", F.col("main_text").alias("text")),
+            min_doc_freq=2,
+        )
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .localCheckpoint(eager=False)
+    )
 
     # 4. fuzzy dedup: pairs → components → best-quality keeper + singletons
     quality = cleaned.select(
         "doc_id", quality_score("text").alias("quality")
     )
-    clusters = dedup_clusters(ngram_jaccard_pairs(cleaned, threshold=0.5))
+    clusters = dedup_clusters(
+        ngram_jaccard_pairs(cleaned, threshold=0.5)
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
     winners = (
         clusters.join(quality, "doc_id")
@@ -420,15 +421,22 @@ def c5_capstone_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark = cleaned.filter(F.col("doc_id") % 97 == 0)
     decon = bloom_decontaminate(corpus, benchmark, k=3)
 
-    # 6. frozen-classifier quality gate
-    scored = linear_classifier_scores(decon, fw.W_MICRO, fw.BIAS_MICRO, salt=fw.SALT)
+    # 6. quality gate over the cleaned text — the c2 gate (t2 integer-
+    # exact score ≥ 0.5 AND ≥ 10 tokens). NOT the frozen t22 head: on
+    # this shared-vocabulary synthetic corpus the trained head collapses
+    # to always-negative (train acc 0.564 = the all-'other' rate — see
+    # functions/ft_weights.py), so gating on its sign silently empties
+    # the pipeline at every SF; t22 stays the exact-inference demo, t2
+    # is the filter with real discrimination here.
     kept = decon.join(
-        scored.where(F.col("score_micro") > 0).select("doc_id"), "doc_id"
-    )
+        quality.where(F.col("quality") >= 0.5).select("doc_id"), "doc_id"
+    ).where(token_count(F.col("text")) >= 10)
 
     # 7. pack into 2048-token sequences (8 packing shards)
     with_counts = kept.withColumn("n_tokens", token_count(F.col("text")))
-    packed = pack_sequences(with_counts, "n_tokens", budget=2048, n_shards=8)
+    packed = pack_sequences(
+        with_counts, "n_tokens", budget=2048, n_shards=8
+    ).localCheckpoint(eager=False)
 
     # 8. reproducible shuffle of the SEQUENCES into 8 output shards
     seqs = packed.select("seq_id").distinct()
@@ -445,4 +453,114 @@ def c5_capstone_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq_offset",
         "out_shard",
         "seq_pos",
+    )
+
+
+# --- c6: the RAG retrieval pipeline ----------------------------------------
+def _c6_oracle(pool: int = 5, budget: int = 128) -> str:
+    from fhir_etl_spark.queries.text import (
+        _T14_ORACLE,
+        _T23_Q_SQL,
+        _bm25_oracle_sql,
+    )
+
+    ranked = _bm25_oracle_sql(_T23_Q_SQL, pool, corpus="chunk_docs")
+    return f"""
+    WITH chunks AS MATERIALIZED (
+      SELECT doc_id * 100000 + chunk_index AS cid, n_chunk_tokens, chunk_text
+      FROM ({_T14_ORACLE})
+    ), chunk_docs AS (
+      SELECT cid AS doc_id, chunk_text AS text FROM chunks
+    ), ranked AS MATERIALIZED (
+      {ranked}
+    ), hits AS (
+      SELECT r.query_id, r.rank, c.n_chunk_tokens, c.chunk_text
+      FROM ranked r JOIN chunks c ON r.doc_id = c.cid
+    ), kept AS (
+      SELECT * FROM (
+        SELECT hits.*,
+               sum(n_chunk_tokens) OVER (
+                 PARTITION BY query_id ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM hits
+      ) WHERE cum_tokens <= {budget}
+    )
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_chunk_tokens) AS BIGINT) AS context_tokens,
+           array_to_string(list(chunk_text ORDER BY rank), ' ') AS context_text
+    FROM kept GROUP BY query_id
+    """
+
+
+@query(
+    "c6_rag_pipeline",
+    oracle=_c6_oracle(),
+    tags=("capstone", "retrieval", "text", "chunking"),
+)
+def c6_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval-side composed pipeline (the c-tier's answer for
+    SERVING the curated corpus, where c1–c5 build it): chunk every
+    document into 64-token / 16-overlap windows (t14), build the BM25
+    inverted index over the CHUNKS (t23's operator on a derived corpus),
+    retrieve the top-5 chunks per query, then assemble each query's
+    context greedily in rank order under a 128-token budget — the exact
+    shape of a production RAG context builder.
+
+    One value oracle replays the whole chain (chunk arithmetic → BM25
+    integer-micro scoring over chunks → running-sum budget cut →
+    ordered context concat), so a drift anywhere — a chunk boundary, a
+    tf over the wrong corpus, an off-by-one in the budget window —
+    mismatches the assembled context string itself.
+
+    Scale shape: chunking is map-only (no explode of the token stream —
+    the chunk windows slice one tokens array); the index is t23's two
+    key-partial groupBys over chunks; query terms broadcast into the
+    postings scan; everything after the rank trim operates on
+    |queries|·pool rows. Chunk ids pack as doc_id·100000 + index —
+    collision-free to 100k chunks/doc, BIGINT-safe to ~9e13 docs."""
+    from pyspark.sql import Window
+
+    from fhir_etl_spark.operators.retrieval import bm25_index, bm25_topk
+    from fhir_etl_spark.operators.text import chunk_documents
+    from fhir_etl_spark.queries.text import _T23_QUERIES
+
+    pool, budget = 5, 128
+    documents = load_tables(spark, sf_dir, "documents")
+    chunks = chunk_documents(documents, chunk_tokens=64, overlap=16).select(
+        (F.col("doc_id") * 100000 + F.col("chunk_index"))
+        .cast("long")
+        .alias("cid"),
+        "n_chunk_tokens",
+        "chunk_text",
+    )
+    postings, dfreq, stats = bm25_index(
+        chunks.select(F.col("cid").alias("doc_id"), F.col("chunk_text").alias("text"))
+    )
+    queries = spark.createDataFrame(
+        list(_T23_QUERIES), "query_id int, query string"
+    )
+    ranked = bm25_topk(postings, dfreq, stats, queries, k=pool)
+    hits = chunks.join(
+        F.broadcast(ranked), chunks["cid"] == ranked["doc_id"]
+    ).select("query_id", "rank", "n_chunk_tokens", "chunk_text")
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = hits.withColumn(
+        "cum_tokens", F.sum("n_chunk_tokens").over(w)
+    ).filter(F.col("cum_tokens") <= budget)
+    return kept.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("context_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("context_text"),
     )

@@ -736,9 +736,9 @@ def t13p_bpe_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "t14_chunk_documents",
-    oracle=f"""
+# t14's full replay as a reusable constant: c6 nests it as the chunk
+# corpus of its retrieval chain (the c2/c5 stage-nesting pattern)
+_T14_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS_SQL} AS t FROM documents
     ), starts AS (
@@ -752,7 +752,12 @@ def t13p_bpe_store(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
     FROM starts
     WHERE s = 0 OR s < n - 16
-    """,
+    """
+
+
+@query(
+    "t14_chunk_documents",
+    oracle=_T14_ORACLE,
     tags=("text", "chunking"),
 )
 def t14_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1247,14 +1252,15 @@ _T23_Q_SQL = ", ".join(f"({i}, '{t}')" for i, t in _T23_QUERIES)
 _T23_QTOKS = _TOKS_SQL.replace("text", "qtext")
 
 
-def _bm25_oracle_sql(q_sql: str, k: int) -> str:
+def _bm25_oracle_sql(q_sql: str, k: int, corpus: str = "documents") -> str:
     """The BM25 CTE chain replayed from the RAW corpus (shared by t23 and
     the persisted-index twin t23p — replaying from raw is what makes a
-    stale store value-mismatch)."""
+    stale store value-mismatch). ``corpus`` names any relation with
+    (doc_id, text) — c6 passes its chunk CTE."""
     return f"""
     WITH q(qid, qtext) AS (VALUES {q_sql}),
     toks AS MATERIALIZED (
-      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM {corpus}
     ), dl AS MATERIALIZED (
       SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
     ), post AS MATERIALIZED (

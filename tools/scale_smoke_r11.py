@@ -17,9 +17,11 @@ structure has a CLOSED-FORM expected count:
 - decontaminate: the Bloom-prefiltered path must agree EXACTLY with the
              exact contamination join (two independent implementations
              of the same set);
-- gate:      the frozen t22 classifier REJECTS w-vocab token salad
-             (measured 0/5000 at calibration — trained on real prose);
-             asserted as ⊆ decon plus the rejection regression check;
+- gate:      the c5 quality gate (t2 ≥ 0.5 AND ≥ 10 tokens) rejects
+             48-token w-vocab salad exactly (0.4·0.48 + 0.3·1 + 0.3·0
+             = 0.492 < 0.5 — no stopwords, no punctuation); the frozen
+             t22 head's all-negative behavior on token salad is pinned
+             as a separate regression check;
 - pack/shard: run at the full 1M decon set so the 1M-scale stage cost
              is measured non-vacuously (the gate's selectivity on
              synthetic text would starve it): per-sequence budget
@@ -188,23 +190,28 @@ def main() -> None:
 
     decon = stage("d11 decontaminate", s5)
 
-    # 6. quality gate ---------------------------------------------------------
+    # 6. quality gate (the c5 recipe: t2 >= 0.5 AND >= 10 tokens) ------------
     def s6():
+        from fhir_etl_spark.operators.text import quality_score
+
+        q = decon.withColumn("quality", quality_score(F.col("text")))
+        n_kept = q.filter(
+            (F.col("quality") >= 0.5) & (token_count(F.col("text")) >= 10)
+        ).count()
+        # 48-token salad scores exactly 0.492 (< 0.5): everything out
+        assert n_kept == 0, f"t2 gate passed {n_kept} token-salad docs"
+        # regression check: the frozen t22 head must keep rejecting
+        # token-salad too (trained on real prose; a pass rate here
+        # means the scoring wiring changed)
         scored = linear_classifier_scores(
             decon, fw.W_MICRO, fw.BIAS_MICRO, salt=fw.SALT
         )
-        kept = scored.filter(F.col("score_micro") > 0)
-        n_kept = kept.count()
-        n_scored = scored.count()
-        assert n_scored == decon.count()
-        # regression check: the frozen model must keep rejecting
-        # token-salad (it is trained on real prose; a pass rate here
-        # means the scoring wiring changed)
-        assert n_kept == 0, f"classifier passed {n_kept} token-salad docs"
-        print(f"  gate: scored={n_scored} kept={n_kept}", flush=True)
-        return kept
+        n_cls = scored.filter(F.col("score_micro") > 0).count()
+        assert scored.count() == decon.count()
+        assert n_cls == 0, f"classifier passed {n_cls} token-salad docs"
+        print(f"  gate: t2_kept={n_kept} t22_pos={n_cls}", flush=True)
 
-    stage("t22 gate", s6)
+    stage("quality gate", s6)
 
     # 7. pack (on the decon set — see module docstring) -----------------------
     def s7():
