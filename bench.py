@@ -203,6 +203,21 @@ HEADLINE = [
     # r11: persisted-BPE serve path (fingerprint scan + store read +
     # map-only encode; the training ran once, warmed below)
     "t13p_bpe_store",
+    # r11 session 2: token-exact budget mix (t13p store encode feeding
+    # the ds11 integer-DIV arithmetic on per-source BPE sums)
+    "ds13_bpe_token_budget",
+    # RRF hybrid retrieval (BM25 arm + hashed-embedding dense arm +
+    # integer-nano fusion; corpus text never shuffles)
+    "v16_rrf_hybrid",
+    # the RAG retrieval recipe (chunk -> BM25 over chunks -> top-k ->
+    # token-budgeted context assembly, one plan)
+    "c6_rag_pipeline",
+    # eval-side contamination report (broadcast-benchmark shingle join,
+    # dual count-distinct over the matched set only)
+    "d14_contamination_report",
+    # count-min sketch (token stream -> 4096 counters, map-side
+    # combine; the bounded-shuffle twin of d7's exact heavy hitters)
+    "x16_count_min_sketch",
 ]
 
 
@@ -351,6 +366,21 @@ R03_FLOOR = {
     # v1's floor stays 0.507: the session's selectExpr dot-construction
     # fix brought it back under the bar (0.72 at loadavg ~2) after the
     # py4j-latency inflation the r08 continuation runs recorded.
+    #
+    # r11 first-appearance floors (quiet host, loadavg 0.2, best-of-2).
+    # c5's floor is POST-FIX: the round's lineage barriers + the t2
+    # gate cut it from 60.8 s (r11 session-1 shape, re-executing the
+    # WARC->extract->line-dedup prefix once per consumer) to 11.9.
+    "c5_capstone_curation": 11.909,
+    "t13p_bpe_store": 2.134,
+    "ds13_bpe_token_budget": 2.273,
+    # v16's wall is dominated by the dense arm's one-time plan build
+    # (the v14 64-fold lesson; warm re-execution is sub-second) on top
+    # of the t23 index build
+    "v16_rrf_hybrid": 6.212,
+    "c6_rag_pipeline": 2.215,
+    "d14_contamination_report": 1.99,
+    "x16_count_min_sketch": 2.403,
 }
 
 

@@ -198,3 +198,59 @@ def bloom_decontaminate(
         id_col=id_col, text_col=text_col,
     ).filter(F.col("n_hits") >= min_hits)
     return corpus.join(F.broadcast(flagged.select(id_col)), id_col, "left_anti")
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-BENCHMARK-document contamination report (the GPT-3 Appendix-C
+    table; Brown 2020): for each eval document, how much of it leaks
+    into the training corpus — ``(doc_id, n_shingles, n_hit_shingles,
+    overlap_pct_milli, n_contaminating_docs)``. This is the reporting
+    twin of :func:`contamination_hits` (which flags CORPUS docs): eval
+    owners read this table to decide which benchmark rows to discount.
+
+    overlap_pct_milli = (1000 · n_hit_shingles) DIV n_shingles — BIGINT
+    integer division, cross-engine exact. Benchmark docs with zero
+    corpus overlap still appear (overlap 0); docs shorter than k tokens
+    have no shingles and are absent on both engines.
+
+    Scale shape: same as contamination_hits — the benchmark shingle set
+    (small by definition) broadcasts into the corpus shingle stream, so
+    the 100 TB side never shuffles; only matched (bench_doc, shingle,
+    corpus_doc) rows reach the two-distinct aggregation (Spark expands
+    2× for the dual count-distinct, over the tiny matched set)."""
+    corpus_sh = doc_shingles(corpus, id_col=id_col, text_col=text_col, k=k)
+    bench_sh = doc_shingles(benchmark, id_col=id_col, text_col=text_col, k=k)
+    totals = bench_sh.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    matched = corpus_sh.select(
+        F.col(id_col).alias("_corpus_doc"), "shingle"
+    ).join(F.broadcast(bench_sh), "shingle")
+    hits = matched.groupBy(id_col).agg(
+        F.count_distinct("shingle").cast("long").alias("n_hit_shingles"),
+        F.count_distinct("_corpus_doc").cast("long").alias(
+            "n_contaminating_docs"
+        ),
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_hit_shingles", F.lit(0).cast("long")).alias(
+                "n_hit_shingles"
+            ),
+            F.expr(
+                "(1000 * coalesce(n_hit_shingles, 0)) DIV n_shingles"
+            ).alias("overlap_pct_milli"),
+            F.coalesce("n_contaminating_docs", F.lit(0).cast("long")).alias(
+                "n_contaminating_docs"
+            ),
+        )
+    )

@@ -420,3 +420,72 @@ def kmv_distinct_estimate(
         (k_expr - 1).cast("double") / u
     )
     return sketches.select(*group_cols, est.alias("distinct_est"))
+
+
+def cms_counters(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch counter table (Cormode & Muthukrishnan 2005) over
+    a value stream → ``(row, col, cnt)``, depth·width counters. Each
+    occurrence increments one counter per row via an independent md5
+    bucket (``md5(salt#<row> || value)`` — the deterministic hash the
+    KMV/HLL/classifier tiers already replay in SQL, so the whole sketch
+    value-oracles; a production deployment would swap xxhash64 in, the
+    d4/d4x twin pattern).
+
+    Scale shape — the reason CMS exists at 100 TB: the value stream
+    never groups per-key. Each occurrence expands to ``depth`` (row,
+    col) pairs and aggregates into ``depth·width`` groups (4096 at the
+    defaults) with map-side partial combine, so the ONLY exchange
+    carries ≤ depth·width rows per partition regardless of key
+    cardinality — heavy-hitter estimation over a trillion-key stream
+    shuffles kilobytes."""
+    from fhir_etl_spark.operators.datasets import hash_bucket
+
+    pairs = []
+    for r in range(depth):
+        bucket = hash_bucket(F.col("_v"), salt=f"{salt}#{r}", n_buckets=width)
+        pairs.append(F.struct(F.lit(r).alias("row"), bucket.alias("col")))
+    return (
+        df.select(F.col(value_col).cast("string").alias("_v"))
+        .select(F.explode(F.array(*pairs)).alias("_p"))
+        .groupBy(
+            F.col("_p.row").alias("row"), F.col("_p.col").alias("col")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    probe_col: str = "term",
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the CMS counter table for each probe value →
+    ``(probe_col, cms_estimate)`` where the estimate is the MIN over the
+    ``depth`` addressed counters (the CMS guarantee: estimate ≥ true,
+    overcount bounded by collisions). The counter table is ≤ depth·width
+    rows — it broadcasts; probes never shuffle."""
+    from fhir_etl_spark.operators.datasets import hash_bucket
+
+    rows = []
+    for r in range(depth):
+        bucket = hash_bucket(
+            F.col(probe_col), salt=f"{salt}#{r}", n_buckets=width
+        )
+        rows.append(F.struct(F.lit(r).alias("row"), bucket.alias("col")))
+    addressed = probes.select(
+        probe_col, F.explode(F.array(*rows)).alias("_a")
+    ).select(probe_col, F.col("_a.row").alias("row"), F.col("_a.col").alias("col"))
+    return (
+        addressed.join(F.broadcast(counters), ["row", "col"], "left")
+        .groupBy(probe_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0).cast("long"))).alias("cms_estimate"))
+    )

@@ -668,3 +668,84 @@ def dq3_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
              part.filter(F.col("p_partkey") % 3 == 0), "p_partkey"),
         ]
     )
+
+
+_X16_PROBES = ("the", "a", "of", "and", "to", "in", "is", "that", "for", "it")
+_X16_TOKS = (
+    "list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),"
+    " x -> x <> '')"
+)
+
+
+@query(
+    "x16_count_min_sketch",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest({_X16_TOKS}) AS v FROM documents
+    ), pairs AS (
+      SELECT r,
+             CAST(CAST('0x' || substr(md5('cms#' || r || v), 1, 8)
+                  AS UBIGINT) % 1024 AS BIGINT) AS col
+      FROM toks, unnest(['0', '1', '2', '3']) AS g(r)
+    ), counters AS (
+      SELECT r AS row, col, CAST(count(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY 1, 2
+    ), probes(term) AS (VALUES {", ".join(f"('{w}')" for w in _X16_PROBES)}),
+    addr AS (
+      SELECT term, r,
+             CAST(CAST('0x' || substr(md5('cms#' || r || term), 1, 8)
+                  AS UBIGINT) % 1024 AS BIGINT) AS col
+      FROM probes, unnest(['0', '1', '2', '3']) AS g(r)
+    ), est AS (
+      SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_estimate
+      FROM addr LEFT JOIN counters ON counters.row = addr.r
+                                  AND counters.col = addr.col
+      GROUP BY term
+    ), truec AS (
+      SELECT v AS term, CAST(count(*) AS BIGINT) AS true_count
+      FROM toks GROUP BY v
+    )
+    SELECT e.term, coalesce(t.true_count, 0) AS true_count, e.cms_estimate,
+           e.cms_estimate - coalesce(t.true_count, 0) AS overcount
+    FROM est e LEFT JOIN truec t ON t.term = e.term
+    """,
+    tags=("analytics", "sketch"),
+)
+def x16_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch term-frequency estimation (Cormode 2005 —
+    operators/sketch.cms_counters/cms_estimate), point-queried for the
+    ten t2 stopwords against their exact counts. Unlike the usual
+    "approx ⇒ rows-only" trade, the md5 bucketing is deterministic, so
+    the ENTIRE sketch — counter table, point queries, overcount — is
+    value-oracled (the x14/x15 KMV/HLL argument). The 100 TB shape is
+    the whole point: the token stream never groups per term; each
+    occurrence folds into depth·width = 4096 counters with map-side
+    combine, so heavy-hitter estimation over an unbounded vocabulary
+    shuffles kilobytes (d7 is the exact-count twin that pays the
+    per-term exchange)."""
+    from fhir_etl_spark.operators.sketch import cms_counters, cms_estimate
+    from fhir_etl_spark.operators.text import tokens
+
+    documents = load_tables(spark, sf_dir, "documents")
+    toks = documents.select(F.explode(tokens("text")).alias("v"))
+    counters = cms_counters(toks, "v", depth=4, width=1024, salt="cms")
+    probes = spark.createDataFrame(
+        [(w,) for w in _X16_PROBES], "term string"
+    )
+    est = cms_estimate(
+        counters, probes, probe_col="term", depth=4, width=1024, salt="cms"
+    )
+    true_counts = (
+        toks.filter(F.col("v").isin(*_X16_PROBES))
+        .groupBy(F.col("v").alias("term"))
+        .agg(F.count("*").cast("long").alias("true_count"))
+    )
+    zero = F.lit(0).cast("long")
+    return est.join(true_counts, "term", "left").select(
+        "term",
+        F.coalesce("true_count", zero).alias("true_count"),
+        "cms_estimate",
+        (F.col("cms_estimate") - F.coalesce("true_count", zero)).alias(
+            "overcount"
+        ),
+    )

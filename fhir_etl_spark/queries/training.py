@@ -236,3 +236,49 @@ def t5b_nfkc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return documents.select(
         "doc_id", nfkc_fold(decorated).alias("norm_text")
     )
+
+
+@query(
+    "d14_contamination_report",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    ), b AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
+    c AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM b GROUP BY doc_id
+    ), hits AS (
+      SELECT b.doc_id,
+             CAST(count(DISTINCT b.shingle) AS BIGINT) AS n_hit_shingles,
+             CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_contaminating_docs
+      FROM b JOIN c ON b.shingle = c.shingle
+      GROUP BY b.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           coalesce(h.n_hit_shingles, 0) AS n_hit_shingles,
+           (1000 * coalesce(h.n_hit_shingles, 0)) // t.n_shingles AS overlap_pct_milli,
+           coalesce(h.n_contaminating_docs, 0) AS n_contaminating_docs
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    """,
+    tags=("training", "dedup", "report"),
+)
+def d14_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-side contamination table (d8's reporting twin — Brown
+    2020 Appendix C): for every BENCHMARK document (every 97th doc),
+    its distinct 3-gram count, how many of those leak into the corpus,
+    the integer-milli overlap fraction, and how many distinct corpus
+    docs contaminate it. Eval owners read this to discount benchmark
+    rows; d8/d11 read the other direction to drop corpus rows. Same
+    broadcast-benchmark shape as d8 — the corpus never shuffles."""
+    from fhir_etl_spark.operators.contamination import contamination_report
+
+    documents = load_tables(spark, sf_dir, "documents")
+    benchmark = documents.filter(F.col("doc_id") % 97 == 0)
+    corpus = documents.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(corpus, benchmark, k=3)

@@ -223,6 +223,10 @@ def test_no_broadcast_hints_on_scaling_tables():
         # token_budget_mix / collocation_lift: `n_docs` is the 1-row
         # distinct-doc count
         "n_docs",
+        # c6_rag_pipeline: the rank-trimmed retrieval shortlist is
+        # |queries|·pool rows BY CONTRACT (the chunk corpus scales; the
+        # per-query top-k does not)
+        "ranked",
     }
     root = pathlib.Path(__file__).resolve().parent.parent / "fhir_etl_spark"
     violations = []

@@ -570,3 +570,41 @@ def test_kmv_merge_mixed_k_detected_despite_shared_entries(spark):
     s16 = kmv_sample_sketch(df, ["g"], "v", ["rid"], k=16)
     with pytest.raises(Exception, match="mixed k"):
         kmv_merge(s8.unionByName(s16), ["g"]).collect()
+
+
+class TestCountMinSketch:
+    def test_estimate_never_undercounts_and_is_exact_without_collisions(
+        self, spark
+    ):
+        # CMS guarantee: estimate >= true count, with equality when no
+        # other value collides in ALL depth rows. A 3-value stream into
+        # 4x1024 counters collides with probability ~(3/1024)^4 — the
+        # worked example is collision-free, so estimates are EXACT.
+        from pyspark.sql import functions as F
+
+        from fhir_etl_spark.operators.sketch import cms_counters, cms_estimate
+
+        vals = ["alpha"] * 7 + ["beta"] * 3 + ["gamma"] * 1
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        counters = cms_counters(df, "v", depth=4, width=1024, salt="cms")
+        probes = spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",), ("absent",)], "term string"
+        )
+        est = {
+            r["term"]: r["cms_estimate"]
+            for r in cms_estimate(
+                counters, probes, depth=4, width=1024, salt="cms"
+            ).collect()
+        }
+        assert est == {"alpha": 7, "beta": 3, "gamma": 1, "absent": 0}
+
+    def test_overcount_nonnegative_on_corpus(self, spark):
+        from fhir_etl_spark.queries import all_queries
+
+        rows = (
+            all_queries()["x16_count_min_sketch"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .collect()
+        )
+        assert rows and all(r["overcount"] >= 0 for r in rows)
+        assert all(r["cms_estimate"] >= r["true_count"] for r in rows)

@@ -67,6 +67,14 @@ QUERIES = [
     "v14_hashed_embedding_topk",
     "t23p_bm25_store",
     "t13p_bpe_store",
+    # r11 session 2: token-exact budgeting off the same persisted BPE
+    # store (ds13 — the serve-path encode is the corpus-shaped cost),
+    # RRF hybrid retrieval (v16 — BM25 index build + the dense arm's
+    # flat plan-build; slope should track t23 + v14), and the RAG
+    # recipe (c6 — chunk grain multiplies the BM25 corpus ~2x).
+    "ds13_bpe_token_budget",
+    "v16_rrf_hybrid",
+    "c6_rag_pipeline",
 ]
 
 # First-appearance floors = the round-9 measurement run's bests (best-of-N
