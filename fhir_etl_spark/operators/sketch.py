@@ -460,7 +460,7 @@ def cms_counters(
     )
 
 
-def cms_estimate(
+def cms_point_query(
     counters: DataFrame,
     probes: DataFrame,
     probe_col: str = "term",

@@ -713,7 +713,7 @@ _X16_TOKS = (
 )
 def x16_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch term-frequency estimation (Cormode 2005 —
-    operators/sketch.cms_counters/cms_estimate), point-queried for the
+    operators/sketch.cms_counters/cms_point_query), point-queried for the
     ten t2 stopwords against their exact counts. Unlike the usual
     "approx ⇒ rows-only" trade, the md5 bucketing is deterministic, so
     the ENTIRE sketch — counter table, point queries, overcount — is
@@ -723,7 +723,7 @@ def x16_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine, so heavy-hitter estimation over an unbounded vocabulary
     shuffles kilobytes (d7 is the exact-count twin that pays the
     per-term exchange)."""
-    from fhir_etl_spark.operators.sketch import cms_counters, cms_estimate
+    from fhir_etl_spark.operators.sketch import cms_counters, cms_point_query
     from fhir_etl_spark.operators.text import tokens
 
     documents = load_tables(spark, sf_dir, "documents")
@@ -732,7 +732,7 @@ def x16_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = spark.createDataFrame(
         [(w,) for w in _X16_PROBES], "term string"
     )
-    est = cms_estimate(
+    est = cms_point_query(
         counters, probes, probe_col="term", depth=4, width=1024, salt="cms"
     )
     true_counts = (

@@ -227,6 +227,10 @@ def test_no_broadcast_hints_on_scaling_tables():
         # |queries|·pool rows BY CONTRACT (the chunk corpus scales; the
         # per-query top-k does not)
         "ranked",
+        # cms_point_query: the count-min counter table is ≤ depth·width
+        # rows (4096 at defaults) regardless of stream size — that
+        # bound IS the sketch's definition
+        "counters",
     }
     root = pathlib.Path(__file__).resolve().parent.parent / "fhir_etl_spark"
     violations = []

@@ -582,7 +582,7 @@ class TestCountMinSketch:
         # worked example is collision-free, so estimates are EXACT.
         from pyspark.sql import functions as F
 
-        from fhir_etl_spark.operators.sketch import cms_counters, cms_estimate
+        from fhir_etl_spark.operators.sketch import cms_counters, cms_point_query
 
         vals = ["alpha"] * 7 + ["beta"] * 3 + ["gamma"] * 1
         df = spark.createDataFrame([(v,) for v in vals], "v string")
@@ -592,7 +592,7 @@ class TestCountMinSketch:
         )
         est = {
             r["term"]: r["cms_estimate"]
-            for r in cms_estimate(
+            for r in cms_point_query(
                 counters, probes, depth=4, width=1024, salt="cms"
             ).collect()
         }
