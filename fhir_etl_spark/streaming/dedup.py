@@ -25,6 +25,7 @@ what make that a drop-in swap.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fhir_etl_spark.operators.dedup import doc_band_index, lsh_bucket_keepers
 from fhir_etl_spark.streaming.state import fold_parquet_state
@@ -364,3 +365,139 @@ def stream_clean_documents_merge(
         spark, table_path, id_col=id_col, min_doc_freq=min_doc_freq
     )
     return line_dedup_against(docs, dup, text_col=text_col, id_col=id_col)
+
+
+# --- additive counter state (the CMS streaming tier) -----------------------
+
+
+def merge_counter_epoch(
+    spark: SparkSession,
+    table_path: str,
+    delta: DataFrame,
+    epoch_id: int,
+    keys: list[str],
+    cnt_col: str = "cnt",
+) -> None:
+    """One epoch's fold for ADDITIVE counter state (count-min counters,
+    term frequencies — anything whose merge is ``sum``, where
+    :func:`merge_index_epoch`'s insert-if-absent idempotence does NOT
+    apply: a replayed epoch would double-count). Exactly-once comes
+    from the data itself: the batch's partial counters append tagged
+    with ``epoch_id`` (the versioned sink's manifest commit is atomic —
+    either every tagged row landed or none), and an epoch is absorbed
+    iff ``epoch_id <= max(epoch_id)`` in the committed state. Epoch ids
+    must be MONOTONE (Structured Streaming batch ids are); the ledger
+    stamp stays as the cheap fast path, but correctness never depends
+    on it surviving the crash window.
+
+    Each commit is O(batch-distinct-keys) — for CMS, O(depth·width)
+    regardless of stream size. Reads sum across epochs
+    (:func:`read_counter_state`); :func:`compact_counter_state` folds
+    history into one generation, carrying max(epoch_id) forward so
+    absorbed-epoch detection survives compaction."""
+    from fhir_etl_spark.sinks.versioned import read_snapshot, write_snapshot
+
+    if _merge_last_epoch(table_path) == epoch_id:
+        return
+    try:
+        cur = read_snapshot(spark, table_path)
+        last = cur.agg(F.max("epoch_id")).first()[0]
+        if last is not None and epoch_id <= last:
+            _stamp_merge_epoch(table_path, epoch_id)
+            return
+    except FileNotFoundError:
+        pass
+    tagged = delta.select(
+        *keys,
+        F.col(cnt_col).cast("long").alias(cnt_col),
+        F.lit(epoch_id).cast("long").alias("epoch_id"),
+    ).localCheckpoint(eager=True)
+    if not tagged.isEmpty():
+        write_snapshot(tagged, table_path, mode="append", max_retries=2)
+    _stamp_merge_epoch(table_path, epoch_id)
+
+
+def read_counter_state(
+    spark: SparkSession,
+    table_path: str,
+    keys: list[str],
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Current counter totals: sum the per-epoch partials → (keys...,
+    cnt). The read is over ≤ n_epochs·|key space| rows (for CMS,
+    n_epochs·depth·width), never the raw stream."""
+    from fhir_etl_spark.sinks.versioned import read_snapshot
+
+    return (
+        read_snapshot(spark, table_path)
+        .groupBy(*keys)
+        .agg(F.sum(cnt_col).cast("long").alias(cnt_col))
+    )
+
+
+def compact_counter_state(
+    spark: SparkSession,
+    table_path: str,
+    keys: list[str],
+    cnt_col: str = "cnt",
+) -> None:
+    """Fold the per-epoch history into one generation (one row per key,
+    tagged with the max absorbed epoch so a late replay of any absorbed
+    epoch still short-circuits). Readers are snapshot-isolated across
+    the overwrite (versioned-sink manifest swap)."""
+    from fhir_etl_spark.sinks.versioned import read_snapshot, write_snapshot
+
+    cur = read_snapshot(spark, table_path)
+    folded = (
+        cur.groupBy(*keys)
+        .agg(F.sum(cnt_col).cast("long").alias(cnt_col))
+        .crossJoin(
+            F.broadcast(cur.agg(F.max("epoch_id").alias("epoch_id")))
+        )
+        .localCheckpoint(eager=True)
+    )
+    write_snapshot(folded, table_path, mode="overwrite", max_retries=2)
+
+
+def stream_cms_counters_merge(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    table_path: str,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+    checkpoint: str | None = None,
+):
+    """Maintain count-min counters over a STREAM of values (the
+    incremental-crawl twin of operators/sketch.cms_counters — term
+    frequencies keep absorbing new epochs without ever re-scanning old
+    ones). Each micro-batch folds its values into depth·width partial
+    counters (map-side combine inside the batch) and
+    :func:`merge_counter_epoch` commits the additive delta; serve-side,
+    :func:`read_counter_state` + operators/sketch.cms_point_query
+    answer frequency queries against the union of every epoch —
+    bit-equal to a batch build over the concatenated corpus (pinned in
+    tests/test_streaming_cms.py, crash replay included)."""
+    from fhir_etl_spark.operators.sketch import cms_counters
+
+    if checkpoint is None:
+        checkpoint = f"{table_path}.checkpoint"
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        delta = cms_counters(
+            batch, value_col, depth=depth, width=width, salt=salt
+        )
+        merge_counter_epoch(
+            spark, table_path, delta, epoch_id, keys=["row", "col"]
+        )
+
+    return (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
