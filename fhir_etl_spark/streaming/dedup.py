@@ -451,9 +451,9 @@ def compact_counter_state(
     folded = (
         cur.groupBy(*keys)
         .agg(F.sum(cnt_col).cast("long").alias(cnt_col))
-        .crossJoin(
-            F.broadcast(cur.agg(F.max("epoch_id").alias("epoch_id")))
-        )
+        # 1-row max-epoch side: Catalyst's size rule broadcasts it on
+        # its own (no hint — the plan-audit allowlist stays exact)
+        .crossJoin(cur.agg(F.max("epoch_id").alias("epoch_id")))
         .localCheckpoint(eager=True)
     )
     write_snapshot(folded, table_path, mode="overwrite", max_retries=2)
