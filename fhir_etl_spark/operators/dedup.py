@@ -479,6 +479,121 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING — the
+    AllPairs/PPJoin candidate bound (Bayardo 2007 *Scaling Up All Pairs
+    Similarity Search*; Xiao 2008 *PPJoin*), the scale path for the
+    fuzzy-dedup tier (VERDICT r11 #2).
+
+    Same contract as :func:`ngram_jaccard_pairs` — (a < b, jaccard ≥
+    threshold), jaccard rounded to 4 — and EXACT, not approximate: the
+    prefix filter is lossless. Order all shingles by a global total
+    order (document frequency asc, shingle asc); each doc's PREFIX is
+    its first ``|A| − ⌈t·|A|⌉ + 1`` shingles in that order. Lemma: if
+    J(A,B) ≥ t then A and B share a shingle inside BOTH prefixes —
+    proof: J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ ⌈t·|A|⌉; if no common shingle is
+    in both prefixes then (WLOG A's prefix ends no later in the global
+    order than B's) every common shingle would lie outside A's prefix,
+    i.e. among its last ⌈t·|A|⌉ − 1 shingles — contradiction. So pair
+    generation over the PREFIX posting lists finds every qualifying
+    pair; exact verification (array_intersect on the full shingle
+    sets) then removes false candidates. Missed-pair probability: 0,
+    unlike MinHash-LSH banding.
+
+    Why this beats the full posting-list mine at 100 TB: pair
+    generation is quadratic PER POSTING LIST, and df-ascending prefixes
+    systematically exclude the hot (high-df) shingles that cause the
+    blowup — the quadratic term collapses to the genuinely-similar
+    neighborhood while everything else stays corpus-linear (one df
+    aggregation, one per-doc prefix cut, prefix postings ≈ half the
+    stream at t=0.5, then candidate-only verify joins). The
+    ``max_shingle_df`` guard still caps degenerate prefix lists (e.g. a
+    corpus of identical documents — where the OUTPUT itself is
+    quadratic); as in :func:`ngram_jaccard_pairs` it only ever drops
+    candidates, conservative for a keep-threshold, and any cap above
+    the corpus's true max DF is answer-identical.
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    arrays = toked.select(
+        F.col(id_col), shingles_from_tokens(F.col("_toks"), k).alias("_sh")
+    )
+    sh = arrays.select(
+        F.col(id_col),
+        F.size("_sh").alias("_n"),
+        F.explode_outer("_sh").alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
+    # global document frequency — the prefix ordering key (map-side
+    # partial combine: the exchange carries ≤ |distinct shingles| rows)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    ranked = sh.join(dfreq, "shingle")
+    # per-doc prefix: first |A| − ⌈t·|A|⌉ + 1 shingles by (df, shingle)
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    prefix_len = F.col("_n") - F.ceil(F.lit(float(threshold)) * F.col("_n")) + 1
+    prefix = (
+        ranked.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= prefix_len)
+        .select(id_col, "_n", "shingle")
+    )
+    postings = prefix.groupBy("shingle").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("_n").alias("n")))
+        ).alias("ids")
+    )
+    df_guard = F.size("ids") >= 2
+    if max_shingle_df is not None:
+        df_guard = df_guard & (F.size("ids") <= max_shingle_df)
+    cand = (
+        postings.filter(df_guard)
+        .select(
+            F.explode_outer(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice("ids", i + 2, F.size("ids")),
+                            lambda y: F.struct(
+                                x["id"].alias("a"),
+                                y["id"].alias("b"),
+                                (x["n"] + y["n"]).alias("s"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .where(F.col("p").isNotNull())
+        # a pair can collide on several prefix shingles — dedup BEFORE
+        # the verify joins; s = |A|+|B| rides along (min picks the
+        # constant), so no size table is ever built
+        .groupBy("p.a", "p.b")
+        .agg(F.min("p.s").alias("s"))
+    )
+    # exact verify on candidates only — the d11 two-tier pattern applied
+    # to pairs: |A∩B| via array_intersect over the full shingle sets,
+    # shuffled only for candidate docs' rows (the joins hash-partition
+    # by id; candidate count ≈ true near-dup pairs, ≪ corpus²)
+    sh_a = arrays.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sh_a"))
+    sh_b = arrays.select(F.col(id_col).alias("b"), F.col("_sh").alias("_sh_b"))
+    return (
+        cand.join(sh_a, "a")
+        .join(sh_b, "b")
+        .withColumn("inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("s") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2077,11 +2077,19 @@ def hashed_embedding(
     Output: (id_col, n_grams, emb array<long>) — integer-exact, so every
     downstream dot/norm is BIGINT and cross-engine replayable.
 
-    Scale shape: map-only codegen — one md5 per gram materialized ONCE
-    into (bucket, sign) arrays, then ``dim`` integer folds; no explode,
-    no shuffle, no Python. The classic alternative (explode + groupBy
-    (doc, bucket) + pivot) shuffles the whole gram stream; at 100 TB the
-    fold shape wins exactly like the t22/t22b classifier heads."""
+    Scale shape: explode → (doc, bucket) HASH-AGGREGATION, all codegen.
+    Each gram is hashed exactly once (two md5s: bucket + sign) and
+    lands in a codegen hash-agg cell — O(1) work per gram. Map-side
+    partial aggregation reduces the gram stream to ≤ docs·dim rows
+    BEFORE the exchange, so shuffle volume is bounded by the embedding
+    table itself (~0.5% of corpus bytes), never the token stream. The
+    round-11 shape (dim per-bucket interpreted HOF folds over a
+    materialized (bucket, sign) array) was zero-shuffle but O(dim) work
+    per gram in the interpreted expression evaluator — measured 3.9×
+    slower at sf10-shape (50.5 s → 12.8 s); the hash-agg is the same
+    trade the t22 heads rejected only because their dim·vocab fold
+    stays O(1) per token. Bit-identical output: per-bucket signed
+    counts are order-free integer sums."""
     from fhir_etl_spark.operators.classifier import hashed_grams
     from fhir_etl_spark.operators.datasets import hash_bucket
     from fhir_etl_spark.operators.text import tokens
@@ -2094,52 +2102,59 @@ def hashed_embedding(
             F.lit("hashed_embedding: NULL text — filter unembeddable rows first")
         ),
     ).otherwise(tokens(text_col))
-    g = (
+    # explode_outer keeps zero-gram documents (one null-gram row) so
+    # they surface with n_grams=0 and an all-zero embedding, exactly
+    # like the fold shape did
+    exploded = (
         df.withColumn("_toks", loud_toks)
         .withColumn("_grams", hashed_grams("_toks", max_n=max_n))
-        .withColumn(
-            "_b",
-            F.transform(
-                "_grams",
-                lambda gr: hash_bucket(gr, salt=salt, n_buckets=dim).cast("int"),
-            ),
-        )
-        .withColumn(
-            "_s",
-            F.transform(
-                "_grams",
-                lambda gr: (
-                    hash_bucket(gr, salt=salt + "#s", n_buckets=2) * 2 - 1
-                ).cast("long"),
-            ),
-        )
-        .withColumn(
-            "_bs",
-            F.zip_with("_b", "_s", lambda b, s: F.struct(b.alias("b"), s.alias("s"))),
+        .select(
+            id_col,
+            F.size("_grams").cast("long").alias("n_grams"),
+            F.explode_outer("_grams").alias("_g"),
         )
     )
-    def _bucket_fold(i: int) -> Column:
-        # closure factory, NOT a default arg: pyspark counts lambda
-        # parameters, and `lambda acc, p, i=i` reads as a 3-arg lambda
-        # to a 2-arg higher-order function
-        return F.aggregate(
-            "_bs",
-            F.lit(0).cast("long"),
-            lambda acc, p: acc
-            + F.when(p["b"] == i, p["s"]).otherwise(F.lit(0).cast("long")),
+    bucketed = (
+        exploded.select(
+            id_col,
+            "n_grams",
+            hash_bucket(F.col("_g"), salt=salt, n_buckets=dim)
+            .cast("int")
+            .alias("_b"),
+            (hash_bucket(F.col("_g"), salt=salt + "#s", n_buckets=2) * 2 - 1)
+            .cast("long")
+            .alias("_s"),
         )
-
-    emb = F.array(*[_bucket_fold(i) for i in range(dim)])
-    # lineage barrier (the shingles-materialization lesson, measured
-    # 20× here): downstream consumers reference `emb` many times
-    # (element_at per query bucket, the l2sq fold), and without a
-    # barrier the optimizer re-expands the dim-fold array — and its md5
-    # gram hashing — into EVERY reference (90 s → 4.7 s at sf0.001).
-    # The checkpoint caches (id, n_grams, dim longs) ≈ 0.5% of corpus
-    # bytes — exactly what a deployment persists as its embedding table.
-    return g.select(
+        # partial (map-side) combine happens here: the exchange carries
+        # ≤ docs·dim pre-summed rows, not the gram stream
+        .groupBy(id_col, "n_grams", "_b")
+        .agg(F.sum("_s").alias("_cnt"))
+    )
+    folded = bucketed.groupBy(id_col, "n_grams").agg(
+        F.map_from_entries(
+            F.collect_list(  # collect_list drops the null-gram entry
+                F.when(
+                    F.col("_b").isNotNull(),
+                    F.struct(F.col("_b").alias("k"), F.col("_cnt").alias("v")),
+                )
+            )
+        ).alias("_m")
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at(F.col("_m"), i.cast("int")),
+            F.lit(0).cast("long"),
+        ),
+    )
+    # lineage barrier (the shingles-materialization lesson): downstream
+    # consumers reference `emb` many times (element_at per query bucket,
+    # the l2sq fold); the checkpoint caches (id, n_grams, dim longs)
+    # ≈ 0.5% of corpus bytes — exactly what a deployment persists as
+    # its embedding table.
+    return folded.select(
         id_col,
-        F.size("_grams").cast("long").alias("n_grams"),
+        "n_grams",
         emb.alias("emb"),
     ).localCheckpoint(eager=False)
 

@@ -363,7 +363,7 @@ def c5_capstone_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fhir_etl_spark.operators.dedup import (
         dedup_clusters,
         line_dedup,
-        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
     )
     from fhir_etl_spark.operators.datasets import shard_shuffle
     from fhir_etl_spark.operators.html import extract_main_content
@@ -400,8 +400,11 @@ def c5_capstone_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = cleaned.select(
         "doc_id", quality_score("text").alias("quality")
     )
+    # prefix-filtered exact miner (r12): identical pairs by the AllPairs
+    # lemma — the oracle's exact replay stays green — with the quadratic
+    # pair-generation term cut to the prefix posting lists
     clusters = dedup_clusters(
-        ngram_jaccard_pairs(cleaned, threshold=0.5)
+        ngram_jaccard_pairs_prefix(cleaned, threshold=0.5)
     ).localCheckpoint(eager=False)
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
     winners = (
@@ -494,6 +497,31 @@ def _c6_oracle(pool: int = 5, budget: int = 128) -> str:
     """
 
 
+_CHUNK_PACK_BASE = 100000
+
+
+def _pack_chunk_id(doc_id, chunk_index):
+    """cid = doc_id·100000 + chunk_index, with the 100k-chunks/doc
+    contract ENFORCED at runtime, not just documented: a violating doc
+    would alias another doc's cid and silently corrupt the BM25 corpus
+    join, so it fails the job loudly via raise_error instead (same
+    pattern as token_budget_mix's zero-token guard). Pure codegen —
+    the guard is a when/otherwise branch, no Python in the plan."""
+    return (
+        F.when(
+            chunk_index >= _CHUNK_PACK_BASE,
+            F.raise_error(F.format_string(
+                "c6_rag_pipeline: doc_id %s has chunk_index %s >= 100000 "
+                "— cid packing (doc_id*100000 + chunk_index) would "
+                "collide; re-chunk with larger windows or widen the "
+                "packing base", doc_id, chunk_index,
+            )).cast("long"),
+        )
+        .otherwise(doc_id * _CHUNK_PACK_BASE + chunk_index)
+        .cast("long")
+    )
+
+
 @query(
     "c6_rag_pipeline",
     oracle=_c6_oracle(),
@@ -519,7 +547,9 @@ def c6_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-partial groupBys over chunks; query terms broadcast into the
     postings scan; everything after the rank trim operates on
     |queries|·pool rows. Chunk ids pack as doc_id·100000 + index —
-    collision-free to 100k chunks/doc, BIGINT-safe to ~9e13 docs."""
+    collision-free to 100k chunks/doc, BIGINT-safe to ~9e13 docs; the
+    100k-chunks/doc contract is enforced at runtime with raise_error
+    (a violating doc fails the job loudly instead of aliasing cids)."""
     from pyspark.sql import Window
 
     from fhir_etl_spark.operators.retrieval import bm25_index, bm25_topk
@@ -529,9 +559,7 @@ def c6_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool, budget = 5, 128
     documents = load_tables(spark, sf_dir, "documents")
     chunks = chunk_documents(documents, chunk_tokens=64, overlap=16).select(
-        (F.col("doc_id") * 100000 + F.col("chunk_index"))
-        .cast("long")
-        .alias("cid"),
+        _pack_chunk_id(F.col("doc_id"), F.col("chunk_index")).alias("cid"),
         "n_chunk_tokens",
         "chunk_text",
     )

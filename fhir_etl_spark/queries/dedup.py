@@ -22,7 +22,7 @@ from fhir_etl_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from fhir_etl_spark.queries.registry import query
+from fhir_etl_spark.queries.registry import get_query, query
 from fhir_etl_spark.session import load_tables
 
 _NORM_SQL = "md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))"
@@ -103,6 +103,27 @@ def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground-truth verifier that LSH candidates are checked against."""
     documents = load_tables(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(documents, threshold=0.5)
+
+
+@query(
+    "d3p_jaccard_prefix_filter",
+    # the SAME exact-Jaccard oracle as d3: the prefix filter is lossless
+    # (AllPairs lemma), so a single missed or phantom pair — i.e. any
+    # bug in the prefix-length arithmetic, the global order, or the
+    # verify join — value-mismatches against ground truth
+    oracle=get_query("d3_ngram_jaccard").oracle,
+    tags=("dedup", "join", "prefix-filter"),
+)
+def d3p_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d3's exact answer through the PREFIX-FILTERED miner
+    (operators/dedup.ngram_jaccard_pairs_prefix — AllPairs/PPJoin
+    candidate bound + exact array_intersect verify): the 100 TB path
+    c4/c5 route through, oracled against the strategy-independent
+    exact-Jaccard SQL so losslessness is checked every round."""
+    documents = load_tables(spark, sf_dir, "documents")
+    from fhir_etl_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    return ngram_jaccard_pairs_prefix(documents, threshold=0.5)
 
 
 @query(
@@ -819,14 +840,21 @@ def c4_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-mismatches. Scale: the pair/CC stages only ever touch docs
     that matched something (≪ corpus); the winner window partitions by
     cluster (WindowGroupLimit shape); the singleton path is one anti
-    join on the (small) clustered-id set."""
+    join on the (small) clustered-id set. Pair mining runs the
+    PREFIX-FILTERED exact miner (r12 — VERDICT r11 #2): identical
+    output by the AllPairs lemma, but the quadratic pair-generation
+    term collapses to the prefix posting lists (the oracle needs no
+    change precisely because the filter is lossless)."""
     from pyspark.sql import Window
 
-    from fhir_etl_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    from fhir_etl_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs_prefix,
+    )
     from fhir_etl_spark.operators.text import quality_score
 
     documents = load_tables(spark, sf_dir, "documents")
-    clusters = dedup_clusters(ngram_jaccard_pairs(documents, threshold=0.5))
+    clusters = dedup_clusters(ngram_jaccard_pairs_prefix(documents, threshold=0.5))
     quality = documents.select(
         "doc_id", quality_score("text").alias("quality")
     )

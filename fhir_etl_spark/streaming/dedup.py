@@ -444,10 +444,20 @@ def compact_counter_state(
     """Fold the per-epoch history into one generation (one row per key,
     tagged with the max absorbed epoch so a late replay of any absorbed
     epoch still short-circuits). Readers are snapshot-isolated across
-    the overwrite (versioned-sink manifest swap)."""
-    from fhir_etl_spark.sinks.versioned import read_snapshot, write_snapshot
+    the overwrite (versioned-sink manifest swap).
 
-    cur = read_snapshot(spark, table_path)
+    The overwrite is pinned to the snapshot it was derived from
+    (``require_parent``): a :func:`merge_counter_epoch` append landing
+    between the read and this commit must fail the compaction LOUDLY
+    (ConcurrentWriteError) rather than have its epoch's counts silently
+    discarded — additive state has no second chance at a dropped epoch.
+    Same read-modify-write pin as sinks/versioned.compact_snapshot."""
+    from fhir_etl_spark.sinks.versioned import (
+        read_snapshot, snapshot_history, write_snapshot,
+    )
+
+    head = snapshot_history(table_path)[-1]["version"]
+    cur = read_snapshot(spark, table_path, head)
     folded = (
         cur.groupBy(*keys)
         .agg(F.sum(cnt_col).cast("long").alias(cnt_col))
@@ -456,7 +466,9 @@ def compact_counter_state(
         .crossJoin(cur.agg(F.max("epoch_id").alias("epoch_id")))
         .localCheckpoint(eager=True)
     )
-    write_snapshot(folded, table_path, mode="overwrite", max_retries=2)
+    write_snapshot(
+        folded, table_path, mode="overwrite", require_parent=head,
+    )
 
 
 def stream_cms_counters_merge(

@@ -67,6 +67,43 @@ def test_ngram_jaccard_exact(docs):
     assert all(a != 5 and b != 5 for a, b in got)
 
 
+def test_prefix_filter_equals_full_mine_on_synthetic(docs):
+    """The prefix-filtered miner (AllPairs lemma) must return the EXACT
+    pair set and values of the full posting-list mine — losslessness is
+    the whole contract (c4/c5 route through it with unchanged oracles)."""
+    from fhir_etl_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    full = {
+        (r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs).collect()
+    }
+    pref = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_prefix(docs).collect()
+    }
+    assert pref == full and (1, 2) in pref
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_prefix_filter_equals_full_mine_on_corpus(spark, sf_dir, threshold):
+    """Corpus-level losslessness at several thresholds (the prefix length
+    ⌈t·|A|⌉ arithmetic differs per threshold — an off-by-one in any of
+    them drops a real pair here)."""
+    from fhir_etl_spark.operators.dedup import ngram_jaccard_pairs_prefix
+    from fhir_etl_spark.session import load_tables
+
+    documents = load_tables(spark, sf_dir, "documents")
+    full = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(documents, threshold=threshold).collect()
+    }
+    pref = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_prefix(documents, threshold=threshold).collect()
+    }
+    assert pref == full
+    assert len(full) > 0  # non-vacuous: the corpus has real near-dups
+
+
 def test_ngram_jaccard_df_cap_preserves_recall(docs, sf_dir, spark):
     """The hot-shingle DF cap must not change the answer when the cap
     exceeds the corpus's max shingle document frequency — the default 1000

@@ -223,14 +223,19 @@ def test_no_broadcast_hints_on_scaling_tables():
         # token_budget_mix / collocation_lift: `n_docs` is the 1-row
         # distinct-doc count
         "n_docs",
+    }
+    # Generic variable names stay SCOPED to the one call site whose bound
+    # is documented — a future F.broadcast(ranked) on a scaling table in
+    # some other module must NOT ride this allowlist (ADVICE r11).
+    SCOPED_ALLOWED = {
         # c6_rag_pipeline: the rank-trimmed retrieval shortlist is
         # |queries|·pool rows BY CONTRACT (the chunk corpus scales; the
         # per-query top-k does not)
-        "ranked",
+        ("queries/capstone.py", "ranked"),
         # cms_point_query: the count-min counter table is ≤ depth·width
         # rows (4096 at defaults) regardless of stream size — that
         # bound IS the sketch's definition
-        "counters",
+        ("operators/sketch.py", "counters"),
     }
     root = pathlib.Path(__file__).resolve().parent.parent / "fhir_etl_spark"
     violations = []
@@ -256,7 +261,11 @@ def test_no_broadcast_hints_on_scaling_tables():
                     base.value if not isinstance(base, ast.Call) else base.func
                 )
             base_name = base.id if isinstance(base, ast.Name) else None
-            if base_name not in ALLOWED_BASES:
+            rel = path.relative_to(root).as_posix()
+            if (
+                base_name not in ALLOWED_BASES
+                and (rel, base_name) not in SCOPED_ALLOWED
+            ):
                 violations.append(
                     f"{path.relative_to(root.parent)}:{node.lineno}: "
                     f"broadcast({ast.get_source_segment(src, arg)})"
