@@ -107,6 +107,102 @@ def linear_classifier_scores(
     )
 
 
+def quality_gate_scores(
+    df: DataFrame,
+    w_micro: list[int],
+    bias_micro: int,
+    salt: str,
+    meta_repeat: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    labels: tuple[str, str] = ("drop", "keep"),
+) -> DataFrame:
+    """:func:`linear_classifier_scores` plus twelve META-TOKEN grams —
+    the t22q learned quality gate (VERDICT r11 #5). Plain mean-pooled
+    n-grams cannot learn a length/punctuation-driven gate (measured
+    0.826 vs 0.818 majority); injecting binned token-count /
+    punct-per-token / stopword-share meta tokens (each repeated
+    ``meta_repeat``× — the standard fastText synthetic-token trick)
+    lifts it to 0.948 train / 0.924 held-out. Every meta token is a
+    pure integer function of the text (the same regexes the t2 oracle
+    pins), so the featurization replays bit-exactly in DuckDB
+    (queries/text._t22q_score_sql) and in tools/train_t22q.py.
+
+    Same scale shape and BIGINT contract as the plain head: one
+    map-only codegen expression per document, weights as plan
+    literals, score_micro = bias·N + Σ w[bucket(g)] with N including
+    the meta grams."""
+    from fhir_etl_spark.operators.text import ASCII_WS, LANG_STOPWORDS
+
+    n_buckets = len(w_micro)
+    if n_buckets == 0:
+        raise ValueError("quality_gate_scores: empty weight table")
+    w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w_micro])
+    loud_toks = F.when(
+        F.col(text_col).isNull(),
+        F.raise_error(
+            F.lit(
+                "quality_gate_scores: NULL text — filter unscorable "
+                "rows before classifying"
+            )
+        ),
+    ).otherwise(tokens(text_col))
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    g = df.withColumn("_toks", loud_toks)
+    n_tok = F.size("_toks").cast("long")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(rf"[^\w{ASCII_WS}]"), 0)
+    ).cast("long")
+    n_stop = F.size(F.filter("_toks", lambda t: F.array_contains(sw, t))).cast(
+        "long"
+    )
+    nt = F.greatest(n_tok, F.lit(1))
+    metas = [
+        F.concat(
+            F.lit("__nt_"),
+            F.least(F.floor(n_tok / 20).cast("long"), F.lit(10)).cast("string"),
+            F.lit("__"),
+        ),
+        F.concat(
+            F.lit("__punct_"),
+            F.least(F.floor(10 * n_punct / nt).cast("long"), F.lit(10)).cast(
+                "string"
+            ),
+            F.lit("__"),
+        ),
+        F.concat(
+            F.lit("__stop_"),
+            F.least(F.floor(20 * n_stop / nt).cast("long"), F.lit(20)).cast(
+                "string"
+            ),
+            F.lit("__"),
+        ),
+    ]
+    g = g.withColumn(
+        "_grams",
+        F.concat(
+            hashed_grams("_toks", max_n=2),
+            F.array(*[m for m in metas for _ in range(meta_repeat)]),
+        ),
+    )
+    score = F.lit(int(bias_micro)).cast("long") * F.size("_grams").cast(
+        "long"
+    ) + F.aggregate(
+        "_grams",
+        F.lit(0).cast("long"),
+        lambda acc, gr: acc
+        + F.element_at(
+            w_arr, (hash_bucket(gr, salt=salt, n_buckets=n_buckets) + 1).cast("int")
+        ),
+    )
+    return g.select(
+        id_col,
+        F.size("_grams").cast("long").alias("n_grams"),
+        score.alias("score_micro"),
+        F.when(score > 0, labels[1]).otherwise(labels[0]).alias("label"),
+    )
+
+
 def multiclass_classifier_scores(
     df: DataFrame,
     class_w_micro: list[list[int]],

@@ -2078,7 +2078,8 @@ def hashed_embedding(
     downstream dot/norm is BIGINT and cross-engine replayable.
 
     Scale shape: explode → (doc, bucket) HASH-AGGREGATION, all codegen.
-    Each gram is hashed exactly once (two md5s: bucket + sign) and
+    Each gram is hashed exactly once (ONE md5; bucket = digest hex 1–8
+    mod dim, sign = hex 9–16 mod 2 — disjoint digest halves) and
     lands in a codegen hash-agg cell — O(1) work per gram. Map-side
     partial aggregation reduces the gram stream to ≤ docs·dim rows
     BEFORE the exchange, so shuffle volume is bounded by the embedding
@@ -2114,49 +2115,58 @@ def hashed_embedding(
             F.explode_outer("_grams").alias("_g"),
         )
     )
-    bucketed = (
-        exploded.select(
-            id_col,
-            "n_grams",
-            hash_bucket(F.col("_g"), salt=salt, n_buckets=dim)
-            .cast("int")
-            .alias("_b"),
-            (hash_bucket(F.col("_g"), salt=salt + "#s", n_buckets=2) * 2 - 1)
-            .cast("long")
-            .alias("_s"),
-        )
-        # partial (map-side) combine happens here: the exchange carries
-        # ≤ docs·dim pre-summed rows, not the gram stream
-        .groupBy(id_col, "n_grams", "_b")
-        .agg(F.sum("_s").alias("_cnt"))
+    # ONE md5 per gram, bucket/sign from disjoint digest halves (the
+    # Weinberger construction with a shared hash), then ONE codegen
+    # hash-aggregation with dim conditional sums — the dense array
+    # comes straight out of the aggregation buffer. Two shapes were
+    # built and rejected on measurement at sf10 (500k docs, 53.6M
+    # grams): the r11 per-bucket interpreted HOF folds (50.5 s — the
+    # interpreted evaluator), and a (doc, bucket) agg + map_from_
+    # entries + per-slot try_element_at reshape (47 s — element_at on
+    # MapData is a LINEAR key scan, and the transform lambda is
+    # interpreted: dim lookups × ~45-entry maps per doc dominated
+    # everything). The conditional-sum form keeps the whole build in
+    # whole-stage codegen: dim branch-free compare-adds per gram row,
+    # map-side partial combine, one exchange of docs rows × dim longs
+    # — the embedding table itself. Measured 6.5 s end-to-end, 7.8×
+    # the r11 fold.
+    bucketed = exploded.withColumn(
+        "_h", F.md5(F.concat(F.lit(salt), F.col("_g")).cast("binary"))
+    ).select(
+        id_col,
+        "n_grams",
+        (F.conv(F.substring("_h", 1, 8), 16, 10).cast("long") % dim)
+        .cast("int")
+        .alias("_b"),
+        (F.conv(F.substring("_h", 9, 8), 16, 10).cast("long") % 2 * 2 - 1)
+        .cast("long")
+        .alias("_s"),
     )
     folded = bucketed.groupBy(id_col, "n_grams").agg(
-        F.map_from_entries(
-            F.collect_list(  # collect_list drops the null-gram entry
-                F.when(
-                    F.col("_b").isNotNull(),
-                    F.struct(F.col("_b").alias("k"), F.col("_cnt").alias("v")),
-                )
-            )
-        ).alias("_m")
+        *[
+            F.sum(F.when(F.col("_b") == i, F.col("_s"))).alias(f"_e{i}")
+            for i in range(dim)
+        ]
     )
-    emb = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(
-            F.try_element_at(F.col("_m"), i.cast("int")),
-            F.lit(0).cast("long"),
-        ),
+    # a doc with zero grams (or an empty bucket) has NULL sums → 0
+    emb = F.array(
+        *[F.coalesce(F.col(f"_e{i}"), F.lit(0).cast("long")) for i in range(dim)]
     )
     # lineage barrier (the shingles-materialization lesson): downstream
     # consumers reference `emb` many times (element_at per query bucket,
-    # the l2sq fold); the checkpoint caches (id, n_grams, dim longs)
-    # ≈ 0.5% of corpus bytes — exactly what a deployment persists as
-    # its embedding table.
+    # the l2sq fold), so the table must materialize once. persist(), NOT
+    # localCheckpoint: checkpoint's toRdd conversion under AQE executes
+    # the two shuffle stages EAGERLY at plan-build time and then the
+    # uncached RDD re-executes them at the first action — measured
+    # 34 s + 43 s for a pipeline that computes in 4 s at sf10-shape;
+    # the InMemoryRelation barrier gives the same fan-out protection at
+    # (id, n_grams, dim longs) ≈ 0.5% of corpus bytes — exactly what a
+    # deployment persists as its embedding table.
     return folded.select(
         id_col,
         "n_grams",
         emb.alias("emb"),
-    ).localCheckpoint(eager=False)
+    ).persist()
 
 
 def hashed_embedding_topk(

@@ -194,10 +194,22 @@ _NORM_LINE = "md5(lower(trim(regexp_replace({src}, '[ \\t\\n\\x0b\\f\\r]+', ' ',
 _STOPWORDS = "['the','a','of','and','to','in','is','that','for','it']"
 
 
-def _c5_oracle() -> str:
+def _c5_oracle(gate_cte: str | None = None) -> str:
+    """The capstone CTE chain. ``gate_cte`` overrides the quality-gate
+    CTE group (everything between the ``decon`` CTE and ``packed``) —
+    c5b swaps the raw t2 threshold for the learned t22q head here while
+    every other stage replays unchanged."""
     extract = t24_extract_sql(
         f"SELECT doc_id, {_c5_page_sql()} AS html FROM documents"
     )
+    if gate_cte is None:
+        gate_cte = f"""gate AS MATERIALIZED (
+      SELECT q.doc_id FROM q
+      JOIN decon USING (doc_id)
+      JOIN (SELECT doc_id, len({_TOKS_SQL}) AS n_words FROM cleaned) nw
+        ON nw.doc_id = q.doc_id
+      WHERE q.quality >= 0.5 AND nw.n_words >= 10
+    )"""
     return f"""
     WITH extracted AS MATERIALIZED ({extract}),
     ln AS (
@@ -284,13 +296,7 @@ def _c5_oracle() -> str:
     ), decon AS (
       SELECT doc_id FROM survivors
       WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
-    ), gate AS MATERIALIZED (
-      SELECT q.doc_id FROM q
-      JOIN decon USING (doc_id)
-      JOIN (SELECT doc_id, len({_TOKS_SQL}) AS n_words FROM cleaned) nw
-        ON nw.doc_id = q.doc_id
-      WHERE q.quality >= 0.5 AND nw.n_words >= 10
-    ), packed AS MATERIALIZED (
+    ), {gate_cte}, packed AS MATERIALIZED (
       WITH RECURSIVE pb AS (
         SELECT doc_id, shard, n_tokens,
                row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS rn
@@ -350,20 +356,16 @@ def _c5_oracle() -> str:
     """
 
 
-@query(
-    "c5_capstone_curation",
-    oracle=_c5_oracle(),
-    tags=("pipeline", "warc", "html", "dedup", "training", "capstone"),
-)
-def c5_capstone_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The capstone: WARC → extract → line dedup → fuzzy dedup →
-    decontaminate → quality gate → pack → shard, as ONE plan (module
-    docstring has the full stage map and the 100 TB shape argument)."""
+def _c5_pipeline(
+    spark: SparkSession, sf_dir: str, learned_gate: bool
+) -> DataFrame:
+    """Shared capstone body; ``learned_gate`` swaps stage 6 between the
+    raw t2 threshold (c5) and the trained t22q head (c5b)."""
     from fhir_etl_spark.operators.contamination import bloom_decontaminate
     from fhir_etl_spark.operators.dedup import (
         dedup_clusters,
         line_dedup,
-        ngram_jaccard_pairs_prefix,
+        ngram_jaccard_pairs,
     )
     from fhir_etl_spark.operators.datasets import shard_shuffle
     from fhir_etl_spark.operators.html import extract_main_content
@@ -380,32 +382,44 @@ def c5_capstone_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2. HTML main-content extraction
     ex = extract_main_content(crawled, html_col="html", min_words=5, link_pct=30)
 
-    # 3. cross-document line dedup over the extracted prose. The lazy
-    # localCheckpoint is load-bearing: `cleaned` feeds FOUR consumers
-    # (keeper quality, pair mining, the decontamination corpus AND
-    # benchmark) and without the barrier each one re-executes the
-    # WARC-scan → extract → line-dedup prefix (measured 173 s → 33 s at
-    # sf0.1 from the three barriers in this function — the v14 lineage
-    # lesson; a deployment would persist the cleaned corpus anyway).
+    # 3. cross-document line dedup over the extracted prose. The barrier
+    # is load-bearing: `cleaned` feeds FOUR consumers (keeper quality,
+    # pair mining, the decontamination corpus AND benchmark) and without
+    # it each one re-executes the WARC-scan → extract → line-dedup
+    # prefix (measured 173 s → 33 s at sf0.1 from the three barriers in
+    # this function; a deployment would persist the cleaned corpus
+    # anyway). persist(), NOT localCheckpoint: under AQE, checkpoint's
+    # toRdd conversion executes the upstream shuffle stages EAGERLY at
+    # plan-build time and the uncached RDD then re-executes them —
+    # swapping the three barriers to persist() cut c5 331 → 245 s at
+    # sf10-shape (the r12 v14 lesson, fhir_etl_spark/operators/
+    # similarity.py hashed_embedding).
     cleaned = (
         line_dedup(
             ex.select("doc_id", F.col("main_text").alias("text")),
             min_doc_freq=2,
         )
         .select("doc_id", F.col("clean_text").alias("text"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
 
     # 4. fuzzy dedup: pairs → components → best-quality keeper + singletons
     quality = cleaned.select(
         "doc_id", quality_score("text").alias("quality")
     )
-    # prefix-filtered exact miner (r12): identical pairs by the AllPairs
-    # lemma — the oracle's exact replay stays green — with the quadratic
-    # pair-generation term cut to the prefix posting lists
+    # posting-list exact miner, NOT the r12 prefix-filtered variant:
+    # A/B at sf10-shape (cold, identical protocol) measured the prefix
+    # route 4.3× slower on c4 (189 vs 43.6 s) and +73% on c5 (245 vs
+    # 141 s with persist barriers) with 5.5× the shuffle bytes — the
+    # df-ordering prefix needs two extra corpus-linear exchanges of the
+    # shingle stream (dfreq join + per-doc prefix cut), and at this
+    # corpus's duplicate density the quadratic pair term it removes is
+    # NOT byte-dominant. ngram_jaccard_pairs_prefix stays registered
+    # (d3p, value-oracled) as the exactness-preserving path for corpora
+    # whose hot shingles would otherwise hit the DF cap. SCALE.md r12.
     clusters = dedup_clusters(
-        ngram_jaccard_pairs_prefix(cleaned, threshold=0.5)
-    ).localCheckpoint(eager=False)
+        ngram_jaccard_pairs(cleaned, threshold=0.5)
+    ).persist()
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
     winners = (
         clusters.join(quality, "doc_id")
@@ -424,22 +438,37 @@ def c5_capstone_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark = cleaned.filter(F.col("doc_id") % 97 == 0)
     decon = bloom_decontaminate(corpus, benchmark, k=3)
 
-    # 6. quality gate over the cleaned text — the c2 gate (t2 integer-
-    # exact score ≥ 0.5 AND ≥ 10 tokens). NOT the frozen t22 head: on
-    # this shared-vocabulary synthetic corpus the trained head collapses
-    # to always-negative (train acc 0.564 = the all-'other' rate — see
-    # functions/ft_weights.py), so gating on its sign silently empties
-    # the pipeline at every SF; t22 stays the exact-inference demo, t2
-    # is the filter with real discrimination here.
-    kept = decon.join(
-        quality.where(F.col("quality") >= 0.5).select("doc_id"), "doc_id"
-    ).where(token_count(F.col("text")) >= 10)
+    # 6. quality gate over the cleaned text. Default (c5): the c2 gate
+    # (t2 integer-exact score ≥ 0.5 AND ≥ 10 tokens) — NOT the frozen
+    # t22 lang head, which collapses to always-negative on this
+    # shared-vocabulary synthetic corpus (see functions/ft_weights.py).
+    # Learned (c5b): the t22q head trained on the t2 gate itself
+    # (tools/train_t22q.py, 0.948 train vs 0.818 majority) — the
+    # GPT-3-recipe shape where a classifier generalizes the heuristic;
+    # the ≥10-token floor stays (a packer needs non-trivial sequences).
+    if learned_gate:
+        from fhir_etl_spark.functions import ft_weights_q as fq
+        from fhir_etl_spark.operators.classifier import quality_gate_scores
+
+        keep_ids = (
+            quality_gate_scores(
+                cleaned, fq.W_MICRO, fq.BIAS_MICRO, fq.SALT,
+                meta_repeat=fq.META_REPEAT,
+            )
+            .where(F.col("score_micro") > 0)
+            .select("doc_id")
+        )
+    else:
+        keep_ids = quality.where(F.col("quality") >= 0.5).select("doc_id")
+    kept = decon.join(keep_ids, "doc_id").where(
+        token_count(F.col("text")) >= 10
+    )
 
     # 7. pack into 2048-token sequences (8 packing shards)
     with_counts = kept.withColumn("n_tokens", token_count(F.col("text")))
     packed = pack_sequences(
         with_counts, "n_tokens", budget=2048, n_shards=8
-    ).localCheckpoint(eager=False)
+    ).persist()
 
     # 8. reproducible shuffle of the SEQUENCES into 8 output shards
     seqs = packed.select("seq_id").distinct()
@@ -457,6 +486,50 @@ def c5_capstone_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_shard",
         "seq_pos",
     )
+
+
+@query(
+    "c5_capstone_curation",
+    oracle=_c5_oracle(),
+    tags=("pipeline", "warc", "html", "dedup", "training", "capstone"),
+)
+def c5_capstone_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone: WARC → extract → line dedup → fuzzy dedup →
+    decontaminate → quality gate → pack → shard, as ONE plan (module
+    docstring has the full stage map and the 100 TB shape argument)."""
+    return _c5_pipeline(spark, sf_dir, learned_gate=False)
+
+
+def _c5b_gate_cte() -> str:
+    from fhir_etl_spark.queries.text import _t22q_score_sql
+
+    scored = _t22q_score_sql("SELECT doc_id, text FROM cleaned")
+    return f"""scoreq AS MATERIALIZED ({scored}), gate AS MATERIALIZED (
+      SELECT s.doc_id FROM scoreq s
+      JOIN decon USING (doc_id)
+      JOIN (SELECT doc_id, len({_TOKS_SQL}) AS n_words FROM cleaned) nw
+        ON nw.doc_id = s.doc_id
+      WHERE s.score_micro > 0 AND nw.n_words >= 10
+    )"""
+
+
+@query(
+    "c5b_capstone_learned_gate",
+    oracle=_c5_oracle(gate_cte=_c5b_gate_cte()),
+    tags=("pipeline", "warc", "html", "dedup", "training", "capstone", "classifier"),
+)
+def c5b_capstone_learned_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c5 with the LEARNED quality gate (VERDICT r11 #5): stage 6
+    filters on the trained t22q head's sign (a classifier trained to
+    generalize the t2 heuristic — the GPT-3 curation recipe, where the
+    quality filter is a model, not a formula) instead of the raw
+    threshold. Every other stage — WARC staging, extraction, line
+    dedup, posting-list fuzzy dedup, decontamination, packing,
+    sharding — replays identically, and the ONE CTE-chain oracle swaps
+    only the gate group, so a drift in the learned featurization (a
+    meta-token bin, a hash bucket, the repeat count) value-mismatches
+    the final packed shards."""
+    return _c5_pipeline(spark, sf_dir, learned_gate=True)
 
 
 # --- c6: the RAG retrieval pipeline ----------------------------------------

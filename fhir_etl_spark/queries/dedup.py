@@ -840,11 +840,13 @@ def c4_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-mismatches. Scale: the pair/CC stages only ever touch docs
     that matched something (≪ corpus); the winner window partitions by
     cluster (WindowGroupLimit shape); the singleton path is one anti
-    join on the (small) clustered-id set. Pair mining runs the
-    PREFIX-FILTERED exact miner (r12 — VERDICT r11 #2): identical
-    output by the AllPairs lemma, but the quadratic pair-generation
-    term collapses to the prefix posting lists (the oracle needs no
-    change precisely because the filter is lossless)."""
+    join on the (small) clustered-id set. Pair mining stays on the
+    posting-list exact miner: the r12 prefix-filtered variant (d3p)
+    was A/B-measured 4.3× slower here at sf10-shape with 5.5× the
+    shuffle (two extra corpus-linear exchanges buy the removal of a
+    quadratic term this corpus's density doesn't make dominant) —
+    d3p remains the exactness-preserving route for cap-binding
+    hot-shingle corpora. SCALE.md r12."""
     from pyspark.sql import Window
 
     from fhir_etl_spark.operators.dedup import (
@@ -854,7 +856,7 @@ def c4_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fhir_etl_spark.operators.text import quality_score
 
     documents = load_tables(spark, sf_dir, "documents")
-    clusters = dedup_clusters(ngram_jaccard_pairs_prefix(documents, threshold=0.5))
+    clusters = dedup_clusters(ngram_jaccard_pairs(documents, threshold=0.5))
     quality = documents.select(
         "doc_id", quality_score("text").alias("quality")
     )

@@ -963,10 +963,13 @@ _V14_SALT = "he1"
 _V14_QUERY_TEXT = "spark table scan stream merge window sort"
 
 
-def _v14_bucket(gram: str, salt: str, n: int) -> int:
+def _v14_bucket_sign(gram: str, salt: str, dim: int) -> tuple[int, int]:
+    """ONE md5 per gram (the r12 build-cost fix): bucket from digest hex
+    1–8, sign from hex 9–16 — the exact twin of the operator's codegen."""
     import hashlib
 
-    return int(hashlib.md5((salt + gram).encode()).hexdigest()[:8], 16) % n
+    h = hashlib.md5((salt + gram).encode()).hexdigest()
+    return int(h[:8], 16) % dim, (int(h[8:16], 16) % 2) * 2 - 1
 
 
 def _v14_query_vec() -> list[int]:
@@ -974,8 +977,8 @@ def _v14_query_vec() -> list[int]:
     grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
     q = [0] * _V14_DIM
     for g in grams:
-        sign = _v14_bucket(g, _V14_SALT + "#s", 2) * 2 - 1
-        q[_v14_bucket(g, _V14_SALT, _V14_DIM)] += sign
+        b, sign = _v14_bucket_sign(g, _V14_SALT, _V14_DIM)
+        q[b] += sign
     return q
 
 
@@ -997,11 +1000,12 @@ def _v14_oracle() -> str:
       FROM toks
     ), pairs AS (
       SELECT doc_id,
-             1 + CAST(CAST('0x' || substr(md5('{_V14_SALT}' || gr), 1, 8)
+             1 + CAST(CAST('0x' || substr(h, 1, 8)
                  AS UBIGINT) % {_V14_DIM} AS INT) AS b,
-             CAST(CAST('0x' || substr(md5('{_V14_SALT}#s' || gr), 1, 8)
+             CAST(CAST('0x' || substr(h, 9, 8)
                  AS UBIGINT) % 2 AS BIGINT) * 2 - 1 AS s
-      FROM grams, unnest(g) AS u(gr)
+      FROM (SELECT doc_id, md5('{_V14_SALT}' || gr) AS h
+            FROM grams, unnest(g) AS u(gr))
     ), emb AS (
       SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v FROM pairs GROUP BY doc_id, b
     ), q(b, qv) AS (VALUES {_V14_Q_SQL}),
@@ -1058,8 +1062,8 @@ def _hashed_query_vec(
     grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
     q = [0] * dim
     for g in grams:
-        sign = _v14_bucket(g, salt + "#s", 2) * 2 - 1
-        q[_v14_bucket(g, salt, dim)] += sign
+        b, sign = _v14_bucket_sign(g, salt, dim)
+        q[b] += sign
     return q
 
 
@@ -1097,11 +1101,12 @@ def _v16_oracle(pool: int = 20, k: int = 10, rrf_k: int = 60) -> str:
       FROM dtoks
     ), pairs AS (
       SELECT doc_id,
-             1 + CAST(CAST('0x' || substr(md5('{_V14_SALT}' || gr), 1, 8)
+             1 + CAST(CAST('0x' || substr(h, 1, 8)
                  AS UBIGINT) % {_V14_DIM} AS INT) AS b,
-             CAST(CAST('0x' || substr(md5('{_V14_SALT}#s' || gr), 1, 8)
+             CAST(CAST('0x' || substr(h, 9, 8)
                  AS UBIGINT) % 2 AS BIGINT) * 2 - 1 AS s
-      FROM grams, unnest(g) AS u(gr)
+      FROM (SELECT doc_id, md5('{_V14_SALT}' || gr) AS h
+            FROM grams, unnest(g) AS u(gr))
     ), emb AS (
       SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v FROM pairs GROUP BY doc_id, b
     ), l2 AS (

@@ -1199,6 +1199,79 @@ def _t22_weights_sql() -> tuple[str, int]:
 _T22_W_SQL, _T22_BIAS = _t22_weights_sql()
 
 
+def _t22q_score_sql(src: str) -> str:
+    """DuckDB replay of operators/classifier.quality_gate_scores over
+    relation ``src`` (doc_id, text) → (doc_id, n_grams, score_micro).
+    Shared by the t22q oracle and the c5b capstone-variant oracle so
+    the featurization (grams + 4×-repeated meta tokens) has ONE SQL
+    source of truth."""
+    from fhir_etl_spark.functions import ft_weights_q as fq
+
+    w_sql = "[" + ", ".join(str(v) for v in fq.W_MICRO) + "]"
+    meta = (
+        "['__nt_' || CAST(least(n_tok // 20, 10) AS VARCHAR) || '__',"
+        " '__punct_' || CAST(least(10 * n_punct // nt, 10) AS VARCHAR) || '__',"
+        " '__stop_' || CAST(least(20 * n_stop // nt, 20) AS VARCHAR) || '__']"
+    )
+    return f"""
+      SELECT doc_id,
+             CAST(len(g) AS BIGINT) AS n_grams,
+             CAST({fq.BIAS_MICRO} AS BIGINT) * len(g)
+             + CAST(coalesce(list_sum(list_transform(g, x ->
+                 W[1 + CAST(CAST('0x' || substr(md5('{fq.SALT}' || x), 1, 8)
+                            AS UBIGINT) % {fq.N_BUCKETS} AS INT)])), 0) AS BIGINT)
+               AS score_micro
+      FROM (
+        SELECT doc_id,
+               t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                 || flatten(list_transform(range(1, {fq.META_REPEAT} + 1),
+                                           r -> {meta})) AS g
+        FROM (
+          SELECT doc_id, t, len(t) AS n_tok, greatest(len(t), 1) AS nt,
+                 len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS n_punct,
+                 len(list_filter(t, x -> list_contains(
+                     ['the','a','of','and','to','in','is','that','for','it'], x))) AS n_stop
+          FROM (SELECT doc_id, text, {_TOKS_SQL} AS t FROM ({src}))
+        )
+      ) CROSS JOIN (SELECT {w_sql} AS W)
+    """
+
+
+_T22Q_SCORED = _t22q_score_sql("SELECT doc_id, text FROM documents")
+
+
+@query(
+    "t22q_learned_quality_gate",
+    oracle=f"""
+    WITH scored AS ({_T22Q_SCORED})
+    SELECT doc_id, n_grams, score_micro,
+           CASE WHEN score_micro > 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM scored
+    """,
+    tags=("text", "classifier", "gate"),
+)
+def t22q_learned_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEARNED quality gate (VERDICT r11 #5): a logistic-regression
+    head trained on the t2 heuristic gate itself (tools/train_t22q.py
+    — 0.948 train / 0.924 held-out vs 0.818 majority) over hashed word
+    1+2-grams plus twelve meta-token grams (binned length, punct ratio,
+    stopword share — the signals a mean-pooled bag of words cannot
+    see). Frozen integer-micro weights, map-only codegen inference,
+    bit-exact DuckDB replay. The c5b capstone variant filters on this
+    head's sign instead of the raw t2 threshold."""
+    from fhir_etl_spark.functions import ft_weights_q as fq
+    from fhir_etl_spark.operators.classifier import quality_gate_scores
+
+    documents = load_tables(spark, sf_dir, "documents")
+    return quality_gate_scores(
+        documents,
+        fq.W_MICRO,
+        fq.BIAS_MICRO,
+        fq.SALT,
+        meta_repeat=fq.META_REPEAT,
+    )
+
+
 @query(
     "t22_quality_classifier",
     oracle=f"""

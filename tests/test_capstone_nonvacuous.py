@@ -29,6 +29,7 @@ _PIPELINES = (
     ("c3_line_curation_pipeline", 1),
     ("c4_fuzzy_dedup_pipeline", 1),
     ("c5_capstone_curation", 1),
+    ("c5b_capstone_learned_gate", 1),
     ("c6_rag_pipeline", 1),
 )
 

@@ -226,3 +226,92 @@ def test_t22b_plan_is_map_only_jvm(spark):
     assert a["shuffles"] == 0
     assert a["bcast"] == 0
     assert a["python"] == "no"
+
+
+# --- t22q learned quality gate (round 12, VERDICT r11 #5) ---------------
+
+
+def test_t22q_parity_with_trainer_featurizer(spark):
+    """Spark inference (meta tokens included) must equal the offline
+    trainer's arithmetic on real corpus rows — the train/serve skew
+    check for the gate head."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.train_t22q import META_REPEAT, bucket, meta_tokens
+
+    from fhir_etl_spark.functions import ft_weights_q as fq
+    from fhir_etl_spark.operators.classifier import quality_gate_scores
+    from fhir_etl_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["score_micro"], r["label"])
+        for r in quality_gate_scores(
+            docs, fq.W_MICRO, fq.BIAS_MICRO, fq.SALT, meta_repeat=fq.META_REPEAT
+        ).collect()
+    }
+    assert META_REPEAT == fq.META_REPEAT
+    for row in docs.select("doc_id", "text").collect():
+        toks = row["text"].split()
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        grams = grams + meta_tokens(row["text"]) * fq.META_REPEAT
+        score = fq.BIAS_MICRO * len(grams) + sum(
+            fq.W_MICRO[bucket(g)] for g in grams
+        )
+        label = "keep" if score > 0 else "drop"
+        assert got[row["doc_id"]] == (len(grams), score, label)
+
+
+def test_t22q_accuracy_meaningfully_above_majority(spark):
+    """The whole point of retraining (VERDICT r11 #5): the head must
+    beat the majority rate on the t2-gate label at sf0.01 — the frozen
+    t22 lang head could not (always-negative). Floors: majority is
+    0.818 at sf0.01; the head trains at 0.948, pinned here ≥ 0.90."""
+    from pyspark.sql import functions as F
+
+    from fhir_etl_spark.functions import ft_weights_q as fq
+    from fhir_etl_spark.operators.classifier import quality_gate_scores
+    from fhir_etl_spark.operators.text import quality_score
+    from fhir_etl_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.01", "documents")
+    truth = docs.select(
+        "doc_id", (quality_score("text") >= 0.5).alias("want_keep")
+    )
+    pred = quality_gate_scores(
+        docs, fq.W_MICRO, fq.BIAS_MICRO, fq.SALT, meta_repeat=fq.META_REPEAT
+    ).select("doc_id", (F.col("score_micro") > 0).alias("got_keep"))
+    j = truth.join(pred, "doc_id")
+    n = j.count()
+    acc = j.where(F.col("want_keep") == F.col("got_keep")).count() / n
+    majority_rate = (
+        max(
+            j.where(F.col("want_keep")).count(),
+            j.where(~F.col("want_keep")).count(),
+        )
+        / n
+    )
+    assert acc >= 0.90 > majority_rate
+    # and the head actually says NO to someone (not a constant head)
+    assert 0 < pred.where(F.col("got_keep")).count() < n
+
+
+def test_t22q_plan_is_map_only_jvm(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.plan_audit import audit
+
+    from fhir_etl_spark.queries import all_queries
+
+    a = audit(
+        all_queries()["t22q_learned_quality_gate"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert a["shuffles"] == 0
+    assert a["bcast"] == 0
+    assert a["python"] == "no"

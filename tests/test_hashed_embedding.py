@@ -19,8 +19,10 @@ DIM, SALT = 64, "he1"
 _WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
-def _bucket(gram: str, salt: str, n: int) -> int:
-    return int(hashlib.md5((salt + gram).encode()).hexdigest()[:8], 16) % n
+def _bucket_sign(gram: str, salt: str, dim: int) -> tuple[int, int]:
+    # ONE md5 per gram (r12): bucket = hex 1-8, sign = hex 9-16
+    h = hashlib.md5((salt + gram).encode()).hexdigest()
+    return int(h[:8], 16) % dim, (int(h[8:16], 16) % 2) * 2 - 1
 
 
 def _py_embed(text: str) -> list[int]:
@@ -28,7 +30,8 @@ def _py_embed(text: str) -> list[int]:
     grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
     v = [0] * DIM
     for g in grams:
-        v[_bucket(g, SALT, DIM)] += _bucket(g, SALT + "#s", 2) * 2 - 1
+        b, s = _bucket_sign(g, SALT, DIM)
+        v[b] += s
     return v
 
 
@@ -89,7 +92,13 @@ def test_param_validation(spark):
         hashed_embedding_topk(hashed_embedding(df), [0] * DIM)
 
 
-def test_topk_plan_is_take_ordered_no_exchange(spark):
+def test_topk_plan_take_ordered_one_exchange_partial_agg(spark):
+    """The r12 build contract: top-k via TakeOrderedAndProject, and the
+    embedding build is ONE hash-aggregation whose exchange carries the
+    embedding table itself (docs × dim longs) — with map-side partial
+    combine (partial_sum), so the gram stream never crosses the wire.
+    (The r11 shape was zero-exchange but paid dim interpreted HOF folds
+    per doc — measured 7.8× slower at sf10-shape.)"""
     df = spark.createDataFrame(
         [(i, f"word{i} filler text") for i in range(20)],
         "doc_id long, text string",
@@ -98,4 +107,6 @@ def test_topk_plan_is_take_ordered_no_exchange(spark):
     out = hashed_embedding_topk(emb, _py_embed("word3 filler text"), k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
-    assert "Exchange" not in plan  # scan -> project -> top-k, no shuffle
+    assert plan.count("Exchange") == 1  # the (doc, n_grams) agg only
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert "Python" not in plan

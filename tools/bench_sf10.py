@@ -37,12 +37,12 @@ QUERIES = [
     "d6_dedup_clusters",
     "d10_substring_dedup",
     "d12_lsh_bucket_keepers",
-    # r10: v8b (deployment sizing policy — k ∝ n/200, train-on-sample)
-    # joins the measured set; v8 stays as the priced fixed-k reference,
-    # re-measured this round because the round-10 argmin/codegen fixes
-    # (HashAggregate encoding, hugeMethodLimit, pair-scan projection)
-    # collapsed its 546 s profile too.
-    "v8_semdedup",
+    # r12 (VERDICT r11 #3): v8 is PINNED TO THE sf1 TIER — the frozen
+    # k=8 registry entry exists for oracle replay, and its quadratic
+    # Σc² growth at 100× (304–348 s, ~45% of the whole tier's wall) is
+    # the DOCUMENTED reason v8b exists; measuring a known-quadratic
+    # demo at the 100× tier priced nothing new. v8b (the deployment
+    # default, k ∝ n/200) carries the 100× row.
     "v8b_semdedup_scaled_k",
     "v9_int8_quantized_ann",
     "v12_ivfpq_ann",
@@ -101,7 +101,8 @@ SF10_FLOOR: dict[str, float] = {
     # byte-identical shuffle accounting): v8 329->304, v8b 27.5->21.7,
     # v9/v12/d12 marginal tightens; q21/d6/d10/t17 within bar, floors
     # kept (their best runs were under different host weather).
-    "v8_semdedup": 304.34,
+    # r12: v8 removed from this tier (VERDICT r11 #3) — its sf1 floor
+    # in tools/bench_sf1.py remains the priced fixed-k reference.
     "v8b_semdedup_scaled_k": 21.66,
     "v9_int8_quantized_ann": 1.17,
     "v12_ivfpq_ann": 5.87,
