@@ -126,40 +126,47 @@ def test_generic_names_are_scoped_not_global():
 
 
 def test_chunk_pack_within_contract(spark):
-    from fhir_etl_spark.queries.capstone import _pack_chunk_id
+    from fhir_etl_spark.queries.capstone import _chunk_index_guard, _pack_chunk_id
 
     df = spark.createDataFrame(
         [(7, 0), (7, 99999), (3, 42)], "doc_id long, chunk_index long"
     )
     got = {
         r["cid"]
-        for r in df.select(
+        for r in df.where(_chunk_index_guard(F.col("chunk_index")))
+        .select(
             _pack_chunk_id(F.col("doc_id"), F.col("chunk_index")).alias("cid")
-        ).collect()
+        )
+        .collect()
     }
     assert got == {700000, 799999, 300042}
 
 
 def test_chunk_pack_overflow_raises_loudly(spark):
-    from fhir_etl_spark.queries.capstone import _pack_chunk_id
+    from fhir_etl_spark.queries.capstone import _chunk_index_guard, _pack_chunk_id
 
     df = spark.createDataFrame([(7, 100000)], "doc_id long, chunk_index long")
     with pytest.raises(Exception, match="USER_RAISED_EXCEPTION|chunk_index"):
-        df.select(
+        df.where(_chunk_index_guard(F.col("chunk_index"))).select(
             _pack_chunk_id(F.col("doc_id"), F.col("chunk_index")).alias("cid")
         ).collect()
 
 
-def test_chunk_pack_guard_stays_jvm_side(spark):
-    from fhir_etl_spark.queries.capstone import _pack_chunk_id
+def test_chunk_pack_guard_is_filter_only_and_jvm_side(spark):
+    """The guard must live ONLY in Filter nodes (one comparison per
+    chunk-source replay), never inside the cid expression: embedding
+    raise_error in cid let InferFiltersFromJoinKeys duplicate the
+    guarded CASE into isnotnull() filters and join-key projections —
+    measured 2× wall on c6 at sf10-shape. Pin the mechanism: no
+    isnotnull(CASE...) inference over the guard, every raise_error
+    line is a Filter, and the plan stays Python-free."""
+    from fhir_etl_spark.queries import all_queries
 
-    df = spark.range(10).select(
-        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("chunk_index")
-    )
-    plan = (
-        df.select(_pack_chunk_id(F.col("doc_id"), F.col("chunk_index")).alias("cid"))
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "Python" not in plan
+    df = all_queries()["c6_rag_pipeline"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "isnotnull(CASE WHEN" not in plan
+    for line in plan.splitlines():
+        if "raise_error" in line:
+            assert "Filter" in line, line[:160]
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in exec_plan

@@ -371,6 +371,14 @@ def run_shape_bench(
         attempt = 0
         while attempt < samples:
             attempt += 1
+            # r12: persist()-backed fan-out barriers (v14 emb, c5's three
+            # tables) survive across samples via cache-plan matching —
+            # without this, sample 2 measures a warm cache and the "best"
+            # silently becomes the serve path, not the query (v14 read
+            # 0.93 s where the cold build is 8.6 s). Warm stores stay
+            # warm by design (the `warm` pre-execution above is on-disk
+            # state, not session cache).
+            spark.catalog.clearCache()
             before = _shuffle_totals(spark)
             t0 = time.perf_counter()
             registry[name].fn(spark, cache).write.format("noop").mode(
