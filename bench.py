@@ -239,15 +239,15 @@ HEADLINE = [
 # start, the new wait_for_quiet_host hygiene) — most queries set
 # all-round bests, so the bar is now stricter than any prior round's.
 R03_FLOOR = {
-    "q1_pricing_summary": 0.576, "q3_shipping_priority": 0.772,
+    "q1_pricing_summary": 0.386, "q3_shipping_priority": 0.757,
     "q5_local_supplier_volume": 1.038, "q13_customer_distribution": 0.506,
     "w1_topk_per_group": 0.391, "e3_sessionization": 0.476,
-    "r1_asof_join_backward": 0.546, "t2_quality_score": 0.460,
+    "r1_asof_join_backward": 0.546, "t2_quality_score": 0.438,
     "d1_exact_dedup": 0.233, "d4x_minhash_lsh_xxh64": 1.561,
     "v1_cosine_topk": 0.507, "q9_profit_by_nation": 0.929,
-    "q21_waiting_suppliers": 1.006, "ds4_shard_shuffle": 0.253,
+    "q21_waiting_suppliers": 1.006, "ds4_shard_shuffle": 0.25,
     "t6_clean_corpus": 0.400, "d6_dedup_clusters": 3.387,
-    "y1_zorder_curve": 0.650, "d9_chunk_dedup": 1.070,
+    "y1_zorder_curve": 0.650, "d9_chunk_dedup": 0.991,
     "m2_image_decode": 2.038, "t12_lm_perplexity": 2.719,
     "d10_substring_dedup": 2.318,
     "m6_jpeg_decode": 2.424, "s12_warc_scan": 0.89,
@@ -258,14 +258,14 @@ R03_FLOOR = {
     # Spark's interpreted fallback runs ~12% behind the (un-JIT-able)
     # generated code — priced in, like v9's unroll cost; the setting
     # buys 2x on v9/d13/semdedup (A/B in SCALE.md round-10 notes)
-    "g3_triangle_count": 2.777,
+    "g3_triangle_count": 2.533,
     # v8's floor moved 3.83 -> 4.83 with the round-8 oversized-cluster
     # re-split: the cap probe (a bounded count over the checkpointed
     # clustering subtree) executes per build — the measured price of
     # never truncating the prune, on the same quiet run that set every
     # other floor
-    "v8_semdedup": 3.745, "s15_xlsx_scan": 0.96,
-    "y3_hilbert_curve": 1.144,
+    "v8_semdedup": 3.16, "s15_xlsx_scan": 0.96,
+    "y3_hilbert_curve": 1.081,
     "x14_kmv_quantiles": 1.703,
     # r08 first-appearance floors (quiet host, best-of-2)
     "t17_gopher_char_repetition": 1.293,
@@ -279,7 +279,7 @@ R03_FLOOR = {
     # tightened 1.90 -> 1.73 with the round-8 selectExpr conversion of
     # the quantize/dot construction (the py4j lesson; 1M smoke 18.7s
     # under loadavg 20, unchanged integers)
-    "v9_int8_quantized_ann": 0.873,
+    "v9_int8_quantized_ann": 0.657,
     "d12_lsh_bucket_keepers": 4.734,
     # r08 second-continuation first-appearance floors, measured at
     # loadavg ~2-4 (the host never quieted below 2 during this window;
@@ -295,33 +295,33 @@ R03_FLOOR = {
     # v11 5.375 -> 2.967, v12 6.704 -> 4.710 (bench-measured warm, sf0.1).
     "v11_pq_ann": 2.967,
     "w10_holt_trend": 0.543,
-    "s17_arrow_ipc_roundtrip": 0.598,
+    "s17_arrow_ipc_roundtrip": 0.545,
     "m14_scene_change": 6.162,
     "v12_ivfpq_ann": 4.710,
-    "t19_collocation_lift": 1.159,
-    "ds11_token_budget_mix": 0.34,
-    "y4_compaction": 2.364,
-    "dq3_referential_integrity": 1.319,
-    "t20_script_detection": 0.647,
-    "w11_ols_trend": 0.467,
-    "e9_sequence_pattern": 0.532,
-    "t21_stupid_backoff": 2.785,
-    "c1_curation_pipeline": 1.701,
+    "t19_collocation_lift": 1.125,
+    "ds11_token_budget_mix": 0.267,
+    "y4_compaction": 1.776,
+    "dq3_referential_integrity": 0.97,
+    "t20_script_detection": 0.533,
+    "w11_ols_trend": 0.331,
+    "e9_sequence_pattern": 0.43,
+    "t21_stupid_backoff": 2.461,
+    "c1_curation_pipeline": 1.57,
     "m15_exif_extract": 0.428,
-    "v13_binary_ann": 0.552,
+    "v13_binary_ann": 0.416,
     # g6's wall is ~12 peel rounds of tiny jobs — driver-latency
     # dominated, so it tracks host load more than data size
-    "g6_k_core": 3.054,
+    "g6_k_core": 2.201,
     # r09 first-appearance floors
     "t22_quality_classifier": 1.072,
-    "t23_bm25_topk": 1.246,
-    "t5b_nfkc_fold": 0.307,
+    "t23_bm25_topk": 1.1,
+    "t5b_nfkc_fold": 0.195,
     # d13's wall is ~7 doubling rounds of rank jobs + the LCP walk —
     # driver-latency dominated at sf0.1 (like g6), tracks host load.
     # r10 trim (width-2 base skips the vocabulary-rank round; the
     # uniqueness probe folded into the rank builder's offset collect):
     # 19.885 -> 17.215 measured at loadavg ~2.3
-    "d13_suffix_array_dedup": 14.557,
+    "d13_suffix_array_dedup": 13.965,
     # r10 first appearance, measured at loadavg ~2.4 after the round's
     # scale fixes (encoded HashAggregate argmin, pair-dot in projection,
     # hugeMethodLimit). At sf0.1's 1500 vectors the policy resolves to
@@ -329,21 +329,21 @@ R03_FLOOR = {
     # unrolled-distance chain's FLAT driver codegen cost (the v9 floor
     # lesson) + the bounded n count — both amortize at scale
     # (sf10-shape: 29.6 s vs v8's r09 546 s, BENCH_sf10_r10.json)
-    "v8b_semdedup_scaled_k": 4.96,
+    "v8b_semdedup_scaled_k": 4.621,
     # map-only page scan (strip/split/count/keep, pure codegen)
     "t24_html_extract": 0.894,
     # the QUERY-ONLY suffix-array path: stored-depths filter +
     # reassembly — vs the 19.9 s build floor above, the measured value
     # of persisting the build (store warmed untimed, like v11/v12)
-    "d13p_suffix_array_store": 1.196,
+    "d13p_suffix_array_store": 0.902,
     # 5 frozen-literal folds over one gram array + argmax chain;
     # measured under loadavg ~13 (conservative — quiet runs undercut)
-    "t22b_multiclass_classifier": 2.726,
+    "t22b_multiclass_classifier": 2.483,
     # extraction + scoring map-side, dedup groupBy + join-back; measured
     # under loadavg ~17 (conservative)
     "c2_web_curation_pipeline": 6.114,
     # map-only token-set intersect + contains chain
-    "t25_blocklist_gate": 0.517,
+    "t25_blocklist_gate": 0.297,
     # three keyed exchanges (line-digest agg, digest anti join, doc
     # reassembly); session floors below re-tightened from the quiet
     # full-bench run (loadavg ~2) that closed the session
@@ -351,10 +351,10 @@ R03_FLOOR = {
     # the SERVE path of the persisted BM25 index (postings-scan join +
     # top-k window; store warmed untimed like v11/v12/d13p) — vs t23's
     # 1.25 s build-per-invocation floor
-    "t23p_bm25_store": 0.834,
+    "t23p_bm25_store": 0.756,
     # kmeans (2 Lloyd rounds, broadcast centroids) + scalar join +
     # WindowGroupLimit cap; measured under loadavg ~6.8 (conservative)
-    "ds12_cluster_cap_sample": 1.461,
+    "ds12_cluster_cap_sample": 1.281,
     # typeset + extract round trip (two Arrow python stages, map-only);
     # measured under loadavg ~3.6
     "m16_pdf_text": 2.422,
@@ -364,15 +364,15 @@ R03_FLOOR = {
     # plan-build of the 64-fold array (the v9/v11 codegen-cost lesson —
     # warm re-execution is ~0.3 s); amortizes at scale (200k-doc smoke:
     # 6.8k docs/s end to end). Measured under loadavg ~6.
-    "v14_hashed_embedding_topk": 5.014,
+    "v14_hashed_embedding_topk": 2.449,
     # pair mining + CC dominate (the d6 subtree) + winner window +
     # singleton anti join; measured at loadavg ~1-4
     "c4_fuzzy_dedup_pipeline": 3.563,
     # two parquet writes + the explicit-schema read-back
-    "s18_schema_evolution": 1.215,
+    "s18_schema_evolution": 0.602,
     # map-only decorate+extract+posexplode (the 5.0 s first cut was the
     # unmaterialized-tokens trap: element_at re-tokenized per element)
-    "t27_sentence_split": 1.297,
+    "t27_sentence_split": 0.537,
     # v1's floor stays 0.507: the session's selectExpr dot-construction
     # fix brought it back under the bar (0.72 at loadavg ~2) after the
     # py4j-latency inflation the r08 continuation runs recorded.
@@ -381,16 +381,26 @@ R03_FLOOR = {
     # c5's floor is POST-FIX: the round's lineage barriers + the t2
     # gate cut it from 60.8 s (r11 session-1 shape, re-executing the
     # WARC->extract->line-dedup prefix once per consumer) to 11.9.
-    "c5_capstone_curation": 11.909,
+    "c5_capstone_curation": 9.752,
     "t13p_bpe_store": 2.134,
     "ds13_bpe_token_budget": 2.273,
     # v16's wall is dominated by the dense arm's one-time plan build
     # (the v14 64-fold lesson; warm re-execution is sub-second) on top
     # of the t23 index build
-    "v16_rrf_hybrid": 6.212,
-    "c6_rag_pipeline": 2.215,
-    "d14_contamination_report": 1.99,
-    "x16_count_min_sketch": 2.403,
+    "v16_rrf_hybrid": 4.124,
+    "c6_rag_pipeline": 2.195,
+    "d14_contamination_report": 1.018,
+    "x16_count_min_sketch": 2.237,
+    # r12 first-appearance floors (closing cold-cache run)
+    "w9_ewma": 0.45,
+    "g5_label_propagation": 3.532,
+    "ds10_dsir_importance": 1.785,
+    "t18_ccnet_buckets": 3.197,
+    "v10_mmr_rerank": 1.817,
+    "s16_orc_roundtrip": 0.326,
+    "d3p_jaccard_prefix_filter": 6.002,
+    "t22q_learned_quality_gate": 1.622,
+    "c5b_capstone_learned_gate": 11.699,
 }
 
 

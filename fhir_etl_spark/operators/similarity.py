@@ -2128,8 +2128,8 @@ def hashed_embedding(
     # everything). The conditional-sum form keeps the whole build in
     # whole-stage codegen: dim branch-free compare-adds per gram row,
     # map-side partial combine, one exchange of docs rows × dim longs
-    # — the embedding table itself. Measured 6.5 s end-to-end, 7.8×
-    # the r11 fold.
+    # — the embedding table itself. Committed artifact: 9.0 s at
+    # sf10-shape, 5.6× the r11 fold (BENCH_sf10_r12.json).
     bucketed = exploded.withColumn(
         "_h", F.md5(F.concat(F.lit(salt), F.col("_g")).cast("binary"))
     ).select(

@@ -1032,13 +1032,16 @@ def v14_hashed_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing embeddings + cosine retrieval — where embeddings
     COME FROM before a trained encoder exists (Weinberger 2009; the
     fastText sentence-vector construction): signed hashed 1+2-gram
-    counts per document (map-only codegen: one md5 per gram, dim=64
-    integer folds, no explode/shuffle/Python), then integer dot/norms
-    against a literal query vector and one correctly-rounded float step
-    for the cosine (the t2 single-division argument → bit-exact
-    oracle). Top-10 via TakeOrderedAndProject. Composes with every
-    v-tier consumer (v1 brute force, v5 banding, v9 quantization) as
-    the corpus bootstrap embedding."""
+    counts per document (r12 shape: one md5 per gram, ONE codegen
+    hash-aggregation of dim conditional sums whose exchange is the
+    embedding table itself — 50.5 → 9.7 s at sf10-shape; see
+    operators/similarity.hashed_embedding for the two measured-and-
+    rejected shapes), then integer dot/norms against a literal query
+    vector and one correctly-rounded float step for the cosine (the t2
+    single-division argument → bit-exact oracle). Top-10 via
+    TakeOrderedAndProject. Composes with every v-tier consumer (v1
+    brute force, v5 banding, v9 quantization) as the corpus bootstrap
+    embedding."""
     from fhir_etl_spark.operators.similarity import (
         hashed_embedding,
         hashed_embedding_topk,

@@ -98,7 +98,7 @@ def test_topk_plan_take_ordered_one_exchange_partial_agg(spark):
     embedding table itself (docs × dim longs) — with map-side partial
     combine (partial_sum), so the gram stream never crosses the wire.
     (The r11 shape was zero-exchange but paid dim interpreted HOF folds
-    per doc — measured 7.8× slower at sf10-shape.)"""
+    per doc — measured 5.6× slower at sf10-shape.)"""
     df = spark.createDataFrame(
         [(i, f"word{i} filler text") for i in range(20)],
         "doc_id long, text string",

@@ -104,14 +104,30 @@ SF10_FLOOR: dict[str, float] = {
     # r12: v8 removed from this tier (VERDICT r11 #3) — its sf1 floor
     # in tools/bench_sf1.py remains the priced fixed-k reference.
     "v8b_semdedup_scaled_k": 21.66,
-    "v9_int8_quantized_ann": 1.17,
-    "v12_ivfpq_ann": 5.87,
+    "v9_int8_quantized_ann": 0.81,
+    "v12_ivfpq_ann": 4.88,
     "t17_gopher_char_repetition": 8.47,
     # t26 first appearance at 100x: 500k pages -> 2.5M lines through
     # digest doc-freq agg + anti join + reassembly in 8.12 s with
     # 562 MB shuffle read=write (the line stream in key-partial form;
     # raw page text never shuffles twice) - linear by construction.
     "t26_line_dedup": 8.12,
+    # r12 floors — first appearance under the cold-cache sample
+    # protocol (clearCache per sample; persist-backed barriers rebuild
+    # every sample, warm STORES stay warm). v14/v16 reflect the
+    # conditional-sum embedding build (50.5 -> 9.0 s); c5 the persist
+    # barriers (112.2 -> 69.4 s); c4's r11 85.2 s was host-inflated
+    # (the unchanged-code r12 best is 24.2 s).
+    "c2_web_curation_pipeline": 29.53,
+    "c4_fuzzy_dedup_pipeline": 24.15,
+    "c5_capstone_curation": 69.44,
+    "ds12_cluster_cap_sample": 3.94,
+    "v14_hashed_embedding_topk": 8.99,
+    "t23p_bm25_store": 2.30,
+    "t13p_bpe_store": 5.99,
+    "ds13_bpe_token_budget": 6.41,
+    "v16_rrf_hybrid": 15.48,
+    "c6_rag_pipeline": 13.15,
 }
 
 
