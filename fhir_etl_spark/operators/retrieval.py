@@ -63,23 +63,38 @@ def bm25_index(
     - ``stats``: single row (n_docs, total_tokens, avgdl_milli) —
       bounded by construction, broadcast into scoring.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
-    )
-    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl (the doc's token count) is known MAP-SIDE before the explode —
+    # carry it WITH each token row instead of re-aggregating the full
+    # token stream and joining back (the ngram_jaccard_pairs carried-
+    # size trick): this removes one token-stream-sized aggregation AND
+    # the postings⋈dl shuffle join (r12 — measured 22.4 → 13.9 s cold
+    # for the v16 sparse arm at sf10-shape). dl rides in the grouping
+    # key (functionally dependent on id — zero extra groups); stats is
+    # a 1-row map-side-combined aggregate over the corpus scan, no
+    # exchange. explode_outer + isNotNull: the inner-explode inferred
+    # size()>0 filter would re-inline the tokenizer below the
+    # projection (the doc_shingles lesson).
+    toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_t"))
+    toks = toked.select(
+        "id", F.size("_t").alias("dl"), F.explode_outer("_t").alias("term")
+    ).where(F.col("term").isNotNull())
     postings = (
-        toks.groupBy("id", "term")
+        toks.groupBy("id", "term", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .join(dl, "id")
+        .select("id", "term", "tf", "dl")
     )
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_tokens"),
-    ).select(
-        "n_docs",
-        "total_tokens",
-        F.expr("(1000 * total_tokens) div n_docs").alias("avgdl_milli"),
+    stats = (
+        toked.where(F.size("_t") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("_t")).alias("total_tokens"),
+        )
+        .select(
+            "n_docs",
+            "total_tokens",
+            F.expr("(1000 * total_tokens) div n_docs").alias("avgdl_milli"),
+        )
     )
     return postings, dfreq, stats
 
