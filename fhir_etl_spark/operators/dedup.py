@@ -5,8 +5,9 @@ Scale design:
 - Exact dedup is a hash-groupBy on a content digest — one shuffle on the
   digest, never on the raw text.
 - MinHash signatures come from ONE explode of shingles and ONE groupBy with
-  `num_hashes` min-aggregates (xxhash64 seeded per hash function) — the
-  shuffle carries (doc_id, shingle_hash) pairs, not text.
+  `num_hashes` min-aggregates over an affine family derived from ONE base
+  hash per shingle (h1 + i·h2; see `_base_halves`) — the shuffle carries
+  (doc_id, half-hash) pairs, not text, and the string is hashed once.
 - LSH banding turns near-dup search from O(n²) into a self-join on
   (band_index, band_hash) buckets; only bucket-mates are compared.
 - Exact Jaccard (the verifier for LSH candidates) joins on shared shingles
@@ -89,16 +90,34 @@ def doc_shingles(
     ).where(F.col("shingle").isNotNull())
 
 
-def _seeded_hash(col: Column, seed: int, hash_fn: str) -> Column:
-    """Seeded shingle hash for MinHash. ``xxhash64`` (default, fastest,
-    JVM-only) or ``md5`` (hex string — slower, but DuckDB computes the
-    identical value, which is what makes the d4 gate query value-oracled:
-    MinHash only needs SOME total order per hash function, and min() over
-    md5 hex strings is a valid one on both engines)."""
+def _base_halves(col: Column, hash_fn: str) -> tuple[Column, Column]:
+    """(h1, h2): two independent 32-bit halves of ONE base hash of the
+    shingle — the whole MinHash family derives from them as
+    ``h_i = h1 + i·h2`` (Kirsch–Mitzenmacher double hashing, the scheme
+    the datasketch library uses with an affine family over one SHA-1).
+    One string hash per shingle instead of ``num_hashes`` seeded
+    re-hashes of the full string: the i-th permutation costs one long
+    multiply-add inside the min-aggregate, and ``max h_i =
+    32·(2³²−1) < 2³⁷`` so the arithmetic never overflows a BIGINT in
+    either engine — which is what keeps the ``md5`` twin value-oracled
+    (DuckDB parses the same two hex halves and replays the same
+    integer min).
+
+    ``xxhash64`` (production default): halves are the low/high 32 bits
+    of the one 64-bit hash. ``md5``: halves parse hex chars 1–8 / 9–16
+    of the one digest."""
     if hash_fn == "xxhash64":
-        return F.xxhash64(F.lit(seed), col)
+        base = F.xxhash64(col)
+        return (
+            base.bitwiseAND(F.lit(0xFFFFFFFF)),
+            F.shiftrightunsigned(base, 32),
+        )
     if hash_fn == "md5":
-        return F.md5(F.concat_ws(":", F.lit(str(seed)), col))
+        hx = F.md5(col)
+        return (
+            F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"),
+            F.conv(F.substring(hx, 9, 8), 16, 10).cast("long"),
+        )
     raise ValueError(f"unknown hash_fn: {hash_fn!r} (want 'xxhash64' or 'md5')")
 
 
@@ -110,23 +129,32 @@ def minhash_signatures(
     k: int = 3,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, sig ARRAY[num_hashes]) — column-i is
-    min(hash(seed=i, shingle)) over the doc's shingles.
+    """(doc_id, sig ARRAY<BIGINT>[num_hashes]) — column-i is
+    min(h1 + i·h2) over the doc's shingles, with (h1, h2) the two
+    32-bit halves of ONE base hash per shingle (:func:`_base_halves`).
 
-    One explode + one groupBy; each hash function is the same seeded hash
-    with a distinct literal seed, so all num_hashes minima come out of a
-    single aggregation pass (partial aggregation runs map-side).
-    ``hash_fn='xxhash64'`` is the production default (BIGINT components);
-    ``'md5'`` yields hex-string components with a DuckDB twin (see
-    :func:`_seeded_hash`) — same estimator, oracle-able.
+    One explode + one groupBy; the num_hashes minima come out of a
+    single aggregation pass (partial aggregation runs map-side), and the
+    per-permutation cost is one long multiply-add — NOT a re-hash of the
+    shingle string (the round-12 change: the old seeded form paid
+    num_hashes full string hashes per shingle and was the measured
+    dominant cost of every MinHash-family query at the sf10 tier).
+    ``hash_fn='xxhash64'`` is the production default; ``'md5'`` derives
+    the identical family from the md5 digest so DuckDB replays every
+    component exactly (the d4/d12 value oracles). The halves are
+    PROJECTED columns (not inlined into each aggregate): Catalyst does
+    no CSE across aggregate children, so inlining would re-hash per
+    permutation — the same trap shingles_from_tokens documents.
     """
     exploded = doc_shingles(df, id_col, text_col, k)
+    h1, h2 = _base_halves(F.col("shingle"), hash_fn)
+    halved = exploded.select(F.col(id_col), h1.alias("_h1"), h2.alias("_h2"))
     aggs = [
-        F.min(_seeded_hash(F.col("shingle"), i, hash_fn)).alias(f"h{i}")
+        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
-    return exploded.groupBy(id_col).agg(*aggs).select(id_col, sig.alias("sig"))
+    return halved.groupBy(id_col).agg(*aggs).select(id_col, sig.alias("sig"))
 
 
 def banded_buckets(
@@ -149,7 +177,12 @@ def banded_buckets(
         if hash_fn == "xxhash64":
             return F.xxhash64(sl)
         if hash_fn == "md5":
-            return F.md5(F.array_join(sl, "|"))
+            # components are BIGINT (round 12); long→string casts agree
+            # between Spark and DuckDB, so the md5-over-joined-decimals
+            # bucket stays value-oracled
+            return F.md5(
+                F.array_join(F.transform(sl, lambda x: x.cast("string")), "|")
+            )
         raise ValueError(f"unknown hash_fn: {hash_fn!r} (want 'xxhash64' or 'md5')")
 
     # loud guard on the band geometry: if bands × rows_per_band exceeds
@@ -313,8 +346,8 @@ def lsh_candidate_pairs(
 
     ``hash_fn`` must match the one the signatures were built with:
     ``xxhash64`` buckets are BIGINT hashes of the band slice; ``md5``
-    buckets are md5 over the '|'-joined band components (hex strings),
-    the DuckDB-replayable twin (see :func:`_seeded_hash`).
+    buckets are md5 over the '|'-joined band components (BIGINTs cast to
+    string), the DuckDB-replayable twin (see :func:`_base_halves`).
     """
 
     banded = banded_buckets(signatures, id_col, bands, rows_per_band, hash_fn)
@@ -893,6 +926,108 @@ def chunk_dedup(
             .cast("long")
             .alias("n_removed"),
         )
+    )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 2,
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunk dedup — :func:`chunk_dedup`'s keeper policy
+    over CONTENT-DEFINED boundaries (the LBFS/FastCDC idea on a token
+    stream): a chunk boundary falls after token i exactly where the
+    w-token gram ending at i hashes to 0 mod ``divisor``, so boundaries
+    are a pure function of local content. That is what fixed-width
+    chunking can't give you: insert one token near the front of a
+    near-copy and every downstream fixed-width chunk shifts (zero
+    dedup); content-defined boundaries RESYNC right after the edit, so
+    the shared tail still collapses (pinned by
+    tests/test_cdc_chunking.py's insertion-resync test).
+
+    Expected chunk length ≈ ``divisor`` tokens (geometric: each
+    candidate position cuts with probability 1/divisor). md5-derived
+    boundary hash (one md5 of the w-gram per position, the
+    :func:`_base_halves` low half) so DuckDB replays boundaries
+    bit-exactly; at 100 TB swap in xxhash64 exactly as d9/d10 document
+    for their gram keys — the chunk-grain shuffle shape is unchanged.
+
+    Plan shape: boundary detection + chunk slicing are map-only HOFs
+    over the projected token array (no shuffle, whole-stage codegen);
+    then the same three exchanges as :func:`chunk_dedup` (keeper
+    groupBy on the chunk, join back, per-doc reassembly). Returns the
+    TOTAL contract (doc_id, clean_text, n_removed, n_chunks) — empty
+    docs read back ('', 0, 0) via the left join, never vanish.
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
+    # boundary candidates i ∈ [w, n−1] (1-based; a cut after token n−1
+    # at the earliest leaves a non-empty final chunk, and positions
+    # before w have no full gram). sequence(w, n−1) would DESCEND for
+    # n ≤ w — guard with an explicit empty branch (the shingling rule).
+    gram_hash = lambda i: F.conv(  # noqa: E731 — bound once below
+        F.substring(F.md5(F.array_join(F.slice("_toks", i - (w - 1), w), " ")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    cuts = F.when(
+        n >= w + 1,
+        F.filter(
+            F.sequence(F.lit(w), n - 1),
+            lambda i: gram_hash(i) % divisor == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounded = toked.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.concat(F.array(F.lit(0)), cuts, F.array(n)).alias("_bounds"),
+    )
+    # _bounds is a PROJECTED column (Catalyst does no CSE inside HOF
+    # lambdas — the shingles_from_tokens rule), read O(1) per element.
+    chunk_structs = F.when(
+        F.size("_toks") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_bounds") - 1),
+            lambda j: F.struct(
+                (j - 1).cast("int").alias("pos"),
+                F.array_join(
+                    F.slice(
+                        "_toks",
+                        F.element_at("_bounds", j) + 1,
+                        F.element_at("_bounds", j + 1) - F.element_at("_bounds", j),
+                    ),
+                    " ",
+                ).alias("chunk"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,chunk:string>>"))
+    chunks = (
+        bounded.select(F.col(id_col), F.explode_outer(chunk_structs).alias("c"))
+        .where(F.col("c").isNotNull())
+        .select(id_col, "c.pos", "c.chunk")
+    )
+    keepers = chunks.groupBy("chunk").agg(F.min(id_col).alias("_keeper"))
+    marked = chunks.join(keepers, "chunk").withColumn(
+        "_keep", F.col(id_col) == F.col("_keeper")
+    )
+    kept_struct = F.when(F.col("_keep"), F.struct("pos", "chunk"))
+    reb = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1)).cast("long").alias("n_removed"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+    )
+    return df.select(id_col).join(reb, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
     )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fhir_etl_spark.operators.dedup import (
+    cdc_chunk_dedup,
     chunk_dedup,
     exact_dedup,
     lsh_candidate_pairs,
@@ -197,12 +198,37 @@ def d7_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 32 min-aggregates, 8-band bucketing, candidate pairs, agreement fraction
 # — in DuckDB SQL. Production default stays xxhash64 (BIGINT, faster).
 _NH, _BANDS, _RPB = 32, 8, 4
+def _mh_hex_half(start: int) -> str:
+    """DuckDB replay of Spark's conv(substr(md5, start, 8), 16, 10): an
+    8-nibble hex parse (DuckDB has no conv(); the d5 oracle pioneered the
+    strpos-nibble trick). ≤ 2³²−1, so plain BIGINT arithmetic."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {start + j}, 1)) - 1)::BIGINT"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+
+
+# Round 12: the affine MinHash family (one md5 per shingle, halves h1/h2,
+# h_i = h1 + i·h2 — Kirsch–Mitzenmacher double hashing, the datasketch
+# scheme) replaces the 32-seeded-md5 form: the Spark side hashes each
+# shingle string ONCE instead of 32 times (the measured dominant cost of
+# the whole MinHash tier at the sf10 shape), and the oracle replays the
+# identical integer minima.
+_MH_HALVES = (
+    f"SELECT doc_id, {_mh_hex_half(1)} AS h1, {_mh_hex_half(9)} AS h2\n"
+    "      FROM (SELECT doc_id, md5(shingle) AS hx FROM sh)"
+)
 _MH_AGGS = ",\n             ".join(
-    f"min(md5(concat('{i}:', shingle))) AS h{i}" for i in range(_NH)
+    f"min(h1 + {i} * h2) AS h{i}" for i in range(_NH)
 )
 _BAND_SELECTS = "\n      UNION ALL ".join(
+    # h{i} are BIGINTs; CAST matches Spark's long→string exactly
     "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(
-        b=b, cols=", ".join(f"h{i}" for i in range(b * _RPB, (b + 1) * _RPB))
+        b=b,
+        cols=", ".join(
+            f"CAST(h{i} AS VARCHAR)" for i in range(b * _RPB, (b + 1) * _RPB)
+        ),
     )
     for b in range(_BANDS)
 )
@@ -215,9 +241,11 @@ _D4_ORACLE = f"""
       SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
       FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
       WHERE len(t) >= 3
+    ), shh AS (
+      {_MH_HALVES}
     ), sig AS (
       SELECT doc_id, {_MH_AGGS}
-      FROM sh GROUP BY doc_id
+      FROM shh GROUP BY doc_id
     ), banded AS (
       {_BAND_SELECTS}
     ), pairs AS (
@@ -251,9 +279,11 @@ _D12_ORACLE = f"""
       SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
       FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
       WHERE len(t) >= 3
+    ), shh AS (
+      {_MH_HALVES}
     ), sig AS (
       SELECT doc_id, {_MH_AGGS}
-      FROM sh GROUP BY doc_id
+      FROM shh GROUP BY doc_id
     ), content AS (
       {_BAND_SELECTS}
     ), banded AS (
@@ -390,6 +420,65 @@ def d9_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_dedup; RefinedWeb-style line dedup on a line-less corpus)."""
     docs = load_tables(spark, sf_dir, "documents")
     return chunk_dedup(docs, chunk_tokens=10)
+
+
+# --- d15: content-defined chunk dedup -------------------------------------
+# The boundary hash is the md5 low half (_mh_hex_half replays Spark's
+# conv(substr(md5, 1, 8), 16, 10)); w=2, divisor=8 → ~8-token expected
+# chunks. The oracle replays boundary detection, chunk slicing, the
+# keeper election, and the positional reassembly end to end.
+_D15_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, i, md5(array_to_string(t[i-1:i], ' ')) AS hx
+      FROM toks, unnest(generate_series(2, len(t) - 1)) AS s(i)
+      WHERE len(t) >= 3
+    ), cuts AS (
+      SELECT doc_id, i FROM g WHERE ({_mh_hex_half(1)}) % 8 = 0
+    ), bounded AS (
+      SELECT toks.doc_id, t,
+             list_concat(list_concat([0], coalesce(cs.cs, [])), [len(t)]) AS bounds
+      FROM toks LEFT JOIN (
+        SELECT doc_id, list_sort(list(i)) AS cs FROM cuts GROUP BY doc_id
+      ) cs ON toks.doc_id = cs.doc_id
+    ), chunks AS (
+      SELECT doc_id, CAST(j - 1 AS INT) AS pos,
+             array_to_string(t[bounds[j]+1 : bounds[j+1]], ' ') AS chunk
+      FROM bounded, unnest(generate_series(1, len(bounds) - 1)) AS u(j)
+      WHERE len(t) > 0
+    ), keepers AS (
+      SELECT chunk, min(doc_id) AS keeper FROM chunks GROUP BY chunk
+    ), marked AS (
+      SELECT c.doc_id, c.pos, c.chunk, (c.doc_id = k.keeper) AS keep
+      FROM chunks c JOIN keepers k USING (chunk)
+    ), reb AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY pos) AS clean_text,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+             CAST(count(*) AS BIGINT) AS n_chunks
+      FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(reb.clean_text, '') AS clean_text,
+           coalesce(reb.n_removed, 0) AS n_removed,
+           coalesce(reb.n_chunks, 0) AS n_chunks
+    FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+    """
+
+
+@query("d15_cdc_chunk_dedup", oracle=_D15_ORACLE, tags=("dedup", "text"))
+def d15_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (LBFS/FastCDC boundaries on the token
+    stream): a boundary falls where the 2-gram ending at a position
+    hashes ≡ 0 mod 8, so chunking RESYNCS after an insertion and the
+    shared tail of a near-copy still collapses — the property
+    fixed-width d9 structurally lacks (operators/dedup.cdc_chunk_dedup;
+    resync pinned by tests/test_cdc_chunking.py). Same keeper policy and
+    exchange count as d9; boundary detection itself is map-only."""
+    docs = load_tables(spark, sf_dir, "documents")
+    return cdc_chunk_dedup(docs, w=2, divisor=8)
 
 
 # --- g2 oracle: unrolled fixed-iteration PageRank -------------------------
