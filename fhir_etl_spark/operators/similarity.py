@@ -2055,6 +2055,67 @@ def binary_hamming_topk(
     )
 
 
+def cascade_hamming_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    candidates: int = 32,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage retrieval cascade — the standard deployment recipe for
+    brute-force-quality results at compressed-scan cost: stage 1 scans
+    the 1-bit sign sketches (:func:`binary_hamming_topk`, 32× smaller
+    than float32) for the Hamming top-``candidates`` per query; stage 2
+    re-ranks ONLY those candidates with the exact rounded cosine
+    (cosine_topk's discipline: round 6 dp before ranking, id
+    tie-break). Recall loss is confined to true neighbors the binary
+    stage misses; the planted-structure test and the v17 value oracle
+    pin both stages end to end.
+
+    Scale shape: the float corpus is never cross-joined — stage 1 is
+    the compact-sketch scan (corpus stays put, queries broadcast,
+    rank-k trims map-side), and stage 2 touches |queries|·candidates
+    rows, fetched by BROADCASTING the candidate id list into a
+    map-side semi-join against the corpus (no corpus shuffle at any
+    point). At 100 TB the sketch table is the only full scan; the
+    rerank reads ~thousands of rows."""
+    cands = binary_hamming_topk(
+        corpus, queries, k=candidates, dim=dim,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        _norm(F.col(vec_col)).alias("_cnorm"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        _norm(F.col(vec_col)).alias("_qnorm"),
+    )
+    pair_dot = (
+        unrolled_pair_dot("_cvec", "_qvec", dim)
+        if dim is not None
+        else _dot(F.col("_cvec"), F.col("_qvec"))
+    )
+    scored = (
+        c.join(F.broadcast(cands), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(pair_dot / (F.col("_cnorm") * F.col("_qnorm")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def hashed_embedding(
     df: DataFrame,
     dim: int = 64,

@@ -422,6 +422,107 @@ def kmv_distinct_estimate(
     return sketches.select(*group_cols, est.alias("distinct_est"))
 
 
+def kmv_set_relations(
+    sketches: DataFrame, group_col: str, k: int | None = None
+) -> DataFrame:
+    """Pairwise set-relation estimates between groups' bottom-k sketches
+    → (group_a, group_b, union_est, inter_est, jaccard_est) for every
+    group pair (a < b) — the theta-sketch set-operation idea (Dasgupta
+    et al. 2016) on the engine's deterministic KMV construction.
+
+    The estimators, all deterministic given the md5 order so the whole
+    read value-oracles:
+
+    - min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)) EXACTLY (the
+      mergeability law kmv_merge pins), so the union sketch comes from
+      the two sample arrays alone;
+    - ``union_est`` = the x15 estimator (k−1)/U_(k) on the union
+      sketch — exact count when the union sketch holds < k entries
+      (both inputs were complete);
+    - ``jaccard_est`` = ρ/k_u where ρ counts union-sketch entries
+      present in BOTH samples — within min-k of the union, membership
+      in each side's sample is decidable exactly, so ρ/k_u is the
+      standard KMV Jaccard estimator;
+    - ``inter_est`` = jaccard_est · union_est (inclusion through the
+      union estimate, the theta-sketch composition).
+
+    Why this is a 100 TB operator: comparing two crawls for overlap
+    costs two O(k)-row sketch reads and O(k) array math per pair —
+    never a join of the corpora. Sketches build once per
+    snapshot/partition (kmv_sample_sketch's two-phase shape), merge
+    exactly, and answer every pairwise overlap question afterwards.
+    The pair enumeration is over GROUPS (sources, snapshots) — a
+    bounded dimension table, not data."""
+    has_k = "k" in sketches.columns
+    if k is None and not has_k:
+        raise ValueError("kmv_set_relations: sketches carry no 'k' column — pass k")
+    if has_k and k is not None:
+        sketches = sketches.withColumn(
+            "k",
+            F.when(
+                F.col("k") != k,
+                F.raise_error(
+                    F.concat(
+                        F.lit("kmv_set_relations: sketch built with k="),
+                        F.col("k").cast("string"),
+                        F.lit(f" but k={k} requested"),
+                    )
+                ),
+            ).otherwise(F.col("k")),
+        )
+    k_expr = F.col("_k") if has_k else F.lit(k)
+    base_cols = [
+        F.col(group_col),
+        F.transform("sample", lambda s: s["h"]).alias("_hs"),
+    ] + ([F.col("k").alias("_k")] if has_k else [])
+    base = sketches.select(*base_cols)
+    a = base.select(
+        F.col(group_col).alias("group_a"),
+        F.col("_hs").alias("_ha"),
+        *([F.col("_k")] if has_k else []),
+    )
+    b = base.select(
+        F.col(group_col).alias("group_b"), F.col("_hs").alias("_hb")
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    hu = F.slice(
+        F.array_sort(F.array_union("_ha", "_hb")), 1, k_expr
+    )
+    paired = pairs.select(
+        "group_a",
+        "group_b",
+        F.col("_ha"),
+        F.col("_hb"),
+        hu.alias("_hu"),
+        *([F.col("_k")] if has_k else []),
+    )
+    k_u = F.size("_hu")
+    rho = F.size(
+        F.filter(
+            "_hu",
+            lambda h: F.array_contains(F.col("_ha"), h)
+            & F.array_contains(F.col("_hb"), h),
+        )
+    )
+    # the x15 hash-fraction discipline: first 13 hex chars (52 bits) so
+    # the double arithmetic is bit-exact across engines
+    u_frac = (
+        F.conv(F.substring(F.element_at("_hu", -1), 1, 13), 16, 10).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    union_est = F.when(k_u < k_expr, k_u.cast("double")).otherwise(
+        (k_expr - 1).cast("double") / u_frac
+    )
+    jaccard_est = rho.cast("double") / k_u.cast("double")
+    return paired.select(
+        "group_a",
+        "group_b",
+        union_est.alias("union_est"),
+        (jaccard_est * union_est).alias("inter_est"),
+        jaccard_est.alias("jaccard_est"),
+    )
+
+
 def cms_counters(
     df: DataFrame,
     value_col: str,

@@ -599,6 +599,74 @@ def x15_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_estimate(sk, ["l_returnflag"], k=64)
 
 
+# --- x17: KMV set-relation estimates between corpus slices ----------------
+# Element identity = md5(text) (the content digest); the sketch hashes it
+# once more (kmv_sample_sketch's md5-of-row-key), so the oracle's
+# md5(md5(text)) replays the identical bottom-k order. k=128; estimator
+# discipline identical to x15 (52-bit hash fraction, exact-when-unsaturated).
+_X17_K = 128
+_X17_EST = (
+    f"CASE WHEN ku < {_X17_K} THEN CAST(ku AS DOUBLE) "
+    f"ELSE {_X17_K - 1}.0 / (CAST(concat('0x', substr(hu[{_X17_K}], 1, 13)) "
+    "AS UBIGINT) / 4503599627370496.0) END"
+)
+_X17_ORACLE = f"""
+    WITH idn AS (
+      SELECT DISTINCT source, md5(md5(text)) AS hh FROM documents
+    ), rk AS (
+      SELECT source, hh,
+             row_number() OVER (PARTITION BY source ORDER BY hh) AS rk
+      FROM idn
+    ), sk AS (
+      SELECT source, list_sort(list(hh)) AS hs
+      FROM rk WHERE rk <= {_X17_K} GROUP BY source
+    ), pr AS (
+      SELECT a.source AS group_a, b.source AS group_b, a.hs AS ha, b.hs AS hb
+      FROM sk a JOIN sk b ON a.source < b.source
+    ), m AS (
+      SELECT group_a, group_b, ha, hb,
+             list_sort(list_distinct(list_concat(ha, hb)))[1:{_X17_K}] AS hu
+      FROM pr
+    ), c AS (
+      SELECT group_a, group_b, hu, len(hu) AS ku,
+             len(list_filter(hu, x -> list_contains(ha, x)
+                                  AND list_contains(hb, x))) AS rho
+      FROM m
+    ), est AS (
+      SELECT group_a, group_b,
+             {_X17_EST} AS union_est,
+             CAST(rho AS DOUBLE) / ku AS jaccard_est
+      FROM c
+    )
+    SELECT group_a, group_b, union_est,
+           jaccard_est * union_est AS inter_est, jaccard_est
+    FROM est
+    """
+
+
+@query("x17_kmv_corpus_overlap", oracle=_X17_ORACLE, tags=("sketch", "agg"))
+def x17_kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-overlap estimates between document sources from
+    bottom-k sketches alone (theta-sketch set operations on the KMV
+    construction): |A∪B|, |A∩B|, and Jaccard per source pair, computed
+    from O(k) sample arrays — the corpora are never joined. The sketch
+    builds once per slice and merges exactly, so at 100 TB "how much
+    does this crawl overlap last month's" is a sketch-table read, not a
+    scan (operators/sketch.kmv_set_relations). Value-oracled end to end
+    including the float estimators (x15's 52-bit discipline)."""
+    from fhir_etl_spark.operators.sketch import kmv_sample_sketch, kmv_set_relations
+
+    documents = load_tables(spark, sf_dir, "documents")
+    ident = documents.select(
+        "source", F.md5("text").alias("dg"), F.lit(0.0).alias("_zero")
+    )
+    sk = kmv_sample_sketch(
+        ident, group_cols=["source"], value_col="_zero",
+        row_key_cols=["dg"], k=_X17_K,
+    )
+    return kmv_set_relations(sk, "source")
+
+
 @query(
     "dq3_referential_integrity",
     oracle="""

@@ -569,3 +569,106 @@ def ds12_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = kmeans_assign(embeddings, k=8, n_iterations=2)
     quality = documents.select("doc_id", quality_score("text").alias("quality"))
     return cluster_cap_sample(clusters, quality, per_cluster=40)
+
+
+# --- ds14: length-bucketed batch assembly ---------------------------------
+# Deterministic trainer-side batching: docs bucket by token-length bin,
+# shard by doc_id mod 16 (the scale story: per-(bucket, shard) windows —
+# a batch assembler must NEVER need a global sort; one shard's ordering
+# is one task), batches of 16 fill in doc_id order, and each batch pads
+# to its own max length. The report prices that padding: per bucket,
+# padded_tokens vs real tokens. Every assignment is a pure function of
+# (doc_id, n_tokens), so the oracle replays row-level batch membership
+# and the exact integer padding arithmetic.
+_DS14_TOKS = "list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
+_DS14_BATCH = 16
+_DS14_BOUNDS = (16, 32, 64, 128, 256)
+_DS14_BUCKET_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN n < {b} THEN {0 if i == 0 else _DS14_BOUNDS[i - 1]}"
+        for i, b in enumerate(_DS14_BOUNDS)
+    )
+    + f" ELSE {_DS14_BOUNDS[-1]} END"
+)
+
+
+@query(
+    "ds14_length_bucket_batches",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len({_DS14_TOKS}) AS n FROM documents
+    ), nz AS (
+      SELECT doc_id, n, {_DS14_BUCKET_SQL} AS bucket, doc_id % 16 AS shard
+      FROM toks WHERE n >= 1
+    ), rk AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket, shard
+                                   ORDER BY doc_id) AS rn
+      FROM nz
+    ), pb AS (
+      SELECT bucket, shard, (rn - 1) // {_DS14_BATCH} AS batch,
+             count(*) AS cnt, max(n) AS mx, sum(n) AS sm
+      FROM rk GROUP BY bucket, shard, batch
+    )
+    SELECT bucket,
+           CAST(sum(cnt) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(sm) AS BIGINT) AS total_tokens,
+           CAST(sum(mx * cnt) AS BIGINT) AS padded_tokens,
+           CAST(sum(mx * cnt) AS BIGINT) / CAST(sum(sm) AS BIGINT)
+             AS pad_overhead
+    FROM pb GROUP BY bucket
+    """,
+    tags=("datasets", "batching"),
+)
+def ds14_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly with padding-waste pricing — the
+    trainer-side step after packing/sampling: bucket docs by
+    token-length bin (CASE literals, not floor(log2(·)) — float log at
+    power-of-two boundaries is engine-dependent), assemble batches of
+    16 in doc_id order within (bucket, shard=doc_id%16), pad each batch
+    to its own max. Per-bucket padded-vs-real token accounting shows
+    what bucketing saves over naive global padding. The shard key keeps
+    every window task-local (no global sort anywhere — the kmv
+    two-phase lesson applied to batching); integer DIV batch indexing
+    replays exactly in both engines."""
+    from fhir_etl_spark.operators.text import tokens
+
+    documents = load_tables(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n")
+    ).where(F.col("n") >= 1)
+    bucket = (
+        F.when(F.col("n") < 16, F.lit(0))
+        .when(F.col("n") < 32, F.lit(16))
+        .when(F.col("n") < 64, F.lit(32))
+        .when(F.col("n") < 128, F.lit(64))
+        .when(F.col("n") < 256, F.lit(128))
+        .otherwise(F.lit(256))
+    )
+    nz = toks.select(
+        "doc_id", "n", bucket.alias("bucket"), F.pmod("doc_id", F.lit(16)).alias("shard")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket", "shard").orderBy("doc_id")
+    rk = nz.withColumn("rn", F.row_number().over(w))
+    pb = (
+        rk.withColumn("batch", F.expr(f"(rn - 1) DIV {_DS14_BATCH}"))
+        .groupBy("bucket", "shard", "batch")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("n").alias("mx"),
+            F.sum("n").alias("sm"),
+        )
+    )
+    return pb.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("sm").cast("long").alias("total_tokens"),
+        F.sum(F.col("mx") * F.col("cnt")).cast("long").alias("padded_tokens"),
+        (
+            F.sum(F.col("mx") * F.col("cnt")).cast("long")
+            / F.sum("sm").cast("long")
+        ).alias("pad_overhead"),
+    )

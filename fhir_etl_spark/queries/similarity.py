@@ -951,6 +951,60 @@ def v13_binary_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_hamming_topk(embeddings, queries, k=5, dim=64)
 
 
+# --- v17: binary-prefilter → exact-cosine cascade -------------------------
+_V17_CANDIDATES = 32
+
+_V17_ORACLE = f"""
+    WITH cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY bit_count(xor({_V13_CW[0]}, {_V13_QW[0]}))
+                        + bit_count(xor({_V13_CW[1]}, {_V13_QW[1]})),
+                          c.vec_id) AS hrank
+        FROM embeddings c
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id IN {_QUERY_IDS}) q
+      ) WHERE hrank <= {_V17_CANDIDATES}
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT cand.query_id, cand.vec_id,
+             round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])), 6) AS sim,
+             row_number() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                     CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                        cand.vec_id) AS rank
+      FROM cand
+      JOIN embeddings c ON cand.vec_id = c.vec_id
+      JOIN embeddings q ON cand.query_id = q.vec_id
+    ) WHERE rank <= 5
+    """
+
+
+@query("v17_cascade_ann", oracle=_V17_ORACLE, tags=("similarity", "quantization"))
+def v17_cascade_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment cascade composed from the ladder's ends: 1-bit
+    Hamming prefilter (v13's sketch — the only full corpus scan, 32×
+    compressed) to top-32 candidates, exact rounded-cosine re-rank
+    (v1's float discipline) to top-5. Candidate fetch broadcasts the
+    id list into a map-side join — the float corpus never shuffles and
+    is never cross-joined (operators/similarity.cascade_hamming_cosine).
+    The oracle replays both stages, so a recall regression in the
+    binary stage OR a rounding drift in the re-rank value-mismatches."""
+    from fhir_etl_spark.operators.similarity import cascade_hamming_cosine
+
+    embeddings = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cascade_hamming_cosine(
+        embeddings, queries, k=5, candidates=_V17_CANDIDATES, dim=64
+    )
+
+
 # --- v14: feature-hashing embeddings + cosine retrieval ------------------
 # The zero-model embedding (Weinberger 2009 feature hashing / fastText
 # sentence vectors without pretrained weights): hashed signed n-gram

@@ -236,6 +236,12 @@ def test_no_broadcast_hints_on_scaling_tables():
         # rows (4096 at defaults) regardless of stream size — that
         # bound IS the sketch's definition
         ("operators/sketch.py", "counters"),
+        # cascade_hamming_cosine (v17): the Hamming-stage shortlist is
+        # |queries|·candidates id pairs BY CONTRACT (the corpus scales;
+        # the per-query candidate cut does not) — broadcasting it into
+        # the rerank fetch is the point (the float corpus must not
+        # shuffle for a few thousand lookups)
+        ("operators/similarity.py", "cands"),
     }
     root = pathlib.Path(__file__).resolve().parent.parent / "fhir_etl_spark"
     violations = []
