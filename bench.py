@@ -228,6 +228,18 @@ HEADLINE = [
     "t22q_learned_quality_gate",
     # r12: the capstone with the learned gate as stage 6
     "c5b_capstone_learned_gate",
+    # r12 session 2: content-defined chunk dedup (insertion-resyncing
+    # boundaries, d9's keeper policy at CDC grain)
+    "d15_cdc_chunk_dedup",
+    # r12 session 2: binary-prefilter -> exact-cosine cascade (the
+    # compact-scan deployment recipe; float corpus never shuffles)
+    "v17_cascade_ann",
+    # r12 session 2: KMV set-relation estimates between source slices
+    # (sketch-table read, never a corpus join)
+    "x17_kmv_corpus_overlap",
+    # r12 session 2: length-bucketed batch assembly with padding-waste
+    # pricing (per-(bucket, shard) windows, no global sort)
+    "ds14_length_bucket_batches",
 ]
 
 

@@ -96,6 +96,14 @@ def get_spark(
         # every normal stage keeps whole-stage codegen.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # the shape benches difference completed-stage shuffle totals
+        # from the REST status API; the 1000-stage default evicts early
+        # stages mid-run once the measured set is long enough, and the
+        # before/after subtraction then goes NEGATIVE (r12 session 2:
+        # v16/c6 read -5.4/-6.4 GB the first run past ~1700 stages).
+        # Retention costs driver memory only when the UI is on, which
+        # is bench-only.
+        .config("spark.ui.retainedStages", "20000")
         # local mode = driver-only JVM; leave headroom under the 128 GiB box
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.driver.maxResultSize", "4g")

@@ -75,6 +75,16 @@ QUERIES = [
     "ds13_bpe_token_budget",
     "v16_rrf_hybrid",
     "c6_rag_pipeline",
+    # r12 session 2: content-defined chunk dedup at 100x — CDC boundary
+    # HOFs are map-only; the priced exchanges are the chunk keeper
+    # groupBy + join-back + reassembly (the d9 shape at CDC grain, so
+    # shuffle bytes should track the chunk stream ~linearly).
+    "d15_cdc_chunk_dedup",
+    # r12 session 2: the cascade's 100x story is the scan asymmetry —
+    # stage 1 reads 2 longs/vec (the sign sketch), stage 2 fetches
+    # |queries|*32 rows by broadcast id join; wall should stay near the
+    # v9/v13 flat-scan tier, nowhere near a float cross-join.
+    "v17_cascade_ann",
 ]
 
 # First-appearance floors = the round-9 measurement run's bests (best-of-N
