@@ -297,26 +297,23 @@ def lsh_bucket_keepers(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
     verdicts off the folded index at any point). Full transitive-closure
     dedup is the batch d6 pass over :func:`lsh_candidate_pairs`.
 
-    The index subtree fans out three ways below (per-bucket mins, the
-    flag join's probe side, the distinct id universe) — checkpoint it
-    once instead of re-executing its upstream (for the d12 shape that
-    upstream is the full MinHash signature pass; the m10/d4 pattern).
-    For the streaming read path the upstream is just a parquet scan and
-    the checkpoint is a cheap materialization."""
-    banded = banded.localCheckpoint()
-    mins = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("_m"))
-    flagged = (
-        banded.join(mins, ["band", "bucket"])
-        .filter(F.col(id_col) > F.col("_m"))
-        .select(id_col)
-        .distinct()
-        .withColumn("_flagged", F.lit(True))
-    )
+    r12 optimization (guide §2.4 — remove shuffles outright): "dropped
+    iff some bucket holds a smaller id" is per-row ``id == min(id) over
+    (band, bucket)`` folded per doc with ``min_by``-style boolean AND —
+    one bucket-keyed window plus one id-keyed aggregate. The previous
+    shape (per-bucket min groupBy + flag join + two distincts + a
+    lineage checkpoint so the index would not re-execute per consumer)
+    paid four exchanges and a materialization for the same verdicts;
+    the single-consumer plan needs no checkpoint at all. Verdicts are
+    identical row-for-row (pinned by the existing d12 value oracle and
+    the streaming read-path tests)."""
+    w = Window.partitionBy("band", "bucket")
     return (
-        banded.select(id_col)
-        .distinct()
-        .join(flagged, id_col, "left")
-        .select(id_col, F.coalesce(~F.col("_flagged"), F.lit(True)).alias("kept"))
+        banded.select(
+            F.col(id_col), (F.col(id_col) == F.min(id_col).over(w)).alias("_ok")
+        )
+        .groupBy(id_col)
+        .agg(F.min("_ok").alias("kept"))
     )
 
 
@@ -1153,7 +1150,22 @@ def _remove_spans_rebuild(
     max end by more than one), drop spans shorter than
     ``min_span_tokens``, anti-join the token stream against the covered
     positions, and reassemble (id, n_tokens, n_removed, clean_text).
-    ``toked`` is (_id, _t:array<string>)."""
+    ``toked`` is (_id, _t:array<string>).
+
+    r12 optimization (guide §8 — decide with small rows, move big rows
+    once): the decision table is the merged span list — integers, one
+    row per doc after the fold — so the token stream never shuffles.
+    Spans are merged with the same per-doc window, folded to one sorted
+    ``array<struct<_s,_e>>`` row per affected doc (same exchange — the
+    groupBy key matches the window partition), joined back DOC-GRAIN
+    (AQE broadcasts the span table — affected docs ≪ corpus rows in
+    bytes), and each document is rebuilt map-side by concatenating the
+    gap slices between its spans. The previous tail exploded the corpus
+    to (doc, position, token) rows, anti-joined them against exploded
+    covered positions, and regrouped — three corpus-token-shaped
+    exchanges for what one integer-array broadcast decides. Outputs are
+    byte-identical: gap slices preserve token order, and
+    ``concat_ws(' ', kept)`` is unchanged."""
     w = Window.partitionBy("_id").orderBy("_s")
     prev_end = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     is_new_span = F.when(
@@ -1167,38 +1179,40 @@ def _remove_spans_rebuild(
         .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
         .filter(F.col("_e") - F.col("_s") + 1 >= min_span_tokens)
     )
-    # spans are disjoint and non-adjacent → exploded positions are unique,
-    # no distinct needed
-    covered = spans.select(
-        "_id", F.explode(F.sequence(F.col("_s"), F.col("_e"))).alias("_p")
+    span_lists = spans.groupBy("_id").agg(
+        F.array_sort(F.collect_list(F.struct("_s", "_e"))).alias("_sp")
     )
-    toks_stream = toked.select(
-        "_id", F.posexplode("_t").alias("_p", "_w")
-    )
-    kept = toks_stream.join(covered, ["_id", "_p"], "anti")
-    rebuilt = kept.groupBy("_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_p", "_w"))),
-                lambda s: s["_w"],
+    # gap-slice rebuild: fold over the sorted disjoint spans with state
+    # (kept-so-far, next-uncopied-0-based-position); each step copies
+    # the gap before the span, the finish copies the tail. slice() is
+    # 1-based; zero-length gaps yield empty slices. Docs with no spans
+    # pass through whole via the null-_sp branch.
+    base = toked.select("_id", "_t").join(span_lists, "_id", "left")
+    kept_arr = F.when(F.col("_sp").isNull(), F.col("_t")).otherwise(
+        F.aggregate(
+            "_sp",
+            F.struct(
+                F.array().cast("array<string>").alias("a"),
+                F.lit(0).cast("int").alias("c"),
             ),
-        ).alias("clean_text"),
-        F.count("*").alias("_kept"),
-    )
-    # left join from the full doc list: a fully-duplicated doc (every
-    # token covered) must come back as empty text, not disappear
-    return (
-        toked.select("_id", F.size("_t").alias("_nt"))
-        .join(rebuilt, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("_nt").cast("long").alias("n_tokens"),
-            (F.col("_nt") - F.coalesce(F.col("_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            lambda st, sp: F.struct(
+                F.concat(
+                    st["a"], F.slice("_t", st["c"] + 1, sp["_s"] - st["c"])
+                ).alias("a"),
+                (sp["_e"] + 1).cast("int").alias("c"),
+            ),
+            lambda st: F.concat(
+                st["a"], F.slice("_t", st["c"] + 1, F.size("_t") - st["c"])
+            ),
         )
+    )
+    return base.select(
+        "_id", "_t", kept_arr.alias("_kept_arr")
+    ).select(
+        F.col("_id").alias(id_col),
+        F.size("_t").cast("long").alias("n_tokens"),
+        (F.size("_t") - F.size("_kept_arr")).cast("long").alias("n_removed"),
+        F.concat_ws(" ", F.col("_kept_arr")).alias("clean_text"),
     )
 
 
@@ -1647,28 +1661,45 @@ def line_dedup_against(
     the streaming line-digest index (streaming/dedup.
     stream_line_dedup_index_merge) can clean an increment against the
     WHOLE-HISTORY dup set with the identical plan the batch operator
-    uses — the dup set is data, not a different code path."""
-    lines = doc_lines(df, id_col=id_col, text_col=text_col).withColumn(
-        "_line_d", content_digest(F.col("line"))
+    uses — the dup set is data, not a different code path.
+
+    r12 optimization (guide §8 — decide with small rows, move big rows
+    once): only the DROPPED line POSITIONS travel. The line stream
+    semi-joins the dup-digest set on the digest (AQE broadcasts the dup
+    set — it is exactly the boilerplate, ≪ corpus), the surviving
+    metadata is ``(id, pos)`` integers folded to one position-array row
+    per affected doc, and each document is rebuilt MAP-SIDE by
+    filtering its own split-line array against that (broadcast) drop
+    list. The previous tail shuffled the surviving line TEXT twice —
+    once to regroup documents, once through the totals left join — and
+    is exactly the heavy-payload-shuffled-twice shape §8 warns about.
+    Outputs are byte-identical (reassembly was already
+    ``concat_ws('\\n', lines)``, and split/join with limit −1 are
+    inverses)."""
+    lines_meta = doc_lines(df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col),
+        "pos",
+        content_digest(F.col("line")).alias("_line_d"),
     )
-    kept = lines.join(dup_digests.select("_line_d"), "_line_d", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
+    drops = (
+        lines_meta.join(dup_digests.select("_line_d"), "_line_d", "semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_dps"))
+    )
+    # materialize the line array and drop list as columns BEFORE the
+    # lambda reads them (no CSE inside higher-order lambdas — the
+    # shingles_from_tokens rule)
+    base = df.join(drops, id_col, "left").select(
+        F.col(id_col),
+        F.split(F.col(text_col), "\n", -1).alias("_la"),
+        F.coalesce(F.col("_dps"), F.array().cast("array<int>")).alias("_dl"),
+    )
+    return base.select(
+        F.col(id_col),
         F.concat_ws(
             "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
+            F.filter("_la", lambda line, i: ~F.array_contains(F.col("_dl"), i)),
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    totals = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), "\n", -1)).cast("long").alias("n_lines"),
-    )
-    return totals.join(rebuilt, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        "n_lines",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.size("_la").cast("long").alias("n_lines"),
+        (F.size("_la") - F.size("_dl")).cast("long").alias("n_kept"),
     )

@@ -245,6 +245,12 @@ def gopher_char_repetition(
     pos_grams = toks.select(
         id_col, F.posexplode(word_ngrams("_toks", n_dup)).alias("_p", "_g")
     )
+    # r12 optimization (guide §8): fold the covered positions to ONE
+    # integer-set row per doc (collect_set replaces the (doc, position)
+    # distinct — same exchange, doc-grain output), so the join that
+    # looks up token lengths is doc-grain against the token table (AQE
+    # broadcasts the position sets) instead of position-grain rows each
+    # dragging the doc's token array through the join.
     dup_positions = (
         pos_grams.groupBy(id_col, "_g")
         .agg(F.collect_list("_p").alias("_ps"), F.count("*").alias("_c"))
@@ -254,13 +260,20 @@ def gopher_char_repetition(
             id_col,
             F.explode(F.sequence(F.col("_p") + 1, F.col("_p") + n_dup)).alias("_i"),
         )
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("_i").alias("_cov"))
     )
     covered = (
-        dup_positions.join(toks.select(id_col, "_toks"), id_col)
-        .select(id_col, F.length(F.element_at("_toks", F.col("_i"))).alias("_len"))
-        .groupBy(id_col)
-        .agg(F.sum("_len").alias("dup_covered_chars"))
+        toks.select(id_col, "_toks")
+        .join(dup_positions, id_col)
+        .select(
+            id_col,
+            F.aggregate(
+                "_cov",
+                F.lit(0).cast("long"),
+                lambda acc, i: acc + F.length(F.element_at("_toks", i)),
+            ).alias("dup_covered_chars"),
+        )
     )
 
     return (

@@ -379,8 +379,16 @@ def _c5_pipeline(
     pages = documents.select("doc_id", _c5_page_col().alias("html"))
     crawled = _stage_and_scan_warc(spark, sf_dir, pages)
 
-    # 2. HTML main-content extraction
-    ex = extract_main_content(crawled, html_col="html", min_words=5, link_pct=30)
+    # 2. HTML main-content extraction. persist(): the r12 line-dedup
+    # tail consumes its input three ways (digest counts, the drop-list
+    # semi join, and the map-side rebuild's own text pass) — without a
+    # barrier each consumer re-runs the WARC-scan → extract prefix,
+    # the single most expensive map work in the recipe (the same
+    # 4-consumer argument as `cleaned` below; a deployment would have
+    # the extracted corpus on disk at this boundary anyway).
+    ex = extract_main_content(
+        crawled, html_col="html", min_words=5, link_pct=30
+    ).persist()
 
     # 3. cross-document line dedup over the extracted prose. The barrier
     # is load-bearing: `cleaned` feeds FOUR consumers (keeper quality,

@@ -410,8 +410,11 @@ def test_round4_operator_plan_shapes(spark, sf_dir):
     - v7 kmeans: centroid scoring is a BroadcastNestedLoopJoin against the
       broadcast k-row centroid table (one per iteration) — the intended
       cross-scoring shape, never a CartesianProduct of two big sides;
-    - d10 ExactSubstr: the covered-position removal is a LeftAnti join,
-      with no nested-loop/cartesian anywhere;
+    - d10 ExactSubstr: the removal tail is the r12 metadata rebuild —
+      spans fold to one array row per doc and the token stream is
+      rebuilt MAP-SIDE by gap slices, so the old (doc, position)
+      LeftAnti join must NOT reappear (it shuffled the exploded token
+      stream twice); no nested-loop/cartesian anywhere;
     - m2 codec path: map-only — ZERO exchanges, all Python work in
       Arrow-batched MapInPandas stages.
     """
@@ -426,7 +429,11 @@ def test_round4_operator_plan_shapes(spark, sf_dir):
 
     d10 = qs["d10_substring_dedup"].fn(spark, sf_dir)
     p = d10._jdf.queryExecution().executedPlan().toString()
-    assert "LeftAnti" in p
+    # the r12 gap-slice rebuild: doc-grain LeftOuter span join + map-side
+    # slice fold; the exploded-position LeftAnti (two extra corpus-token
+    # exchanges) must stay gone
+    assert "LeftAnti" not in p
+    assert "LeftOuter" in p and "slice(" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
     m2 = qs["m2_image_decode"].fn(spark, sf_dir)
