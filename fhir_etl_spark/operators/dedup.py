@@ -879,50 +879,80 @@ def chunk_dedup(
     the smallest id; every other occurrence is dropped. Deterministic
     under any partitioning (min-id keeper, positional reassembly).
 
-    Plan shape (scale notes):
-    - one narrow explode of non-overlapping ``chunk_tokens``-token chunks
-      (cardinality ≈ tokens/chunk_tokens, NOT tokens like shingling);
-    - one groupBy on the chunk to elect the keeper (min id);
-    - one co-partitioned join back (both sides shuffled on chunk — at
-      100 TB swap the join key for xxhash64(chunk) to shuffle 8-byte keys;
-      kept as text here so DuckDB can replay it value-exactly);
-    - one groupBy on the doc to reassemble kept chunks in position order.
-    No UDFs; collect_list carries (pos, chunk) structs only for the doc's
-    own surviving chunks.
+    Plan shape (r12 rewrite — guide §8: decide with small rows, move
+    big rows once):
+    - one narrow explode of non-overlapping ``chunk_tokens``-token
+      chunks, projected DOWN TO METADATA before any exchange: the rows
+      that shuffle are (doc, position, 128-bit chunk hash) — 20-odd
+      bytes — never the chunk text (the d10 two-seeded-xxhash64
+      discipline: at b distinct chunks the false-identity odds are
+      ≈ b²/2¹²⁹, negligible where a single 64-bit hash is not);
+    - one groupBy on the hash to elect the keeper (min id);
+    - one co-partitioned metadata join back → the DROPPED positions
+      only, folded to one integer-array row per affected doc;
+    - a doc-grain left join attaches the drop lists (AQE broadcasts
+      them when few docs are affected) and each document is rebuilt
+      MAP-SIDE by re-slicing its own token array — chunk text crosses
+      the wire ZERO times (the previous shape shuffled it three: the
+      keeper groupBy, the join back, and the per-doc reassembly
+      collect_list).
+    No UDFs. Output is byte-identical: the rebuilt chunk strings are
+    the same slices joined by the same separator in the same positional
+    order.
 
     Returns (id_col, clean_text, n_removed).
     """
-    toks = F.split(F.col(text_col), " ")
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
-    chunks = df.select(
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    # _toks is a PROJECTED column (no CSE inside HOF lambdas — the
+    # shingles_from_tokens rule); chunk strings are built map-side and
+    # dropped in the very next projection, before any exchange
+    nch = F.ceil(F.size("_toks") / F.lit(chunk_tokens)).cast("int")
+    chunk_str = lambda k: F.array_join(  # noqa: E731 — bound once below
+        F.slice("_toks", k * chunk_tokens + 1, chunk_tokens), " "
+    )
+    meta = base.select(
         id_col,
         F.posexplode(
+            F.transform(F.sequence(F.lit(0), nch - 1), chunk_str)
+        ).alias("pos", "_c"),
+    ).select(
+        id_col,
+        "pos",
+        F.struct(
+            F.xxhash64("_c").alias("h1"),
+            F.xxhash64(F.lit(0x9E3779B9), "_c").alias("h2"),
+        ).alias("_k"),
+    )
+    keepers = meta.groupBy("_k").agg(F.min(id_col).alias("_m"))
+    drops = (
+        meta.join(keepers, "_k")
+        .filter(F.col(id_col) > F.col("_m"))
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_dps"))
+    )
+    rebuilt = base.join(drops, id_col, "left").select(
+        F.col(id_col),
+        "_toks",
+        F.coalesce("_dps", F.array().cast("array<int>")).alias("_dl"),
+    )
+    kept_ks = F.filter(
+        F.sequence(F.lit(0), F.ceil(F.size("_toks") / F.lit(chunk_tokens)).cast("int") - 1),
+        lambda k: ~F.array_contains(F.col("_dl"), k.cast("int")),
+    )
+    return rebuilt.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ",
             F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
+                kept_ks,
                 lambda k: F.array_join(
-                    F.slice(toks, k * chunk_tokens + 1, chunk_tokens), " "
+                    F.slice("_toks", k * chunk_tokens + 1, chunk_tokens), " "
                 ),
-            )
-        ).alias("pos", "chunk"),
-    )
-    keepers = chunks.groupBy("chunk").agg(F.min(id_col).alias("_keeper"))
-    marked = chunks.join(keepers, "chunk").withColumn(
-        "_keep", F.col(id_col) == F.col("_keeper")
-    )
-    kept_struct = F.when(F.col("_keep"), F.struct("pos", "chunk"))
-    return (
-        marked.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]
-                ),
-                " ",
-            ).alias("clean_text"),
-            F.sum(F.when(F.col("_keep"), 0).otherwise(1))
-            .cast("long")
-            .alias("n_removed"),
-        )
+            ),
+        ).alias("clean_text"),
+        F.size("_dl").cast("long").alias("n_removed"),
     )
 
 
@@ -953,10 +983,12 @@ def cdc_chunk_dedup(
 
     Plan shape: boundary detection + chunk slicing are map-only HOFs
     over the projected token array (no shuffle, whole-stage codegen);
-    then the same three exchanges as :func:`chunk_dedup` (keeper
-    groupBy on the chunk, join back, per-doc reassembly). Returns the
-    TOTAL contract (doc_id, clean_text, n_removed, n_chunks) — empty
-    docs read back ('', 0, 0) via the left join, never vanish.
+    then the same METADATA exchanges as :func:`chunk_dedup` (r12: the
+    keeper groupBy, join back and drop-list fold move (doc, pos,
+    128-bit hash) rows only; documents rebuild map-side from their own
+    (_toks, _bounds)). Returns the TOTAL contract (doc_id, clean_text,
+    n_removed, n_chunks) — `bounded` carries one row per input doc, so
+    empty docs read back ('', 0, 0), never vanish.
     """
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     n = F.size("_toks")
@@ -1000,31 +1032,70 @@ def cdc_chunk_dedup(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,chunk:string>>"))
-    chunks = (
-        bounded.select(F.col(id_col), F.explode_outer(chunk_structs).alias("c"))
-        .where(F.col("c").isNotNull())
-        .select(id_col, "c.pos", "c.chunk")
+    # r12 rewrite (guide §8 — the chunk_dedup shape): only METADATA
+    # shuffles. Chunk text is built map-side, hashed to the d10-style
+    # two-seeded 128-bit key in the same codegen stage, and dropped
+    # before the exchange; the keeper election, the join back and the
+    # drop-list fold all move (doc, pos, hash) integers. Documents are
+    # rebuilt MAP-SIDE by re-slicing their own (_toks, _bounds) against
+    # the (broadcast) per-doc drop list — chunk text never crosses the
+    # wire (previously it crossed three times), and the output is
+    # byte-identical (same slices, same separator, same order). The
+    # final left join of the old shape is gone too: `bounded` already
+    # has one row per input doc, so the contract stays TOTAL.
+    meta = (
+        bounded.select(F.col(id_col), F.explode(chunk_structs).alias("c"))
+        .select(
+            id_col,
+            F.col("c.pos").alias("pos"),
+            F.struct(
+                F.xxhash64("c.chunk").alias("h1"),
+                F.xxhash64(F.lit(0x9E3779B9), "c.chunk").alias("h2"),
+            ).alias("_k"),
+        )
     )
-    keepers = chunks.groupBy("chunk").agg(F.min(id_col).alias("_keeper"))
-    marked = chunks.join(keepers, "chunk").withColumn(
-        "_keep", F.col(id_col) == F.col("_keeper")
+    keepers = meta.groupBy("_k").agg(F.min(id_col).alias("_m"))
+    drops = (
+        meta.join(keepers, "_k")
+        .filter(F.col(id_col) > F.col("_m"))
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_dps"))
     )
-    kept_struct = F.when(F.col("_keep"), F.struct("pos", "chunk"))
-    reb = marked.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]
-            ),
+    rebuilt = bounded.join(drops, id_col, "left").select(
+        F.col(id_col),
+        "_toks",
+        "_bounds",
+        F.coalesce("_dps", F.array().cast("array<int>")).alias("_dl"),
+    )
+    kept_js = F.filter(
+        F.sequence(F.lit(1), F.size("_bounds") - 1),
+        lambda j: ~F.array_contains(F.col("_dl"), (j - 1).cast("int")),
+    )
+    clean = F.when(
+        F.size("_toks") > 0,
+        F.concat_ws(
             " ",
-        ).alias("clean_text"),
-        F.sum(F.when(F.col("_keep"), 0).otherwise(1)).cast("long").alias("n_removed"),
-        F.count(F.lit(1)).cast("long").alias("n_chunks"),
-    )
-    return df.select(id_col).join(reb, id_col, "left").select(
-        id_col,
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
-        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.transform(
+                kept_js,
+                lambda j: F.array_join(
+                    F.slice(
+                        "_toks",
+                        F.element_at("_bounds", j) + 1,
+                        F.element_at("_bounds", j + 1) - F.element_at("_bounds", j),
+                    ),
+                    " ",
+                ),
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    return rebuilt.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size("_dl").cast("long").alias("n_removed"),
+        F.when(F.size("_toks") > 0, F.size("_bounds") - 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_chunks"),
     )
 
 
@@ -1329,7 +1400,9 @@ def suffix_duplication_depths(
         return toked, empty
 
     # rank tables arrive MATERIALIZED (distributed_dense_rank eager-
-    # checkpoints internally), so the level selects below are cheap
+    # checkpoints internally — also the lineage barrier: prefix
+    # doubling self-joins each round's output, so an untruncated plan
+    # doubles per round), so the level selects below are cheap
     # projections over pinned partitions — no re-execution anywhere.
     #
     # Round-10 latency trims (VERDICT r09 #7), semantics unchanged
@@ -1364,6 +1437,17 @@ def suffix_duplication_depths(
         keyed = cur.join(shifted, ["_id", "_p"], "left").select(
             "_id", "_p", "_r", F.coalesce("_r2", F.lit(-1)).alias("_r2")
         )
+        # r12 note (measured and declined): a "dense-domain" builder
+        # that exploits _r's known [0, n_distinct) domain to replace
+        # repartitionByRange's sampling pass with a deterministic
+        # map-side bucket (b = floor(r·B/n_keys)) was built and A/B'd
+        # here — it LOST (d13 sf0.1 wall 23.2 s vs 17.2 s on the same
+        # session, per-round builder calls each ~0.2-0.4 s slower and
+        # the downstream LCP walk +3 s): at bench scale AQE coalesces
+        # the small bucket exchange to 1-2 partitions, serializing the
+        # per-bucket window sort and starving the walk's scan
+        # parallelism, while the sampling job it saves is a tiny
+        # fraction of each round. The generic range builder stays.
         nxt, n_distinct = distributed_dense_rank_with_count(
             keyed, ["_r", "_r2"], "_rn"
         )

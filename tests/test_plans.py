@@ -393,8 +393,10 @@ def test_zorder_key_no_python_no_extra_shuffle(spark):
 
 
 def test_chunk_dedup_shuffles_chunks_not_docs_twice(spark):
-    """chunk_dedup: explode → chunk groupBy → co-partitioned join →
-    doc groupBy. No Python; text is split exactly once per branch."""
+    """chunk_dedup (r12 shape): explode → hash-keyed keeper groupBy →
+    metadata join → drop-list fold → doc-grain rebuild. No Python; no
+    exchange carries chunk text (the explode projects down to
+    (doc, pos, xxhash64 pair) before the first shuffle)."""
     from fhir_etl_spark.operators.dedup import chunk_dedup
     from fhir_etl_spark.session import load_tables
 
@@ -402,6 +404,9 @@ def test_chunk_dedup_shuffles_chunks_not_docs_twice(spark):
     plan = formatted_plan(spark, chunk_dedup(docs))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Generate posexplode") <= 2  # one per join branch
+    # the keeper election and join are keyed on the 128-bit hash pair,
+    # never the chunk string
+    assert "xxhash64" in plan
 
 
 def test_round4_operator_plan_shapes(spark, sf_dir):
