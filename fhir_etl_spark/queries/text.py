@@ -1158,11 +1158,12 @@ def c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     count t1, quality t2, stopword lang-ID t3, Unicode script t20),
     exact-dedup representative pick (d1's min-id-per-digest), and the
     keep verdict (quality ≥ 0.5, ≥ 10 tokens, representative only).
-    The profile is ONE map-only projection; dedup adds its digest
-    groupBy; the verdict is a join on the representative ids — three
-    shuffles end to end at any scale. The oracle composes the exact
-    formulas the component oracles already pin."""
-    from fhir_etl_spark.operators.dedup import exact_dedup
+    Profile + digest are ONE map-only projection over ONE scan; the
+    dedup groupBy carries the representative's profile via min_by —
+    one shuffle end to end at any scale (r12; was two scans + a
+    representative join). The oracle composes the exact formulas the
+    component oracles already pin."""
+    from fhir_etl_spark.operators.dedup import content_digest
     from fhir_etl_spark.operators.text import (
         lang_id,
         quality_score,
@@ -1172,18 +1173,40 @@ def c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_tables(spark, sf_dir, "documents")
     _, script = script_columns(F.col("text"))
+    # r12 (guide §2.4, the c2 lesson): profile + digest in ONE scan and
+    # the representative's profile folded into the digest aggregation
+    # via min_by — the old shape scanned `documents` twice (profile
+    # branch + exact_dedup branch) and joined them back on doc_id.
+    # Result identical: the representative IS the min doc_id (unique,
+    # so min_by has no ties), the verdict filter applies to the same
+    # representative profile rows, and exact_dedup's n_copies counted
+    # every copy before the quality gate exactly as this groupBy does.
     prof = documents.select(
         "doc_id",
+        content_digest(F.col("text")).alias("_digest"),
         token_count("text").cast("long").alias("n_tokens"),
         quality_score("text").alias("quality"),
         lang_id("text").alias("lang_pred"),
         script.alias("script"),
     )
-    reps = exact_dedup(documents)  # (doc_id, n_copies) — min-id per digest
     return (
-        prof.join(reps, "doc_id")
-        .where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
-        .select("doc_id", "n_copies", "n_tokens", "quality", "lang_pred", "script")
+        prof.groupBy("_digest")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min_by(
+                F.struct("n_tokens", "quality", "lang_pred", "script"), "doc_id"
+            ).alias("_rep"),
+        )
+        .where((F.col("_rep.quality") >= 0.5) & (F.col("_rep.n_tokens") >= 10))
+        .select(
+            "doc_id",
+            "n_copies",
+            F.col("_rep.n_tokens").alias("n_tokens"),
+            F.col("_rep.quality").alias("quality"),
+            F.col("_rep.lang_pred").alias("lang_pred"),
+            F.col("_rep.script").alias("script"),
+        )
     )
 
 
@@ -1696,8 +1719,9 @@ def c2_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage, so a regression ANYWHERE in the chain — a block mis-kept, a
     quality drift, a digest change — value-mismatches here even if each
     unit query still passes. Plan shape: extraction + scoring are one
-    map-only projection; the only exchanges are the dedup groupBy and
-    the representative join-back."""
+    map-only projection; the ONLY exchange is the dedup groupBy, which
+    carries the representative's scalars via min_by (r12; was a groupBy
+    + a join-back that re-ran the extraction prefix)."""
     from fhir_etl_spark.operators.dedup import content_digest
     from fhir_etl_spark.operators.html import extract_main_content
     from fhir_etl_spark.operators.text import quality_score
@@ -1710,13 +1734,30 @@ def c2_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("main_text").alias("quality"),
     )
     kept = q.where((F.col("quality") >= 0.5) & (F.col("n_words") >= 10))
-    reps = (
+    # r12 (guide §2.4): the old tail joined a per-digest reps aggregate
+    # back onto `kept` — TWO consumers of the extract+score prefix on
+    # different keys (no exchange reuse), so the map-dominant t24+t2
+    # work executed twice and the join added a doc_id exchange. min_by
+    # folds the representative's scalars into the SAME digest
+    # aggregation: one exchange total, the prefix runs once, and the
+    # exchange carries (digest, id, count, 2 scalars) — never text.
+    # Result identical: the representative IS the min doc_id, and
+    # doc_id is unique so min_by has no ties.
+    return (
         kept.withColumn("_dg", content_digest(F.col("main_text")))
         .groupBy("_dg")
-        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
-        .drop("_dg")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min_by(F.struct("n_words", "quality"), "doc_id").alias("_rep"),
+        )
+        .select(
+            "doc_id",
+            "n_copies",
+            F.col("_rep.n_words").alias("n_words"),
+            F.col("_rep.quality").alias("quality"),
+        )
     )
-    return reps.join(kept.select("doc_id", "n_words", "quality"), "doc_id")
 
 
 # --- t25: blocklist gate ------------------------------------------------
