@@ -50,6 +50,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def gram_at(toks: Column | str, i: Column, k: int) -> Column:
+    """The k-token gram starting at 1-based position ``i``, as one
+    space-joined string — ``concat_ws`` over ``k`` ``element_at`` reads
+    instead of ``array_join(slice(...))``. ``slice`` materializes a
+    fresh k-element array per position, an allocation Catalyst cannot
+    elide inside HOF lambdas where this runs once per token position;
+    the element_at chain reads the backing array in place. Measured at
+    sf10-shape (r12 session 6, 500k docs, best-of-3 noop): 4.88 → 1.17 s
+    for k=3 shingles, 8.94 → 2.01 s for k=10 grams — ~4× on the map
+    prefix of the whole gram/shingle tier, with 0 mismatching rows on
+    the full corpus (same tokens, same separator; tokens are never
+    null, and every caller guards ``i+k-1 ≤ size`` so element_at never
+    reads out of bounds)."""
+    c = F.col(toks) if isinstance(toks, str) else toks
+    return F.concat_ws(" ", *[F.element_at(c, i + j) for j in range(k)])
+
+
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     """k-token shingles (distinct) from an ALREADY-MATERIALIZED token array
     column.
@@ -58,14 +75,15 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     lambdas, so the token array must be a projected column (a cheap bound
     attribute read inside the lambda) — passing `tokens(text)` directly
     re-runs the regex split per lambda invocation, a ~50× slowdown measured
-    at sf0.1. slice+array_join touches each position once.
+    at sf0.1. gram_at touches each position once with no per-position
+    allocation (r12: was array_join(slice(...)), ~4× slower — see gram_at).
     """
     n = F.size(toks)
     # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs
     # with an explicit empty-array branch instead.
     idx = F.sequence(F.lit(1), n - (k - 1))
     windowed = F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        F.transform(idx, lambda i: gram_at(toks, i, k))
     )
     return F.when(n >= k, windowed).otherwise(F.array().cast("array<string>"))
 
@@ -996,8 +1014,11 @@ def cdc_chunk_dedup(
     # at the earliest leaves a non-empty final chunk, and positions
     # before w have no full gram). sequence(w, n−1) would DESCEND for
     # n ≤ w — guard with an explicit empty branch (the shingling rule).
+    # gram_at, not array_join(slice(...)): one interpreted md5 runs per
+    # token position here, and the slice's per-position array allocation
+    # measured 8.7 vs 1.6 s for this exact scan at sf10-shape (r12 s6)
     gram_hash = lambda i: F.conv(  # noqa: E731 — bound once below
-        F.substring(F.md5(F.array_join(F.slice("_toks", i - (w - 1), w), " ")), 1, 8),
+        F.substring(F.md5(gram_at("_toks", i - (w - 1), w)), 1, 8),
         16,
         10,
     ).cast("long")
@@ -1177,7 +1198,9 @@ def substring_dedup(
     grams = toked.select(
         "_id",
         F.posexplode(
-            F.transform(starts, lambda i: F.concat_ws(" ", F.slice("_t", i, k)))
+            # gram_at: no per-position slice allocation (~4x at k=10,
+            # r12 s6 measurement — see gram_at)
+            F.transform(starts, lambda i: gram_at("_t", i, k))
         ).alias("_i", "_gram"),
     )
     # 128-bit composite key: two xxhash64s with distinct literal seeds

@@ -125,7 +125,20 @@ def _c5_page_sql() -> str:
 
 
 # --- WARC staging (the s12 export shape, html payloads) -------------------
+# Floor on the export file count; the actual count scales with the
+# session's parallelism (r12 session 6, guide §2.2/§6): the warc_archive
+# DataSource reads ONE PARTITION PER FILE, so a pinned 8 serialized the
+# extract stage — the capstone's single most expensive map work — onto 8
+# of 32 cores (measured: the 8-task WARC→extract stage ran 111 s of
+# executor time per job at sf10-shape). doc_id % n_files only changes
+# which export file a page lands in, never a row value — doc_id is
+# recovered from the record URI, and the oracle replays from
+# ``documents`` directly.
 _C5_N_WARC_FILES = 8
+
+
+def _c5_warc_file_count(spark: SparkSession) -> int:
+    return max(_C5_N_WARC_FILES, spark.sparkContext.defaultParallelism)
 
 
 def _stage_and_scan_warc(
@@ -166,8 +179,9 @@ def _stage_and_scan_warc(
         os.replace(tmp, path)
         return pd.DataFrame({"file_id": [fid], "n": [len(pdf)]})
 
+    n_files = _c5_warc_file_count(spark)
     (
-        pages.withColumn("file_id", F.col("doc_id") % _C5_N_WARC_FILES)
+        pages.withColumn("file_id", F.col("doc_id") % n_files)
         .groupBy("file_id")
         .applyInPandas(write_group, "file_id long, n long")
         .collect()
@@ -178,7 +192,7 @@ def _stage_and_scan_warc(
     except Exception:  # noqa: BLE001 — already registered in this session
         pass
     paths = ",".join(
-        f"{out_dir}/part-{fid:04d}.warc.gz" for fid in range(_C5_N_WARC_FILES)
+        f"{out_dir}/part-{fid:04d}.warc.gz" for fid in range(n_files)
     )
     scanned = spark.read.format("warc_archive").option("paths", paths).load()
     return scanned.where(F.col("warc_type") == "response").select(
@@ -389,6 +403,16 @@ def _c5_pipeline(
     ex = extract_main_content(
         crawled, html_col="html", min_words=5, link_pct=30
     ).persist()
+    # Materialize the barrier NOW (one bounded count action). persist()
+    # alone is lazy, and the consumers below include BROADCAST subtrees
+    # whose exchange builds run as concurrent driver futures — concurrent
+    # first-touch jobs on an unpopulated cache do NOT share work, so the
+    # WARC→extract prefix executed once PER RACING JOB (r12 session 6,
+    # sf10-shape: three identical 8-task extract stages at the same
+    # submit second, 111 s of executor time each). One eager count
+    # populates the cache before any fan-out; every later consumer reads
+    # InMemoryTableScan. Same rows, same plan below the barrier.
+    ex.count()
 
     # 3. cross-document line dedup over the extracted prose. The barrier
     # is load-bearing: `cleaned` feeds FOUR consumers (keeper quality,
@@ -410,6 +434,7 @@ def _c5_pipeline(
         .select("doc_id", F.col("clean_text").alias("text"))
         .persist()
     )
+    cleaned.count()  # populate before the 4-way fan-out (see ex.count())
 
     # 4. fuzzy dedup: pairs → components → best-quality keeper + singletons
     quality = cleaned.select(
@@ -428,6 +453,7 @@ def _c5_pipeline(
     clusters = dedup_clusters(
         ngram_jaccard_pairs(cleaned, threshold=0.5)
     ).persist()
+    clusters.count()  # two consumers + broadcast builds (see ex.count())
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
     winners = (
         clusters.join(quality, "doc_id")
@@ -477,6 +503,7 @@ def _c5_pipeline(
     packed = pack_sequences(
         with_counts, "n_tokens", budget=2048, n_shards=8
     ).persist()
+    packed.count()  # seqs branch + final join both read it (see ex.count())
 
     # 8. reproducible shuffle of the SEQUENCES into 8 output shards
     seqs = packed.select("seq_id").distinct()
