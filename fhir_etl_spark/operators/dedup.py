@@ -1422,36 +1422,43 @@ def suffix_duplication_depths(
         ).limit(0)
         return toked, empty
 
-    # rank tables arrive MATERIALIZED (distributed_dense_rank eager-
-    # checkpoints internally — also the lineage barrier: prefix
+    # rank tables arrive MATERIALIZED (the rank builders eager-
+    # checkpoint internally — also the lineage barrier: prefix
     # doubling self-joins each round's output, so an untruncated plan
     # doubles per round), so the level selects below are cheap
     # projections over pinned partitions — no re-execution anywhere.
     #
-    # Round-10 latency trims (VERDICT r09 #7), semantics unchanged
-    # (d13 == d10 randomized-equivalence tests pin it):
-    # - the base table is built at WIDTH 2 directly — rank (token,
-    #   next-token-or-'') pairs in one round instead of ranking the
-    #   vocabulary first and pairing ranks ('' sorts below every real
-    #   token and tokens() never emits '', so the sentinel induces the
-    #   same order the -1 rank sentinel did; the LCP walk's width-1
-    #   step below compares raw tokens, the identical predicate);
+    # Round-10 latency trims (VERDICT r09 #7) and the r13 rework —
+    # semantics unchanged (d13 == d10 randomized-equivalence tests pin
+    # it, and the registered oracles replay the k-gram formulation):
+    # - r13: the base table is built at WIDTH 4, MAP-SIDE — each
+    #   suffix's first four tokens read from its own doc's token array
+    #   (F.get, '' past the end) — which deletes BOTH the (doc,pos)
+    #   self-join the width-2 base needed AND one whole doubling round
+    #   (width 2→4). '' sorts below every real token and tokens()
+    #   never emits '', so padded-tuple lexicographic order is exactly
+    #   truncated-suffix order with shorter-first — the same sentinel
+    #   contract the -1 rank pad encodes (guide §2.1: remove the
+    #   shuffle outright);
     # - each round's uniqueness probe is FREE: the rank builder's
     #   prefix-offset collect already sums to the global distinct
     #   count, replacing one count/countDistinct job per round.
-    nxt_tok = suf.select(
-        "_id", (F.col("_p") - 1).alias("_p"), F.col("_w").alias("_w2")
+    exp4 = toked.select("_id", "_t", F.posexplode("_t").alias("_p", "_w0"))
+    keyed0 = exp4.select(
+        "_id",
+        "_p",
+        "_w0",
+        F.coalesce(F.get("_t", F.col("_p") + 1), F.lit("")).alias("_w1"),
+        F.coalesce(F.get("_t", F.col("_p") + 2), F.lit("")).alias("_w2"),
+        F.coalesce(F.get("_t", F.col("_p") + 3), F.lit("")).alias("_w3"),
     )
-    keyed0 = suf.join(nxt_tok, ["_id", "_p"], "left").select(
-        "_id", "_p", "_w", F.coalesce("_w2", F.lit("")).alias("_w2")
-    )
-    level2, n_distinct = distributed_dense_rank_with_count(
-        keyed0, ["_w", "_w2"], "_r"
+    level4, n_distinct = distributed_dense_rank_with_count(
+        keyed0, ["_w0", "_w1", "_w2", "_w3"], "_r"
     )
     tables: list[tuple[int, DataFrame]] = [
-        (2, level2.select("_id", "_p", "_r"))
+        (4, level4.select("_id", "_p", "_r"))
     ]
-    j = 2
+    j = 4
     while j < max_len and len(tables) < max_levels and n_distinct < n_suffixes:
         cur = tables[-1][1]
         shifted = cur.select(
@@ -1460,17 +1467,17 @@ def suffix_duplication_depths(
         keyed = cur.join(shifted, ["_id", "_p"], "left").select(
             "_id", "_p", "_r", F.coalesce("_r2", F.lit(-1)).alias("_r2")
         )
-        # r12 note (measured and declined): a "dense-domain" builder
-        # that exploits _r's known [0, n_distinct) domain to replace
-        # repartitionByRange's sampling pass with a deterministic
-        # map-side bucket (b = floor(r·B/n_keys)) was built and A/B'd
-        # here — it LOST (d13 sf0.1 wall 23.2 s vs 17.2 s on the same
-        # session, per-round builder calls each ~0.2-0.4 s slower and
-        # the downstream LCP walk +3 s): at bench scale AQE coalesces
-        # the small bucket exchange to 1-2 partitions, serializing the
-        # per-bucket window sort and starving the walk's scan
-        # parallelism, while the sampling job it saves is a tiny
-        # fraction of each round. The generic range builder stays.
+        # Dense-domain bucketed ranking for these integer-keyed rounds
+        # was built and A/B'd TWICE and declined twice: r12's variant
+        # rode spark.sql.shuffle.partitions and AQE coalesced it serial
+        # (23.2 vs 17.2 s); the r13 rebuild pinned an explicit
+        # REPARTITION_BY_NUM partition count (no coalescing possible,
+        # no range-sampling job, round input executed once) and STILL
+        # lost — warm A/B at sf0.1: bucketed rounds 2.0–3.0 s each vs
+        # generic 1.3–1.8 s (d13 total 24.4 vs 17.5 s). The sampling
+        # job the generic builder pays is cheap next to whatever the
+        # range-sorted exchange buys the window sort. Measurements in
+        # OPTIMIZATION_r13.md; the generic range builder stays.
         nxt, n_distinct = distributed_dense_rank_with_count(
             keyed, ["_r", "_r2"], "_rn"
         )
@@ -1479,9 +1486,17 @@ def suffix_duplication_depths(
         tables.append((j, nxt))
 
     final = tables[-1][1]
-    sa = distributed_dense_rank(final, ["_r", "_id", "_p"], "_sa").select(
-        "_id", "_p", "_sa"
-    )
+    if n_distinct == n_suffixes:
+        # ranks are UNIQUE dense in [0, n): the rank IS the suffix-array
+        # position — re-ranking by (_r, _id, _p) would reproduce _r
+        # bit-for-bit (dense, 0-based, same order, no ties to break).
+        # Skipping it saves one whole ranking round (r13; guide §1.2 —
+        # don't compute what you throw away).
+        sa = final.select("_id", "_p", F.col("_r").cast("long").alias("_sa"))
+    else:
+        sa = distributed_dense_rank(final, ["_r", "_id", "_p"], "_sa").select(
+            "_id", "_p", "_sa"
+        )
     nxt_suf = sa.select(
         (F.col("_sa") - 1).alias("_sa"),
         F.col("_id").alias("_bid"),
@@ -1494,11 +1509,9 @@ def suffix_duplication_depths(
         )
         .withColumn("_lcp", F.lit(0))
     )
-    # LCP walk over the saved level tables, widest first; the final
-    # width-1 step compares RAW TOKENS (suf) — the width-1 rank table
-    # no longer exists and token equality is the identical predicate
+    # LCP walk over the saved level tables, widest first (the narrowest
+    # rank table is now width 4 — see the base-table note above)
     walk_levels = [(width, tbl, "_r") for width, tbl in reversed(tables)]
-    walk_levels.append((1, suf, "_w"))
     for width, tbl, rcol in walk_levels:
         ra = tbl.select(
             F.col("_id").alias("_aid"), F.col("_p").alias("_qa"),
@@ -1523,6 +1536,53 @@ def suffix_duplication_depths(
             )
             .drop("_qa", "_qb", "_ra", "_rb")
         )
+    # Fused width-2 + width-1 finish (r13): the remainder below the
+    # width-4 base resolves with ONE 3-token lookup per side instead of
+    # the old width-2-rank join + width-1 token join (4 joins → 2).
+    # Row-exists semantics match the old rank-table joins exactly: a
+    # lookup past the doc end misses (left-join NULL → no match); a
+    # within-row '' pad only ever matches another '' pad, and any
+    # both-suffixes-exhausted overcount is removed by the same
+    # remaining-length clamp below that always bounded pad matches.
+    tok3 = exp4.select(
+        "_id", "_p", "_w0",
+        F.coalesce(F.get("_t", F.col("_p") + 1), F.lit("")).alias("_x1"),
+        F.coalesce(F.get("_t", F.col("_p") + 2), F.lit("")).alias("_x2"),
+    )
+    ta = tok3.select(
+        F.col("_id").alias("_aid"), F.col("_p").alias("_qa"),
+        F.col("_w0").alias("_a0"), F.col("_x1").alias("_a1"),
+        F.col("_x2").alias("_a2"),
+    )
+    tb = tok3.select(
+        F.col("_id").alias("_bid"), F.col("_p").alias("_qb"),
+        F.col("_w0").alias("_b0"), F.col("_x1").alias("_b1"),
+        F.col("_x2").alias("_b2"),
+    )
+    m2 = (
+        F.col("_a0").isNotNull()
+        & F.col("_b0").isNotNull()
+        & (F.col("_a0") == F.col("_b0"))
+        & (F.col("_a1") == F.col("_b1"))
+    )
+    m1 = F.when(m2, F.col("_a2") == F.col("_b2")).otherwise(
+        F.col("_a0").isNotNull()
+        & F.col("_b0").isNotNull()
+        & (F.col("_a0") == F.col("_b0"))
+    )
+    pairs = (
+        pairs.withColumn("_qa", F.col("_ap") + F.col("_lcp"))
+        .withColumn("_qb", F.col("_bp") + F.col("_lcp"))
+        .join(ta, ["_aid", "_qa"], "left")
+        .join(tb, ["_bid", "_qb"], "left")
+        .withColumn(
+            "_lcp",
+            F.col("_lcp")
+            + F.when(m2, 2).otherwise(0)
+            + F.when(m1, 1).otherwise(0),
+        )
+        .drop("_qa", "_qb", "_a0", "_a1", "_a2", "_b0", "_b1", "_b2")
+    )
     lens = toked.select("_id", F.size("_t").alias("_len"))
     la = lens.select(F.col("_id").alias("_aid"), F.col("_len").alias("_la"))
     lb = lens.select(F.col("_id").alias("_bid"), F.col("_len").alias("_lb"))

@@ -69,19 +69,17 @@ def _dense_rank_impl(
     # ranks. Invisible at small data (trivial boundaries), measured at
     # 200k docs (round-9 d13 smoke: planted docs fully removed).
     local = local.localCheckpoint(eager=True)
-    # bounded collect: one row per shuffle partition
-    # count(distinct struct(...)) not countDistinct(cols...): the bare
-    # multi-column form SKIPS tuples containing any NULL (SQL COUNT
-    # semantics), while the per-partition dense_rank above counts the
-    # NULL group — a null-keyed partition's offset would come up short
-    # and every downstream rank would shift by one (ADVICE r09). A
-    # struct is itself non-null, so its count matches dense_rank's
-    # distinct-group count exactly, NULLS FIRST contract preserved.
+    # bounded collect: one row per shuffle partition. The partition's
+    # distinct-key count IS its max local dense rank + 1 (dense_rank
+    # increments exactly once per distinct key, NULL groups included —
+    # the ADVICE r09 null contract holds by construction), so a
+    # primitive max over the already-computed _lrank replaces the
+    # count_distinct(struct(...)) re-hash of every key (r13: the
+    # offsets job no longer rebuilds a distinct hash table per
+    # partition; it reads the checkpoint and folds one int).
     sizes = {
-        r["_pid"]: r["_n"]
-        for r in local.groupBy("_pid")
-        .agg(F.count_distinct(F.struct(*keys)).alias("_n"))
-        .collect()
+        r["_pid"]: r["_n"] + 1
+        for r in local.groupBy("_pid").agg(F.max("_lrank").alias("_n")).collect()
     }
     offsets: dict[int, int] = {}
     acc = 0

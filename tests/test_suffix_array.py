@@ -72,6 +72,29 @@ def test_suffix_array_equals_kgram_on_random_corpora(spark):
             assert a == b, (seed, k, {d: (a[d], b[d]) for d in a if a[d] != b[d]})
 
 
+def test_width4_base_handles_sub4_token_docs(spark):
+    """r13: the base rank table is built at WIDTH 4 map-side with ''
+    pads — docs shorter than the base width (0–3 tokens) must still
+    rank, dedup, and reassemble identically to the k-gram formulation
+    (pads only ever match pads; the remaining-length clamp bounds every
+    pad match)."""
+    rows = [
+        (1, "a b"), (2, "a b"), (3, "a"), (4, ""), (5, "a b c"),
+        (6, "a b c"), (7, "b c"), (8, "x y z"), (9, "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (2, 3):
+        a = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+            for r in substring_dedup(df, k=k).collect()
+        }
+        b = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+            for r in suffix_array_dedup(df, min_len=k).collect()
+        }
+        assert a == b, (k, {d: (a[d], b[d]) for d in a if a[d] != b[d]})
+
+
 def test_all_docs_shorter_than_min_len_pass_through(spark):
     df = spark.createDataFrame(
         [(1, "a b"), (2, ""), (3, "x")], "doc_id long, text string"

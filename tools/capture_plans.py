@@ -1,6 +1,7 @@
 """Capture ``.explain("formatted")`` for named registry queries into
-``plans/r12/<query>_<tag>.txt`` (the optimization round's before/after
-plan evidence; the judge reads these instead of running Spark).
+``plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt`` (default r13 — the
+optimization round's before/after plan evidence; the judge reads these
+instead of running Spark).
 
 Usage: python tools/capture_plans.py <tag> <name> [name ...]
        python tools/capture_plans.py <tag> --headline   (every bench query)
@@ -23,7 +24,9 @@ from fhir_etl_spark.queries import all_queries  # noqa: E402
 from fhir_etl_spark.session import get_spark  # noqa: E402
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13"),
 )
 
 
