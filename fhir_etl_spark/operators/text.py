@@ -425,8 +425,13 @@ def lm_cross_entropy(
         ),
         toks.alias("_t"),
     ).select("_id", "w1", F.expr("_t[i + 1]").alias("w2"))
-    uni = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
     bi = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # c1 (bigram-start count) = Σ_w2 c12 BY DEFINITION — derive it from
+    # the bigram table instead of re-aggregating the full bigram stream:
+    # one whole tokenize+explode pass over the corpus disappears, and
+    # the (w1, w2) exchange is computed once and REUSED by every
+    # consumer (r13, guide §2.4 — aggregate once, reuse the partials).
+    uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = uni.agg(F.count("*").alias("v"))
     neg_logp = -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
     lm = (
@@ -788,8 +793,12 @@ def stupid_backoff_score(
         ).select("_id", "w1", F.expr("_t[i + 1]").alias("w2"))
 
     ref_bi = bigram_stream(reference)
-    c1 = ref_bi.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
     c12 = ref_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    # c1 (bigram-start count) = Σ_w2 c12 by definition — derived from
+    # the bigram table, not a second aggregation of the full reference
+    # bigram stream (r13; same trick as lm_cross_entropy — the (w1,w2)
+    # exchange computes once and is reused).
+    c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     lm = c12.join(c1, "w1").selectExpr(
         "w1", "w2", "(_c12 * CAST(1000000 AS BIGINT)) DIV _c1 AS _seen_micro"
     )
@@ -798,7 +807,13 @@ def stupid_backoff_score(
     ref_uni = reference.select(
         F.explode(F.split(text_col, " ")).alias("_w")
     )
-    n_ref = ref_uni.count()  # one bounded scalar action (the v9 pattern)
+    # N = Σ per-doc token counts — a map-only size() aggregate over the
+    # reference scan (r13); identical to counting the exploded token
+    # rows (split('') yields [''] on both paths), without the explode.
+    n_ref_row = reference.agg(
+        F.sum(F.size(F.split(text_col, " "))).alias("_n")
+    ).first()
+    n_ref = int(n_ref_row["_n"] or 0)  # one bounded scalar action
     if n_ref == 0:
         raise ValueError("stupid_backoff_score: empty reference corpus")
     uni = ref_uni.groupBy("_w").agg(F.count(F.lit(1)).alias("_c2")).selectExpr(
