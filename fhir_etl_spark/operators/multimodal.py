@@ -944,6 +944,54 @@ def audio_mel_spectrogram(
     return df.select(id_col, bytes_col).mapInPandas(batches, out_schema)
 
 
+def _gif_frame_blobs(raw: bytes) -> list[bytes]:
+    """Container-level GIF frame split (split_gif_frames' byte walk,
+    module-level so the fused scene tier reuses the identical walk):
+    each frame re-wrapped as a standalone single-frame GIF sharing the
+    global color table; raises on corrupt/truncated containers."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"unsupported: {sniff_mime(raw)}")
+    if len(raw) < 14:  # header (6) + LSD (7) + at least a trailer byte
+        raise ValueError(f"truncated GIF: {len(raw)} bytes")
+    # header (6) + logical screen descriptor (7) [+ global color table]
+    packed = raw[10]
+    gct_size = 3 * (2 << (packed & 0x07)) if packed & 0x80 else 0
+    header = raw[: 13 + gct_size]
+    i, n = 13 + gct_size, len(raw)
+    frames: list[bytes] = []
+    pending_gce = b""  # graphic control extension riding with next frame
+    while i < n:
+        b0 = raw[i]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-block chain
+            if i + 1 >= n:
+                raise ValueError(f"truncated GIF extension at {i}")
+            j = i + 2
+            while j < n and raw[j] != 0:
+                j += 1 + raw[j]
+            j += 1  # block terminator
+            if raw[i + 1] == 0xF9:  # GCE — keep with the frame
+                pending_gce = raw[i:j]
+            i = j
+        elif b0 == 0x2C:  # image descriptor
+            if i + 10 > n:
+                raise ValueError(f"truncated GIF image descriptor at {i}")
+            j = i + 10
+            if raw[i + 9] & 0x80:  # local color table
+                j += 3 * (2 << (raw[i + 9] & 0x07))
+            j += 1  # LZW minimum code size byte
+            while j < n and raw[j] != 0:
+                j += 1 + raw[j]
+            j += 1
+            frames.append(header + pending_gce + raw[i:j] + b"\x3b")
+            pending_gce = b""
+            i = j
+        else:
+            raise ValueError(f"corrupt GIF block 0x{b0:02x} at {i}")
+    return frames
+
+
 def split_gif_frames(
     df: DataFrame, every_n: int = 1, bytes_col: str = "media", id_col: str = "id"
 ) -> DataFrame:
@@ -969,49 +1017,6 @@ def split_gif_frames(
         ]
     )
 
-    def _frames(raw: bytes) -> list[bytes]:
-        if raw[:6] not in (b"GIF87a", b"GIF89a"):
-            raise ValueError(f"unsupported: {sniff_mime(raw)}")
-        if len(raw) < 14:  # header (6) + LSD (7) + at least a trailer byte
-            raise ValueError(f"truncated GIF: {len(raw)} bytes")
-        # header (6) + logical screen descriptor (7) [+ global color table]
-        packed = raw[10]
-        gct_size = 3 * (2 << (packed & 0x07)) if packed & 0x80 else 0
-        header = raw[: 13 + gct_size]
-        i, n = 13 + gct_size, len(raw)
-        frames: list[bytes] = []
-        pending_gce = b""  # graphic control extension riding with next frame
-        while i < n:
-            b0 = raw[i]
-            if b0 == 0x3B:  # trailer
-                break
-            if b0 == 0x21:  # extension: label + sub-block chain
-                if i + 1 >= n:
-                    raise ValueError(f"truncated GIF extension at {i}")
-                j = i + 2
-                while j < n and raw[j] != 0:
-                    j += 1 + raw[j]
-                j += 1  # block terminator
-                if raw[i + 1] == 0xF9:  # GCE — keep with the frame
-                    pending_gce = raw[i:j]
-                i = j
-            elif b0 == 0x2C:  # image descriptor
-                if i + 10 > n:
-                    raise ValueError(f"truncated GIF image descriptor at {i}")
-                j = i + 10
-                if raw[i + 9] & 0x80:  # local color table
-                    j += 3 * (2 << (raw[i + 9] & 0x07))
-                j += 1  # LZW minimum code size byte
-                while j < n and raw[j] != 0:
-                    j += 1 + raw[j]
-                j += 1
-                frames.append(header + pending_gce + raw[i:j] + b"\x3b")
-                pending_gce = b""
-                i = j
-            else:
-                raise ValueError(f"corrupt GIF block 0x{b0:02x} at {i}")
-        return frames
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, blobs, errs = [], [], [], []
@@ -1019,7 +1024,7 @@ def split_gif_frames(
                 if data is None:
                     continue
                 try:
-                    for k, frame in enumerate(_frames(bytes(data))):
+                    for k, frame in enumerate(_gif_frame_blobs(bytes(data))):
                         if k % every_n == 0:
                             ids.append(rid)
                             idxs.append(k)
@@ -1037,6 +1042,95 @@ def split_gif_frames(
             yield pd.DataFrame(
                 {id_col: ids, "frame_index": idxs, "frame": blobs, "error": errs}
             )
+
+    return df.select(id_col, bytes_col).mapInPandas(batches, out_schema)
+
+
+def gif_frame_luma_histograms(
+    df: DataFrame,
+    every_n: int = 1,
+    bytes_col: str = "media",
+    id_col: str = "id",
+    n_bins: int = 16,
+    out_col: str = "hist",
+) -> DataFrame:
+    """Fused ``split_gif_frames → decode_image → luma_histogram`` for
+    animated GIFs: the frame split, LZW pixel decode, and integer BT.601
+    luma binning run in ONE Python stage, so the re-wrapped frame bytes
+    and the decoded pixel buffers never cross the Arrow boundary — only
+    ``n_bins`` longs per frame leave the stage (the m14 scene tier was
+    three chained mapInPandas stages shipping full pixel structs between
+    Python workers). Row contract is exactly the composition's:
+    NULL media → no row; corrupt container → one error row
+    (frame_index = -1, hist NULL); a frame whose decode fails keeps its
+    row with a NULL histogram (decode_image's survive-bad-files
+    contract). The byte walk is ``_gif_frame_blobs`` and the decode is
+    ``functions.gif.decode_gif`` — the same code the unfused operators
+    run, and the binning is bit-identical int64 arithmetic
+    (``luma_milli · n_bins // 255001``)."""
+    from fhir_etl_spark.functions.gif import decode_gif
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField(out_col, T.ArrayType(T.LongType())),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, idxs, hists, errs = [], [], [], []
+            for rid, data in zip(pdf[id_col], pdf[bytes_col]):
+                if data is None:
+                    continue
+                try:
+                    frames = _gif_frame_blobs(bytes(data))
+                except Exception as exc:  # noqa: BLE001 — split contract
+                    ids.append(rid)
+                    idxs.append(-1)
+                    hists.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}"[:200])
+                    continue
+                for k, frame in enumerate(frames):
+                    if k % every_n:
+                        continue
+                    try:
+                        arr = decode_gif(frame)
+                        ch = arr.shape[2]
+                        if ch == 3:
+                            px = arr.reshape(-1, 3).astype(np.int64)
+                            lum = 299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]
+                        elif ch == 1:
+                            lum = 1000 * arr.reshape(-1).astype(np.int64)
+                        else:
+                            raise ValueError(
+                                f"luma_histogram: unsupported channel count {ch}"
+                            )
+                        hist = (
+                            np.bincount((lum * n_bins) // 255001, minlength=n_bins)
+                            .astype("int64")
+                            .tolist()
+                        )
+                        err = None
+                    except Exception as exc:  # noqa: BLE001 — decode contract
+                        hist, err = None, str(exc)[:200]
+                    ids.append(rid)
+                    idxs.append(k)
+                    hists.append(hist)
+                    errs.append(err)
+            if ids:  # empty batch → pandas infers float64, Arrow can't
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "frame_index": idxs,
+                        out_col: pd.Series(hists, dtype=object),
+                        "error": errs,
+                    }
+                )
 
     return df.select(id_col, bytes_col).mapInPandas(batches, out_schema)
 

@@ -33,6 +33,24 @@ _MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Round-robin the frame up to the session's default parallelism
+    before a heavy Python codec tier (r13, guide §2.2): at bench scale
+    the documents parquet arrives in a handful of input splits, which
+    would pin every per-row encode/decode to that many cores while the
+    rest of the box idles — m14 ran its whole codec chain on 3 of 32
+    cores. The exchange moves only the builder's input columns (doc_id,
+    at most doc_id+text), never media bytes. Row-independent map
+    consumers only: placement never changes values (the
+    _ensure_scoring_width argument). The partition probe is plan-time
+    (no job); at cluster scale input splits already exceed cores and
+    this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _wav_media(documents):
     """Formula PCM16 → WAV media per doc — the SHARED builder for every
     audio query (m3/m9/m13): sample j of doc is
@@ -59,7 +77,7 @@ def _wav_media(documents):
                 blobs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
-    return documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    return _widen(documents.select("doc_id")).mapInPandas(build, _MEDIA_SCHEMA)
 
 
 
@@ -84,7 +102,7 @@ def _png_media(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
-    return df.select("doc_id").mapInPandas(batches, _MEDIA_SCHEMA)
+    return _widen(df.select("doc_id")).mapInPandas(batches, _MEDIA_SCHEMA)
 
 
 @query(
@@ -205,7 +223,7 @@ def m6_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_jpeg(tile.astype(np.uint8), quality=33))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
-    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    media = _widen(documents.select("doc_id")).mapInPandas(build, _MEDIA_SCHEMA)
     decoded = decode_image(media, bytes_col="media")
 
     out_schema = T.StructType(
@@ -399,7 +417,7 @@ def m11_mel_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
-    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    media = _widen(documents.select("doc_id")).mapInPandas(build, _MEDIA_SCHEMA)
     frames = audio_mel_spectrogram(
         media, n_fft=256, hop=128, n_mels=40, bytes_col="media", id_col="doc_id"
     )
@@ -475,7 +493,7 @@ def m4_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(gif + b"\x3b")
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
-    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    media = _widen(documents.select("doc_id")).mapInPandas(build, _MEDIA_SCHEMA)
     frames = split_gif_frames(media, every_n=2, bytes_col="media", id_col="doc_id")
 
     out_schema = T.StructType(
@@ -562,7 +580,7 @@ def m7_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
-    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    media = _widen(documents.select("doc_id")).mapInPandas(build, _MEDIA_SCHEMA)
     frames = sample_video_frames(
         media, keyframes_only=True, bytes_col="media", id_col="doc_id"
     )
@@ -653,7 +671,7 @@ def m8_webm_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
-    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    media = _widen(documents.select("doc_id")).mapInPandas(build, _MEDIA_SCHEMA)
     frames = sample_video_frames(
         media, keyframes_only=True, bytes_col="media", id_col="doc_id"
     )
@@ -749,7 +767,7 @@ def m10_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blobs.append(encode_png(img[:, :, None]))
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    media = _widen(documents.select("doc_id")).mapInPandas(build, _MEDIA_SCHEMA)
     hashed = phash_image(media, bytes_col="media")
     return phash_neardup_pairs(
         hashed, id_col="doc_id", hash_col="phash", max_hamming=5
@@ -885,7 +903,7 @@ def m12_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
-    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
+    media = _widen(documents.select("doc_id")).mapInPandas(build, _MEDIA_SCHEMA)
     decoded = decode_image(media, bytes_col="media")
 
     out_schema = T.StructType(
@@ -1023,15 +1041,14 @@ def m14_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     end: per doc, an nf-frame animation with a planted hard cut (scene 0
     cycles the low palette half with a per-frame shift; scene 1 holds
     palette index 13) → encode_gif (interlaced for odd docs) →
-    split_gif_frames (container-level frame split) → decode_image (LZW)
-    → luma_histogram (integer BT.601 binning) → scene_cuts (lag-window
+    gif_frame_luma_histograms (container-level frame split + LZW decode
+    + integer BT.601 binning, FUSED into one Python stage — r13: frame
+    bytes and pixel buffers never cross Arrow) → scene_cuts (lag-window
     L1 deltas, 2·L1 > pixels rule) → per-clip summary. Python only in
     the codec tier; the detection itself is one window + fold."""
     from fhir_etl_spark.operators.multimodal import (
-        decode_image,
-        luma_histogram,
+        gif_frame_luma_histograms,
         scene_cuts,
-        split_gif_frames,
     )
 
     documents = load_tables(spark, sf_dir, "documents")
@@ -1063,15 +1080,18 @@ def m14_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_gif(frames, pal, interlace=bool(doc_id % 2)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
-    media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
-    frames = split_gif_frames(media, every_n=1, bytes_col="media", id_col="doc_id")
-    decoded = decode_image(frames, bytes_col="frame")
-    # select BEFORE the window: pruning cannot reach inside mapInPandas,
-    # so without this the per-clip window would shuffle every frame's
-    # pixel buffer and encoded bytes alongside the 16-long histogram
-    hists = luma_histogram(decoded, image_col="image").select(
-        "doc_id", "frame_index", "hist"
-    )
+    # widen BEFORE the codec tier (r13, guide §2.2): the documents scan
+    # arrives in a handful of input splits at bench scale, which would
+    # pin the encode+decode Python work to that many cores; the exchange
+    # moves only doc_id longs. Row-independent map tier — placement
+    # never changes values (the _ensure_scoring_width argument).
+    media = _widen(documents.select("doc_id")).mapInPandas(build, _MEDIA_SCHEMA)
+    # fused split→decode→bin: only (doc_id, frame_index, 16 longs)
+    # leaves the Python stage — the per-clip window shuffles histograms,
+    # never pixel buffers or encoded frame bytes (r13, guide §4/§8)
+    hists = gif_frame_luma_histograms(
+        media, every_n=1, bytes_col="media", id_col="doc_id"
+    ).select("doc_id", "frame_index", "hist")
     flagged = scene_cuts(hists, id_col="doc_id", order_col="frame_index")
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_frames"),
@@ -1131,6 +1151,10 @@ def m15_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(build_jpeg_with_exif(payload))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
+    # NOT widened (r13, measured): the EXIF build+parse tier is too
+    # cheap to amortize the round-robin exchange — widening took m15
+    # 0.81 → 1.02 s at sf0.1 while m2/m6/m14/m16 (real codec work)
+    # gained 1.6–3×.
     media = documents.select("doc_id").mapInPandas(build, _MEDIA_SCHEMA)
     parsed = extract_exif(media, bytes_col="media")
     return parsed.select(
@@ -1235,7 +1259,7 @@ def m16_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_pdf(pages))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
-    media = documents.mapInPandas(build, out_fields)
+    media = _widen(documents).mapInPandas(build, out_fields)
     extracted = pdf_text(media, bytes_col="media")
     return extracted.select(
         "doc_id",

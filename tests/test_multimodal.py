@@ -237,6 +237,73 @@ def test_split_gif_frames_truncated_bytes_become_error_rows(spark):
     assert [r["frame_index"] for r in sorted(by_id[5], key=lambda r: r["frame_index"])] == [0, 1, 2]
 
 
+def test_gif_frame_luma_histograms_matches_composition(spark):
+    """The fused split→decode→bin operator (r13, the m14 scene tier)
+    must be row-for-row identical on (id, frame_index, hist, has-error)
+    to the three-stage composition it replaces — including every_n
+    sampling, interlaced GIFs, frames that fail LZW decode (row kept,
+    NULL hist), corrupt containers (frame_index = -1), non-GIF bytes,
+    and NULL media (no row)."""
+    import numpy as np
+
+    from fhir_etl_spark.functions.gif import encode_gif
+    from fhir_etl_spark.operators.multimodal import (
+        gif_frame_luma_histograms,
+        luma_histogram,
+        split_gif_frames,
+    )
+
+    pal = np.stack(
+        [
+            np.array([(i * 37) % 256, (i * 59) % 256, (i * 83) % 256])
+            for i in range(16)
+        ]
+    ).astype(np.uint8)
+
+    def clip(seed: int, nf: int, h: int, w: int, interlace: bool) -> bytes:
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = [
+            ((seed + f + 5 * yy + 3 * xx) % 16).astype(np.uint8)
+            for f in range(nf)
+        ]
+        return encode_gif(frames, pal, interlace=interlace)
+
+    rows = [
+        (1, clip(1, 4, 8, 6, False)),
+        (2, clip(2, 5, 7, 9, True)),  # interlaced decode path
+        (3, _animated_gif(3)),  # splits fine, frames fail LZW decode
+        (4, b"GIF89a"),  # corrupt container -> frame_index -1
+        (5, minimal_png(4, 4)),  # non-GIF -> frame_index -1
+        (6, None),  # NULL media -> no row at all
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    for every_n in (1, 2):
+        fused = {
+            (r["id"], r["frame_index"]): (r["hist"], r["error"] is not None)
+            for r in gif_frame_luma_histograms(df, every_n=every_n).collect()
+        }
+        frames = split_gif_frames(df, every_n=every_n)
+        composed = {
+            (r["id"], r["frame_index"]): (
+                r["hist"],
+                r["error"] is not None
+                or (r["image"] is not None and r["image"]["error"] is not None),
+            )
+            for r in luma_histogram(
+                decode_image(frames, bytes_col="frame")
+            ).collect()
+        }
+        assert fused == composed
+        assert not any(rid == 6 for rid, _ in fused)
+        # the decodable clips really produced histograms (non-vacuous)
+        assert all(
+            fused[(rid, fi)][0] is not None
+            for rid, fi in fused
+            if rid in (1, 2) and fi >= 0
+        )
+        assert fused[(4, -1)][1] and fused[(5, -1)][1]
+
+
 def test_png_codec_property_roundtrip():
     """Pure-unit codec check across shapes/channels/filters (no Spark)."""
     import numpy as np
