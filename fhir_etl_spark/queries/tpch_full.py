@@ -544,37 +544,34 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
         .select("l_orderkey", "l_suppkey")
     )
-    # r12 optimization: the correlated EXISTS / NOT EXISTS with a <>
-    # conjunct are equivalent to per-order DISTINCT-SUPPLIER counts —
-    # for a late line l1,
-    #   EXISTS l2 (same order, different supplier, any line)
-    #     ⟺ count(DISTINCT l_suppkey) over the order's lineitem ≥ 2
-    #       (l1's supplier is in the set, so a different one exists
-    #        exactly when the set has ≥ 2 members);
-    #   NOT EXISTS l3 (same order, different supplier, late line)
-    #     ⟺ count(DISTINCT l_suppkey) over the order's LATE lines = 1
-    #       (l1 itself is late, so the late-supplier set is nonempty
-    #        and equals {l1.l_suppkey} exactly when its size is 1).
-    # The aggregates shuffle (orderkey, suppkey) partial-distinct pairs
-    # with map-side combine instead of running lineitem through a
-    # second full semi-join exchange plus a late×late anti join, and
-    # both qualifying tables are order-grain (AQE broadcasts them at
-    # bench scale). Results identical — the oracle is unchanged.
-    sole_late = (
-        late.groupBy("l_orderkey")
-        .agg(F.count_distinct("l_suppkey").alias("_nls"))
-        .filter(F.col("_nls") == 1)
-        .select("l_orderkey")
+    # r13: REVERTED to the semi/anti-join formulation. r12 rewrote this
+    # as per-order count_distinct qualifying tables (EXISTS ⟺ distinct
+    # suppliers ≥ 2, NOT EXISTS ⟺ distinct late suppliers = 1 —
+    # equivalent, oracle-green), but the first sf10-shape measurement
+    # (BENCH_sf10_r13) priced it: 23.5 s / 3,229 MB shuffled vs this
+    # plan's 10.7 s / 2,849 MB — the full-lineitem distinct aggregation
+    # shuffles MORE than the semi join it replaced and runs 2.2×
+    # slower at scale. Measured, reverted, numbers recorded
+    # (OPTIMIZATION_r13.md).
+    l1 = late.alias("l1")
+    other_supplier_lines = lineitem.select("l_orderkey", "l_suppkey").alias("l2")
+    other_late = late.alias("l3")
+    qualified = (
+        l1.join(
+            other_supplier_lines,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
     )
-    multi_supp = (
-        lineitem.groupBy("l_orderkey")
-        .agg(F.count_distinct("l_suppkey").alias("_ns"))
-        .filter(F.col("_ns") >= 2)
-        .select("l_orderkey")
-    )
-    qualified = late.join(sole_late, "l_orderkey").join(multi_supp, "l_orderkey")
     counts = (
-        qualified.join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        qualified.join(supplier, F.col("s_suppkey") == F.col("l1.l_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

@@ -443,7 +443,11 @@ def test_round4_operator_plan_shapes(spark, sf_dir):
 
     m2 = qs["m2_image_decode"].fn(spark, sf_dir)
     p = m2._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in p, p
+    # r13 _widen: exactly ONE round-robin exchange (doc_id longs only)
+    # widens the codec tier to full parallelism; any OTHER shuffle —
+    # media bytes, hash partitioning, a join — must not appear
+    assert p.count("Exchange") == p.lower().count("roundrobinpartitioning"), p
+    assert "hashpartitioning" not in p.lower(), p
     assert p.count("MapInPandas") == 3  # build → decode → stats
 
 
