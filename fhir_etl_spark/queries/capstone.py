@@ -180,7 +180,7 @@ def _stage_and_scan_warc(
         return pd.DataFrame({"file_id": [fid], "n": [len(pdf)]})
 
     n_files = _c5_warc_file_count(spark)
-    (
+    written = (
         pages.withColumn("file_id", F.col("doc_id") % n_files)
         .groupBy("file_id")
         .applyInPandas(write_group, "file_id long, n long")
@@ -191,8 +191,15 @@ def _stage_and_scan_warc(
         spark.dataSource.register(WarcDataSource)
     except Exception:  # noqa: BLE001 — already registered in this session
         pass
+    # Read back ONLY the files this run wrote (ADVICE r12): n_files
+    # scales with defaultParallelism while out_dir persists in /tmp, so
+    # a residue that is empty in THIS run must not pick up a stale
+    # part file from a prior run with a different core count (duplicate
+    # doc_ids), and a missing file must not become a silently-dropped
+    # error row. The write_group output is the authoritative manifest.
     paths = ",".join(
-        f"{out_dir}/part-{fid:04d}.warc.gz" for fid in range(n_files)
+        f"{out_dir}/part-{int(r['file_id']):04d}.warc.gz"
+        for r in sorted(written, key=lambda r: r["file_id"])
     )
     scanned = spark.read.format("warc_archive").option("paths", paths).load()
     return scanned.where(F.col("warc_type") == "response").select(
